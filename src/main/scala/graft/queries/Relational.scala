@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+
+/** Core relational operators from SURVEY.md §2.3–§2.7 re-expressed
+  * over the TPC-H-ish testdata: aggregation (A1/A5), broadcast dim
+  * joins (J1-J3), semi/anti joins (P13/J3/J10), window sums (J4/J7),
+  * pair renumbering (W1), forward-fill (W2), group argmax (A3/J6),
+  * distinct-count audit (A6), cumcount (A4), top-k (O1+P12).
+  *
+  * Scale notes (100 TB stance): dim joins broadcast the small side so
+  * the fact table never shuffles; windows partition by high-cardinality
+  * keys (orderkey/custkey/user_id) so state per partition stays tiny;
+  * all aggregates are partial-aggregation friendly (sum/count/min/max).
+  */
+object Relational extends QueryGroup {
+
+  /** Exact, order-independent sum of a double column: decimal in,
+    * rounded double out. Mirrors the SQL-side
+    * round(sum(CAST(x AS DECIMAL(18,4))), s)::DOUBLE so both engines
+    * produce the bit-identical double regardless of partial-agg order.
+    */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 + F19: pricing summary (TPC-H Q1 shape) — group-sum with
+    // derived measures; partial agg (map-side combine) does the heavy
+    // lifting, only |groups| rows shuffle.
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    // J1: star-schema dim enrichment — both dims broadcast (≤25 rows);
+    // the customer side never shuffles for the join, only for the agg.
+    "q02_region_rollup" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+             dsum(col("c_acctbal")).as("sum_acctbal"))
+    }),
+
+    // J2-shape fact⋈dim: orders joined to (broadcast) customer, rolled
+    // up by market segment.
+    "q03_segment_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // P13 semi-join: customers having at least one big order.
+    "q04_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J3/J10 anti-join: customers with no orders at all (the
+    // "remove finished games" idiom, null-safe by construction).
+    "q05_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J4/J5 eliminated-join window: per-order total and line share —
+    // the SURVEY's "window instead of groupby+merge-back" rewrite.
+    // Decimal window sum keeps the total order-independent; the final
+    // double division is then bit-deterministic.
+    "q06_window_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val w = Window.partitionBy("l_orderkey")
+      val total = sum(col("l_extendedprice").cast("decimal(18,4)")).over(w)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") / total.cast("double"), 6).as("price_share"))
+    }),
+
+    // W1: positional pair-id (the reference's `i//2+1` game-id) as an
+    // explicit deterministic window — rows pair up within an order by
+    // line number.
+    "q07_pair_id" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        (floor((row_number().over(w) - 1) / 2) + 1).cast("int").as("pair_id"))
+    }),
+
+    // W2: forward-fill (pandas ffill) = last(ignoreNulls) over an
+    // explicit (ts, event_id) order; nulls injected deterministically.
+    "q08_ffill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = when(col("event_type") === "click", lit(null)).otherwise(col("value"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+        last(v, ignoreNulls = true).over(w).as("value_ffill"))
+    }),
+
+    // A3: row-wise max across measure columns + which-column argmax
+    // (the bookie-grid `max(axis=1)` + find_max_payout_column pair).
+    "q09_rowmax" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_discount"), col("l_tax")).as("best_rate"),
+        when(col("l_tax") >= col("l_discount"), lit("tax"))
+          .otherwise(lit("discount")).as("best_side"))
+    }),
+
+    // A3/J6 group-argmax: per customer, their single most expensive
+    // order — rank-1 window with a total tie-break order, replacing
+    // the reference's O(cols) row-scan + re-join.
+    "q10_group_argmax" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
+                col("o_totalprice").as("top_price"))
+    }),
+
+    // A6: the sign-audit shape — groups whose member set is not
+    // uniform (count distinct != 1). Exact distinct on tiny groups.
+    "q11_status_audit" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.groupBy("o_custkey")
+        .agg(countDistinct(col("o_orderstatus")).as("n_status"))
+        .filter(col("n_status") > 1)
+    }),
+
+    // A4/W5: group cumcount (rank of repeat appearance) with explicit
+    // deterministic order — pandas' silent row order made explicit.
+    "q12_cumcount" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.select(col("event_id"), col("user_id"),
+        row_number().over(w).as("visit_no"))
+    }),
+
+    // O1+P12 top-k per group: 3 priciest parts per brand,
+    // deterministic tie-break on partkey.
+    "q13_topk_per_group" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      p.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"), col("p_retailprice"))
+    }),
+
+    // O5: unpivot wide measures → long EAV (the mega_df melt).
+    "q14_unpivot" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.selectExpr("l_orderkey", "l_linenumber",
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+          "'discount', l_discount, 'tax', l_tax) as (metric, value)")
+    }),
+
+    // G1: row-duplicating generator — explode a literal array into
+    // Line/Payout rows, then drop the (ML, Line) combination, exactly
+    // the reference's iterrows duplication rewritten as a Generator.
+    "q15_explode_pair" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val tagged = o.select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O", lit("ML")).otherwise(lit("Spread")).as("bet_type"))
+      tagged.withColumn("info", explode(array(lit("Line"), lit("Payout"))))
+        .filter(!(col("bet_type") === "ML" && col("info") === "Line"))
+    }),
+
+    // O3: vertical union with provenance tag (concat-rows idiom).
+    "q16_union_tagged" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_name").as("name"), lit("customer").as("kind"))
+      val sup = Tables.supplier(s, dir).select(col("s_name").as("name"), lit("supplier").as("kind"))
+      c.unionByName(sup)
+    }),
+
+    // P11: pandas null-KEEPING inequality — `NaN != x` is true in
+    // pandas, null in SQL; the null-safe rewrite keeps null rows.
+    "q17_nullsafe_neq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val status = when(col("event_type") === "purchase", lit(null).cast("string"))
+        .otherwise(col("event_type"))
+      ev.select(col("event_id"), status.as("status"))
+        .filter(col("status").isNull || col("status") =!= "error")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(CAST(l_quantity AS DECIMAL(18,4))),2)::DOUBLE AS sum_qty,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2)::DOUBLE AS sum_base_price,
+         round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2)::DOUBLE AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_region_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         round(sum(CAST(c_acctbal AS DECIMAL(18,4))),2)::DOUBLE AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey=n_nationkey
+         JOIN region ON n_regionkey=r_regionkey
+         GROUP BY r_name, n_name""",
+    "q03_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2)::DOUBLE AS revenue
+         FROM orders JOIN customer ON o_custkey=c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey=c.c_custkey AND o.o_totalprice > 400000)""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)""",
+    "q06_window_share" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice / (sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+           OVER (PARTITION BY l_orderkey))::DOUBLE, 6) AS price_share
+         FROM lineitem""",
+    "q07_pair_id" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR((row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1) / 2) + 1 AS INT) AS pair_id
+         FROM lineitem""",
+    "q08_ffill" ->
+      """SELECT event_id, user_id,
+         last_value(CASE WHEN event_type='click' THEN NULL ELSE value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+         FROM events""",
+    "q09_rowmax" ->
+      """SELECT l_orderkey, l_linenumber,
+         greatest(l_discount, l_tax) AS best_rate,
+         CASE WHEN l_tax >= l_discount THEN 'tax' ELSE 'discount' END AS best_side
+         FROM lineitem""",
+    "q10_group_argmax" ->
+      """SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) = 1""",
+    "q11_status_audit" ->
+      """SELECT o_custkey, count(DISTINCT o_orderstatus) AS n_status
+         FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderstatus) > 1""",
+    "q12_cumcount" ->
+      """SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS visit_no
+         FROM events""",
+    "q13_topk_per_group" ->
+      """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+           FROM part) WHERE rnk <= 3""",
+    "q14_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""",
+    "q15_explode_pair" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus='O' THEN 'ML' ELSE 'Spread' END AS bet_type,
+         info
+         FROM orders
+         CROSS JOIN (VALUES ('Line'), ('Payout')) AS infos(info)
+         WHERE NOT (o_orderstatus='O' AND info='Line')""",
+    "q16_union_tagged" ->
+      """SELECT c_name AS name, 'customer' AS kind FROM customer
+         UNION ALL
+         SELECT s_name AS name, 'supplier' AS kind FROM supplier""",
+    "q17_nullsafe_neq" ->
+      """SELECT event_id, status FROM (
+           SELECT event_id,
+             CASE WHEN event_type='purchase' THEN NULL ELSE event_type END AS status
+           FROM events)
+         WHERE status IS NULL OR status != 'error'"""
+  )
+}
