@@ -11,7 +11,8 @@ import graft.{queries => q}
   */
 object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
-    q.Relational
+    q.Relational,
+    q.Domain
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.Odds
+import graft.operators.Reshape
+
+/** The banksy betting-domain semantics (SURVEY.md §2.9 math +
+  * §2.5-§2.6 arbitrage shapes) exercised over deterministic synthetic
+  * odds derived from the testdata, so every domain function sits
+  * behind the DuckDB oracle gate. The string-normalization battery
+  * (regex-heavy F1-F15) is parity-tested in ScalaTest instead, where
+  * Python-regex fixtures are the reference.
+  *
+  * Synthetic-odds construction: each order's first two lineitems form
+  * a game pair (the reference's consecutive-row pairs, made explicit);
+  * two "bookies" quote american odds derived from l_discount / l_tax.
+  */
+object Domain extends QueryGroup {
+
+  /** Legs table: per order, the first two lines, with two bookie
+    * quotes in american odds. Deterministic: (orderkey, linenumber)
+    * is a unique total order.
+    */
+  private def legs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    // order by every output-affecting column so the chosen pair is a
+    // deterministic multiset even under duplicate rows.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_discount", "l_tax")
+    li.withColumn("rn", row_number().over(w))
+      .withColumn("n_lines", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("rn") <= 2 && col("n_lines") >= 2)
+      .select(col("l_orderkey").as("game_id"), col("rn").as("leg"),
+        (round(col("l_discount") * 4000) - 200).as("bookie_disc"),
+        (round(col("l_tax") * 4000) - 200).as("bookie_tax"))
+  }
+
+  private val legsSql =
+    """SELECT l_orderkey AS game_id, rn AS leg,
+       round(l_discount*4000) - 200 AS bookie_disc,
+       round(l_tax*4000) - 200 AS bookie_tax
+       FROM (SELECT *,
+               row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_discount, l_tax) AS rn,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_lines
+             FROM lineitem)
+       WHERE rn <= 2 AND n_lines >= 2"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F16 classifier over constructed quote strings.
+    "q20_bettype_classify" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val quote = when(pmod(col("p_partkey"), lit(4)) === 0,
+          concat(lit("o"), col("p_size").cast("string"), lit(".5")))
+        .when(pmod(col("p_partkey"), lit(4)) === 1,
+          concat(lit("+"), (col("p_size") * 10).cast("string"), lit(" -110")))
+        .when(pmod(col("p_partkey"), lit(4)) === 2,
+          concat(lit("-"), col("p_size").cast("string"), lit(".5 -105")))
+        .otherwise(when(pmod(col("p_size"), lit(2)) === 0,
+            lpad((col("p_size") * 7).cast("string"), 4, "1"))
+          .otherwise(lit("xx")))
+      p.select(col("p_partkey"), quote.as("quote"))
+        .withColumn("bet_type", Odds.betType(col("quote")))
+        .withColumn("sort_key", Odds.betTypeSortKey(col("bet_type")))
+    }),
+
+    // F17: american → decimal odds.
+    "q21_odds_decimal" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // + 0.0 collapses IEEE -0.0 (from rounding tiny negatives) to
+      // +0.0 so the driver's value hash can't see a sign-of-zero drift.
+      val american = round((col("value") - 5.0) * 40) + lit(0.0)
+      ev.select(col("event_id"), american.as("american"),
+        round(Odds.americanToDecimal(american), 4).as("decimal_odds"))
+    }),
+
+    // A1+A3+P12: the core arbitrage detection — per-leg best quote
+    // (row-wise max + argmax side), per-game window sum, positive-calc
+    // filter with the double-EVEN false-positive guard
+    // (arbitrage_scanner.py:275-293,331-332).
+    "q22_arb_detect" -> ((s, dir) => {
+      val l = legs(s, dir)
+      val withBest = Reshape.argmax(l, Seq("bookie_disc", "bookie_tax"), "max_payout", "best_bookie")
+      val w = Window.partitionBy("game_id")
+      withBest
+        .withColumn("arb_calc", sum(col("max_payout")).over(w))
+        .filter(col("arb_calc") > 0 &&
+          !(col("max_payout") === 100 && col("arb_calc") === 200))
+        .select("game_id", "leg", "max_payout", "best_bookie", "arb_calc")
+    }),
+
+    // F17+F18+F19: stake sizing and profit margin per arbitrage game
+    // (arbitrage_scanner.py:360-378) — leg 1 stakes 100, leg 2 hedges
+    // to equal payout; margin integer-rounded.
+    "q23_stake_sizing" -> ((s, dir) => {
+      val l = legs(s, dir)
+      val best = greatest(col("bookie_disc"), col("bookie_tax"))
+      val w = Window.partitionBy("game_id")
+      val wo = Window.partitionBy("game_id").orderBy("leg")
+      val withDec = l.withColumn("dec_odds", Odds.americanToDecimal(best))
+        .withColumn("arb_calc", sum(best).over(w))
+        .filter(col("arb_calc") > 0)
+      val payout = first(round(col("dec_odds") * 100, 2)).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      withDec
+        .withColumn("payout", payout)
+        .withColumn("stake", when(col("leg") === 1, lit(100.0))
+          .otherwise(Odds.hedgeStake(col("payout"), col("dec_odds"))))
+        .withColumn("total_stake", sum(col("stake")).over(w))
+        .filter(col("leg") === 1)
+        .select(col("game_id"), col("payout"),
+          round(col("total_stake"), 2).as("total_stake"),
+          Odds.profitMargin(col("payout"), col("total_stake")).as("margin_pct"))
+    }),
+
+    // F13: explicit-sign display form.
+    "q24_plus_prefix" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      p.select(col("p_partkey"),
+        Odds.plusPrefix(col("p_size") - 25).as("signed_size"))
+    }),
+
+    // A5+J9+P12: the ≤3-alerts-per-(team,day) rate limit
+    // (arbitrage_scanner.py:434-461) — cumulative rank within the
+    // day, keep the first 3.
+    "q25_rate_limit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy("ts", "event_id")
+      ev.withColumn("day", to_date(col("ts")))
+        .withColumn("alert_no", row_number().over(w))
+        .filter(col("alert_no") <= 3)
+        .select("event_id", "user_id", "day", "alert_no")
+    }),
+
+    // A6: sign audit — groups where both legs carry the same sign are
+    // not real arbitrage (arbitrage_scanner.py:427-431).
+    "q26_sign_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sign = when(col("value") >= 5, lit("+")).otherwise(lit("-"))
+      ev.withColumn("sign", sign)
+        .groupBy("user_id", "event_type")
+        .agg(countDistinct(col("sign")).as("n_signs"))
+        .filter(col("n_signs") =!= 1)
+    }),
+
+    // G2: two-sides-per-row explode (bovada_pull.py:123-148) via
+    // Reshape.explodeSides.
+    "q27_explode_sides" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Reshape.explodeSides(
+        o.select("o_orderkey", "o_totalprice"),
+        Seq(
+          Seq("role" -> lit("base"), "amount" -> col("o_totalprice")),
+          // no rounding: /2 of a 2-dp price sits exactly on a .xx5
+          // tie where HALF_UP (Spark) and DuckDB disagree; the raw
+          // double division is bit-deterministic in both engines.
+          Seq("role" -> lit("half"), "amount" -> col("o_totalprice") / 2)))
+        .select("o_orderkey", "side_no", "role", "amount")
+    }),
+
+    // F22+J1: left join to a partial dim + coalesce fallback chain
+    // (arbitrage_scanner.py:196-197).
+    "q28_coalesce_dim" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir).filter(col("n_nationkey") < 13)
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"), "left")
+        .select(col("s_suppkey"),
+          coalesce(col("n_name"), lit("N/A")).as("nation_name"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q20_bettype_classify" ->
+      """SELECT p_partkey, quote,
+         CASE WHEN regexp_matches(quote, '[ou]') THEN 'Over/Under'
+              WHEN length(quote) IN (4,5) THEN 'ML'
+              WHEN regexp_matches(quote, '[+-]') THEN 'Spread'
+              ELSE 'ERROR' END AS bet_type,
+         CASE WHEN regexp_matches(quote, '[ou]') THEN 2
+              WHEN length(quote) IN (4,5) THEN 0
+              WHEN regexp_matches(quote, '[+-]') THEN 1
+              ELSE 2 END AS sort_key
+         FROM (
+           SELECT p_partkey,
+             CASE WHEN p_partkey % 4 = 0 THEN 'o' || p_size || '.5'
+                  WHEN p_partkey % 4 = 1 THEN '+' || (p_size*10) || ' -110'
+                  WHEN p_partkey % 4 = 2 THEN '-' || p_size || '.5 -105'
+                  ELSE CASE WHEN p_size % 2 = 0 THEN lpad((p_size*7)::VARCHAR, 4, '1')
+                            ELSE 'xx' END
+             END AS quote
+           FROM part)""",
+    "q21_odds_decimal" ->
+      """SELECT event_id, american,
+         round(CASE WHEN american > 0 THEN american/100 + 1
+                    WHEN american < 0 THEN 100/abs(american) + 1
+                    ELSE 1.0 END, 4) AS decimal_odds
+         FROM (SELECT event_id, round((value - 5.0) * 40) + 0.0 AS american
+               FROM events)""",
+    "q22_arb_detect" ->
+      s"""WITH legs AS ($legsSql)
+         SELECT game_id, leg, max_payout, best_bookie, arb_calc FROM (
+           SELECT game_id, leg,
+             greatest(bookie_disc, bookie_tax) AS max_payout,
+             CASE WHEN bookie_tax >= bookie_disc THEN 'bookie_tax' ELSE 'bookie_disc' END AS best_bookie,
+             sum(greatest(bookie_disc, bookie_tax)) OVER (PARTITION BY game_id) AS arb_calc
+           FROM legs)
+         WHERE arb_calc > 0 AND NOT (max_payout = 100 AND arb_calc = 200)""",
+    "q23_stake_sizing" ->
+      s"""WITH legs AS ($legsSql),
+         dec AS (
+           SELECT game_id, leg,
+             CASE WHEN greatest(bookie_disc, bookie_tax) > 0
+                    THEN greatest(bookie_disc, bookie_tax)/100 + 1
+                  WHEN greatest(bookie_disc, bookie_tax) < 0
+                    THEN 100/abs(greatest(bookie_disc, bookie_tax)) + 1
+                  ELSE 1.0 END AS dec_odds,
+             sum(greatest(bookie_disc, bookie_tax)) OVER (PARTITION BY game_id) AS arb_calc
+           FROM legs),
+         filtered AS (SELECT * FROM dec WHERE arb_calc > 0),
+         staged AS (
+           SELECT game_id, leg, dec_odds,
+             first_value(round(dec_odds*100, 2)) OVER (PARTITION BY game_id ORDER BY leg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS payout
+           FROM filtered),
+         staked AS (
+           SELECT game_id, leg, payout,
+             CASE WHEN leg = 1 THEN 100.0 ELSE round(payout/dec_odds, 2) END AS stake
+           FROM staged)
+         SELECT game_id, payout,
+           round(sum(stake) OVER (PARTITION BY game_id), 2) AS total_stake,
+           CAST(round((payout - sum(stake) OVER (PARTITION BY game_id))
+                / sum(stake) OVER (PARTITION BY game_id) * 100) AS INT) AS margin_pct
+         FROM staked QUALIFY leg = 1""",
+    "q24_plus_prefix" ->
+      """SELECT p_partkey, printf('%+d', p_size - 25) AS signed_size FROM part""",
+    "q25_rate_limit" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS day, alert_no FROM (
+           SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS alert_no
+           FROM events)
+         WHERE alert_no <= 3""",
+    "q26_sign_audit" ->
+      """SELECT user_id, event_type,
+         count(DISTINCT CASE WHEN value >= 5 THEN '+' ELSE '-' END) AS n_signs
+         FROM events GROUP BY user_id, event_type
+         HAVING count(DISTINCT CASE WHEN value >= 5 THEN '+' ELSE '-' END) != 1""",
+    "q27_explode_sides" ->
+      """SELECT o_orderkey, 1 AS side_no, 'base' AS role, o_totalprice AS amount FROM orders
+         UNION ALL
+         SELECT o_orderkey, 2, 'half', o_totalprice/2 FROM orders""",
+    "q28_coalesce_dim" ->
+      """SELECT s_suppkey, coalesce(n_name, 'N/A') AS nation_name
+         FROM supplier LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 13) n
+         ON s_nationkey = n_nationkey"""
+  )
+}

@@ -17,9 +17,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    # stringify for a total sort order incl. NaN/None
-    key = df.astype(str)
-    order = key.sort_values(by=list(df.columns), kind="mergesort").index
+    # Sort key: numeric columns sort numerically (with -0.0 folded to
+    # +0.0 so both engines align), everything else as strings — a
+    # stable total order shared by the spark and duck frames.
+    key = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        if df[c].dtype.kind in "fiu":
+            key[c] = df[c].astype(float) + 0.0
+        else:
+            key[c] = df[c].astype(str)
+    order = key.sort_values(by=list(df.columns), kind="mergesort",
+                            na_position="last").index
     return df.loc[order].reset_index(drop=True)
 
 
