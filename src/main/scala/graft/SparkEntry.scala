@@ -12,7 +12,8 @@ import graft.{queries => q}
 object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     q.Relational,
-    q.Domain
+    q.Domain,
+    q.TrainingData
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Text
+
+/** Deduplication operators for training-data curation at 100 TB:
+  * exact (hash-groupBy), near-dup by n-gram Jaccard (inverted-index
+  * join, NOT a cross join), MinHash+LSH (banded candidate generation
+  * so only same-bucket docs ever meet in a shuffle), and SimHash
+  * (constant-size fingerprint grouping).
+  *
+  * Scale design notes:
+  *  - every pairwise stage is blocked: pairs are generated per
+  *    shingle / per LSH band bucket, never corpus × corpus;
+  *  - hot shingles (document-frequency > maxDf) are dropped before
+  *    the self-join — the classic stop-shingle guard that bounds the
+  *    k^2 blowup of a shingle shared by k documents;
+  *  - all hashes are md5-derived Column expressions (codegen'd,
+  *    engine-deterministic), no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup on an arbitrary key expression: keeps the smallest
+    * `idCol` per key and reports the group size. One shuffle on the
+    * (high-cardinality) hash key; partial aggregation does the rest.
+    */
+  def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val w = Window.partitionBy("dedup_key").orderBy(idCol)
+    df.withColumn("dedup_key", key)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy("dedup_key")))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** (id, shingles). Three deliberate plan choices:
+    *  - Spread.byKey BEFORE the shingle projection: a small corpus
+    *    can arrive as one input split (and AQE would coalesce a
+    *    keyless repartition back down), leaving the CPU-heavy regex
+    *    and shingle HOFs on one core;
+    *  - tokens materialized through a projection boundary: inlining
+    *    tokens() into the shingle lambda re-runs the tokenizer regex
+    *    per element_at (CollapseProject keeps the boundary because
+    *    the alias is referenced more than once);
+    *  - no size(shingles)>0 filter: predicate pushdown would clone
+    *    the whole shingle expression below the projection (observed
+    *    10x cost); downstream explode() drops empty arrays itself. */
+  def shingleSets(df: DataFrame, idCol: String,
+                  textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("doc_text"))
+      .transform(Spread.byKey("id"))
+      .select(col("id"), Text.tokens(col("doc_text")).as("toks"))
+      .select(col("id"), Text.shingles(col("toks"), n).as("shingles"))
+
+  /** All document pairs (idA < idB) with n-gram Jaccard similarity
+    * >= threshold, via an inverted shingle index:
+    * explode distinct shingles -> drop shingles with document
+    * frequency > maxDf -> self-join per shingle -> count
+    * intersections -> join |A|,|B| -> jaccard = inter/(|A|+|B|-inter).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val filtered = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+    val pairs = filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash+LSH candidate pairs, verified with exact Jaccard.
+    * numPerm = bands * rowsPerBand; docs agreeing on ALL rows of any
+    * band become candidates (banded on a md5 of the band slice, so
+    * the join key is a single string). Returns (id_a, id_b, jaccard)
+    * for verified pairs >= threshold.
+    */
+  /** Exploded (id, shingle) relation with per-shingle md5 hash —
+    * shared scale-path input for minhash signatures. */
+  private[operators] def shingleHashes(sh: DataFrame): DataFrame =
+    sh.select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), pmod(Text.md5Long(col("s"), 12), lit(Text.MinhashP)).as("h"))
+
+  /** MinHash signature table (id, mh_1..mh_numPerm) via codegen'd
+    * min-aggregates over the exploded shingle hashes — the
+    * interpreted array-fold variant is 100x slower at sf0.1. */
+  private[operators] def minhashSigTable(sh: DataFrame, numPerm: Int): DataFrame = {
+    val aggs = Text.minhashAggs(col("h"), numPerm)
+    shingleHashes(sh).groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sigs = minhashSigTable(sh, numPerm)
+    // band b (1-based) covers mh_{(b-1)*r+1} .. mh_{b*r}.
+    val bandKeys = (1 to bands).map { b =>
+      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
+        .map(j => col(s"mh_$j").cast("string"))
+      md5(concat_ws(",", cols: _*))
+    }
+    val bandRows = sigs.select(col("id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash fingerprint per document plus its near-dup bucket size
+    * (documents sharing the exact fingerprint). */
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String,
+                    bits: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("doc_text"))
+      .transform(Spread.byKey("id"))
+      .select(col("id"), Text.tokens(col("doc_text")).as("toks"))
+      .select(col("id"),
+        transform(col("toks"), t => Text.md5Long(t, 4)).as("hashes"))
+      .select(col("id"), Text.simhashFromHashes(col("hashes"), bits).as("simhash"))
+      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("simhash")))
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity operators over an embedding column
+  * (array<float>): brute-force cosine top-k as the exact baseline and
+  * a sign-random-projection LSH variant as the scale path.
+  *
+  * Determinism: dot products cast elements to double and fold
+  * left-to-right (`aggregate`), matching DuckDB's `list_reduce` fold
+  * bit-for-bit; scores are ranked on their 6-dp rounding with an id
+  * tie-break, so rankings are engine-stable.
+  *
+  * Scale design: the query side of every join is broadcast (queries
+  * << corpus); the LSH variant buckets the corpus once (one narrow
+  * projection) and joins per bucket, turning O(|Q|·|C|) into
+  * O(|Q|·|C|/2^bits) comparisons. For 100 TB, bucket the corpus table
+  * by `bucket` at write time so probes are partition-pruned scans.
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm (same fold). */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * `queries` and `corpus` both expose (idCol, vecCol); self-pairs
+    * are excluded by id. Ranking key: (round(cos,6) DESC, id ASC). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Norms are computed once per row on each side BEFORE the join —
+    // the per-pair work is a single dot-product fold.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+    // repartition: a single-split corpus would otherwise score every
+    // pair on one core (broadcast join preserves stream-side splits).
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .transform(Spread.byKey("neighbor_id"))
+      .withColumn("cn", norm2(col("cv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Deterministic integer "hyperplane" weight for LSH bit j
+    * (0-based) and dimension d (0-based): a fixed pseudo-random value
+    * in [-48, 48] — identical in any engine, no RNG state. */
+  def hyperplaneWeight(j: Int, d: Int): Long =
+    ((j.toLong * 64 + d) * 2654435761L) % 97 - 48
+
+  /** Sign-random-projection bucket id in [0, 2^bits): bit j is set
+    * iff dot(v, hyperplane_j) >= 0 (left-fold, like dot()). */
+  def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val w = array((0 until dim).map(d => lit(hyperplaneWeight(j, d).toDouble)): _*)
+      val proj = aggregate(zip_with(vec, w, (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates are corpus vectors in the query's
+    * LSH bucket; ranked by exact cosine within the bucket. Trades
+    * recall for a 2^bits reduction in comparisons. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, dim: Int, bits: Int,
+              k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), dim, bits))
+      .withColumn("qn", norm2(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .transform(Spread.byKey("neighbor_id"))
+      .withColumn("bucket", lshBucket(col("cv"), dim, bits))
+      .withColumn("cn", norm2(col("cv")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score", "bucket")
+  }
+
+  /** All pairs (id_a < id_b) with cosine >= threshold — embedding
+    * near-dup detection. Blocked by LSH bucket when `bits` > 0 (pairs
+    * in different buckets are skipped: approximate but scalable);
+    * bits = 0 is the exact quadratic variant. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, threshold: Double, bits: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .transform(Spread.byKey("id"))
+      .withColumn("n2", norm2(col("v")))
+    val withB = if (bits > 0) base.withColumn("bucket", lshBucket(col("v"), dim, bits))
+                else base.withColumn("bucket", lit(0L))
+    val joined = withB.as("a").join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / sqrt(col("a.n2") * col("b.n2")), 6).as("cos_sim"))
+    joined.filter(col("cos_sim") >= threshold)
+  }
+}

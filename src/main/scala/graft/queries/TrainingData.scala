@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data curation operators (the BASELINE.json north star):
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine), similarity search (brute-force cosine top-k and
+  * sign-LSH ANN), and text analysis (language-ID, quality scoring,
+  * token stats, fingerprinting) — all over documents.parquet /
+  * embeddings.parquet, each hash-checked against a DuckDB oracle.
+  *
+  * Cross-engine determinism contract (what makes the oracle exact):
+  *  - content hashes are md5-hex derived: Spark conv(hex,16,10) ==
+  *    DuckDB ('0x'||hex)::BIGINT; everything downstream is exact
+  *    integer arithmetic mod 1e9+7;
+  *  - double summations are left-to-right folds: Spark `aggregate`
+  *    (init 0.0) mirrors DuckDB list_reduce(list_prepend(0.0,...)) —
+  *    identical IEEE operation order, bitwise-equal results;
+  *  - sqrt/division are correctly-rounded IEEE ops, so cosine scores
+  *    are bitwise equal; rankings order by the 6-dp rounding with an
+  *    id tie-break, identical in both engines.
+  */
+object TrainingData extends QueryGroup {
+
+  private val P = Text.MinhashP // 1000000007
+  private val Bands = 8
+  private val RowsPerBand = 4
+  private val NumPerm = Bands * RowsPerBand // 32
+  private val SimhashBits = 16
+  private val AnnQueries = 8 // vec_id < 8 are the query vectors
+  private val Dim = 64
+  private val LshBits = 4
+
+  // ---- DuckDB SQL fragment generators (mirror graft.functions.Text) ----
+
+  private def dMd5Long(e: String, k: Int) = s"('0x' || substr(md5($e), 1, $k))::BIGINT"
+
+  private val dToks = "regexp_extract_all(text, '([a-z0-9]+)', 1)"
+
+  private def dShingles(toks: String, n: Int): String = {
+    val gram = (0 until n).map(o => s"$toks[i+$o]").mkString(" || ' ' || ")
+    s"CASE WHEN len($toks) >= $n THEN list_distinct(list_transform(" +
+      s"generate_series(1, len($toks)-${n - 1}), i -> $gram)) ELSE []::VARCHAR[] END"
+  }
+
+  /** Shared tokenized-documents CTE. */
+  private val dTok = s"tok AS (SELECT doc_id, $dToks AS toks FROM documents)"
+
+  /** Shared shingle CTE (distinct 3-gram shingles, non-empty only). */
+  private val dSh =
+    s"""$dTok,
+       sh AS (SELECT doc_id, ${dShingles("toks", 3)} AS shingles FROM tok),
+       shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)"""
+
+  /** MinHash signature list literal from a `hashes` list column. */
+  private val dSig: String = {
+    val mins = (1 to NumPerm).map { j =>
+      s"list_min(list_transform(hashes, h -> (${Text.minhashCoeffA(j)} * h + ${Text.minhashCoeffB(j)}) % $P))"
+    }
+    mins.mkString("[", ", ", "]")
+  }
+
+  /** Left-fold double dot product of list columns a·b (len `Dim`). */
+  private def dDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+
+  /** LSH bucket id from a vector list column (mirrors Similarity.lshBucket). */
+  private def dBucket(v: String): String = {
+    val bitTerms = (0 until LshBits).map { j =>
+      val wlist = (0 until Dim).map(d => s"${Similarity.hyperplaneWeight(j, d)}.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+        s"i -> $v[i]::DOUBLE * ($wlist::DOUBLE[])[i])), (acc, x) -> acc + x) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
+
+  private val enStop = Text.LangStopwords.toMap.apply("en")
+  private def dStopHits(lang: String): String = {
+    val words = Text.LangStopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($words)))"
+  }
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on a content key (md5 of the first-5-token prefix):
+    // one shuffle on the hash key; keeps the smallest doc_id per group.
+    "q30_exact_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val key = md5(concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)))
+      Dedup.exactDedup(d, "doc_id", key)
+        .select("doc_id", "dedup_key", "dup_count")
+    }),
+
+    // Near-dup pairs by 3-gram Jaccard >= 0.5 via the inverted shingle
+    // index (pairs generated per shingle, never corpus x corpus).
+    "q31_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)),
+
+    // MinHash signatures, long form (doc_id, perm_no, minhash) — the
+    // explode + codegen'd min-aggregate scale path (one md5 per
+    // shingle, partial aggregation map-side).
+    "q32_minhash_sig" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sh = Dedup.shingleSets(d, "doc_id", "text", 3)
+      val exploded = sh.select(col("id"), explode(col("shingles")).as("s"))
+        .select(col("id"), pmod(Text.md5Long(col("s"), 12), lit(P)).as("h"))
+      val aggs = Text.minhashAggs(col("h"), NumPerm)
+      val stackArgs = (1 to NumPerm).map(j => s"$j, mh_$j").mkString(", ")
+      exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("id AS doc_id",
+          s"stack($NumPerm, $stackArgs) AS (perm_no, minhash)")
+        .select(col("doc_id"), col("perm_no").cast("long").as("perm_no"), col("minhash"))
+    }),
+
+    // MinHash+LSH candidate pairs (8 bands x 4 rows), verified with
+    // exact Jaccard >= 0.5 — only same-band-bucket docs ever meet.
+    "q33_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, bands = Bands, rowsPerBand = RowsPerBand, threshold = 0.5)),
+
+    // SimHash (16-bit) fingerprint + bucket size per document.
+    "q34_simhash" -> ((s, dir) =>
+      Dedup.simhashGroups(Tables.documents(s, dir), "doc_id", "text", SimhashBits)
+        .select(col("id").as("doc_id"), col("simhash"), col("bucket_size"))),
+
+    // Embedding near-dup pairs: cosine >= 0.35 within sign-LSH
+    // buckets (approximate; 2^4 fewer comparisons than quadratic).
+    "q35_embedding_near_dup" -> ((s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = Dim, threshold = 0.35, bits = LshBits)),
+
+    // Brute-force cosine top-10 for the 8 query vectors (exact ANN
+    // baseline; query side broadcast, corpus never shuffles for the join).
+    "q36_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < AnnQueries), e,
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // LSH-bucketed ANN top-5: candidates share the query's bucket.
+    "q37_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < AnnQueries), e,
+        "vec_id", "embedding", dim = Dim, bits = LshBits, k = 5)
+    }),
+
+    // Language-ID heuristic: stopword-hit fractions per candidate
+    // language, argmax with fixed tie-break order.
+    "q38_langid" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val hits = Text.LangStopwords.foldLeft(toks) { case (df, (lang, words)) =>
+        df.withColumn(s"${lang}_hits", Text.stopwordHits(col("toks"), words))
+      }
+      val Seq(en, es, de, fr) = Text.LangStopwords.map(l => col(s"${l._1}_hits"))
+      hits.select(col("doc_id"),
+        round(en.cast("double") / size(col("toks")), 6).as("en_score"),
+        round(es.cast("double") / size(col("toks")), 6).as("es_score"),
+        round(de.cast("double") / size(col("toks")), 6).as("de_score"),
+        round(fr.cast("double") / size(col("toks")), 6).as("fr_score"),
+        when(en === 0 && es === 0 && de === 0 && fr === 0, lit("unknown"))
+          .when(en >= greatest(es, de, fr), lit("en"))
+          .when(es >= greatest(de, fr), lit("es"))
+          .when(de >= fr, lit("de"))
+          .otherwise(lit("fr")).as("lang_pred"))
+    }),
+
+    // Quality scoring: length term + lexical diversity + stopword
+    // penalty, all exact int ratios combined in doubles.
+    "q39_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          round(Text.typeTokenRatio(col("toks")), 6).as("ttr"),
+          Text.qualityScore(col("toks")).as("quality"))
+    }),
+
+    // Token statistics: whitespace-word count, BPE-ish subword count,
+    // mean token length.
+    "q40_token_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          Text.subwordCount(col("text")).as("n_subwords"),
+          round(aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / size(col("toks")), 6).as("avg_token_len"))
+    }),
+
+    // Document fingerprints: order-sensitive rolling polynomial hash
+    // + winnowing-style min-window hash (4-token windows).
+    "q41_fingerprint" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          Text.rollingFingerprint(col("toks")).as("fp_roll"),
+          Text.windowFingerprint(col("toks"), 4).as("fp_window"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      s"""WITH $dTok,
+         keyed AS (SELECT doc_id, md5(array_to_string(toks[1:5], ' ')) AS dedup_key FROM tok)
+         SELECT doc_id, dedup_key, dup_count FROM (
+           SELECT doc_id, dedup_key,
+             row_number() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY dedup_key) AS dup_count
+           FROM keyed) WHERE rn = 1""",
+
+    "q31_jaccard_pairs" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn)
+         SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+         FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+
+    "q32_minhash_sig" ->
+      s"""WITH $dSh,
+         hs AS (SELECT doc_id, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hashes FROM shn),
+         sigs AS (SELECT doc_id, $dSig AS sig FROM hs)
+         SELECT doc_id, unnest(generate_series(1, $NumPerm)) AS perm_no, unnest(sig) AS minhash
+         FROM sigs""",
+
+    "q33_minhash_lsh_pairs" ->
+      s"""WITH $dSh,
+         hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hashes FROM shn),
+         sigs AS (SELECT doc_id, shingles, $dSig AS sig FROM hs),
+         bandrows AS (SELECT doc_id,
+             unnest(generate_series(1, $Bands)) AS band,
+             unnest(list_transform(generate_series(1, $Bands),
+               b -> md5(array_to_string(sig[((b-1)*$RowsPerBand+1):(b*$RowsPerBand)], ',')))) AS band_key
+           FROM sigs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bandrows a JOIN bandrows b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         verified AS (SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+           FROM cand JOIN shn sa ON id_a = sa.doc_id JOIN shn sb ON id_b = sb.doc_id)
+         SELECT id_a, id_b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+         FROM verified WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.5""",
+
+    "q34_simhash" -> {
+      val bitTerms = (0 until SimhashBits).map { j =>
+        s"(CASE WHEN list_sum(list_prepend(0::BIGINT, list_transform(hashes, " +
+          s"h -> ((h // ${1L << j}) % 2) * 2 - 1))) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $dTok,
+         hs AS (SELECT doc_id, list_transform(toks, t -> ${dMd5Long("t", 4)}) AS hashes FROM tok),
+         sims AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)
+         SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size FROM sims"""
+    },
+
+    "q35_embedding_near_dup" ->
+      s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         nb AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2, ${dBucket("v")} AS bucket FROM base),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.v AS va, b.v AS vb, a.n2 AS na, b.n2 AS nb2
+           FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos_sim FROM (
+           SELECT id_a, id_b, round(${dDot("va", "vb")} / sqrt(na * nb2), 6) AS cos_sim
+           FROM pairs)
+         WHERE cos_sim >= 0.35""",
+
+    "q36_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             ${dDot("embedding", "embedding")} AS qn
+           FROM embeddings WHERE vec_id < $AnnQueries),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             ${dDot("embedding", "embedding")} AS cn
+           FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id,
+             round(${dDot("qv", "cv")} / sqrt(qn * cn), 6) AS score
+           FROM c JOIN q ON query_id != neighbor_id)
+         SELECT query_id, rank, neighbor_id, score FROM (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM scored) WHERE rank <= 10""",
+
+    "q37_ann_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             ${dDot("embedding", "embedding")} AS qn, ${dBucket("embedding")} AS bucket
+           FROM embeddings WHERE vec_id < $AnnQueries),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             ${dDot("embedding", "embedding")} AS cn, ${dBucket("embedding")} AS bucket
+           FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, q.bucket AS bucket,
+             round(${dDot("qv", "cv")} / sqrt(qn * cn), 6) AS score
+           FROM c JOIN q USING (bucket) WHERE query_id != neighbor_id)
+         SELECT query_id, rank, neighbor_id, score, bucket FROM (
+           SELECT query_id, neighbor_id, score, bucket,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM scored) WHERE rank <= 5""",
+
+    "q38_langid" ->
+      s"""WITH $dTok,
+         hits AS (SELECT doc_id, len(toks) AS n,
+             ${dStopHits("en")} AS en_hits, ${dStopHits("es")} AS es_hits,
+             ${dStopHits("de")} AS de_hits, ${dStopHits("fr")} AS fr_hits
+           FROM tok)
+         SELECT doc_id,
+           round(en_hits::DOUBLE / n, 6) AS en_score,
+           round(es_hits::DOUBLE / n, 6) AS es_score,
+           round(de_hits::DOUBLE / n, 6) AS de_score,
+           round(fr_hits::DOUBLE / n, 6) AS fr_score,
+           CASE WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'unknown'
+                WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+                WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+                WHEN de_hits >= fr_hits THEN 'de'
+                ELSE 'fr' END AS lang_pred
+         FROM hits""",
+
+    "q39_quality" -> {
+      val stopList = enStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH $dTok
+         SELECT doc_id, len(toks) AS n_tokens,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
+           round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+             + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+             + (1.0 - len(list_filter(toks, t -> t IN ($stopList)))::DOUBLE / len(toks)) * 0.2,
+             6) AS quality
+         FROM tok"""
+    },
+
+    "q40_token_stats" ->
+      s"""WITH $dTok
+         SELECT doc_id, len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ]+)', 1)) AS n_subwords,
+           round(list_sum(list_prepend(0::BIGINT, list_transform(toks, t -> len(t))))::DOUBLE
+             / len(toks), 6) AS avg_token_len
+         FROM documents JOIN tok USING (doc_id)""",
+
+    "q41_fingerprint" ->
+      s"""WITH $dTok,
+         w4 AS (SELECT doc_id, ${dShingles("toks", 4)} AS grams FROM tok)
+         SELECT tok.doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(toks, t -> ${dMd5Long("t", 8)} % 1000003)),
+             (acc, x) -> (acc * 31 + x) % ${Text.FingerprintP}) AS fp_roll,
+           list_min(list_transform(grams, g -> ${dMd5Long("g", 12)})) AS fp_window
+         FROM tok JOIN w4 ON tok.doc_id = w4.doc_id"""
+  )
+}
