@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operators over a tiny planted corpus: one exact-dup pair,
+  * one near-dup pair (one token changed), one unrelated doc. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a = "spark query engine scans parquet files with vectorized readers and pushes filters down"
+  private val aNear = a.replace("vectorized", "columnar") // 1 token differs
+  private val b = "completely different text about cooking pasta with garlic butter and fresh basil leaves"
+
+  private def corpus = Seq(
+    (1L, a), (2L, a), (3L, aNear), (4L, b)
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the smallest id per key and counts the group") {
+    val out = Dedup.exactDedup(corpus, "doc_id", md5(col("text")))
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("jaccardPairs finds the exact-dup and the near-dup pair, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhashLshPairs recovers the same pairs as exact jaccard at this threshold") {
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // LSH candidates are a subset of all pairs; verified jaccard makes
+    // them exact — near-dups this strong (j>=0.8) can't be missed by
+    // 8 bands of 4 (P(miss) = (1-j^4)^8 < 1e-3 at j=0.8).
+    assert(lsh == exact)
+  }
+
+  test("simhashGroups: exact dups share a fingerprint and bucket") {
+    val out = Dedup.simhashGroups(corpus, "doc_id", "text", bits = 16)
+      .select("id", "simhash", "bucket_size").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == out(2L)._1)
+    assert(out(1L)._2 >= 2)
+    assert(out(1L)._1 != out(4L)._1)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)) // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine matches manual computation") {
+    val two = vecs.filter(col("vec_id").isin(0, 1)).agg(
+      collect_list(struct(col("vec_id"), col("embedding")))).as[Seq[(Long, Seq[Float])]]
+    val m = two.collect().head.toMap
+    val manual = {
+      val (a, b) = (m(0L).map(_.toDouble), m(1L).map(_.toDouble))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val fromCol = vecs.as("x").join(vecs.as("y"),
+        col("x.vec_id") === 0 && col("y.vec_id") === 1)
+      .select(Similarity.cosine(col("x.embedding"), col("y.embedding")))
+    assert(math.abs(col1[Double](fromCol).head - manual) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks near > orthogonal > opposite") {
+    val out = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("lshBucket: identical vectors share a bucket; ranking within bucket is exact") {
+    val dup = Seq((10L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val both = vecs.union(dup)
+    val buckets = both.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), dim = 4, bits = 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(1L) == buckets(10L)) // identical vector, same bucket
+    assert(buckets.values.forall(b => b >= 0 && b < 16))
+    val ann = Similarity.lshTopK(both.filter(col("vec_id") === 1), both,
+      "vec_id", "embedding", dim = 4, bits = 4, k = 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(ann == Seq(10L)) // its exact duplicate wins the bucket
+  }
+
+  test("cosinePairs exact (bits=0) finds the near pair above threshold") {
+    val pairs = Similarity.cosinePairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.9, bits = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
