@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** One media object: opaque payload bytes + routing metadata. The
+  * payload column stays binary end-to-end — Spark shuffles/spills it
+  * without interpretation, which is the point at 100 TB: only the
+  * executor running the decode kernel ever looks inside. */
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+/** Fixed-width feature vector extracted per media object. */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                         feature: Array[Float])
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * columns with typed metadata, decode/feature kernels as
+  * mapPartitions over typed Datasets (the Scala-native analogue of
+  * mapInPandas: one iterator per partition, kernel amortized across
+  * the batch).
+  *
+  * >>> The DECODE ITSELF IS A STUB <<< — this container has no
+  * imaging/audio libraries, so `imageMetaStub` / `extractFeatures`
+  * derive deterministic pseudo-metadata from the payload bytes. The
+  * Spark-side contracts (schema, binary transport, partitioning,
+  * batch iteration shape) are real and tested; swap the marked
+  * kernels for real decoders (e.g. JNI/javacv) to productionize.
+  */
+object Multimodal {
+
+  /** Adapt the documents table into a media table: payload = utf8
+    * bytes of the text (a stand-in for image/audio/video bytes),
+    * kind assigned round-robin. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB image decode — metadata derived deterministically from the
+    * payload hash/length instead of a real header parse. Pure Column
+    * exprs: codegen'd, no UDF. */
+  def imageMetaStub(payload: Column): Seq[(String, Column)] = {
+    val h = Text.md5Long(payload, 4) // md5 of the bytes, 16 bits
+    Seq(
+      "width" -> (lit(64) + pmod(h, lit(8)) * 32).cast("int"),
+      "height" -> (lit(64) + pmod(floor(h / 8).cast("long"), lit(8)) * 32).cast("int"),
+      "channels" -> when(pmod(h, lit(4)) === 0, 1).otherwise(3).cast("int"))
+  }
+
+  /** Typed per-media metadata: byte size for all kinds, stub
+    * image dims for images, stub duration for audio/video
+    * (duration_ms = 8 * n_bytes — a fake constant "bitrate"). */
+  def withMeta(media: DataFrame): DataFrame = {
+    val img = imageMetaStub(col("payload"))
+    media
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("width", when(col("kind") === "image", img(0)._2))
+      .withColumn("height", when(col("kind") === "image", img(1)._2))
+      .withColumn("channels", when(col("kind") === "image", img(2)._2))
+      .withColumn("duration_ms",
+        when(col("kind") =!= "image", col("n_bytes").cast("long") * 8))
+  }
+
+  /** Frame-sampling plan for videos: one row per sampled frame
+    * timestamp (every `stepMs`). Pure generator — the actual frame
+    * decode would join this plan back to the payload per frame. */
+  def frameSample(mediaWithMeta: DataFrame, stepMs: Long): DataFrame =
+    mediaWithMeta
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("duration_ms"),
+        posexplode(sequence(lit(0L), col("duration_ms"), lit(stepMs))))
+      .select(col("media_id"), col("pos").cast("long").as("frame_no"),
+        col("col").as("frame_ts_ms"))
+
+  /** Feature extraction kernel over typed partitions (mapInPandas
+    * shape: iterator in, iterator out, per-partition setup amortized).
+    * STUB kernel: `dim` bucketed byte-mean statistics standing in for
+    * a real embedding model. Deterministic. */
+  def extractFeatures(media: DataFrame, dim: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition setup would load the decoder/model ONCE here
+        rows.map { r =>
+          val bytes = r.payload
+          val n = bytes.length
+          val chunk = math.max(1, n / dim)
+          val feat = Array.tabulate(dim) { i =>
+            val lo = i * chunk
+            val hi = math.min(lo + chunk, n)
+            if (lo >= hi) 0f
+            else {
+              var s = 0; var j = lo
+              while (j < hi) { s += bytes(j) & 0xff; j += 1 }
+              s.toFloat / (hi - lo)
+            }
+          }
+          MediaFeatures(r.media_id, r.kind, n, feat)
+        }
+      }
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Training-data curation operators (the BASELINE.json north star):
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -205,7 +205,27 @@ object TrainingData extends QueryGroup {
         .select(col("doc_id"),
           Text.rollingFingerprint(col("toks")).as("fp_roll"),
           Text.windowFingerprint(col("toks"), 4).as("fp_window"))
-    })
+    }),
+
+    // Multimodal metadata: opaque binary payload + typed per-kind
+    // metadata (stub decode — deterministic from bytes; the plumbing
+    // is the product, see operators.Multimodal).
+    "q42_media_meta" -> ((s, dir) =>
+      Multimodal.withMeta(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .select("media_id", "kind", "n_bytes", "width", "height",
+          "channels", "duration_ms")),
+
+    // Frame-sampling plan: one row per sampled frame ts for videos.
+    "q43_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.withMeta(Multimodal.mediaFromDocuments(Tables.documents(s, dir))),
+        stepMs = 1000)),
+
+    // Feature extraction via the typed mapPartitions kernel — not
+    // SQL-expressible (no oracle; driver row-count checks it).
+    "q44_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), dim = 8).toDF())
   )
 
   def oracles: Map[String, String] = Map(
@@ -359,6 +379,31 @@ object TrainingData extends QueryGroup {
              list_transform(toks, t -> ${dMd5Long("t", 8)} % 1000003)),
              (acc, x) -> (acc * 31 + x) % ${Text.FingerprintP}) AS fp_roll,
            list_min(list_transform(grams, g -> ${dMd5Long("g", 12)})) AS fp_window
-         FROM tok JOIN w4 ON tok.doc_id = w4.doc_id"""
+         FROM tok JOIN w4 ON tok.doc_id = w4.doc_id""",
+
+    "q42_media_meta" ->
+      s"""WITH media AS (
+           SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+             CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+             ${dMd5Long("text", 4)} AS h
+           FROM documents)
+         SELECT media_id, kind, n_bytes,
+           CASE WHEN kind = 'image' THEN CAST(64 + (h % 8) * 32 AS INT) END AS width,
+           CASE WHEN kind = 'image' THEN CAST(64 + ((h // 8) % 8) * 32 AS INT) END AS height,
+           CASE WHEN kind = 'image' THEN CAST(CASE WHEN h % 4 = 0 THEN 1 ELSE 3 END AS INT) END AS channels,
+           CASE WHEN kind != 'image' THEN CAST(n_bytes AS BIGINT) * 8 END AS duration_ms
+         FROM media""",
+
+    "q43_frame_sample" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+             CAST(octet_length(text::BLOB) AS BIGINT) * 8 AS duration_ms
+           FROM documents)
+         SELECT media_id,
+           unnest(generate_series(0, duration_ms // 1000)) AS frame_no,
+           unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
+         FROM media WHERE kind = 'video'"""
   )
 }

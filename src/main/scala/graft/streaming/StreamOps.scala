@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** An alert candidate flowing through the streaming pipeline
+  * (the reference's notification rows, arbitrage_scanner.py:478-489). */
+case class Alert(team: String, ts: java.sql.Timestamp, message: String)
+
+/** Structured Streaming re-expressions of the reference's
+  * streaming-shaped behaviors (SURVEY.md §2.11):
+  *
+  *  - the ≤N-notifications-per-(team, day) rule
+  *    (arbitrage_scanner.py:434-461): the batch version reads the
+  *    whole notification log back per run; here it is
+  *    flatMapGroupsWithState keyed by (team, day) with a counter and
+  *    an event-time timeout at day end + watermark slack, so state is
+  *    bounded by |active (team, day)| and cleans itself — no log scan,
+  *    no unbounded growth at any scale.
+  *  - watermarked tumbling-window aggregation over event time (the
+  *    generalized "scores feed" shape; late rows beyond the watermark
+  *    are dropped deterministically).
+  *  - exactly-once-style dedup within a watermark
+  *    (bovada_pull.py:156-162's second-matchup removal, streaming-native).
+  */
+object StreamOps {
+
+  val MsPerDay: Long = 24L * 3600 * 1000
+
+  /** Emit at most `maxPerDay` alerts per (team, UTC day), in event-time
+    * order within each micro-batch. State: the count emitted so far;
+    * expires (event-time timeout) once the watermark passes day end,
+    * so only currently-active days hold state.
+    *
+    * Requires an upstream withWatermark on `ts`.
+    */
+  def rateLimitedAlerts(alerts: Dataset[Alert], maxPerDay: Int): Dataset[Alert] = {
+    import alerts.sparkSession.implicits._
+    alerts
+      .groupByKey(a => (a.team, a.ts.getTime / MsPerDay))
+      .flatMapGroupsWithState[Int, Alert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((_, day), rows, state: GroupState[Int]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sent = state.getOption.getOrElse(0)
+            val take = rows.toSeq.sortBy(_.ts.getTime).take(math.max(0, maxPerDay - sent))
+            state.update(sent + take.size)
+            // drop state once the watermark passes the end of this day
+            state.setTimeoutTimestamp((day + 1) * MsPerDay)
+            take.iterator
+          }
+      }
+  }
+
+  /** Tumbling-window counts per key with a watermark: the canonical
+    * event-time aggregation. Output in Append mode finalizes a window
+    * only after the watermark passes its end. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
+  /** Streaming dedup on a business key, tolerating duplicates that
+    * arrive within the watermark of each other (state is purged past
+    * the watermark — bounded, unlike dropDuplicates). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keys: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}
