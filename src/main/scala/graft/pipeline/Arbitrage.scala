@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Odds
+import graft.operators.Reshape
+
+/** The reference's end-to-end arbitrage pipeline (E1, SURVEY.md §3)
+  * as one composed lazy plan over a wide odds grid:
+  *
+  *   normalize payout strings -> per-leg best quote across bookies
+  *   (struct-argmax) -> per-game window sum (the arbitrage calc) ->
+  *   guards (double-EVEN false positive, sign audit) -> stake sizing
+  *   -> profit margin -> alert threshold -> formatted alert message.
+  *
+  * Input grid contract (the shape arbitrage_scanner.py builds by
+  * line 181): one row per (game leg, Info), columns
+  *   idx (explicit load order -- replaces the pandas implicit index),
+  *   Sport, Team, BetType in {ML, Spread, Over/Under},
+  *   Info in {Line, Payout}, and one STRING column per bookie.
+  *
+  * Every reference rule is cited inline. The whole plan is
+  * window/aggregate + narrow expressions: one shuffle on
+  * (Sport, BetType, game_id), bookie-count-bounded row width, no UDFs.
+  */
+object Arbitrage {
+
+  /** American-odds sign as +/- (arbitrage_scanner.py:428). */
+  private def sign(c: Column): Column = when(c >= 0, lit("+")).otherwise(lit("-"))
+
+  /** Detect arbitrage opportunities and size stakes. Returns one row
+    * per game LEG for games clearing every guard and the margin
+    * threshold (arbitrage_scanner.py:275-431 semantics). */
+  def detect(grid: DataFrame, bookies: Seq[String],
+             minMarginPct: Int = 3): DataFrame = {
+    // game id: consecutive row PAIRS within (Sport, BetType) in load
+    // order (the i//2+1 idiom, arbitrage_scanner.py:104-114).
+    val withGame = grid.withColumn("game_id",
+      Reshape.pairId(Seq("Sport", "BetType"), Seq(col("idx"))))
+
+    // payout legs only (arbitrage_scanner.py:275). Per bookie:
+    // strip trailing " +" (F6), EVEN -> +100 / N/A -> null (F8), then
+    // coerce like pd.to_numeric(errors='coerce') via try_cast.
+    val payouts = withGame.filter(col("Info") === "Payout")
+    val parsed = bookies.foldLeft(payouts) { (df, b) =>
+      df.withColumn(s"${b}__v",
+        Odds.normalizePayout(trim(regexp_replace(col(b), "[ +]+$", "")))
+          .try_cast("double"))
+    }
+
+    // per-leg best payout + which bookie offers it: struct-argmax
+    // (replaces the O(cols) row scan at arbitrage_scanner.py:350-355).
+    val quoteStructs = bookies.map(b =>
+      struct(coalesce(col(s"${b}__v"), lit(Double.MinValue)).as("v"),
+        lit(b).as("bookie")))
+    val best = array_max(array(quoteStructs: _*))
+
+    val wGame = Window.partitionBy("Sport", "BetType", "game_id")
+    val wLeg = wGame.orderBy("idx")
+
+    val scored = parsed
+      .withColumn("max_payout", best.getField("v"))
+      .withColumn("best_bookie", best.getField("bookie"))
+      // the arbitrage calc: per-game sum of best payouts
+      // (arbitrage_scanner.py:280-287) -- window, not groupby+join-back
+      .withColumn("arb_calc", sum(col("max_payout")).over(wGame))
+      // positive calc = guaranteed profit exists; the double-EVEN
+      // (+100/+100) false positive is excluded (arbitrage_scanner.py:331-332)
+      .filter(col("arb_calc") > 0 &&
+        !(col("max_payout") === 100 && col("arb_calc") === 200))
+      // sign audit: both legs carrying the same sign is a scrape
+      // error, not an arb (arbitrage_scanner.py:427-431)
+      .withColumn("n_signs",
+        size(collect_set(sign(col("max_payout"))).over(wGame)))
+      .filter(col("n_signs") =!= 1)
+
+    // stake sizing (arbitrage_scanner.py:360-378): anchor leg stakes
+    // 100 at decimal odds d1 (payout = 100*d1); the other leg hedges
+    // payout/d2 so both legs pay out equally; margin integer-rounded.
+    val sized = scored
+      .withColumn("dec_odds", Odds.americanToDecimal(col("max_payout")))
+      .withColumn("is_anchor", row_number().over(wLeg) === 1)
+      .withColumn("payout",
+        first(round(col("dec_odds") * 100, 2)).over(
+          wLeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("stake", when(col("is_anchor"), lit(100.0))
+        .otherwise(Odds.hedgeStake(col("payout"), col("dec_odds"))))
+      .withColumn("total_stake", round(sum(col("stake")).over(wGame), 2))
+      .withColumn("margin_pct", Odds.profitMargin(col("payout"), col("total_stake")))
+      .filter(col("margin_pct") >= minMarginPct) // arbitrage_scanner.py:401
+
+    sized.select(col("Sport"), col("game_id"), col("BetType"), col("Team"),
+      col("best_bookie"), col("max_payout"), col("stake"),
+      col("payout"), col("total_stake"), col("margin_pct"),
+      // notification text (arbitrage_scanner.py:478-489 shape)
+      format_string("%s %s %s: bet %.2f on %s @ %s (%s), margin %d%%",
+        col("Sport"), col("BetType"), col("Team"), col("stake"),
+        col("Team"), Odds.plusPrefix(col("max_payout")), col("best_bookie"),
+        col("margin_pct")).as("message"))
+  }
+}
