@@ -99,6 +99,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score", "bucket")
   }
 
+  /** IVF-style cell assignment: each vector joins the (broadcast)
+    * centroid set and keeps its best-cosine centroid as its cell.
+    * Deterministic: rank on (round(cos,6) DESC, centroid id ASC).
+    * At 100 TB the corpus is written partitioned/bucketed by `cell`,
+    * so probes become partition-pruned scans. */
+  def assignCells(vecs: DataFrame, centroids: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .transform(Spread.byKey("id"))
+      .withColumn("n2", norm2(col("v")))
+    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn2", norm2(col("cv")))
+    val scored = v.join(broadcast(c))
+      .withColumn("cs", round(dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")), 6))
+    val w = Window.partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: both sides are assigned to their nearest centroid's
+    * cell; a query only scans candidates in its own cell (nprobe=1),
+    * ranked by exact cosine. Recall trades against a |centroids|-fold
+    * reduction in scanned vectors. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = assignCells(queries, centroids, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn"), col("cell"))
+    val c = assignCells(corpus, centroids, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n2").as("cn"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score", "cell")
+  }
+
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding
     * near-dup detection. Blocked by LSH bucket when `bits` > 0 (pairs
     * in different buckets are skipped: approximate but scalable);

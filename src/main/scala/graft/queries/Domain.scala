@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.Odds
 import graft.operators.Reshape
+import graft.pipeline.Arbitrage
 
 /** The banksy betting-domain semantics (SURVEY.md §2.9 math +
   * §2.5-§2.6 arbitrage shapes) exercised over deterministic synthetic
@@ -163,6 +164,36 @@ object Domain extends QueryGroup {
         .select("o_orderkey", "side_no", "role", "amount")
     }),
 
+    // E1 end-to-end: the WHOLE composed arbitrage pipeline
+    // (normalize -> argmax -> window calc -> guards -> stake sizing
+    // -> margin -> alert text) over a synthetic wide odds grid that
+    // exercises the string quirks (EVEN/even, N/A, trailing " +").
+    "q29_arbitrage_pipeline" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_discount", "l_tax")
+      val pairs = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nl", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+        .filter(col("rn") <= 2 && col("nl") >= 2)
+        .select(col("l_orderkey").as("okey"), col("rn"),
+          (round(col("l_discount") * 4000) - 200).as("dkv"),
+          (round(col("l_tax") * 4000) - 200).as("czv"))
+      val grid = pairs.select(
+        (col("okey") * 10 + col("rn")).as("idx"),
+        lit("X").as("Sport"),
+        concat(lit("T"), col("okey"), lit("_"), col("rn")).as("Team"),
+        lit("ML").as("BetType"), lit("Payout").as("Info"),
+        when(pmod(col("okey"), lit(7)) === 0, lit("EVEN"))
+          .when(pmod(col("okey"), lit(11)) === 0, lit("N/A"))
+          .when(pmod(col("okey"), lit(5)) === 0,
+            concat(Odds.plusPrefix(col("dkv")), lit(" +")))
+          .otherwise(Odds.plusPrefix(col("dkv"))).as("DraftKings"),
+        when(pmod(col("okey"), lit(13)) === 0, lit("even"))
+          .otherwise(Odds.plusPrefix(col("czv"))).as("Caesars"))
+      Arbitrage.detect(grid, Seq("DraftKings", "Caesars"), minMarginPct = 3)
+    }),
+
     // F22+J1: left join to a partial dim + coalesce fallback chain
     // (arbitrage_scanner.py:196-197).
     "q28_coalesce_dim" -> ((s, dir) => {
@@ -238,6 +269,86 @@ object Domain extends QueryGroup {
          FROM staked QUALIFY leg = 1""",
     "q24_plus_prefix" ->
       """SELECT p_partkey, printf('%+d', p_size - 25) AS signed_size FROM part""",
+
+    "q29_arbitrage_pipeline" ->
+      """WITH lipairs AS (
+           SELECT l_orderkey AS okey, rn,
+             round(l_discount*4000) - 200 AS dkv,
+             round(l_tax*4000) - 200 AS czv
+           FROM (SELECT *,
+                   row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_discount, l_tax) AS rn,
+                   count(*) OVER (PARTITION BY l_orderkey) AS nl
+                 FROM lineitem)
+           WHERE rn <= 2 AND nl >= 2),
+         grid AS (
+           SELECT okey*10 + rn AS idx, 'X' AS Sport,
+             'T' || okey || '_' || rn AS Team, 'ML' AS BetType, 'Payout' AS Info,
+             CASE WHEN okey % 7 = 0 THEN 'EVEN'
+                  WHEN okey % 11 = 0 THEN 'N/A'
+                  WHEN okey % 5 = 0 THEN printf('%+d', CAST(dkv AS INT)) || ' +'
+                  ELSE printf('%+d', CAST(dkv AS INT)) END AS DraftKings,
+             CASE WHEN okey % 13 = 0 THEN 'even'
+                  ELSE printf('%+d', CAST(czv AS INT)) END AS Caesars
+           FROM lipairs),
+         game AS (
+           SELECT *, CAST(FLOOR((row_number() OVER (PARTITION BY Sport, BetType
+             ORDER BY idx) - 1) / 2) + 1 AS INT) AS game_id FROM grid),
+         normed AS (
+           SELECT *,
+             regexp_replace(trim(regexp_replace(DraftKings, '[ +]+$', '')), '(?i)^EVEN$', '+100') AS dkn,
+             regexp_replace(trim(regexp_replace(Caesars, '[ +]+$', '')), '(?i)^EVEN$', '+100') AS czn
+           FROM game WHERE Info = 'Payout'),
+         parsed AS (
+           SELECT *,
+             TRY_CAST(CASE WHEN dkn = 'N/A' THEN NULL ELSE dkn END AS DOUBLE) AS dk_v,
+             TRY_CAST(CASE WHEN czn = 'N/A' THEN NULL ELSE czn END AS DOUBLE) AS cz_v
+           FROM normed),
+         best AS (
+           SELECT *,
+             greatest(coalesce(dk_v, -1.7976931348623157e308),
+                      coalesce(cz_v, -1.7976931348623157e308)) AS max_payout,
+             CASE WHEN coalesce(cz_v, -1.7976931348623157e308)
+                     > coalesce(dk_v, -1.7976931348623157e308)
+                  THEN 'Caesars' ELSE 'DraftKings' END AS best_bookie
+           FROM parsed),
+         calc AS (
+           SELECT *, sum(max_payout) OVER (PARTITION BY Sport, BetType, game_id) AS arb_calc
+           FROM best),
+         audited AS (
+           SELECT * FROM (
+             SELECT *, CASE WHEN max_payout >= 0 THEN '+' ELSE '-' END AS sgn
+             FROM calc
+             WHERE arb_calc > 0 AND NOT (max_payout = 100 AND arb_calc = 200))
+           QUALIFY min(sgn) OVER (PARTITION BY Sport, BetType, game_id)
+                != max(sgn) OVER (PARTITION BY Sport, BetType, game_id)),
+         sized AS (
+           SELECT *,
+             CASE WHEN max_payout > 0 THEN max_payout/100 + 1
+                  WHEN max_payout < 0 THEN 100/abs(max_payout) + 1
+                  ELSE 1.0 END AS dec_odds,
+             (row_number() OVER (PARTITION BY Sport, BetType, game_id ORDER BY idx) = 1) AS is_anchor
+           FROM audited),
+         pay AS (
+           SELECT *, first_value(round(dec_odds*100, 2)) OVER (
+             PARTITION BY Sport, BetType, game_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS payout
+           FROM sized),
+         stk AS (
+           SELECT *, CASE WHEN is_anchor THEN 100.0
+                          ELSE round(payout/dec_odds, 2) END AS stake FROM pay),
+         tot AS (
+           SELECT *, round(sum(stake) OVER (PARTITION BY Sport, BetType, game_id), 2) AS total_stake
+           FROM stk),
+         mar AS (
+           SELECT *, CAST(round((payout - total_stake)/total_stake*100) AS INT) AS margin_pct
+           FROM tot)
+         SELECT Sport, game_id, BetType, Team, best_bookie, max_payout, stake,
+           payout, total_stake, margin_pct,
+           printf('%s %s %s: bet %.2f on %s @ %s (%s), margin %d%%',
+             Sport, BetType, Team, stake, Team,
+             printf('%+d', CAST(max_payout AS INT)), best_bookie, margin_pct) AS message
+         FROM mar WHERE margin_pct >= 3""",
     "q25_rate_limit" ->
       """SELECT event_id, user_id, CAST(ts AS DATE) AS day, alert_no FROM (
            SELECT event_id, user_id, ts,

@@ -225,7 +225,17 @@ object TrainingData extends QueryGroup {
     // SQL-expressible (no oracle; driver row-count checks it).
     "q44_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), dim = 8).toDF())
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), dim = 8).toDF()),
+
+    // IVF ANN: nearest-centroid cell assignment (centroids = first 12
+    // vectors), probe own cell only, exact rank within.
+    "q45_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
+        e, e.filter(col("vec_id") < 12),
+        "vec_id", "embedding", k = 5)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -404,6 +414,27 @@ object TrainingData extends QueryGroup {
          SELECT media_id,
            unnest(generate_series(0, duration_ms // 1000)) AS frame_no,
            unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
-         FROM media WHERE kind = 'video'"""
+         FROM media WHERE kind = 'video'""",
+
+    "q45_ann_ivf" ->
+      s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+         cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 12),
+         sc AS (SELECT vec_id, v, n2, cid,
+             round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+           FROM n CROSS JOIN cent),
+         asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid ASC) AS rnk FROM sc) WHERE rnk = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn, cell
+               FROM asg WHERE vec_id >= 12 AND vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv2, n2 AS cn, cell FROM asg),
+         sc2 AS (SELECT query_id, neighbor_id, cell,
+             round(${dDot("qv", "cv2")} / sqrt(qn * cn), 6) AS score
+           FROM c JOIN q USING (cell) WHERE query_id != neighbor_id)
+         SELECT query_id, rank, neighbor_id, score, cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rank FROM sc2)
+         WHERE rank <= 5"""
   )
 }
