@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: two-phase ("salted") aggregation. A hot grouping
+  * key that would pin one reducer gets split across `nSalts`
+  * sub-groups in phase 1 (each a partial aggregate, map-side
+  * combinable), then phase 2 merges the per-salt partials — the hot
+  * key's work is spread over nSalts reducers instead of one.
+  *
+  * The salt must be DETERMINISTIC (derived from row content, not
+  * rand()) so results are reproducible and retries are safe.
+  *
+  * Decimal-typed sums keep the result independent of the extra
+  * aggregation layer (double sums would re-associate).
+  */
+object Salt {
+
+  /** Per-key sum + count with an intermediate salt layer.
+    * `salt` should spread rows of a key across [0, nSalts). */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     salt: Column, nSalts: Int): DataFrame = {
+    val keyed = df.withColumn("_salt", pmod(salt, lit(nSalts)))
+    val phase1 = keyed
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("_psum"),
+        count(lit(1)).as("_pcnt"))
+    phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_psum")).as("salted_sum"),
+        sum(col("_pcnt")).as("n_rows"))
+  }
+}

@@ -191,6 +191,44 @@ object Relational extends QueryGroup {
       c.unionByName(sup)
     }),
 
+    // Sessionization: gap > 30 min starts a new session (lag + running
+    // sum — the standard event-analytics pattern; partitions by
+    // user_id so window state is tiny at any scale).
+    "q46_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ms = unix_millis(col("ts"))
+      val gap = ms - lag(ms, 1).over(w)
+      val isNew = when(gap.isNull || gap > 1800000L, 1).otherwise(0)
+      ev.withColumn("ms", ms)
+        .withColumn("session_id", sum(isNew).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+    }),
+
+    // Rollup (grouping sets): subtotal rows per status, priority, and
+    // grand total, tagged by grouping_id — Catalyst expands to one
+    // Expand + single aggregation pass.
+    "q47_rollup" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+          grouping_id().as("gid"))
+    }),
+
+    // Salted two-phase aggregation (skew mitigation): results must be
+    // IDENTICAL to the plain group-by — which is exactly the oracle.
+    "q48_salted_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Salt.saltedSumCount(
+        ev, Seq("user_id"), "value", col("event_id"), nSalts = 8)
+        .select(col("user_id"),
+          round(col("salted_sum"), 2).cast("double").as("sum_value"),
+          col("n_rows"))
+    }),
+
     // P11: pandas null-KEEPING inequality — `NaN != x` is true in
     // pandas, null in SQL; the null-safe rewrite keeps null rows.
     "q17_nullsafe_neq" -> ((s, dir) => {
@@ -285,6 +323,31 @@ object Relational extends QueryGroup {
       """SELECT c_name AS name, 'customer' AS kind FROM customer
          UNION ALL
          SELECT s_name AS name, 'supplier' AS kind FROM supplier""",
+    "q46_sessionize" ->
+      """WITH ms AS (
+           SELECT user_id, event_id, ts, epoch_ms(ts) AS ms
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS is_new
+           FROM (SELECT *, ms - lag(ms) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS gap FROM ms)),
+         sess AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+           min(ms) AS start_ms, max(ms) AS end_ms
+         FROM sess GROUP BY user_id, session_id""",
+    "q47_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2)::DOUBLE AS revenue,
+         GROUPING(o_orderstatus, o_orderpriority) AS gid
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q48_salted_agg" ->
+      """SELECT user_id,
+         round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
+         count(*) AS n_rows
+         FROM events GROUP BY user_id""",
     "q17_nullsafe_neq" ->
       """SELECT event_id, status FROM (
            SELECT event_id,
