@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Odds, TextNorm}
+import graft.operators.Reshape
+
+/** E1 steps 2-4 (SURVEY.md §3): raw scraped wide odds table -> the
+  * canonical long odds grid that Arbitrage.detect consumes.
+  *
+  * Input (FIXTURES.md A1 `odds_raw` shape): one row per (game, side),
+  * string columns
+  *   idx (load order), Sport, Team, one column per bookie with
+  *   `"<line> <payout>"` (Spread/OU), `"+150"`-style (ML), `even`,
+  *   `N/A`, and embedded repeated header rows from the scraper.
+  *
+  * Output: one row per (leg, Info in {Line, Payout}) with per-bookie
+  * normalized string values — FIXTURES.md A2 `odds_grid`.
+  */
+object Normalize {
+
+  /** @param classifierBookie bookie column used to classify the bet
+    *   type (the reference reads Bet365, arbitrage_scanner.py:90-99).
+    */
+  def grid(raw: DataFrame, bookies: Seq[String],
+           classifierBookie: String): DataFrame = {
+    // P2/P6 (arbitrage_scanner.py:62-66,142-143): drop empty teams
+    // and embedded header rows (a cell equal to its own column name)
+    // — null-safe comparisons throughout.
+    val clean = raw
+      .filter(coalesce(col("Team"), lit("")) =!= "")
+      .filter(coalesce(col(classifierBookie), lit("")) =!= classifierBookie)
+
+    // F16: classify each row's bet type from the classifier bookie.
+    val classified = clean.withColumn("BetType", Odds.betType(col(classifierBookie)))
+
+    // W1: consecutive-pair game id within (Sport, BetType), load order.
+    val withGame = classified.withColumn("game_id",
+      Reshape.pairId(Seq("Sport", "BetType"), Seq(col("idx"))))
+
+    // G1 (arbitrage_scanner.py:122-133): expand each leg into
+    // Line/Payout rows; ML carries no line.
+    val expanded = Reshape.explodeLinePayout(withGame, "BetType")
+
+    // F4/F5/F8 per bookie (arbitrage_scanner.py:146-162,178-179):
+    // Line rows keep token 0 with o/u mapped to +/-;
+    // Payout rows keep everything after the first space (ML: the
+    // whole cell). EVEN/N-A normalization happens downstream
+    // (Arbitrage.detect / Odds.normalizePayout) like the reference.
+    bookies.foldLeft(expanded) { (df, b) =>
+      df.withColumn(b,
+        when(col("Info") === "Line",
+          Odds.totalLineToSigned(TextNorm.firstToken(col(b))))
+          .otherwise(when(col("BetType") === "ML", col(b))
+            .otherwise(TextNorm.afterFirstSpace(col(b)))))
+    }
+  }
+
+  /** J2 (arbitrage_scanner.py:205-209): merge the bovada quote column
+    * into the grid — broadcast left join on (Team, BetType, Info); a
+    * missing/failed bovada scrape is just an empty quotes frame and
+    * leaves the column null (the reference's skip sentinel, done with
+    * schema instead of a string). */
+  def withBovada(grid: DataFrame, bovada: DataFrame): DataFrame =
+    grid.join(broadcast(bovada), Seq("Team", "BetType", "Info"), "left")
+}
