@@ -229,6 +229,24 @@ object Relational extends QueryGroup {
           col("n_rows"))
     }),
 
+    // As-of join (backward): each click joins the most recent
+    // purchase at-or-before it per user — union+window form (one
+    // shuffle, no range cross-join); oracle is DuckDB's NATIVE
+    // ASOF LEFT JOIN, an independently-implemented semantics check.
+    "q49_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mw = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val marks = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(mw)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("mts"), col("value").as("mark_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin.backward(clicks, marks,
+        Seq("user_id"), "ts", "mts", Seq("mark_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("mark_value"))
+    }),
+
     // P11: pandas null-KEEPING inequality — `NaN != x` is true in
     // pandas, null in SQL; the null-safe rewrite keeps null rows.
     "q17_nullsafe_neq" -> ((s, dir) => {
@@ -348,6 +366,17 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q49_asof_join" ->
+      """WITH marks AS (
+           SELECT user_id, ts AS mts, value AS mark_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+         clicks AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms, m.mark_value
+         FROM clicks c ASOF LEFT JOIN marks m
+           ON c.user_id = m.user_id AND c.ts >= m.mts""",
     "q17_nullsafe_neq" ->
       """SELECT event_id, status FROM (
            SELECT event_id,
