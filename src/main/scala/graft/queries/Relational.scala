@@ -247,6 +247,72 @@ object Relational extends QueryGroup {
           unix_millis(col("ts")).as("ts_ms"), col("mark_value"))
     }),
 
+    // TPC-H Q3 shape: 3-way join, date split, top-10 by revenue with
+    // a total tie-break. Ordering uses the ROUNDED revenue so both
+    // engines rank identically; dims broadcast.
+    "q50_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"), col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 shape: 6-way join (local-supplier constraint), region +
+    // date-range filter, revenue per nation.
+    "q51_local_supplier" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val li = Tables.lineitem(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    // Range (interval) join via week-bucketing: campaigns cover
+    // [start, start+7d); lineitems land in their ship-week bucket and
+    // only meet campaigns overlapping that bucket — no interval cross
+    // join, the standard scale pattern. Oracle joins with a plain
+    // BETWEEN (same result, quadratic plan DuckDB can afford here).
+    "q52_range_join" -> ((s, dir) => {
+      val wk = 7L * 86400000L
+      val camp = Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .select(col("o_orderkey").as("campaign_id"),
+          col("o_orderdate").as("start_ts"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("end_ts"))
+      val campB = camp.withColumn("bucket",
+        explode(sequence(
+          floor(unix_millis(col("start_ts").cast("timestamp")) / wk),
+          floor((unix_millis(col("end_ts").cast("timestamp")) - 1) / wk))))
+      val li = Tables.lineitem(s, dir)
+        .withColumn("bucket", floor(unix_millis(col("l_shipdate").cast("timestamp")) / wk))
+      li.join(broadcast(campB), Seq("bucket"))
+        .filter(col("l_shipdate") >= col("start_ts") &&
+          col("l_shipdate") < col("end_ts"))
+        .groupBy("campaign_id")
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("revenue"))
+    }),
+
     // P11: pandas null-KEEPING inequality — `NaN != x` is true in
     // pandas, null in SQL; the null-safe rewrite keeps null rows.
     "q17_nullsafe_neq" -> ((s, dir) => {
@@ -366,6 +432,42 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q50_shipping_priority" ->
+      """SELECT l_orderkey, revenue, epoch_ms(o_orderdate) AS odate_ms, o_orderpriority
+         FROM (
+           SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2)::DOUBLE AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+             AND l_shipdate > TIMESTAMP '1998-01-01'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q51_local_supplier" ->
+      """SELECT n_name,
+         round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2)::DOUBLE AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name""",
+    "q52_range_join" ->
+      """WITH camp AS (
+           SELECT o_orderkey AS campaign_id, o_orderdate AS start_ts,
+             o_orderdate + INTERVAL 7 DAY AS end_ts
+           FROM orders WHERE o_orderkey % 997 = 0)
+         SELECT campaign_id, count(*) AS n_lines,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2)::DOUBLE AS revenue
+         FROM camp JOIN lineitem
+           ON l_shipdate >= start_ts AND l_shipdate < end_ts
+         GROUP BY campaign_id""",
     "q49_asof_join" ->
       """WITH marks AS (
            SELECT user_id, ts AS mts, value AS mark_value FROM (
