@@ -227,6 +227,29 @@ object TrainingData extends QueryGroup {
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)), dim = 8).toDF()),
 
+    // TF-IDF keywords: per-document top-3 tokens by tf * (N/df).
+    // Rational idf (no ln) keeps every score an exact-rational double,
+    // identical across engines; rank on the rounded score + token.
+    "q53_tfidf_keywords" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tok = d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          explode(col("toks")).as("token"))
+      val tf = tok.groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("cnt"), first(col("n_toks")).as("n_toks"))
+      val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val n = d.count() // corpus size: fixed per SF
+      val scored = tf.join(broadcast(df_), "token")
+        .withColumn("tfidf", round(
+          (col("cnt").cast("double") / col("n_toks")) *
+            (lit(n).cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "token", "tfidf")
+    }),
+
     // IVF ANN: nearest-centroid cell assignment (centroids = first 12
     // vectors), probe own cell only, exact rank within.
     "q45_ann_ivf" -> ((s, dir) => {
@@ -415,6 +438,21 @@ object TrainingData extends QueryGroup {
            unnest(generate_series(0, duration_ms // 1000)) AS frame_no,
            unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
          FROM media WHERE kind = 'video'""",
+
+    "q53_tfidf_keywords" ->
+      s"""WITH $dTok,
+         tokrows AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS token FROM tok),
+         tf AS (SELECT doc_id, token, count(*) AS cnt, min(n_toks) AS n_toks
+                FROM tokrows GROUP BY doc_id, token),
+         dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, token,
+             round((cnt::DOUBLE / n_toks) * (n_docs::DOUBLE / df), 6) AS tfidf
+           FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+         SELECT doc_id, rnk, token, tfidf FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, token ASC) AS rnk FROM scored)
+         WHERE rnk <= 3""",
 
     "q45_ann_ivf" ->
       s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),

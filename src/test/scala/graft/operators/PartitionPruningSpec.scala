@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout evidence for the 100 TB stance: a table written
+  * partitioned by a derived date column is read back with a partition
+  * filter that PRUNES directories (no data read outside the selected
+  * partitions), and a column projection that prunes the read schema.
+  */
+class PartitionPruningSpec extends SparkSpec {
+
+  test("date-partitioned write -> partition-pruned scan + schema pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("events_part").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    val days = ev.select("day").distinct().count()
+    val oneDay = ev.select(max("day")).collect()(0).getDate(0)
+
+    val q = spark.read.parquet(dir)
+      .filter(col("day") === lit(oneDay))
+      .select("event_id", "user_id")
+    val plan = q.queryExecution.executedPlan.toString
+
+    // the day predicate must appear as PartitionFilters (directory
+    // pruning), NOT as a post-scan filter; and the read schema must
+    // carry only the projected columns.
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+      s"day not in partition filters:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"),
+      s"schema not pruned:\n$plan")
+    assert(q.count() > 0 && q.count() < ev.count())
+    assert(days > 1) // pruning was actually selective
+  }
+}
