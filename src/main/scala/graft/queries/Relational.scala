@@ -247,6 +247,17 @@ object Relational extends QueryGroup {
           unix_millis(col("ts")).as("ts_ms"), col("mark_value"))
     }),
 
+    // Spark's NATIVE session_window aggregation, oracled against a
+    // from-first-principles lag/cumsum sessionization in DuckDB — an
+    // independent-implementations semantics check (like q49's ASOF).
+    "q54_session_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_millis(col("ts"))).as("start_ms"))
+        .select("user_id", "start_ms", "n_events")
+    }),
+
     // TPC-H Q3 shape: 3-way join, date split, top-10 by revenue with
     // a total tie-break. Ordering uses the ROUNDED revenue so both
     // engines rank identically; dims broadcast.
@@ -432,6 +443,19 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q54_session_window" ->
+      """WITH ms AS (
+           SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN gap IS NULL OR gap >= 1800000 THEN 1 ELSE 0 END AS is_new
+           FROM (SELECT *, ms - lag(ms) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS gap FROM ms)),
+         sess AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, min(ms) AS start_ms, count(*) AS n_events
+         FROM sess GROUP BY user_id, session_id""",
     "q50_shipping_priority" ->
       """SELECT l_orderkey, revenue, epoch_ms(o_orderdate) AS odate_ms, o_orderpriority
          FROM (
