@@ -165,6 +165,24 @@ object Relational extends QueryGroup {
         .select(col("p_brand"), col("rnk"), col("p_partkey"), col("p_retailprice"))
     }),
 
+    // Typed Aggregator top-k (SURVEY §2.10 extension slot): bounded
+    // O(n log k) buffer with map-side partial aggregation — only k
+    // rows per group ever shuffle, vs the window variant (q13)
+    // sorting and shuffling every row. Same oracle as q13.
+    "q55_topk_aggregator" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      p.groupBy("p_brand")
+        .agg(topk(col("p_retailprice"), col("p_partkey")).as("tk"))
+        .select(col("p_brand"),
+          posexplode(arrays_zip(col("tk.scores"), col("tk.ids"))))
+        .select(col("p_brand"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.ids").as("p_partkey"), col("col.scores").as("p_retailprice"))
+    }),
+
     // O5: unpivot wide measures → long EAV (the mega_df melt).
     "q14_unpivot" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -443,6 +461,12 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q55_topk_aggregator" ->
+      """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+           FROM part) WHERE rnk <= 3""",
     "q54_session_window" ->
       """WITH ms AS (
            SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events),
