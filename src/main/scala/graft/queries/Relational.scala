@@ -265,6 +265,40 @@ object Relational extends QueryGroup {
           unix_millis(col("ts")).as("ts_ms"), col("mark_value"))
     }),
 
+    // Exact interpolated quantiles per group (percentile == DuckDB
+    // quantile_cont: same sort + linear interpolation).
+    "q56_quantiles" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+        .select(col("o_orderpriority"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
+    }),
+
+    // ntile deciles over a total order — distribution analytics.
+    "q57_ntile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      ev.select(col("event_id"), col("event_type"),
+        ntile(10).over(w).as("decile"))
+    }),
+
+    // Deterministic moments at scale: mean/variance derived from
+    // DECIMAL power sums (S1, S2) — exact, order-independent partial
+    // aggregation, unlike streaming variance which re-associates.
+    "q58_exact_moments" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val g = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,10)")).cast("double").as("s2"))
+      g.select(col("event_type"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), 6)
+          .as("variance"))
+    }),
+
     // Spark's NATIVE session_window aggregation, oracled against a
     // from-first-principles lag/cumsum sessionization in DuckDB — an
     // independent-implementations semantics check (like q49's ASOF).
@@ -461,6 +495,25 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q56_quantiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY o_orderpriority""",
+    "q57_ntile" ->
+      """SELECT event_id, event_type,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+         FROM events""",
+    "q58_exact_moments" ->
+      """WITH g AS (
+           SELECT event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(28,10)))::DOUBLE AS s1,
+             sum(CAST(value * value AS DECIMAL(28,10)))::DOUBLE AS s2
+           FROM events GROUP BY event_type)
+         SELECT event_type, n,
+           round(s1 / n, 6) AS mean,
+           round(s2 / n - (s1 / n) * (s1 / n), 6) AS variance
+         FROM g""",
     "q55_topk_aggregator" ->
       """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
            SELECT p_brand, p_partkey, p_retailprice,
