@@ -265,6 +265,55 @@ object Relational extends QueryGroup {
           unix_millis(col("ts")).as("ts_ms"), col("mark_value"))
     }),
 
+    // Set operations: customers in BUILDING who are also big spenders
+    // (INTERSECT) and suppliers-only names (EXCEPT).
+    "q59_set_ops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k"))
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val inter = building.intersect(big).withColumn("op", lit("both"))
+      val exc = building.except(big).withColumn("op", lit("building_only"))
+      inter.unionByName(exc)
+    }),
+
+    // Pivot long -> wide via conditional aggregation (engine-portable
+    // pivot; the reference's wide bookie grid shape).
+    "q60_pivot" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.groupBy("o_orderpriority").agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+    }),
+
+    // Fuzzy matching: Levenshtein distance <= 2 between part brands
+    // and a probe list, blocked on the shared prefix so no cross join
+    // (the team-name fuzzy-join need of the reference domain).
+    "q61_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val p = Tables.part(s, dir).select(col("p_brand")).distinct()
+      val probes = Seq("Brand#11", "Brand#1", "Brnd#32").toDF("probe")
+      p.join(broadcast(probes),
+          substring(col("p_brand"), 1, 1) === substring(col("probe"), 1, 1))
+        .withColumn("dist", levenshtein(col("p_brand"), col("probe")))
+        .filter(col("dist") <= 2)
+        .select("probe", "p_brand", "dist")
+    }),
+
+    // RANGE frame: trailing one-hour event-count per user over event
+    // TIME (not row count) — rangeBetween on epoch milliseconds.
+    "q62_range_frame" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ms = unix_millis(col("ts"))
+      val w = Window.partitionBy("user_id").orderBy("ms")
+        .rangeBetween(-3600000L, 0L)
+      ev.withColumn("ms", ms)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_trailing_1h"))
+    }),
+
     // Exact interpolated quantiles per group (percentile == DuckDB
     // quantile_cont: same sort + linear interpolation).
     "q56_quantiles" -> ((s, dir) => {
@@ -495,6 +544,34 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q59_set_ops" ->
+      """SELECT k, 'both' AS op FROM (
+           SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         UNION ALL
+         SELECT k, 'building_only' FROM (
+           SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+    "q60_pivot" ->
+      """SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "q61_edit_distance" ->
+      """SELECT probe, p_brand, dist FROM (
+           SELECT probe, p_brand, levenshtein(p_brand, probe) AS dist
+           FROM (SELECT DISTINCT p_brand FROM part) p
+           JOIN (VALUES ('Brand#11'), ('Brand#1'), ('Brnd#32')) AS t(probe)
+             ON substr(p_brand, 1, 1) = substr(probe, 1, 1))
+         WHERE dist <= 2""",
+    "q62_range_frame" ->
+      """SELECT event_id, user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+         FROM events""",
     "q56_quantiles" ->
       """SELECT o_orderpriority,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
