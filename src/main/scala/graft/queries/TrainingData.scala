@@ -227,6 +227,18 @@ object TrainingData extends QueryGroup {
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)), dim = 8).toDF()),
 
+    // Deterministic train/test split: hash-bucket on a salted content
+    // key (NOT rand(): reproducible, retry-safe, and stable across
+    // cluster sizes — the only correct way to split at 100 TB).
+    "q63_train_test_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bucket = pmod(Text.md5Long(
+        concat(col("doc_id").cast("string"), lit(":split-seed-42")), 8), lit(100))
+      d.withColumn("split", when(bucket < 80, "train").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // TF-IDF keywords: per-document top-3 tokens by tf * (N/df).
     // Rational idf (no ln) keeps every score an exact-rational double,
     // identical across engines; rank on the rounded score + token.
@@ -438,6 +450,14 @@ object TrainingData extends QueryGroup {
            unnest(generate_series(0, duration_ms // 1000)) AS frame_no,
            unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
          FROM media WHERE kind = 'video'""",
+
+    "q63_train_test_split" ->
+      s"""SELECT split, lang, count(*) AS n_docs FROM (
+           SELECT lang,
+             CASE WHEN ${dMd5Long("doc_id || ':split-seed-42'", 8)} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+           FROM documents)
+         GROUP BY split, lang""",
 
     "q53_tfidf_keywords" ->
       s"""WITH $dTok,

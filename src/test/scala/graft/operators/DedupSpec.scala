@@ -47,6 +47,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("minhash signature agreement estimates jaccard") {
+    // sig-agreement/numPerm is an unbiased estimator of Jaccard; on
+    // this deterministic corpus check it lands near the exact value.
+    val sh = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSigTable(sh, 32).collect()
+      .map(r => r.getLong(0) -> (1 to 32).map(j => r.getAs[Long](s"mh_$j"))).toMap
+    val est13 = sigs(1L).zip(sigs(3L)).count(p => p._1 == p._2) / 32.0
+    val exact13 = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 3)
+      .select("jaccard").collect().head.getDouble(0)
+    assert(math.abs(est13 - exact13) < 0.25)
+    assert(sigs(1L) == sigs(2L)) // exact dups: identical signatures
+  }
+
   test("simhashGroups: exact dups share a fingerprint and bucket") {
     val out = Dedup.simhashGroups(corpus, "doc_id", "text", bits = 16)
       .select("id", "simhash", "bucket_size").collect()
