@@ -181,7 +181,7 @@ object Domain extends QueryGroup {
           (round(col("l_tax") * 4000) - 200).as("czv"))
       val grid = pairs.select(
         (col("okey") * 10 + col("rn")).as("idx"),
-        lit("X").as("Sport"),
+        concat(lit("S"), pmod(col("okey"), lit(8))).as("Sport"),
         concat(lit("T"), col("okey"), lit("_"), col("rn")).as("Team"),
         lit("ML").as("BetType"), lit("Payout").as("Info"),
         when(pmod(col("okey"), lit(7)) === 0, lit("EVEN"))
@@ -282,7 +282,7 @@ object Domain extends QueryGroup {
                  FROM lineitem)
            WHERE rn <= 2 AND nl >= 2),
          grid AS (
-           SELECT okey*10 + rn AS idx, 'X' AS Sport,
+           SELECT okey*10 + rn AS idx, 'S' || (okey % 8) AS Sport,
              'T' || okey || '_' || rn AS Team, 'ML' AS BetType, 'Payout' AS Info,
              CASE WHEN okey % 7 = 0 THEN 'EVEN'
                   WHEN okey % 11 = 0 THEN 'N/A'
