@@ -265,6 +265,19 @@ object Relational extends QueryGroup {
           unix_millis(col("ts")).as("ts_ms"), col("mark_value"))
     }),
 
+    // Semi-structured: JSON property extraction from the event props
+    // column (string JSON -> typed value -> aggregate), the scraped
+    // semi-structured-text shape generalized.
+    "q64_json_extract" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      ev.select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_high"),
+          count(when(col("k").isNull, 1)).as("n_missing"))
+    }),
+
     // Set operations: customers in BUILDING who are also big spenders
     // (INTERSECT) and suppliers-only names (EXCEPT).
     "q59_set_ops" -> ((s, dir) => {
@@ -544,6 +557,15 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q64_json_extract" ->
+      """SELECT event_type,
+         sum(k) AS sum_k,
+         count(CASE WHEN k > 50 THEN 1 END) AS n_high,
+         count(CASE WHEN k IS NULL THEN 1 END) AS n_missing
+         FROM (SELECT event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+               FROM events)
+         GROUP BY event_type""",
     "q59_set_ops" ->
       """SELECT k, 'both' AS op FROM (
            SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
