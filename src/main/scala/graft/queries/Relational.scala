@@ -265,6 +265,30 @@ object Relational extends QueryGroup {
           unix_millis(col("ts")).as("ts_ms"), col("mark_value"))
     }),
 
+    // CUBE: all grouping-set combinations with grouping_id.
+    "q65_cube" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    }),
+
+    // Correlated-subquery pattern: orders above their customer's
+    // average order value — decorrelated to a window (exact decimal
+    // mean so the comparison is engine-deterministic).
+    "q66_above_customer_avg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy("o_custkey")
+      // decimal sum -> double BEFORE dividing, and NO final round():
+      // the raw double is bit-identical across engines, while round()
+      // diverges on shortest-repr midpoints (Spark rounds the decimal
+      // string, DuckDB the exact binary value — x.xxxx5 splits them).
+      val avgP = sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double") / count(lit(1)).over(w)
+      o.withColumn("cust_avg", avgP)
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    }),
+
     // Semi-structured: JSON property extraction from the event props
     // column (string JSON -> typed value -> aggregate), the scraped
     // semi-structured-text shape generalized.
@@ -557,6 +581,18 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q65_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         GROUPING(o_orderstatus, o_orderpriority) AS gid
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q66_above_customer_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+             (sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w)::DOUBLE
+                   / count(*) OVER w AS cust_avg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey))
+         WHERE o_totalprice > cust_avg""",
     "q64_json_extract" ->
       """SELECT event_type,
          sum(k) AS sum_k,
