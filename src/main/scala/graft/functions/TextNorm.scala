@@ -53,6 +53,16 @@ object TextNorm {
     */
   def camelSecond(c: Column): Column = regexp_replace(c, "^(.*?[a-z0-9])(?=[A-Z])", "")
 
+  /** F10 (bovada_pull.py:58-66): positional find + dynamic substring —
+    * everything after the first occurrence of `marker` plus `offset`
+    * more characters; empty when the marker is absent (pandas find
+    * returns -1 and the slice degenerates). locate() is 1-based.
+    */
+  def afterMarker(c: Column, marker: String, offset: Int = 0): Column =
+    when(locate(marker, c) > 0,
+      c.substr(locate(marker, c) + marker.length + offset, length(c)))
+      .otherwise(lit(""))
+
   /** Sign character of a numeric string (arbitrage_scanner.py:428). */
   def signChar(c: Column): Column = substring(c, 1, 1)
 

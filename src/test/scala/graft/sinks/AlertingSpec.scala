@@ -1,0 +1,31 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.pipeline.Arbitrage
+import graft.functions.TextNorm
+import org.apache.spark.sql.functions._
+
+class AlertingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("alerts flow from the pipeline into the sink adapter") {
+    val grid = Seq(
+      (1, "NFL", "Chiefs", "ML", "Payout", "+225", "-500"),
+      (2, "NFL", "Bills", "ML", "Payout", "-600", "-180")
+    ).toDF("idx", "Sport", "Team", "BetType", "Info", "DraftKings", "Caesars")
+    val alerts = Arbitrage.detect(grid, Seq("DraftKings", "Caesars"), 3)
+    val sink = new CollectingAlertSink
+    val n = Alerting.deliver(alerts, "message", sink)
+    assert(n == 2 && sink.sent.size == 2)
+    assert(sink.sent.exists(_.contains("Chiefs")))
+    val mirror = new CollectingMirror
+    assert(Alerting.mirror(alerts, mirror) == 2)
+    assert(mirror.last.get._1.contains("margin_pct"))
+  }
+
+  test("afterMarker: positional find + dynamic substring (F10)") {
+    val in = Seq("10:10 PM Seattle at Denver", "no marker here").toDF("t")
+    val out = col1[String](in.select(TextNorm.afterMarker(col("t"), "PM", 1)))
+    assert(out == Seq("Seattle at Denver", ""))
+  }
+}
