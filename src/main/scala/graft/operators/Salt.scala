@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** Skew-safe equi-join: the big (skewed) side gets a deterministic
+    * salt in [0, nSalts); the small side is replicated once per salt
+    * value, so a hot key's rows spread over nSalts reducers instead
+    * of one. Result set is IDENTICAL to the plain equi-join.
+    * (With AQE skew-join handling this is often automatic; explicit
+    * salting still wins when one key dominates a partition entirely.)
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                     salt: Column, nSalts: Int): DataFrame = {
+    val b = big.withColumn("_salt", pmod(salt, lit(nSalts)).cast("int"))
+    val s = small.withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
+      .withColumn("_salt", col("_salt").cast("int"))
+    b.join(s, keys :+ "_salt").drop("_salt")
+  }
+
   /** Per-key sum + count with an intermediate salt layer.
     * `salt` should spread rows of a key across [0, nSalts). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,

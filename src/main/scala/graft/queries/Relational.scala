@@ -265,6 +265,20 @@ object Relational extends QueryGroup {
           unix_millis(col("ts")).as("ts_ms"), col("mark_value"))
     }),
 
+    // Salted equi-join (skew mitigation for joins): small side
+    // replicated per salt; result identical to the plain join, which
+    // is exactly the oracle.
+    "q67_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("tier", when(pmod(col("user_id"), lit(3)) === 0, "gold")
+          .otherwise("standard"))
+      graft.operators.Salt.saltedEquiJoin(ev, dim, Seq("user_id"),
+        col("event_id"), nSalts = 4)
+        .groupBy("tier", "event_type")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // CUBE: all grouping-set combinations with grouping_id.
     "q65_cube" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -581,6 +595,13 @@ object Relational extends QueryGroup {
          round(sum(CAST(value AS DECIMAL(18,4))),2)::DOUBLE AS sum_value,
          count(*) AS n_rows
          FROM events GROUP BY user_id""",
+    "q67_salted_join" ->
+      """SELECT tier, event_type, count(*) AS n
+         FROM events e
+         JOIN (SELECT DISTINCT user_id,
+                 CASE WHEN user_id % 3 = 0 THEN 'gold' ELSE 'standard' END AS tier
+               FROM events) d USING (user_id)
+         GROUP BY tier, event_type""",
     "q65_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          GROUPING(o_orderstatus, o_orderpriority) AS gid
