@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.pipeline.{Arbitrage, Bovada, Normalize}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: every operator must return an EMPTY
+  * result with the right schema (never throw, never emit garbage)
+  * when fed zero rows — the reference's scrape-failure path
+  * (bovada_pull.py:34-42 sentinel) generalized: empty DataFrame in,
+  * empty DataFrame out. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  private val noGrid = Seq.empty[(Int, String, String, String, String, String)]
+    .toDF("idx", "Sport", "Team", "BetType", "Info", "DraftKings")
+
+  test("dedup operators on an empty corpus") {
+    assert(Dedup.exactDedup(noDocs, "doc_id", md5(col("text"))).count() == 0)
+    assert(Dedup.jaccardPairs(noDocs, "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.minhashLshPairs(noDocs, "doc_id", "text", 3, 8, 4, 0.5).count() == 0)
+    assert(Dedup.simhashGroups(noDocs, "doc_id", "text", 16).count() == 0)
+  }
+
+  test("similarity operators on an empty corpus") {
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, "vec_id", "embedding", 5).count() == 0)
+    assert(Similarity.lshTopK(noVecs, noVecs, "vec_id", "embedding", 4, 4, 5).count() == 0)
+    assert(Similarity.cosinePairs(noVecs, "vec_id", "embedding", 4, 0.5).count() == 0)
+  }
+
+  test("pipeline on an empty grid (the failed-scrape path)") {
+    val out = Arbitrage.detect(noGrid, Seq("DraftKings"), 3)
+    assert(out.count() == 0)
+    assert(out.columns.contains("message")) // schema intact
+    assert(Normalize.grid(noGrid, Seq("DraftKings"), "DraftKings").count() == 0)
+    val noBlobs = Seq.empty[(Int, String)].toDF("blob_id", "t")
+    assert(Bovada.quotes(noBlobs, "t").count() == 0)
+  }
+
+  test("as-of join with an empty right side keeps left rows, null payload") {
+    val ticks = Seq(("k", new java.sql.Timestamp(1000), "t1")).toDF("key", "ts", "tick")
+    val noQuotes = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("key", "qts", "px")
+    val out = AsOfJoin.backward(ticks, noQuotes, Seq("key"), "ts", "qts", Seq("px"))
+      .select("tick", "px").as[(String, Option[Double])].collect()
+    assert(out.toSeq == Seq(("t1", None)))
+  }
+}

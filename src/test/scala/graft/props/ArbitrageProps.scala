@@ -77,6 +77,27 @@ object ArbitrageProps extends Properties("arbitrage") {
       counts.keySet == (1 to nPairs).toSet && counts.values.forall(_ == 2)
     }
 
+  property("as-of join matches a brute-force reference on random data") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 1000))),
+      Gen.listOfN(10, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 1000)))) { (ls, rsRaw) =>
+      import graft.operators.AsOfJoin
+      // dedup right per (key, ts) as the operator contract requires
+      val rs = rsRaw.distinct.groupBy(identity).keys.toList
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (s"k$k", new java.sql.Timestamp(t * 1000L), i.toLong) }
+        .toDF("key", "ts", "lid")
+      val right = rs.map { case (k, t) =>
+        (s"k$k", new java.sql.Timestamp(t * 1000L), t.toDouble) }
+        .toDF("key", "qts", "px")
+      val got = AsOfJoin.backward(left, right, Seq("key"), "ts", "qts", Seq("px"))
+        .select("lid", "px").as[(Long, Option[Double])].collect().toMap
+      ls.zipWithIndex.forall { case ((k, t), i) =>
+        val expected = rs.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._2.toDouble)
+        got(i.toLong) == expected
+      }
+    }
+
   property("null-keeping inequality parity: null rows survive the filter") =
     forAll(Gen.listOfN(30, Gen.option(Gen.oneOf("error", "ok", "warn")))) { vals =>
       val df = vals.toDF("status")
