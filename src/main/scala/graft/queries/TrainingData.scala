@@ -239,6 +239,19 @@ object TrainingData extends QueryGroup {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // Stratified sampling by hash rank: exactly k docs per language,
+    // chosen by md5 order — deterministic, reproducible, and uniform
+    // within each stratum (rand()-free sampling at any scale).
+    "q68_stratified_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":sample-seed"))),
+          col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("lang", "rk", "doc_id")
+    }),
+
     // TF-IDF keywords: per-document top-3 tokens by tf * (N/df).
     // Rational idf (no ln) keeps every score an exact-rational double,
     // identical across engines; rank on the rounded score + token.
@@ -450,6 +463,14 @@ object TrainingData extends QueryGroup {
            unnest(generate_series(0, duration_ms // 1000)) AS frame_no,
            unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
          FROM media WHERE kind = 'video'""",
+
+    "q68_stratified_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(doc_id || ':sample-seed'), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 10""",
 
     "q63_train_test_split" ->
       s"""SELECT split, lang, count(*) AS n_docs FROM (
