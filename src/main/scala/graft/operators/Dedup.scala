@@ -135,6 +135,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-dup pairs — the clustering step
+    * that turns pairwise matches into dedup groups (keep one doc per
+    * cluster). Iterative min-label propagation: every node starts as
+    * its own label and repeatedly takes the min of its neighbors'
+    * labels until fixpoint — O(component diameter) rounds, and dup
+    * clusters are shallow, so 2-4 rounds in practice.
+    *
+    * Each round localCheckpoints the label table: iterative plans
+    * MUST truncate lineage or the DAG grows exponentially.
+    * Returns (id, cluster) where cluster = min id in the component.
+    */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("cluster").as("nmin"))
+      val updated = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("cluster") =!= col("old")).count()
+      labels = updated.select("id", "cluster")
+    }
+    labels
+  }
+
   /** SimHash fingerprint per document plus its near-dup bucket size
     * (documents sharing the exact fingerprint). */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String,

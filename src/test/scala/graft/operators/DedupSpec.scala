@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) == sigs(2L)) // exact dups: identical signatures
   }
 
+  test("connectedComponents: chains merge transitively, components stay apart") {
+    // 1-2, 2-3, 3-4 form one component (diameter 3 forces multiple
+    // label-propagation rounds); 10-11 is another.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhashGroups: exact dups share a fingerprint and bucket") {
     val out = Dedup.simhashGroups(corpus, "doc_id", "text", bits = 16)
       .select("id", "simhash", "bucket_size").collect()
