@@ -148,6 +148,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score", "cell")
   }
 
+  /** int8 scalar quantization: clip(round(x * 127)) per element — 4x
+    * memory/bandwidth reduction for corpus-scale ANN; scoring becomes
+    * exact integer arithmetic (engine-deterministic by construction). */
+  def quantize8(vec: Column): Column =
+    transform(vec, x =>
+      greatest(lit(-127), least(lit(127), round(x.cast("double") * 127))).cast("int"))
+
+  /** Integer dot product over quantized vectors (exact, order-free). */
+  def dotQ8(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y), lit(0L), (acc, x) => acc + x)
+
+  /** Top-k by quantized dot product — the memory-bound scale path:
+    * rank on the int score with an id tie-break. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize8(col(vecCol)).as("qq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .transform(Spread.byKey("neighbor_id"))
+      .withColumn("cq", quantize8(col("cv"))).drop("cv")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", dotQ8(col("qq"), col("cq")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qdot")
+  }
+
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding
     * near-dup detection. Blocked by LSH bucket when `bits` > 0 (pairs
     * in different buckets are skipped: approximate but scalable);

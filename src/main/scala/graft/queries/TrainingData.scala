@@ -286,6 +286,15 @@ object TrainingData extends QueryGroup {
         .select("doc_id", "rnk", "token", "tfidf")
     }),
 
+    // int8-quantized ANN: clip(round(x*127)) per element, exact
+    // integer dot scoring — the memory-bound corpus path (4x smaller
+    // vectors; scores exactly reproducible by construction).
+    "q70_ann_int8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.quantizedTopK(e.filter(col("vec_id") < AnnQueries), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
     // IVF ANN: nearest-centroid cell assignment (centroids = first 12
     // vectors), probe own cell only, exact rank within.
     "q45_ann_ivf" -> ((s, dir) => {
@@ -528,6 +537,22 @@ object TrainingData extends QueryGroup {
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY tfidf DESC, token ASC) AS rnk FROM scored)
          WHERE rnk <= 3""",
+
+    "q70_ann_int8" ->
+      s"""WITH qz AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS qv
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < $AnnQueries),
+         c AS (SELECT vec_id AS neighbor_id, qv AS cq FROM qz),
+         scored AS (SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim),
+               i -> qq[i]::BIGINT * cq[i])), (acc, x) -> acc + x) AS qdot
+           FROM c JOIN q ON query_id != neighbor_id)
+         SELECT query_id, rank, neighbor_id, qdot FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY qdot DESC, neighbor_id ASC) AS rank FROM scored)
+         WHERE rank <= 5""",
 
     "q45_ann_ivf" ->
       s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
