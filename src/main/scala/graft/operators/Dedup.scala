@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Text
@@ -125,12 +128,27 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val shA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    cand.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    // Verify through the exploded inverted index (the q31 shape)
+    // instead of carrying full shingle ARRAYS through two joins:
+    // semi-join (id, shingle) down to candidate ids — a tiny set
+    // relative to the corpus — self-join per shingle within it, and
+    // keep only LSH candidate pairs. shingles are array_distinct, so
+    // the per-shingle match count IS the exact intersection size.
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val inv = sh.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -154,17 +172,37 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val neighborMin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("cluster").as("nmin"))
+      // Convergence metric rides INSIDE the job that materializes the
+      // round (observe -> eager localCheckpoint): one Spark job per
+      // round instead of checkpoint + a separate driver count().
+      val obs = Observation(s"cc_round_$round")
       val updated = labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .observe(obs, count(when(col("cluster") =!= col("old"), 1)).as("n_changed"))
         .localCheckpoint(true)
-      changed = updated.filter(col("cluster") =!= col("old")).count()
+      changed = awaitMetric(obs, "n_changed").getOrElse(
+        updated.filter(col("cluster") =!= col("old")).count())
       labels = updated.select("id", "cluster")
     }
     labels
+  }
+
+  /** Read an Observation metric after its action completed. Metric
+    * delivery via the listener bus is asynchronous, so wait (bounded);
+    * None if it never arrives (caller falls back to a count job). */
+  private def awaitMetric(obs: Observation, name: String): Option[Long] = {
+    try {
+      val row = Await.result(obs.future, 10.seconds)
+      Option(row.getAs[Any](name)).collect { case n: Number => n.longValue() }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** SimHash fingerprint per document plus its near-dup bucket size

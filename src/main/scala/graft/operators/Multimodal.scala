@@ -95,7 +95,10 @@ object Multimodal {
             else {
               var s = 0; var j = lo
               while (j < hi) { s += bytes(j) & 0xff; j += 1 }
-              s.toFloat / (hi - lo)
+              // mean in double, then narrow: matches any engine that
+              // computes the correctly-rounded double and casts to
+              // float (bit-exact reproducibility across engines).
+              (s.toDouble / (hi - lo)).toFloat
             }
           }
           MediaFeatures(r.media_id, r.kind, n, feat)

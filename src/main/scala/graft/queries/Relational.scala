@@ -616,7 +616,7 @@ object Relational extends QueryGroup {
          WHERE o_totalprice > cust_avg""",
     "q64_json_extract" ->
       """SELECT event_type,
-         sum(k) AS sum_k,
+         sum(k)::BIGINT AS sum_k,
          count(CASE WHEN k > 50 THEN 1 END) AS n_high,
          count(CASE WHEN k IS NULL THEN 1 END) AS n_missing
          FROM (SELECT event_type,

@@ -232,11 +232,18 @@ object TrainingData extends QueryGroup {
         Multimodal.withMeta(Multimodal.mediaFromDocuments(Tables.documents(s, dir))),
         stepMs = 1000)),
 
-    // Feature extraction via the typed mapPartitions kernel — not
-    // SQL-expressible (no oracle; driver row-count checks it).
+    // Feature extraction via the typed mapPartitions kernel, output
+    // posexploded to long form (media_id, kind, n_bytes, dim_no,
+    // value) so every feature value is hash-checked against the
+    // DuckDB oracle (the stub kernel is byte-mean arithmetic, which
+    // the oracle reproduces via ord(substr(...)) list arithmetic).
     "q44_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), dim = 8).toDF()),
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), dim = 8).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          posexplode(col("feature")))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("pos").as("dim_no"), col("col").as("value"))),
 
     // Deterministic train/test split: hash-bucket on a salted content
     // key (NOT rand(): reproducible, retry-safe, and stable across
@@ -274,11 +281,14 @@ object TrainingData extends QueryGroup {
       val tf = tok.groupBy("doc_id", "token")
         .agg(count(lit(1)).as("cnt"), first(col("n_toks")).as("n_toks"))
       val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
-      val n = d.count() // corpus size: fixed per SF
+      // corpus size stays inside the plan (1-row broadcast cross
+      // join) — no eager driver-side count() before the job.
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(df_), "token")
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf", round(
           (col("cnt").cast("double") / col("n_toks")) *
-            (lit(n).cast("double") / col("df")), 6))
+            (col("n_docs").cast("double") / col("df")), 6))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("token").asc)
       scored.withColumn("rnk", row_number().over(w))
@@ -495,6 +505,27 @@ object TrainingData extends QueryGroup {
            CASE WHEN kind = 'image' THEN CAST(CASE WHEN h % 4 = 0 THEN 1 ELSE 3 END AS INT) END AS channels,
            CASE WHEN kind != 'image' THEN CAST(n_bytes AS BIGINT) * 8 END AS duration_ms
          FROM media""",
+
+    "q44_media_features" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+             CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+             text
+           FROM documents),
+         d AS (SELECT unnest(generate_series(0, 7)) AS dim_no),
+         spans AS (
+           SELECT media_id, kind, n_bytes, text, CAST(dim_no AS INT) AS dim_no,
+             CAST(dim_no AS INT) * greatest(1, n_bytes // 8) AS lo,
+             least(CAST(dim_no AS INT) * greatest(1, n_bytes // 8)
+                     + greatest(1, n_bytes // 8), n_bytes) AS hi
+           FROM media CROSS JOIN d)
+         SELECT media_id, kind, n_bytes, dim_no,
+           CASE WHEN lo >= hi THEN CAST(0 AS FLOAT)
+                ELSE CAST(list_sum(list_transform(generate_series(lo + 1, hi),
+                       i -> ord(substr(text, i, 1))))::DOUBLE / (hi - lo) AS FLOAT)
+           END AS value
+         FROM spans""",
 
     "q43_frame_sample" ->
       """WITH media AS (
