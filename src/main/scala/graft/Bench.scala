@@ -6,7 +6,11 @@ object Bench {
     // Warm up the JVM/codegen/parquet-footer paths once so the first
     // measured query doesn't carry ~3-5s of one-time cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+    // Per-table try: a missing table must only affect the queries
+    // that use it (reported as -1 below), not abort the whole bench.
+    Tables.names.foreach(t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

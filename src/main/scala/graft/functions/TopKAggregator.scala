@@ -33,8 +33,19 @@ class TopKAggregator(k: Int) extends Aggregator[(Double, Long), TopK, TopK] {
   }
 
   override def zero: TopK = TopK(Nil, Nil)
+
+  /** Bounded insertion: when the buffer is full and the input sorts
+    * at-or-after the current kth element, skip without re-sorting —
+    * O(1) for the common reject path, O(k log k) only on insert.
+    * NaN scores are dropped on input (NaN makes the Ordering
+    * non-total; the row_number oracle would order them arbitrarily).
+    */
   override def reduce(buf: TopK, in: (Double, Long)): TopK =
-    fromPairs(in +: buf.pairs)
+    if (in._1.isNaN) buf
+    else if (buf.scores.size < k) fromPairs(in +: buf.pairs)
+    else if (ord.compare(in, (buf.scores.last, buf.ids.last)) >= 0) buf
+    else fromPairs(in +: buf.pairs)
+
   override def merge(a: TopK, b: TopK): TopK = fromPairs(a.pairs ++ b.pairs)
   override def finish(buf: TopK): TopK = buf
 

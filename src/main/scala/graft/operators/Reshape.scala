@@ -58,9 +58,14 @@ object Reshape {
     */
   def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
               keyName: String = "metric", valueName: String = "value"): DataFrame = {
-    val stackArgs = valueCols.map(c => s"'$c', `$c`").mkString(", ")
-    df.selectExpr(idCols.map(c => s"`$c`") :+
-      s"stack(${valueCols.size}, $stackArgs) as (`$keyName`, `$valueName`)": _*)
+    // Escape interpolated identifiers/literals: a backtick in a column
+    // name or a quote in the label would otherwise mis-parse (or
+    // inject into) the generated stack() SQL.
+    def ident(c: String) = "`" + c.replace("`", "``") + "`"
+    def strLit(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val stackArgs = valueCols.map(c => s"${strLit(c)}, ${ident(c)}").mkString(", ")
+    df.selectExpr(idCols.map(ident) :+
+      s"stack(${valueCols.size}, $stackArgs) as (${ident(keyName)}, ${ident(valueName)})": _*)
   }
 
   /** W2: forward-fill over an explicit order (pandas ffill,

@@ -44,8 +44,11 @@ class NotificationLog(path: String) {
     val spark = alerts.sparkSession
     val withDay = alerts.withColumn("day", to_date(col("ts")))
     val counts = dailyCounts(spark)
+    // message as tie-break: equal timestamps would otherwise make
+    // row_number nondeterministic, and WHICH alerts survive the cap
+    // (and get appended to the persistent log) could differ on retry.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("team", "day").orderBy(orderCol)
+      .partitionBy("team", "day").orderBy(col(orderCol), col("message"))
     val survivors = withDay
       .join(broadcast(counts), Seq("team", "day"), "left")
       .withColumn("sent", coalesce(col("sent"), lit(0L)))

@@ -32,6 +32,17 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
+  /** A null ELEMENT also yields null, so nullability must include the
+    * arrays' containsNull — BinaryExpression's default (left.nullable
+    * || right.nullable) would declare non-nullable for non-nullable
+    * array columns and let codegen assign to a literal `false`. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      Seq(left.dataType, right.dataType).exists {
+        case ArrayType(_, containsNull) => containsNull
+        case _ => true
+      }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -51,11 +62,19 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // Only emit the null-element branch (which assigns ev.isNull)
+      // when the expression is nullable: if containsNull is false on
+      // both inputs, ev.isNull is the literal `false` and an
+      // assignment to it would not compile.
+      val nullElementCheck =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullElementCheck
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |if (!${ev.isNull}) { ${ev.value} = $acc; }

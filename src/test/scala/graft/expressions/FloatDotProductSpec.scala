@@ -31,6 +31,23 @@ class FloatDotProductSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("null ELEMENT yields null even when arrays are non-null") {
+    val d = Seq((Array[java.lang.Float](1.0f, null), Array[java.lang.Float](2.0f, 3.0f)))
+      .toDF("a", "b")
+    val r = d.select(graft.operators.Similarity.dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("non-nullable containsNull=false inputs compile in codegen") {
+    // array(...) of literals has containsNull=false and nullable=false:
+    // exercises the nullable=false codegen branch (no ev.isNull writes).
+    val d = spark.range(2).select(
+      array(lit(1.0f), lit(2.0f)).as("a"), array(lit(3.0f), lit(0.5f)).as("b"))
+    val e = graft.operators.Similarity.dot(col("a"), col("b")).as("d")
+    val out = d.select(e).as[Double].collect()
+    assert(out.toSeq == Seq(4.0, 4.0))
+  }
+
   test("registered as SQL function float_dot via GraftExtensions") {
     vecs.createOrReplaceTempView("v")
     val r = spark.sql("SELECT float_dot(a, b) FROM v").as[Double].collect()

@@ -20,4 +20,24 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(agg.finish(agg.merge(one, agg.zero)).pairs == Seq((3.0, 1L)))
     assert(agg.finish(agg.zero).pairs.isEmpty)
   }
+
+  test("full-buffer reject path skips worse and ties, accepts better") {
+    val agg = new TopKAggregator(2)
+    val full = Seq((9.0, 1L), (7.0, 4L)).foldLeft(agg.zero)(agg.reduce)
+    // worse than the kth -> rejected without resort
+    assert(agg.reduce(full, (6.0, 9L)).pairs == Seq((9.0, 1L), (7.0, 4L)))
+    // equal (score, id) to the kth -> rejected (duplicate)
+    assert(agg.reduce(full, (7.0, 4L)).pairs == Seq((9.0, 1L), (7.0, 4L)))
+    // same score, smaller id -> sorts before the kth -> accepted
+    assert(agg.reduce(full, (7.0, 2L)).pairs == Seq((9.0, 1L), (7.0, 2L)))
+    // better score -> accepted
+    assert(agg.reduce(full, (8.0, 5L)).pairs == Seq((9.0, 1L), (8.0, 5L)))
+  }
+
+  test("NaN scores are dropped on input") {
+    val agg = new TopKAggregator(3)
+    val buf = Seq((Double.NaN, 1L), (2.0, 2L), (Double.NaN, 3L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf).pairs == Seq((2.0, 2L)))
+  }
 }

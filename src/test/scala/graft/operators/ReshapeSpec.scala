@@ -46,4 +46,11 @@ class ReshapeSpec extends SparkSpec {
       .as[(Int, String, Double)].collect().toSet
     assert(out == Set((1, "m1", 10.0), (1, "m2", 20.0)))
   }
+
+  test("unpivot escapes quotes and backticks in column names") {
+    val in = Seq((1, 10.0, 20.0)).toDF("k", "it's", "a`b")
+    val out = Reshape.unpivot(in, Seq("k"), Seq("it's", "a`b"))
+      .as[(Int, String, Double)].collect().toSet
+    assert(out == Set((1, "it's", 10.0), (1, "a`b", 20.0)))
+  }
 }
