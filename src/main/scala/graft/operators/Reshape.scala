@@ -76,6 +76,29 @@ object Reshape {
       Window.partitionBy(partition.map(col): _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
+  /** O6 batch form (bovada_pull.py:156-162): when a team appears in a
+    * SECOND matchup within one scrape (Monday pull showing tonight's
+    * AND next weekend's game), drop that second game entirely — both
+    * its rows. Composed: W1 pair id over the explicit order + per-team
+    * cumcount + distinct offending game ids + left_anti.
+    * Faithful to the reference: only rank == 2 marks a game (a third
+    * appearance is dropped transitively only if its game shares the
+    * rank-2 game id). Output keeps the assigned `game_id`.
+    */
+  def dropRepeatMatchups(df: DataFrame, teamCol: String, order: Seq[Column],
+                         partition: Seq[String] = Nil): DataFrame = {
+    val wPairs = Window.partitionBy(partition.map(col): _*).orderBy(order: _*)
+    val wTeam = Window.partitionBy((partition :+ teamCol).map(col): _*)
+      .orderBy(order: _*)
+    val withIds = df
+      .withColumn("game_id", (floor((row_number().over(wPairs) - 1) / 2) + 1).cast("int"))
+      .withColumn("_team_rank", row_number().over(wTeam))
+    val offending = withIds.filter(col("_team_rank") === 2)
+      .select((partition :+ "game_id").map(col): _*).distinct()
+    withIds.join(offending, partition :+ "game_id", "left_anti")
+      .drop("_team_rank")
+  }
+
   /** A3 argmax: value AND name of the greatest of several named
     * columns — the find_max_payout_column row-scan
     * (arbitrage_scanner.py:350-355) as a single struct-max expression.

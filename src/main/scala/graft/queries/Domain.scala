@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.Odds
 import graft.operators.Reshape
-import graft.pipeline.Arbitrage
+import graft.pipeline.{Arbitrage, Scores}
 
 /** The banksy betting-domain semantics (SURVEY.md §2.9 math +
   * §2.5-§2.6 arbitrage shapes) exercised over deterministic synthetic
@@ -51,7 +51,66 @@ object Domain extends QueryGroup {
              FROM lineitem)
        WHERE rn <= 2 AND n_lines >= 2"""
 
+  /** Shared team-name universe for the scores-feed queries; includes
+    * the "49ers" special case and "76ers" (digit prefix, NOT special-
+    * cased -> extracts to null, exercising the inert-null path). */
+  private val scoreTeams = Seq("Hawks", "Lions", "Bears", "Tigers",
+    "Eagles", "Falcons", "Jets", "Giants", "Rams", "Bills", "Chiefs",
+    "Colts", "Broncos", "Ravens", "Saints", "Packers", "Bengals",
+    "Chargers", "Raiders", "49ers", "76ers")
+
+  private def teamAt(ix: org.apache.spark.sql.Column) =
+    element_at(array(scoreTeams.map(lit): _*),
+      (pmod(ix, lit(scoreTeams.size)) + 1).cast("int"))
+
+  private def teamAtSql(expr: String) =
+    s"(['${scoreTeams.mkString("','")}'])[(($expr) % ${scoreTeams.size}) + 1]"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2+P9+P10+J3 composed: the finished-games scores stage over a
+    // synthetic positional scrape grid (info blob + ordinal team
+    // columns with junk suffixes), then the NaN-keeping anti join
+    // against an odds relation (arbitrage_scanner.py:216-252).
+    "q71_scores_pipeline" -> ((s, dir) => {
+      val okey = col("o_orderkey")
+      val o = Tables.orders(s, dir).select(okey)
+      val info = when(pmod(okey, lit(4)) === 0,
+          concat(lit("Final "), rpad(concat(lit("g"), okey), 44, "x")))
+        .when(pmod(okey, lit(4)) === 1,
+          concat(lit("Final "), rpad(concat(lit("g"), okey), 43, "x")))
+        .when(pmod(okey, lit(4)) === 2,
+          concat(lit("Live "), rpad(concat(lit("g"), okey), 60, "x")))
+        .otherwise(concat(lit("Final "), rpad(concat(lit("g"), okey), 60, "x")))
+      val raw = o.select(
+        info.as("c0"), lit("f1").as("c1"), lit("f2").as("c2"), lit("f3").as("c3"),
+        concat(teamAt(okey), lit("99-12Final")).as("c4"),
+        lit("f5").as("c5"), lit("f6").as("c6"),
+        concat(teamAt(okey + 7), lit("88-3Final")).as("c7"),
+        concat(lit("S"), pmod(okey, lit(3))).as("c8"))
+      val finished = Scores.finishedGames(raw, col("c8"))
+      val odds = Tables.orders(s, dir).select(
+        okey.as("bet_id"), teamAt(okey * 3 + 1).as("Team"),
+        concat(lit("S"), pmod(okey + 1, lit(3))).as("Sport"))
+      Scores.removeFinished(odds, finished)
+    }),
+
+    // O6 batch form: second-matchup dedup (bovada_pull.py:156-162) —
+    // pair ids over explicit order, per-team cumcount, drop games
+    // where a team appears a second time; partitioned by sport (the
+    // scale-correct form of the reference's single global order).
+    "q72_second_matchup_dedup" -> ((s, dir) => {
+      val okey = col("o_orderkey")
+      val legs = Tables.orders(s, dir).select(okey)
+        .withColumn("leg", explode(array(lit(1), lit(2))))
+      val rows = legs.select(
+        (okey * 2 + col("leg")).as("idx"),
+        concat(lit("S"), pmod(okey, lit(4))).as("sport"),
+        concat(lit("T"), when(col("leg") === 1, pmod(okey, lit(41)))
+          .otherwise(pmod(okey * 13 + 5, lit(41)))).as("team"))
+      Reshape.dropRepeatMatchups(rows, "team", Seq(col("idx")), Seq("sport"))
+        .select("idx", "sport", "team", "game_id")
+    }),
+
     // F16 classifier over constructed quote strings.
     "q20_bettype_classify" -> ((s, dir) => {
       val p = Tables.part(s, dir)
@@ -206,6 +265,47 @@ object Domain extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q71_scores_pipeline" ->
+      s"""WITH t AS (SELECT o_orderkey AS okey FROM orders),
+         raw AS (
+           SELECT okey,
+             CASE WHEN okey % 4 = 0 THEN 'Final ' || rpad('g' || okey, 44, 'x')
+                  WHEN okey % 4 = 1 THEN 'Final ' || rpad('g' || okey, 43, 'x')
+                  WHEN okey % 4 = 2 THEN 'Live ' || rpad('g' || okey, 60, 'x')
+                  ELSE 'Final ' || rpad('g' || okey, 60, 'x') END AS info,
+             ${teamAtSql("okey")} || '99-12Final' AS t1,
+             ${teamAtSql("okey + 7")} || '88-3Final' AS t2,
+             'S' || (okey % 3) AS sport
+           FROM t),
+         fin AS (
+           SELECT CASE WHEN substr(team_raw, 1, 5) = '49ers' THEN '49ers'
+                       ELSE nullif(regexp_extract(team_raw, '^([A-Za-z]+)', 1), '')
+                  END AS team, sport
+           FROM (SELECT unnest([t1, t2]) AS team_raw, sport
+                 FROM raw WHERE length(info) >= 50 AND info LIKE 'Final %')),
+         odds AS (
+           SELECT okey AS bet_id, ${teamAtSql("okey * 3 + 1")} AS Team,
+             'S' || ((okey + 1) % 3) AS Sport FROM t)
+         SELECT bet_id, Team, Sport FROM odds
+         WHERE NOT EXISTS (SELECT 1 FROM fin
+           WHERE fin.team = odds.Team AND fin.sport = odds.Sport)""",
+
+    "q72_second_matchup_dedup" ->
+      """WITH legs AS (SELECT o_orderkey AS okey, unnest([1, 2]) AS leg FROM orders),
+         r AS (
+           SELECT okey*2 + leg AS idx, 'S' || (okey % 4) AS sport,
+             'T' || (CASE WHEN leg = 1 THEN okey % 41
+                          ELSE (okey*13 + 5) % 41 END) AS team
+           FROM legs),
+         ranked AS (
+           SELECT idx, sport, team,
+             CAST(FLOOR((row_number() OVER (PARTITION BY sport ORDER BY idx) - 1) / 2) + 1 AS INT) AS game_id,
+             row_number() OVER (PARTITION BY sport, team ORDER BY idx) AS rnk
+           FROM r)
+         SELECT idx, sport, team, game_id FROM ranked a
+         WHERE NOT EXISTS (SELECT 1 FROM ranked b
+           WHERE b.rnk = 2 AND b.sport = a.sport AND b.game_id = a.game_id)""",
+
     "q20_bettype_classify" ->
       """SELECT p_partkey, quote,
          CASE WHEN regexp_matches(quote, '[ou]') THEN 'Over/Under'

@@ -35,6 +35,14 @@ class CollectingMirror extends TableMirror {
 }
 
 object Alerting {
+  /** F25 (arbitrage_scanner.py:299-300): stamp the mirror grid with
+    * the minute-precision `updated_at` display column before the
+    * overwrite. Timestamp injectable for deterministic tests. */
+  def withUpdatedAt(grid: DataFrame,
+                    ts: org.apache.spark.sql.Column =
+                      org.apache.spark.sql.functions.current_timestamp()): DataFrame =
+    grid.withColumn("updated_at", graft.functions.Timestamps.displayMinute(ts))
+
   /** Deliver an alerts DataFrame: collect is intentional and bounded —
     * alerts passed every guard and the rate limit (a handful of rows);
     * the heavy lifting stayed distributed. */

@@ -21,7 +21,7 @@ class NotificationLog(path: String) {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
-        "team STRING, sent_at TIMESTAMP, message STRING"))
+        "team STRING, sent_at TIMESTAMP, message STRING, updated_at STRING"))
     try {
       val d = spark.read.parquet(path)
       if (d.columns.isEmpty) empty else d
@@ -40,7 +40,9 @@ class NotificationLog(path: String) {
     * Alerts schema: team STRING, ts TIMESTAMP, message STRING.
     */
   def rateLimitAndAppend(alerts: DataFrame, maxPerDay: Int,
-                         orderCol: String = "ts"): DataFrame = {
+                         orderCol: String = "ts",
+                         appendedAt: org.apache.spark.sql.Column =
+                           current_timestamp()): DataFrame = {
     val spark = alerts.sparkSession
     val withDay = alerts.withColumn("day", to_date(col("ts")))
     val counts = dailyCounts(spark)
@@ -54,7 +56,11 @@ class NotificationLog(path: String) {
       .withColumn("sent", coalesce(col("sent"), lit(0L)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") + col("sent") <= maxPerDay)
-      .select(col("team"), col("ts").as("sent_at"), col("message"))
+      .select(col("team"), col("ts").as("sent_at"), col("message"),
+        // F27 (arbitrage_scanner.py:509-510): every appended row is
+        // stamped with the append wall-clock rendered in
+        // America/Phoenix — injectable for deterministic tests.
+        graft.functions.Timestamps.phoenixDisplay(appendedAt).as("updated_at"))
     // Materialize BEFORE the append and CUT the lineage: the
     // survivors plan READS the log it is about to WRITE (the E3
     // feedback loop). A plain persist is not enough — writing to the

@@ -47,6 +47,34 @@ class ReshapeSpec extends SparkSpec {
     assert(out == Set((1, "m1", 10.0), (1, "m2", 20.0)))
   }
 
+  test("dropRepeatMatchups removes the whole second game of a team") {
+    // Bills play game 1 (rows 1,2) and AGAIN game 3 (rows 5,6):
+    // game 3 is dropped entirely — including the opponent Jets row.
+    val in = Seq(
+      (1, "Bills"), (2, "Chiefs"),
+      (3, "Rams"), (4, "Lions"),
+      (5, "Bills"), (6, "Jets")
+    ).toDF("idx", "team")
+    val out = Reshape.dropRepeatMatchups(in, "team", Seq(col("idx")))
+      .select("idx", "team", "game_id").as[(Int, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "Bills", 1), (2, "Chiefs", 1),
+      (3, "Rams", 2), (4, "Lions", 2)))
+  }
+
+  test("dropRepeatMatchups only flags rank == 2 (reference semantics)") {
+    // A team appearing three times: games of rank-2 are dropped; the
+    // rank-3 game survives unless it shares the rank-2 game id.
+    val in = Seq(
+      (1, "Bills"), (2, "Chiefs"),
+      (3, "Bills"), (4, "Jets"),
+      (5, "Bills"), (6, "Rams")
+    ).toDF("idx", "team")
+    val out = Reshape.dropRepeatMatchups(in, "team", Seq(col("idx")))
+      .select("idx").as[Int].collect().toSet
+    assert(out == Set(1, 2, 5, 6))
+  }
+
   test("unpivot escapes quotes and backticks in column names") {
     val in = Seq((1, 10.0, 20.0)).toDF("k", "it's", "a`b")
     val out = Reshape.unpivot(in, Seq("k"), Seq("it's", "a`b"))
