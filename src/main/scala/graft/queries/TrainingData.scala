@@ -138,6 +138,16 @@ object TrainingData extends QueryGroup {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // Same clustering via alternating large-star/small-star — the
+    // O(log n)-round variant for adversarial component diameters at
+    // 100 TB — checked against the SAME recursive-CTE oracle.
+    "q73_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDf = 100)
+      Dedup.connectedComponentsStar(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     // SimHash (16-bit) fingerprint + bucket size per document.
     "q34_simhash" -> ((s, dir) =>
       Dedup.simhashGroups(Tables.documents(s, dir), "doc_id", "text", SimhashBits)
@@ -316,6 +326,32 @@ object TrainingData extends QueryGroup {
     })
   )
 
+  /** Shared by q69 (fixpoint propagation) and q73 (large-star/
+    * small-star): both must agree with min-reachable-id over the
+    * Jaccard>=0.5 pair graph, computed as a recursive CTE. */
+  private lazy val ccClusterOracle =
+    s"""WITH RECURSIVE $dSh,
+       inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+       filt AS (SELECT * FROM (
+           SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+         WHERE df <= 100),
+       prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+       dup_pairs AS (
+         SELECT id_a, id_b
+         FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+       edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs
+                 UNION ALL SELECT id_b, id_a FROM dup_pairs),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)
+       SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id"""
+
   def oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
       s"""WITH $dTok,
@@ -341,28 +377,8 @@ object TrainingData extends QueryGroup {
          FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
 
-    "q69_dedup_clusters" ->
-      s"""WITH RECURSIVE $dSh,
-         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
-         filt AS (SELECT * FROM (
-             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
-           WHERE df <= 100),
-         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
-         dup_pairs AS (
-           SELECT id_a, id_b
-           FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-           WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
-         edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs
-                   UNION ALL SELECT id_b, id_a FROM dup_pairs),
-         nodes AS (SELECT DISTINCT a AS id FROM edges),
-         reach AS (
-           SELECT id, id AS r FROM nodes
-           UNION
-           SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)
-         SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""",
+    "q69_dedup_clusters" -> ccClusterOracle,
+    "q73_dedup_clusters_star" -> ccClusterOracle,
 
     "q32_minhash_sig" ->
       s"""WITH $dSh,

@@ -1,0 +1,42 @@
+package graft.sources
+
+/** S1/S3 fetch adapter (SURVEY.md §2.1): scraping itself is external
+  * to the engine (BASELINE.json), but the reference's retry policy is
+  * configuration a user would otherwise re-derive — encoded here as a
+  * driver-side trait with an injectable clock/sleep for tests.
+  *
+  * Reference semantics (bovada_pull.py:14-42): fetch; if the payload
+  * fails the `minChars` sanity check ("sometimes the scrape doesn't
+  * scrape the right portion of the website"), check the elapsed time
+  * — give up once `deadlineMs` has passed since the FIRST attempt,
+  * else sleep `backoffMs` and refetch. Giving up yields None (the
+  * reference's `skip_bovada` string sentinel, made typed): downstream
+  * the pipeline proceeds with an empty, correctly-schemed DataFrame
+  * (pipeline.Normalize.withBovada handles the missing column).
+  */
+trait Fetcher {
+  /** One fetch attempt; null/short payloads count as failed. */
+  def fetchOnce(): String
+}
+
+final class RetryPolicy(
+    backoffMs: Long = 2000,
+    deadlineMs: Long = 60000,
+    minChars: Int = 250,
+    clock: () => Long = () => System.currentTimeMillis(),
+    sleep: Long => Unit = Thread.sleep) {
+
+  /** Some(payload) once a fetch passes the sanity check; None when
+    * the deadline elapses first (checked after each failed attempt,
+    * like the reference — one attempt always runs). */
+  def run(fetcher: Fetcher): Option[String] = {
+    val start = clock()
+    while (true) {
+      val payload = fetcher.fetchOnce()
+      if (payload != null && payload.length >= minChars) return Some(payload)
+      if (clock() - start >= deadlineMs) return None
+      sleep(backoffMs)
+    }
+    None // unreachable
+  }
+}

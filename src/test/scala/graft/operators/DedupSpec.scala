@@ -70,6 +70,32 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponentsStar matches the fixpoint variant on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(30)
+      val nEdges = 1 + rnd.nextInt(2 * n)
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b")
+        val fix = Dedup.connectedComponents(df).as[(Long, Long)].collect().toSet
+        val star = Dedup.connectedComponentsStar(df).as[(Long, Long)].collect().toSet
+        assert(star == fix, s"trial $trial with edges $pairs")
+      }
+    }
+  }
+
+  test("connectedComponentsStar: long path (adversarial diameter)") {
+    // a 24-node path: diameter 23 — the star variant converges in
+    // O(log n) rounds and must still label every node with the min.
+    val pairs = (0L until 23L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(out.size == 24 && out.values.forall(_ == 0L))
+  }
+
   test("simhashGroups: exact dups share a fingerprint and bucket") {
     val out = Dedup.simhashGroups(corpus, "doc_id", "text", bits = 16)
       .select("id", "simhash", "bucket_size").collect()
