@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.htmltable.HtmlTableSource
+import org.apache.spark.sql.functions._
+
+class HtmlTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(dir: java.nio.file.Path, name: String, html: String) = {
+    Files.writeString(dir.resolve(name), html)
+    dir.resolve(name).toString
+  }
+
+  private val oddsPage =
+    """<html><body><h1>Odds</h1>
+      |<table class="odds">
+      | <tr><th>Time</th><th> Team </th><th>Bet365</th></tr>
+      | <tr><td>7:00</td><td>Chiefs &amp; co</td><td>+150</td></tr>
+      | <tr><td>7:00</td><td><b>Bills</b></td><td>-170</td></tr>
+      |</table>
+      |<table class="other"><tr><td>second table</td></tr></table>
+      |</body></html>""".stripMargin
+
+  test("parseTables: tags stripped, entities unescaped, whitespace collapsed") {
+    val tables = HtmlTableSource.parseTables(oddsPage)
+    assert(tables.size == 2)
+    assert(tables(0) == Seq(
+      Seq("Time", "Team", "Bet365"),
+      Seq("7:00", "Chiefs & co", "+150"),
+      Seq("7:00", "Bills", "-170")))
+    assert(tables(1) == Seq(Seq("second table")))
+  }
+
+  test("format(odds-html) reads one row per tr with positional cells") {
+    val dir = Files.createTempDirectory("htmlsrc")
+    write(dir, "nfl.html", oddsPage)
+    val df = spark.read.format("odds-html").load(dir.toString)
+    val rows = df.select("row_no", "cells").as[(Int, Seq[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (0, Seq("Time", "Team", "Bet365")),
+      (1, Seq("7:00", "Chiefs & co", "+150")),
+      (2, Seq("7:00", "Bills", "-170"))))
+  }
+
+  test("tableIndex option selects the nth table; dirs read all snapshots") {
+    val dir = Files.createTempDirectory("htmlsrc2")
+    write(dir, "a.html", oddsPage)
+    write(dir, "b.html", oddsPage)
+    write(dir, "notes.txt", "ignored")
+    val df = spark.read.format("odds-html").option("tableIndex", 1)
+      .load(dir.toString)
+    val out = df.select("file", "cells").as[(String, Seq[String])].collect()
+    assert(out.length == 2) // one row per file's second table
+    assert(out.map(_._1).distinct.length == 2)
+    assert(out.forall(_._2 == Seq("second table")))
+  }
+
+  test("snapshot -> Scores.finishedGames end to end") {
+    // a scores-site snapshot: 8 cells per row, info at 0, teams at 4/7
+    val longFinal = "Final " + "x" * 44
+    def tr(info: String, t1: String, t2: String) =
+      s"<tr><td>$info</td><td>a</td><td>b</td><td>c</td><td>$t1</td>" +
+        s"<td>d</td><td>e</td><td>$t2</td></tr>"
+    val page = "<table>" +
+      tr(longFinal, "Cardinals99-77Final", "49ers21-10Final") +
+      tr("Final short", "Hawks1-2", "Lions3-4") +
+      "</table>"
+    val dir = Files.createTempDirectory("htmlsrc3")
+    write(dir, "scores.html", page)
+    val raw = spark.read.format("odds-html").load(dir.toString)
+      .select((0 until 8).map(i => col("cells").getItem(i).as(s"c$i")): _*)
+    val out = graft.pipeline.Scores.finishedGames(raw, "NFL")
+      .as[(Option[String], String)].collect().toSet
+    assert(out == Set((Some("Cardinals"), "NFL"), (Some("49ers"), "NFL")))
+  }
+}
