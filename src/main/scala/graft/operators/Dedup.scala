@@ -70,7 +70,9 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
+    // Two consumers (inverted index + sizes): same reuse story as
+    // minhashLshPairs — materialize once, lazily.
+    val sh = shingleSets(df, idCol, textCol, n).localCheckpoint(false)
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     val filtered = inv
@@ -113,7 +115,15 @@ object Dedup {
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val numPerm = bands * rowsPerBand
-    val sh = shingleSets(df, idCol, textCol, n)
+    // The shingle table feeds THREE consumers (signatures, candidate
+    // verify, sizes). Column pruning rewrites each consumer's subtree
+    // below the exchange, so ReuseExchange never fires and the
+    // tokenize+shingle work would run per consumer (plan audit: 28
+    // parquet scans). A lazy localCheckpoint materializes it once on
+    // first use (MEMORY_AND_DISK, no extra job) and every consumer
+    // reads the cached blocks. 100 TB note: at that scale the shingle
+    // table is a bucketed intermediate TABLE, not executor cache.
+    val sh = shingleSets(df, idCol, textCol, n).localCheckpoint(false)
     val sigs = minhashSigTable(sh, numPerm)
     // band b (1-based) covers mh_{(b-1)*r+1} .. mh_{b*r}.
     val bandKeys = (1 to bands).map { b =>
