@@ -234,11 +234,14 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame,
                               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val nodes = pairs.select(col(aCol).as("id"))
-      .unionByName(pairs.select(col(bCol).as("id")))
+    // One materialization of the (possibly expensive) pair plan;
+    // nodes and the edge frontier both derive from the cached base.
+    val base = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .distinct().localCheckpoint(true)
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val nodes = base.select(col("u").as("id"))
+      .unionByName(base.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
+    var edges = base.filter(col("u") =!= col("v"))
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
