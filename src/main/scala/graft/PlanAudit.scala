@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Whole-catalog physical-plan audit: walks every query's pre-AQE
+  * physical plan and flags the anti-patterns that break at 100 TB:
+  *
+  *  - CartesianProductExec — never acceptable;
+  *  - BroadcastNestedLoopJoinExec — acceptable ONLY where the
+  *    broadcast side is bounded by construction (allow-listed below
+  *    with the justification);
+  *  - WindowExec fed by a SinglePartition shuffle — a GLOBAL window:
+  *    the whole relation flows through one task (a 1-row global
+  *    aggregate's SinglePartition exchange is fine and not flagged).
+  *
+  * runMain graft.PlanAudit [sfDir]; exit 1 if anything unexpected.
+  */
+object PlanAudit {
+
+  /** BNLJ allow-list: the broadcast side is bounded by construction. */
+  private val bnljOk: Map[String, String] = Map(
+    "q36_ann_topk" -> "exact brute-force baseline; 8-query side broadcast",
+    "q70_ann_int8" -> "int8 brute-force scoring; 8-query side broadcast",
+    "q45_ann_ivf" -> "cell assignment vs 12 broadcast centroids",
+    "q53_tfidf_keywords" -> "1-row corpus-size broadcast cross join"
+  )
+
+  private def globalWindow(root: SparkPlan): Boolean =
+    root.collect { case w: WindowExec => w }.exists { w =>
+      w.collectFirst { case e: ShuffleExchangeExec => e }
+        .exists(_.outputPartitioning == SinglePartition)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = GraftSession.fromEnv()
+    var flagged = List.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan
+        val cart = plan.collect { case c: CartesianProductExec => c }.nonEmpty
+        val bnlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty
+        val gw = globalWindow(plan)
+        val nExchange = plan.collect { case e: Exchange => e }.size
+        val notes = List(
+          if (cart) Some("CARTESIAN") else None,
+          if (bnlj && !bnljOk.contains(name)) Some("BNLJ") else None,
+          if (bnlj && bnljOk.contains(name)) Some("bnlj-ok") else None,
+          if (gw) Some("GLOBAL-WINDOW") else None
+        ).flatten
+        val bad = notes.exists(n => n == "CARTESIAN" || n == "BNLJ" || n == "GLOBAL-WINDOW")
+        if (bad) flagged ::= s"$name: ${notes.mkString(",")}"
+        println(f"[audit] $name%-28s exchanges=$nExchange%-3d ${notes.mkString(",")}")
+      } catch {
+        case e: Throwable =>
+          flagged ::= s"$name: ERROR ${e.getMessage}"
+          println(s"[audit] $name ERROR: ${e.getMessage}")
+      }
+    }
+    if (flagged.nonEmpty) {
+      println("[audit] FLAGGED:")
+      flagged.reverse.foreach(f => println(s"[audit]   $f"))
+    } else println("[audit] clean: no cartesian/BNLJ/global-window flags")
+    spark.stop()
+    if (flagged.nonEmpty) sys.exit(1)
+  }
+}
