@@ -35,9 +35,15 @@ object Arbitrage {
   def detect(grid: DataFrame, bookies: Seq[String],
              minMarginPct: Int = 3): DataFrame = {
     // game id: consecutive row PAIRS within (Sport, BetType) in load
-    // order (the i//2+1 idiom, arbitrage_scanner.py:104-114).
-    val withGame = grid.withColumn("game_id",
-      Reshape.pairId(Seq("Sport", "BetType"), Seq(col("idx"))))
+    // order (the i//2+1 idiom, arbitrage_scanner.py:104-114). A grid
+    // that ALREADY carries game_id (Normalize.grid output) keeps it:
+    // the reference assigns ids at build time, so a leg orphaned by
+    // finished-game removal must NOT re-pair with its neighbor — the
+    // sign audit then drops the single-leg game, like the reference.
+    val withGame =
+      if (grid.columns.contains("game_id")) grid
+      else grid.withColumn("game_id",
+        Reshape.pairId(Seq("Sport", "BetType"), Seq(col("idx"))))
 
     // payout legs only (arbitrage_scanner.py:275). Per bookie:
     // strip trailing " +" (F6), EVEN -> +100 / N/A -> null (F8), then
@@ -90,6 +96,37 @@ object Arbitrage {
       .withColumn("margin_pct", Odds.profitMargin(col("payout"), col("total_stake")))
       .filter(col("margin_pct") >= minMarginPct) // arbitrage_scanner.py:401
 
+    alertColumns(sized)
+  }
+
+  /** P13/J10 (arbitrage_scanner.py:469-475): jurisdiction rules over
+    * the alert set. Games whose winning bookie is in `bannedBookies`
+    * (legal in NEITHER jurisdiction) are removed WHOLE — both legs,
+    * keyed (Sport, BetType, game_id) like every game-scoped rule.
+    * Games involving a `starBookies` member (legal in only one) keep
+    * both legs but the Sport is star-prefixed as a warning marker.
+    * Both rule sets are tiny: broadcast semi/anti, facts never
+    * shuffle.
+    */
+  def jurisdiction(alerts: DataFrame, bannedBookies: Seq[String],
+                   starBookies: Seq[String] = Nil): DataFrame = {
+    val keyCols = Seq("Sport", "BetType", "game_id")
+    val banned = alerts.filter(col("best_bookie").isin(bannedBookies: _*))
+      .select(keyCols.map(col): _*).distinct()
+    val kept = alerts.join(broadcast(banned), keyCols, "left_anti")
+    if (starBookies.isEmpty) kept
+    else {
+      val starred = kept.filter(col("best_bookie").isin(starBookies: _*))
+        .select(keyCols.map(col): _*).distinct()
+        .withColumn("_star", lit(true))
+      kept.join(broadcast(starred), keyCols, "left")
+        .withColumn("Sport",
+          when(col("_star"), concat(lit("*"), col("Sport"))).otherwise(col("Sport")))
+        .drop("_star")
+    }
+  }
+
+  private def alertColumns(sized: DataFrame): DataFrame =
     sized.select(col("Sport"), col("game_id"), col("BetType"), col("Team"),
       col("best_bookie"), col("max_payout"), col("stake"),
       col("payout"), col("total_stake"), col("margin_pct"),
@@ -98,5 +135,4 @@ object Arbitrage {
         col("Sport"), col("BetType"), col("Team"), col("stake"),
         col("Team"), Odds.plusPrefix(col("max_payout")), col("best_bookie"),
         col("margin_pct")).as("message"))
-  }
 }
