@@ -19,6 +19,36 @@ import graft.operators.Reshape
   */
 object Normalize {
 
+  /** P1 (arbitrage_scanner.py:61-66): positional scraped rows ->
+    * named columns, promoting the embedded header row — the bridge
+    * from the `odds-html` source's (file, row_no, cells) shape to the
+    * named raw grid `grid()` consumes.
+    *
+    * The single-row header read is driver-side ON PURPOSE (bounded by
+    * construction, exactly like the reference's `columns = iloc[0]`);
+    * every data row stays distributed. All snapshots in the frame are
+    * expected to share a layout (same site, same scraper). `row_no`
+    * survives as the in-file load order (the future `idx`), and
+    * `file` survives for per-snapshot tagging (e.g. sport-from-path).
+    */
+  def promoteHeader(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val header = cells.orderBy("file", "row_no").select("cells")
+      .head() match { case Row(c: scala.collection.Seq[_]) => c.map(String.valueOf) }
+    // de-duplicate promoted names the explicit way (a scraped header
+    // can repeat a label): suffix _2, _3, ...
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val named = header.map { h =>
+      val n = seen.updateWith(h)(c => Some(c.getOrElse(0) + 1)).get
+      if (n == 1) h else s"${h}_$n"
+    }
+    cells.filter(col("row_no") > 0)
+      .select(col("file") +: col("row_no") +:
+        named.zipWithIndex.map { case (h, i) =>
+          col("cells").getItem(i).as(h)
+        }.toSeq: _*)
+  }
+
   /** @param classifierBookie bookie column used to classify the bet
     *   type (the reference reads Bet365, arbitrage_scanner.py:90-99).
     */

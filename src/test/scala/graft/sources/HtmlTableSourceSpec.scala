@@ -59,6 +59,41 @@ class HtmlTableSourceSpec extends SparkSpec {
     assert(out.forall(_._2 == Seq("second table")))
   }
 
+  test("snapshot -> promoteHeader -> grid -> arbitrage alert, fully end to end") {
+    val page =
+      """<table>
+        | <tr><th>Time</th><th>Team</th><th>DraftKings</th><th>Caesars</th><th>Bet365</th></tr>
+        | <tr><td>7:00</td><td>Chiefs</td><td>+225</td><td>-500</td><td>+215</td></tr>
+        | <tr><td>7:00</td><td>Bills</td><td>-600</td><td>-180</td><td>-580</td></tr>
+        |</table>""".stripMargin
+    val dir = Files.createTempDirectory("htmlsrc4")
+    write(dir, "nfl.html", page)
+    val named = graft.pipeline.Normalize.promoteHeader(
+      spark.read.format("odds-html").load(dir.toString))
+    assert(named.columns.toSeq ==
+      Seq("file", "row_no", "Time", "Team", "DraftKings", "Caesars", "Bet365"))
+    val raw = named.withColumn("Sport", lit("NFL"))
+      .withColumnRenamed("row_no", "idx")
+    val grid = graft.pipeline.Normalize.grid(raw,
+      Seq("DraftKings", "Caesars", "Bet365"), "Bet365")
+    val alerts = graft.pipeline.Arbitrage.detect(grid,
+      Seq("DraftKings", "Caesars", "Bet365"), minMarginPct = 3)
+    val byTeam = alerts.select("Team", "best_bookie")
+      .as[(String, String)].collect().toMap
+    assert(byTeam == Map("Chiefs" -> "DraftKings", "Bills" -> "Caesars"))
+  }
+
+  test("promoteHeader de-duplicates repeated header labels") {
+    val page = "<table><tr><th>A</th><th>A</th></tr>" +
+      "<tr><td>1</td><td>2</td></tr></table>"
+    val dir = Files.createTempDirectory("htmlsrc5")
+    write(dir, "x.html", page)
+    val named = graft.pipeline.Normalize.promoteHeader(
+      spark.read.format("odds-html").load(dir.toString))
+    assert(named.columns.toSeq == Seq("file", "row_no", "A", "A_2"))
+    assert(named.select("A", "A_2").as[(String, String)].head() == ("1", "2"))
+  }
+
   test("snapshot -> Scores.finishedGames end to end") {
     // a scores-site snapshot: 8 cells per row, info at 0, teams at 4/7
     val longFinal = "Final " + "x" * 44
