@@ -68,11 +68,21 @@ object Dedup {
     * frequency > maxDf -> self-join per shingle -> count
     * intersections -> join |A|,|B| -> jaccard = inter/(|A|+|B|-inter).
     */
+  /** Materialization for multi-consumer intermediates (the shingle
+    * table). Default: lazy localCheckpoint — materialized once on
+    * first use (MEMORY_AND_DISK), no extra job, lineage truncated.
+    * Cluster caveat: localCheckpoint data dies with its executor; for
+    * long-running 1000-executor jobs pass a sturdier strategy
+    * (persist(MEMORY_AND_DISK_2), or write+read a bucketed table). */
+  type Materialize = DataFrame => DataFrame
+  val DefaultMaterialize: Materialize = _.localCheckpoint(false)
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double, maxDf: Int = 100): DataFrame = {
+                   n: Int, threshold: Double, maxDf: Int = 100,
+                   materialize: Materialize = DefaultMaterialize): DataFrame = {
     // Two consumers (inverted index + sizes): same reuse story as
-    // minhashLshPairs — materialize once, lazily.
-    val sh = shingleSets(df, idCol, textCol, n).localCheckpoint(false)
+    // minhashLshPairs — materialize once.
+    val sh = materialize(shingleSets(df, idCol, textCol, n))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     val filtered = inv
@@ -113,17 +123,16 @@ object Dedup {
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      materialize: Materialize = DefaultMaterialize): DataFrame = {
     val numPerm = bands * rowsPerBand
     // The shingle table feeds THREE consumers (signatures, candidate
     // verify, sizes). Column pruning rewrites each consumer's subtree
     // below the exchange, so ReuseExchange never fires and the
     // tokenize+shingle work would run per consumer (plan audit: 28
-    // parquet scans). A lazy localCheckpoint materializes it once on
-    // first use (MEMORY_AND_DISK, no extra job) and every consumer
-    // reads the cached blocks. 100 TB note: at that scale the shingle
-    // table is a bucketed intermediate TABLE, not executor cache.
-    val sh = shingleSets(df, idCol, textCol, n).localCheckpoint(false)
+    // parquet scans). Materializing it once fixes that (q33 at sf0.1:
+    // 7.2s -> 3.0s); see DefaultMaterialize for the cluster caveat.
+    val sh = materialize(shingleSets(df, idCol, textCol, n))
     val sigs = minhashSigTable(sh, numPerm)
     // band b (1-based) covers mh_{(b-1)*r+1} .. mh_{b*r}.
     val bandKeys = (1 to bands).map { b =>
