@@ -52,6 +52,12 @@ object Alerting {
     msgs.size
   }
 
+  /** K1 engine-native form: overwrite the mirror TABLE with the
+    * current grid — the scale path for grids too large to collect
+    * (the external-sheet TableMirror stays for bounded mirrors). */
+  def mirrorTable(grid: DataFrame, path: String): Unit =
+    grid.write.mode("overwrite").parquet(path)
+
   /** Mirror a (small, final) grid to the external table sink. */
   def mirror(grid: DataFrame, m: TableMirror): Int = {
     val header = grid.columns.toSeq

@@ -23,6 +23,20 @@ class AlertingSpec extends SparkSpec {
     assert(mirror.last.get._1.contains("margin_pct"))
   }
 
+  test("engine-native mirror: overwrite parquet round trip") {
+    val grid = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val path = java.nio.file.Files.createTempDirectory("mir").toString + "/grid"
+    Alerting.mirrorTable(Alerting.withUpdatedAt(grid,
+      to_timestamp(lit("2026-01-02 03:04:56"))), path)
+    // overwrite replaces, not appends
+    Alerting.mirrorTable(Alerting.withUpdatedAt(grid,
+      to_timestamp(lit("2026-01-02 03:05:56"))), path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 2)
+    assert(back.select("updated_at").as[String].collect()
+      .forall(_ == "2026-01-02 03:05"))
+  }
+
   test("afterMarker: positional find + dynamic substring (F10)") {
     val in = Seq("10:10 PM Seattle at Denver", "no marker here").toDF("t")
     val out = col1[String](in.select(TextNorm.afterMarker(col("t"), "PM", 1)))
