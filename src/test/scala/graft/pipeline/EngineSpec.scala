@@ -67,6 +67,29 @@ class EngineSpec extends SparkSpec {
     assert(!r.grid.filter(col("Team") === "Bills").isEmpty)
   }
 
+  test("bovada blobs merge as a bookie column and can win the argmax") {
+    val rawSf = Seq(
+      (1, "NFL", "Seattle Seahawks", "+150", "-500", "+145"),
+      (2, "NFL", "San Francisco 49ers", "-600", "-180", "-580")
+    ).toDF("idx", "Sport", "Team", "DraftKings", "Caesars", "Bet365")
+    val dims = Seq(("Seattle Seahawks", "NFL", "SEA"),
+      ("San Francisco 49ers", "NFL", "SF")).toDF("Team", "Sport", "Abbreviation")
+    // without bovada: best legs +150 / -180 -> calc < 0, no alert;
+    // bovada's +225 on the Seahawks creates the arb
+    val blob = "x 9/14/25 " +
+      "10:10 PM Seattle SeahawksSan Francisco 49ers " +
+      "+3.5(-110)-3.5(-108) O47.5(-110)U47.5(-105) +225-999"
+    val sink = new CollectingAlertSink
+    val r = Engine.run(rawSf, bookies, "Bet365", dims,
+      Some(Seq((1, blob)).toDF("blob_id", "text")), Map.empty,
+      newLog(), sink, None, now = t0)
+    assert(r.delivered == 2)
+    val best = r.alerts.select("Team", "best_bookie")
+      .as[(String, String)].collect().toMap
+    assert(best("Seattle Seahawks") == "Bovada")
+    assert(sink.sent.exists(m => m.contains("+225") && m.contains("Bovada")))
+  }
+
   test("jurisdiction: banned bookie kills the game, star bookie marks it") {
     val sink = new CollectingAlertSink
     val r = Engine.run(raw, bookies, "Bet365", teams, None, Map.empty,
