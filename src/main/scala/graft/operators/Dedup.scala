@@ -56,10 +56,13 @@ object Dedup {
       .transform(Spread.byKey("id"))
       .select(col("id"), Text.tokens(col("doc_text")).as("toks"))
       .select(col("id"), Text.shingles(col("toks"), n).as("shingles"))
-      // second keyed exchange AFTER the expensive projection: consumers
-      // that fan out from this table (signature agg + both sides of the
-      // verify join) hit ReuseExchange on it, so tokenize+shingle runs
-      // once instead of once per consumer.
+      // keyed exchange AFTER the expensive projection: callers
+      // materialize this table (localCheckpoint preserves the physical
+      // partitioning), so id-keyed consumers — the minhash signature
+      // aggregation above all — read it already partitioned and skip
+      // their own shuffle. (ReuseExchange alone does NOT deduplicate
+      // the consumers: column pruning rewrites each subtree below the
+      // exchange — hence the explicit materialize() in the pair ops.)
       .transform(Spread.byKey("id"))
 
   /** All document pairs (idA < idB) with n-gram Jaccard similarity
@@ -293,7 +296,14 @@ object Dedup {
         Some((next.count(),
           String.valueOf(next.agg(sum(col("v").cast("decimal(38,0)"))).head().get(0))))
       }
-      converged = prev == cur || cur.exists(_._1 == 0L)
+      // matching (count, sum) is the cheap signal, not proof — two
+      // different edge sets can collide on both. Confirm with an EXACT
+      // set-equality check (anti-joins over the two checkpointed
+      // frames, so this extra job only runs at suspected fixpoints).
+      converged = cur.exists(_._1 == 0L) ||
+        (prev == cur &&
+          next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+          edges.join(next, Seq("u", "v"), "left_anti").isEmpty)
       prev = cur
       edges = next
     }

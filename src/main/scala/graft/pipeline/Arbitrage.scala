@@ -123,16 +123,24 @@ object Arbitrage {
         .withColumn("Sport",
           when(col("_star"), concat(lit("*"), col("Sport"))).otherwise(col("Sport")))
         .drop("_star")
+        // the star must reach the DELIVERED channel too: rebuild the
+        // message from the (now starred) Sport, like the reference
+        // formats Combined AFTER the star markup
+        // (arbitrage_scanner.py:474-489).
+        .withColumn("message", messageExpr)
     }
   }
+
+  /** Notification text (arbitrage_scanner.py:478-489 shape). */
+  private def messageExpr: Column =
+    format_string("%s %s %s: bet %.2f on %s @ %s (%s), margin %d%%",
+      col("Sport"), col("BetType"), col("Team"), col("stake"),
+      col("Team"), Odds.plusPrefix(col("max_payout")), col("best_bookie"),
+      col("margin_pct"))
 
   private def alertColumns(sized: DataFrame): DataFrame =
     sized.select(col("Sport"), col("game_id"), col("BetType"), col("Team"),
       col("best_bookie"), col("max_payout"), col("stake"),
       col("payout"), col("total_stake"), col("margin_pct"),
-      // notification text (arbitrage_scanner.py:478-489 shape)
-      format_string("%s %s %s: bet %.2f on %s @ %s (%s), margin %d%%",
-        col("Sport"), col("BetType"), col("Team"), col("stake"),
-        col("Team"), Odds.plusPrefix(col("max_payout")), col("best_bookie"),
-        col("margin_pct")).as("message"))
+      messageExpr.as("message"))
 }

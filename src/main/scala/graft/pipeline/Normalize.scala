@@ -33,8 +33,15 @@ object Normalize {
     */
   def promoteHeader(cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
-    val header = cells.orderBy("file", "row_no").select("cells")
-      .head() match { case Row(c: scala.collection.Seq[_]) => c.map(String.valueOf) }
+    val headerRow = cells.orderBy("file", "row_no").select("cells")
+      .limit(1).collect().headOption
+    val header = headerRow match {
+      case Some(Row(c: scala.collection.Seq[_])) => c.map(String.valueOf)
+      // failed scrape (zero snapshots / zero rows / null cells):
+      // flow through as an EMPTY named frame, never crash — the
+      // empty-DF-with-schema contract every stage follows.
+      case _ => return cells.filter(lit(false)).select("file", "row_no")
+    }
     // de-duplicate promoted names the explicit way (a scraped header
     // can repeat a label): suffix _2, _3, ...
     val seen = scala.collection.mutable.Map.empty[String, Int]

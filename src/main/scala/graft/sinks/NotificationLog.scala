@@ -23,7 +23,10 @@ class NotificationLog(path: String) {
       org.apache.spark.sql.types.StructType.fromDDL(
         "team STRING, sent_at TIMESTAMP, message STRING, updated_at STRING"))
     try {
-      val d = spark.read.parquet(path)
+      // mergeSchema: a log written before a schema addition (e.g. the
+      // updated_at stamp) holds narrower files; footer sampling would
+      // otherwise make the union schema depend on listing order.
+      val d = spark.read.option("mergeSchema", "true").parquet(path)
       if (d.columns.isEmpty) empty else d
     } catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }

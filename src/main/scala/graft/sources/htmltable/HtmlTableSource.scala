@@ -57,13 +57,41 @@ object HtmlTableSource {
     StructField("row_no", IntegerType, nullable = false),
     StructField("cells", ArrayType(StringType, containsNull = false), nullable = false)))
 
-  private val TableRe = "(?is)<table\\b[^>]*>(.*?)</table>".r
+  private val TableTagRe = "(?is)<(/?)table\\b[^>]*>".r
   private val RowRe = "(?is)<tr\\b[^>]*>(.*?)</tr>".r
   private val CellRe = "(?is)<t[hd]\\b[^>]*>(.*?)</t[hd]>".r
+
+  /** Depth-aware TOP-LEVEL table bodies: a `<table>` nested inside a
+    * cell stays part of its outer table's span (a non-greedy regex
+    * would truncate the outer table at the inner close tag and break
+    * `tableIndex` addressing). Rows of a nested table surface as rows
+    * of the outer table, approximating BeautifulSoup's recursive
+    * find_all('tr'). */
+  private def tableBodies(html: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = -1
+    TableTagRe.findAllMatchIn(html).foreach { m =>
+      if (m.group(1).isEmpty) {
+        if (depth == 0) start = m.end
+        depth += 1
+      } else if (depth > 0) {
+        depth -= 1
+        if (depth == 0 && start >= 0) { out += html.substring(start, m.start); start = -1 }
+      }
+    }
+    out.result()
+  }
 
   private def unescape(s: String): String = s
     .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
     .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+
+  private[htmltable] def toConf(m: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   /** Strip tags, unescape entities, collapse whitespace — bs4
     * `.text.strip()` parity for table cells. */
@@ -71,14 +99,14 @@ object HtmlTableSource {
     unescape(cellHtml.replaceAll("(?s)<[^>]*>", " "))
       .replaceAll("\\s+", " ").trim
 
-  /** All tables on the page, as rows of cell texts. Pure function
-    * (unit-testable without Spark). */
+  /** All top-level tables on the page, as rows of cell texts. Pure
+    * function (unit-testable without Spark). */
   def parseTables(html: String): Seq[Seq[Seq[String]]] =
-    TableRe.findAllMatchIn(html).map { t =>
-      RowRe.findAllMatchIn(t.group(1)).map { r =>
+    tableBodies(html).map { body =>
+      RowRe.findAllMatchIn(body).map { r =>
         CellRe.findAllMatchIn(r.group(1)).map(c => cellText(c.group(1))).toSeq
       }.toSeq
-    }.toSeq
+    }
 }
 
 class HtmlTable(path: String, tableIndex: Int) extends Table with SupportsRead {
@@ -94,9 +122,19 @@ class HtmlTable(path: String, tableIndex: Int) extends Table with SupportsRead {
       override def toBatch: Batch = this
       override def description(): String = name()
 
+      // the session's Hadoop conf (spark.hadoop.* — credentials,
+      // object-store endpoints, default FS) captured driver-side as a
+      // plain serializable map and rebuilt on executors: a bare
+      // `new Configuration()` would see classpath defaults only.
+      private def hadoopConfMap: Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+          .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      }
+
       override def planInputPartitions(): Array[InputPartition] = {
         val p = new Path(path)
-        val fs = FileSystem.get(p.toUri, new Configuration())
+        val fs = FileSystem.get(p.toUri, HtmlTableSource.toConf(hadoopConfMap))
         val files =
           if (fs.getFileStatus(p).isDirectory)
             fs.listStatus(p).filter(_.isFile).map(_.getPath)
@@ -107,19 +145,20 @@ class HtmlTable(path: String, tableIndex: Int) extends Table with SupportsRead {
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new HtmlPartitionReaderFactory
+        new HtmlPartitionReaderFactory(hadoopConfMap)
     }
 }
 
 case class HtmlFilePartition(path: String, tableIndex: Int) extends InputPartition
 
-class HtmlPartitionReaderFactory extends PartitionReaderFactory {
+class HtmlPartitionReaderFactory(hadoopConf: Map[String, String])
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HtmlFilePartition]
     new PartitionReader[InternalRow] {
       private lazy val rows: Iterator[InternalRow] = {
         val fsPath = new Path(p.path)
-        val fs = FileSystem.get(fsPath.toUri, new Configuration())
+        val fs = FileSystem.get(fsPath.toUri, HtmlTableSource.toConf(hadoopConf))
         val in = fs.open(fsPath)
         val html =
           try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")

@@ -101,5 +101,7 @@ class EngineSpec extends SparkSpec {
       newLog(), sink2, None, starBookies = Seq("Caesars"), now = t0)
     assert(r2.delivered == 2)
     assert(r2.alerts.select("Sport").as[String].collect().forall(_ == "*NFL"))
+    // the star reaches the DELIVERED message channel, not just the column
+    assert(sink2.sent.nonEmpty && sink2.sent.forall(_.startsWith("*NFL ")))
   }
 }

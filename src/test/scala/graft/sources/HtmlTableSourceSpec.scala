@@ -34,6 +34,28 @@ class HtmlTableSourceSpec extends SparkSpec {
     assert(tables(1) == Seq(Seq("second table")))
   }
 
+  test("nested tables stay inside their outer table's span") {
+    val page = "<table><tr><td>outer1</td></tr>" +
+      "<tr><td><table><tr><td>inner</td></tr></table></td></tr>" +
+      "<tr><td>outer2</td></tr></table>" +
+      "<table><tr><td>second</td></tr></table>"
+    val tables = HtmlTableSource.parseTables(page)
+    // two TOP-LEVEL tables; the nested one does not split the first
+    assert(tables.size == 2)
+    assert(tables(1) == Seq(Seq("second")))
+    // rows after the nested table are still attributed to table 0
+    assert(tables(0).flatten.contains("outer2"))
+  }
+
+  test("promoteHeader on an empty snapshot dir yields an empty frame") {
+    val dir = Files.createTempDirectory("htmlsrc0")
+    write(dir, "empty.html", "<p>no tables here</p>")
+    val named = graft.pipeline.Normalize.promoteHeader(
+      spark.read.format("odds-html").load(dir.toString))
+    assert(named.columns.toSeq == Seq("file", "row_no"))
+    assert(named.isEmpty)
+  }
+
   test("format(odds-html) reads one row per tr with positional cells") {
     val dir = Files.createTempDirectory("htmlsrc")
     write(dir, "nfl.html", oddsPage)
