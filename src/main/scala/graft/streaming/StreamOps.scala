@@ -73,4 +73,19 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming NEAR-dup removal: dedup on the (order-invariant)
+    * SimHash fingerprint of the text within the watermark — catches
+    * re-posted content with shuffled token order that exact content
+    * dedup misses. The fingerprint is a stateless codegen'd
+    * projection; only the constant-size fingerprint enters state. */
+  def nearDupWithinWatermark(events: DataFrame, textCol: String,
+                             tsCol: String, watermark: String,
+                             bits: Int = 16): DataFrame = {
+    import graft.functions.Text
+    events
+      .withColumn("simhash", Text.simhashFromHashes(
+        transform(Text.tokens(col(textCol)), t => Text.md5Long(t, 4)), bits))
+      .transform(d => dedupWithinWatermark(d, tsCol, Seq("simhash"), watermark))
+  }
 }

@@ -41,6 +41,27 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupWithinWatermark drops token-reordered copies, keeps distinct docs") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.nearDupWithinWatermark(docs, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("nd_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 1L, "the quick brown fox jumps over the lazy dog"),
+        (ts(1), 2L, "completely different content with other words"))
+      q.processAllAvailable()
+      // token-REORDERED copy: different text, same order-invariant
+      // fingerprint -> dropped (exact content dedup would keep it)
+      in.addData((ts(2), 3L, "lazy dog the quick brown fox jumps over the"))
+      q.processAllAvailable()
+      val kept = spark.table("nd_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("the full E3 loop per micro-batch: pipeline -> log rate limit -> sink") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("slog").toString + "/log"
