@@ -355,6 +355,37 @@ object Relational extends QueryGroup {
 
     // RANGE frame: trailing one-hour event-count per user over event
     // TIME (not row count) — rangeBetween on epoch milliseconds.
+    // Offset + distribution window battery: lead/lag with defaults,
+    // percent_rank, cume_dist over a deterministic total order — the
+    // ordered-analytics family the reference never needed but any
+    // generalized engine user reaches for first.
+    "q74_lead_lag" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.select(col("event_id"), col("user_id"),
+        lag(col("event_type"), 1, "none").over(w).as("prev_type"),
+        lead(col("event_type"), 1, "none").over(w).as("next_type"),
+        (unix_millis(col("ts")) -
+          unix_millis(lag(col("ts"), 1).over(w))).as("ms_since_prev"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    }),
+
+    // Ordered string aggregation: each user's event-type SEQUENCE as
+    // one string (the session-sequence shape behavior-cloning corpora
+    // are built from). sort_array on a (ts, event_id, type) struct
+    // gives the deterministic order; map-side partial collect_list
+    // keeps the shuffle at one row per user.
+    "q75_string_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type"))).as("type_seq"))
+    }),
+
     "q62_range_frame" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val ms = unix_millis(col("ts"))
@@ -646,6 +677,19 @@ object Relational extends QueryGroup {
            JOIN (VALUES ('Brand#11'), ('Brand#1'), ('Brnd#32')) AS t(probe)
              ON substr(p_brand, 1, 1) = substr(probe, 1, 1))
          WHERE dist <= 2""",
+    "q75_string_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+         FROM events GROUP BY user_id""",
+    "q74_lead_lag" ->
+      """SELECT event_id, user_id,
+         coalesce(lag(event_type, 1) OVER w, 'none') AS prev_type,
+         coalesce(lead(event_type, 1) OVER w, 'none') AS next_type,
+         epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS ms_since_prev,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q62_range_frame" ->
       """SELECT event_id, user_id,
          count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
