@@ -371,6 +371,41 @@ object Relational extends QueryGroup {
         round(cume_dist().over(w), 6).as("cd"))
     }),
 
+    // Calendar-part battery (F26 generalized): year/month/hour,
+    // day-of-week (Spark counts 1=Sunday; DuckDB dow counts
+    // 0=Sunday — the oracle shifts explicitly), ISO week, and
+    // Monday-start week truncation.
+    "q77_time_parts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofweek(col("ts")).as("dow_sun1"),
+        weekofyear(col("ts")).as("iso_week"),
+        hour(col("ts")).as("h"),
+        // DATE, not timestamp: Spark parquet stamps UTC-instant
+        // semantics the oracle's naive timestamp can't hash-match
+        to_date(date_trunc("week", col("ts"))).as("week_start"))
+    }),
+
+    // Null-safe equi-join (<=>): null keys MATCH null keys — the join
+    // form pandas merge gives for free on NaN-free frames but SQL
+    // engines need spelled out. Keys come from the nullable JSON
+    // property extraction (q64's k), aggregated per side first so the
+    // join is dimension-sized.
+    "q76_nullsafe_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def side(filtered: org.apache.spark.sql.DataFrame) = filtered
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").try_cast("int").as("k"))
+        .groupBy("event_type", "k").agg(count(lit(1)).as("n"))
+      val a = side(ev.filter(pmod(col("user_id"), lit(2)) === 0))
+        .withColumnRenamed("n", "n_even")
+      val b = side(ev.filter(pmod(col("user_id"), lit(2)) === 1))
+        .withColumnRenamed("n", "n_odd")
+      a.join(b, a("event_type") === b("event_type") && a("k") <=> b("k"))
+        .select(a("event_type"), a("k"), col("n_even"), col("n_odd"))
+    }),
+
     // Ordered string aggregation: each user's event-type SEQUENCE as
     // one string (the session-sequence shape behavior-cloning corpora
     // are built from). sort_array on a (ts, event_id, type) struct
@@ -677,6 +712,25 @@ object Relational extends QueryGroup {
            JOIN (VALUES ('Brand#11'), ('Brand#1'), ('Brnd#32')) AS t(probe)
              ON substr(p_brand, 1, 1) = substr(probe, 1, 1))
          WHERE dist <= 2""",
+    "q77_time_parts" ->
+      """SELECT event_id,
+         year(ts)::INT AS y, month(ts)::INT AS m,
+         (dayofweek(ts) + 1)::INT AS dow_sun1,
+         weekofyear(ts)::INT AS iso_week, hour(ts)::INT AS h,
+         date_trunc('week', ts)::DATE AS week_start
+         FROM events""",
+    "q76_nullsafe_join" ->
+      """WITH sides AS (
+           SELECT event_type, user_id % 2 AS par,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events),
+         a AS (SELECT event_type, k, count(*) AS n_even FROM sides
+               WHERE par = 0 GROUP BY event_type, k),
+         b AS (SELECT event_type, k, count(*) AS n_odd FROM sides
+               WHERE par = 1 GROUP BY event_type, k)
+         SELECT a.event_type, a.k, n_even, n_odd
+         FROM a JOIN b ON a.event_type = b.event_type
+           AND a.k IS NOT DISTINCT FROM b.k""",
     "q75_string_agg" ->
       """SELECT user_id, count(*) AS n_events,
          string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
