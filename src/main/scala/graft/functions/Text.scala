@@ -158,4 +158,28 @@ object Text {
     * the standard pre-tokenizer shape (letters | digits | other). */
   def subwordCount(c: Column): Column =
     size(regexp_extract_all(c, lit("([a-z]+|[0-9]+|[^a-z0-9 ]+)"), lit(1)))
+
+  /** PII scrubbing for training corpora: emails, IPv4s, and
+    * international-ish phone numbers replaced by typed placeholders.
+    * Conservative RE2-compatible patterns (no lookaround, no
+    * backrefs) so ANY regex engine in the pipeline — Spark (Java),
+    * DuckDB (RE2), a downstream filter — applies the identical rule.
+    * Order matters: emails first (their local part can look like a
+    * phone), then IPs (digit runs with dots), then phones. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Count of PII matches by kind, BEFORE scrubbing (audit metric). */
+  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> size(regexp_extract_all(c, lit(s"($EmailRe)"), lit(1))),
+    "n_ip" -> size(regexp_extract_all(c, lit(s"($Ipv4Re)"), lit(1))),
+    "n_phone" -> size(regexp_extract_all(c, lit(s"($PhoneRe)"), lit(1))))
 }

@@ -220,6 +220,26 @@ object TrainingData extends QueryGroup {
 
     // Document fingerprints: order-sensitive rolling polynomial hash
     // + winnowing-style min-window hash (4-token windows).
+    // PII scrubbing audit: deterministic synthetic PII (emails on all
+    // docs, IPs on 1/3, phones on 1/5) appended to the text, then
+    // per-kind match counts + the scrubbed text — all RE2-compatible
+    // regex so Spark (Java) and DuckDB (RE2) apply identical rules.
+    "q78_pii_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val withPii = d.select(id,
+        concat_ws(" ", col("text"),
+          concat(lit("contact user"), id, lit("@example.com")),
+          when(pmod(id, lit(3)) === 0,
+            concat(lit("from 10.0."), pmod(id, lit(255)), lit("."),
+              pmod(id * 7, lit(255)))).otherwise(lit("")),
+          when(pmod(id, lit(5)) === 0,
+            concat(lit("call +1 (555) 01"), pmod(id, lit(100))))
+            .otherwise(lit(""))).as("text"))
+      val counts = Text.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+      withPii.select(id +: counts :+ Text.scrubPii(col("text")).as("scrubbed"): _*)
+    }),
+
     "q41_fingerprint" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -497,6 +517,30 @@ object TrainingData extends QueryGroup {
            round(list_sum(list_prepend(0::BIGINT, list_transform(toks, t -> len(t))))::DOUBLE
              / len(toks), 6) AS avg_token_len
          FROM documents JOIN tok USING (doc_id)""",
+
+    "q78_pii_scrub" -> {
+      import graft.functions.Text.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH withpii AS (
+           SELECT doc_id,
+             concat_ws(' ', text,
+               'contact user' || doc_id || '@example.com',
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'from 10.0.' || (doc_id % 255) || '.' || ((doc_id*7) % 255)
+                    ELSE '' END,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'call +1 (555) 01' || (doc_id % 100)
+                    ELSE '' END) AS text
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '($EmailRe)', 1)) AS n_email,
+           len(regexp_extract_all(text, '($Ipv4Re)', 1)) AS n_ip,
+           len(regexp_extract_all(text, '($PhoneRe)', 1)) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '$EmailRe', '[EMAIL]', 'g'),
+             '$Ipv4Re', '[IP]', 'g'),
+             '$PhoneRe', '[PHONE]', 'g') AS scrubbed
+         FROM withpii"""
+    },
 
     "q41_fingerprint" ->
       s"""WITH $dTok,

@@ -84,6 +84,19 @@ class TextSpec extends SparkSpec {
     assert(win(2) <= win(0))
   }
 
+  test("scrubPii masks emails, IPs, and phones; plain text untouched") {
+    val in = Seq(
+      "write to bob.smith+news@sub.example.org today",
+      "server at 192.168.001.1 responded",
+      "call +1 (555) 014-2297 or 555 123 4567 now",
+      "no pii here, just words and the number 42").toDF("t")
+    val out = col1[String](in.select(Text.scrubPii(col("t"))))
+    assert(out(0) == "write to [EMAIL] today")
+    assert(out(1) == "server at [IP] responded")
+    assert(out(2) == "call [PHONE] or [PHONE] now")
+    assert(out(3) == "no pii here, just words and the number 42")
+  }
+
   test("quality score is in [0,1] and penalizes stopword soup") {
     val in = Seq("the the the the a a a of of", // stopword soup
       "diverse vocabulary with many distinct informative tokens here").toDF("t")
