@@ -42,6 +42,15 @@ object Text {
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
 
+  /** Word n-grams WITH duplicates — repetition analysis needs the
+    * multiset; `shingles` above dedups for set similarity. */
+  def shinglesWithDuplicates(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) >= n, grams).otherwise(array())
+  }
+
   /** MinHash signature of a shingle array: for permutation j in
     * 1..numPerm, min over shingles of (a_j * h + b_j) mod p where
     * h = md5Long(shingle, 12) mod p. Returns array<long> of length

@@ -220,6 +220,25 @@ object TrainingData extends QueryGroup {
 
     // Document fingerprints: order-sensitive rolling polynomial hash
     // + winnowing-style min-window hash (4-token windows).
+    // Repetition quality signal (the Gopher-rules shape): fraction of
+    // a document's word bigrams taken by its single most frequent
+    // bigram. Relational, not per-row lambdas: explode bigrams,
+    // count per (doc, gram), max per doc — scales as two partial-agg
+    // shuffles no matter the corpus size.
+    "q79_repetition" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val grams = d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Text.shinglesWithDuplicates(col("toks"), 2).as("grams"))
+        .select(col("doc_id"), size(col("grams")).as("n_bigrams"),
+          explode(col("grams")).as("gram"))
+      grams.groupBy("doc_id", "n_bigrams", "gram")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "n_bigrams")
+        .agg(max(col("cnt")).as("max_bigram_cnt"))
+        .withColumn("top_bigram_frac",
+          round(col("max_bigram_cnt").cast("double") / col("n_bigrams"), 6))
+    }),
+
     // PII scrubbing audit: deterministic synthetic PII (emails on all
     // docs, IPs on 1/3, phones on 1/5) appended to the text, then
     // per-kind match counts + the scrubbed text — all RE2-compatible
@@ -517,6 +536,23 @@ object TrainingData extends QueryGroup {
            round(list_sum(list_prepend(0::BIGINT, list_transform(toks, t -> len(t))))::DOUBLE
              / len(toks), 6) AS avg_token_len
          FROM documents JOIN tok USING (doc_id)""",
+
+    "q79_repetition" ->
+      s"""WITH $dTok,
+         grams AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks)-1),
+                         i -> toks[i] || ' ' || toks[i+1])
+                  ELSE []::VARCHAR[] END AS grams
+           FROM tok),
+         g AS (SELECT doc_id, len(grams) AS n_bigrams, unnest(grams) AS gram
+               FROM grams),
+         cnts AS (SELECT doc_id, n_bigrams, gram, count(*) AS cnt
+                  FROM g GROUP BY doc_id, n_bigrams, gram)
+         SELECT doc_id, n_bigrams, max(cnt) AS max_bigram_cnt,
+           round(max(cnt)::DOUBLE / n_bigrams, 6) AS top_bigram_frac
+         FROM cnts GROUP BY doc_id, n_bigrams""",
 
     "q78_pii_scrub" -> {
       import graft.functions.Text.{EmailRe, Ipv4Re, PhoneRe}
