@@ -38,10 +38,16 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.fromEnv()
+    // AQE off for the audit: executedPlan is then the fully-prepared
+    // physical plan (EnsureRequirements has inserted the exchanges)
+    // without the adaptive wrapper hiding the tree. (sparkPlan would
+    // compile but runs BEFORE preparations — zero exchanges, and the
+    // global-window check silently passes on everything.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     var flagged = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.sparkPlan
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
         val cart = plan.collect { case c: CartesianProductExec => c }.nonEmpty
         val bnlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty
         val gw = globalWindow(plan)
