@@ -220,6 +220,26 @@ object TrainingData extends QueryGroup {
 
     // Document fingerprints: order-sensitive rolling polynomial hash
     // + winnowing-style min-window hash (4-token windows).
+    // Benchmark DECONTAMINATION: flag training docs sharing word
+    // 3-grams with a held-out benchmark set (docs 0-9 stand in). The
+    // benchmark shingle set is distinct-ed and broadcast — benchmarks
+    // are tiny next to a training corpus; at 100 TB the broadcast
+    // becomes a bloom filter, same plan shape, corpus still never
+    // shuffles for the probe.
+    "q80_decontamination" -> ((s, dir) => {
+      val sh = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+      val bench = sh.filter(col("id") < 10)
+        .select(explode(col("shingles")).as("shingle")).distinct()
+      val corpus = sh.filter(col("id") >= 10)
+        .select(col("id").as("doc_id"), size(col("shingles")).as("n_shingles"),
+          explode(col("shingles")).as("shingle"))
+      corpus.join(broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_overlap"))
+        .withColumn("overlap_frac",
+          round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+    }),
+
     // Repetition quality signal (the Gopher-rules shape): fraction of
     // a document's word bigrams taken by its single most frequent
     // bigram. Relational, not per-row lambdas: explode bigrams,
@@ -536,6 +556,18 @@ object TrainingData extends QueryGroup {
            round(list_sum(list_prepend(0::BIGINT, list_transform(toks, t -> len(t))))::DOUBLE
              / len(toks), 6) AS avg_token_len
          FROM documents JOIN tok USING (doc_id)""",
+
+    "q80_decontamination" ->
+      s"""WITH $dSh,
+         bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM shn
+                   WHERE doc_id < 10),
+         corpus AS (SELECT doc_id, len(shingles) AS n_shingles,
+                      unnest(shingles) AS shingle
+                    FROM shn WHERE doc_id >= 10)
+         SELECT doc_id, n_shingles, count(*) AS n_overlap,
+           round(count(*)::DOUBLE / n_shingles, 6) AS overlap_frac
+         FROM corpus JOIN bench USING (shingle)
+         GROUP BY doc_id, n_shingles""",
 
     "q79_repetition" ->
       s"""WITH $dTok,
