@@ -220,6 +220,35 @@ object TrainingData extends QueryGroup {
 
     // Document fingerprints: order-sensitive rolling polynomial hash
     // + winnowing-style min-window hash (4-token windows).
+    // Sequence PACKING: assign docs to fixed token-budget packs
+    // (2048) greedily in a deterministic order, per language — the
+    // batch-construction shape LLM training corpora go through last.
+    // One window cumsum; a doc lands in the pack where its first
+    // token falls.
+    "q81_sequence_packing" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      d.select(col("lang"), col("doc_id"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("int"))
+    }),
+
+    // Element-wise embedding CENTROIDS per label: posexplode to
+    // (label, dim, value), decimal-exact sums, mean at 6 dp. The
+    // vector mean as a relational plan — partial aggregation per
+    // (label, dim) cell, no vector ever held whole on one node.
+    "q82_embedding_centroids" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("col").cast("decimal(28,10)")).as("s"))
+        .select(col("label"), col("pos").as("dim_no"), col("n"),
+          round(col("s").cast("double") / col("n"), 6).as("centroid"))
+    }),
+
     // Benchmark DECONTAMINATION: flag training docs sharing word
     // 3-grams with a held-out benchmark set (docs 0-9 stand in). The
     // benchmark shingle set is distinct-ed and broadcast — benchmarks
@@ -556,6 +585,25 @@ object TrainingData extends QueryGroup {
            round(list_sum(list_prepend(0::BIGINT, list_transform(toks, t -> len(t))))::DOUBLE
              / len(toks), 6) AS avg_token_len
          FROM documents JOIN tok USING (doc_id)""",
+
+    "q81_sequence_packing" ->
+      s"""WITH $dTok
+         SELECT d.lang, d.doc_id, len(toks) AS n_tokens,
+           sum(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+           CAST(FLOOR((sum(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks))
+             / 2048) AS INT) AS pack_id
+         FROM documents d JOIN tok USING (doc_id)""",
+
+    "q82_embedding_centroids" ->
+      """SELECT label, CAST(dim_no AS INT) AS dim_no, count(*) AS n,
+         round(sum(v::DECIMAL(28,10))::DOUBLE / count(*), 6) AS centroid
+         FROM (SELECT label,
+                 unnest(generate_series(0, len(embedding)-1)) AS dim_no,
+                 unnest(embedding) AS v
+               FROM embeddings)
+         GROUP BY label, dim_no""",
 
     "q80_decontamination" ->
       s"""WITH $dSh,
