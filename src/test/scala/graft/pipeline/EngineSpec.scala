@@ -90,6 +90,14 @@ class EngineSpec extends SparkSpec {
     assert(sink.sent.exists(m => m.contains("+225") && m.contains("Bovada")))
   }
 
+  test("empty raw odds flow through the whole engine without error") {
+    val sink = new CollectingAlertSink
+    val r = Engine.run(raw.filter(lit(false)), bookies, "Bet365", teams,
+      None, Map.empty, newLog(), sink, Some(new CollectingMirror), now = t0)
+    assert(r.delivered == 0 && r.mirrored == 0 && sink.sent.isEmpty)
+    assert(r.alerts.isEmpty)
+  }
+
   test("jurisdiction: banned bookie kills the game, star bookie marks it") {
     val sink = new CollectingAlertSink
     val r = Engine.run(raw, bookies, "Bet365", teams, None, Map.empty,
