@@ -35,12 +35,8 @@ object Text {
   /** Distinct word n-grams ("shingles") of a token array, joined by
     * single spaces. Empty when there are fewer than n tokens
     * (guarded: sequence(1,0) would yield a DESCENDING range). */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(shinglesWithDuplicates(toks, n))
 
   /** Word n-grams WITH duplicates — repetition analysis needs the
     * multiset; `shingles` above dedups for set similarity. */
@@ -177,7 +173,7 @@ object Text {
     * phone), then IPs (digit runs with dots), then phones. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
 
   def scrubPii(c: Column): Column =
     regexp_replace(

@@ -362,9 +362,13 @@ object Relational extends QueryGroup {
     "q74_lead_lag" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // coalesce, not lag's default arg: the default fires only when
+      // the OFFSET ROW is missing, while the oracle's coalesce also
+      // masks a genuine NULL event_type — align on coalesce so a
+      // nullable column cannot diverge the two engines.
       ev.select(col("event_id"), col("user_id"),
-        lag(col("event_type"), 1, "none").over(w).as("prev_type"),
-        lead(col("event_type"), 1, "none").over(w).as("next_type"),
+        coalesce(lag(col("event_type"), 1).over(w), lit("none")).as("prev_type"),
+        coalesce(lead(col("event_type"), 1).over(w), lit("none")).as("next_type"),
         (unix_millis(col("ts")) -
           unix_millis(lag(col("ts"), 1).over(w))).as("ms_since_prev"),
         round(percent_rank().over(w), 6).as("pr"),
@@ -394,16 +398,19 @@ object Relational extends QueryGroup {
     // join is dimension-sized.
     "q76_nullsafe_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      def side(filtered: org.apache.spark.sql.DataFrame) = filtered
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").try_cast("int").as("k"))
-        .groupBy("event_type", "k").agg(count(lit(1)).as("n"))
-      val a = side(ev.filter(pmod(col("user_id"), lit(2)) === 0))
-        .withColumnRenamed("n", "n_even")
-      val b = side(ev.filter(pmod(col("user_id"), lit(2)) === 1))
-        .withColumnRenamed("n", "n_odd")
-      a.join(b, a("event_type") === b("event_type") && a("k") <=> b("k"))
-        .select(a("event_type"), a("k"), col("n_even"), col("n_odd"))
+      // distinct column names per side: self-join disambiguation via
+      // dataset ids is fragile ("trivially true equals predicate"
+      // warning) — renamed keys make the join condition unambiguous
+      // by construction.
+      def side(filtered: org.apache.spark.sql.DataFrame, tag: String) = filtered
+        .select(col("event_type").as(s"et_$tag"),
+          get_json_object(col("props"), "$.k").try_cast("int").as(s"k_$tag"))
+        .groupBy(s"et_$tag", s"k_$tag").agg(count(lit(1)).as(s"n_$tag"))
+      val a = side(ev.filter(pmod(col("user_id"), lit(2)) === 0), "even")
+      val b = side(ev.filter(pmod(col("user_id"), lit(2)) === 1), "odd")
+      a.join(b, col("et_even") === col("et_odd") && col("k_even") <=> col("k_odd"))
+        .select(col("et_even").as("event_type"), col("k_even").as("k"),
+          col("n_even"), col("n_odd"))
     }),
 
     // Ordered string aggregation: each user's event-type SEQUENCE as
@@ -733,7 +740,7 @@ object Relational extends QueryGroup {
            AND a.k IS NOT DISTINCT FROM b.k""",
     "q75_string_agg" ->
       """SELECT user_id, count(*) AS n_events,
-         string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+         coalesce(string_agg(event_type, ',' ORDER BY ts, event_id), '') AS type_seq
          FROM events GROUP BY user_id""",
     "q74_lead_lag" ->
       """SELECT event_id, user_id,

@@ -74,18 +74,24 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** Streaming NEAR-dup removal: dedup on the (order-invariant)
-    * SimHash fingerprint of the text within the watermark — catches
-    * re-posted content with shuffled token order that exact content
-    * dedup misses. The fingerprint is a stateless codegen'd
-    * projection; only the constant-size fingerprint enters state. */
+  /** Streaming NEAR-dup removal: dedup on the order-invariant
+    * TOKEN-MULTISET fingerprint (md5 of the sorted token array)
+    * within the watermark — catches re-posted content with shuffled
+    * token order that exact content dedup misses, with CRYPTOGRAPHIC
+    * collision odds. (A short SimHash key here would silently drop
+    * unrelated colliding documents — a 16-bit space loses real rows
+    * from the first few thousand docs per window; fuzzy small-edit
+    * matching needs candidate verification, which streaming state
+    * cannot do cheaply, so this op promises only permutation+exact
+    * semantics.) The fingerprint is a stateless codegen'd projection
+    * kept internal: input schema passes through unchanged. */
   def nearDupWithinWatermark(events: DataFrame, textCol: String,
-                             tsCol: String, watermark: String,
-                             bits: Int = 16): DataFrame = {
+                             tsCol: String, watermark: String): DataFrame = {
     import graft.functions.Text
     events
-      .withColumn("simhash", Text.simhashFromHashes(
-        transform(Text.tokens(col(textCol)), t => Text.md5Long(t, 4)), bits))
-      .transform(d => dedupWithinWatermark(d, tsCol, Seq("simhash"), watermark))
+      .withColumn("_nd_fp",
+        md5(concat_ws(" ", sort_array(Text.tokens(col(textCol))))))
+      .transform(d => dedupWithinWatermark(d, tsCol, Seq("_nd_fp"), watermark))
+      .drop("_nd_fp")
   }
 }

@@ -89,12 +89,14 @@ class TextSpec extends SparkSpec {
       "write to bob.smith+news@sub.example.org today",
       "server at 192.168.001.1 responded",
       "call +1 (555) 014-2297 or 555 123 4567 now",
+      "dial 555.123.4567 today", // dot-separated phone, NOT an IPv4
       "no pii here, just words and the number 42").toDF("t")
     val out = col1[String](in.select(Text.scrubPii(col("t"))))
     assert(out(0) == "write to [EMAIL] today")
     assert(out(1) == "server at [IP] responded")
     assert(out(2) == "call [PHONE] or [PHONE] now")
-    assert(out(3) == "no pii here, just words and the number 42")
+    assert(out(3) == "dial [PHONE] today")
+    assert(out(4) == "no pii here, just words and the number 42")
   }
 
   test("quality score is in [0,1] and penalizes stopword soup") {
