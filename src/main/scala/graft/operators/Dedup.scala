@@ -188,8 +188,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // one materialization of the (possibly expensive) pair plan; the
+    // symmetrized edge list derives from the cached base, not from
+    // two fresh evaluations of the pair pipeline.
+    val base = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
