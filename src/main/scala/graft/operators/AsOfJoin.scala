@@ -15,10 +15,23 @@ import org.apache.spark.sql.expressions.Window
   * shuffle on the key, O(n log n) per partition, no row-pair blowup;
   * this is how a 100 TB ticks/quotes join must run.
   *
-  * Right rows must be unique per (key, ts) — pre-deduplicate; with
-  * duplicates the fill would be order-dependent.
+  * Semantics notes:
+  *  - the payload travels as ONE struct, so the matched right row is
+  *    carried as a unit: a genuinely-NULL payload field stays NULL
+  *    (no per-column forward-fill resurrecting older values, no
+  *    output row stitched from different right rows);
+  *  - right rows with a NULL rightTs can never satisfy
+  *    rightTs <= leftTs and are excluded; a left row with NULL leftTs
+  *    sorts before every (non-null-ts) right row and gets NULL
+  *    payload — both match SQL ASOF semantics;
+  *  - right rows must be unique per (key, ts) — pre-deduplicate; with
+  *    duplicates the fill would be order-dependent.
   */
 object AsOfJoin {
+
+  private val TsCol = "_graft_asof_ts"
+  private val SideCol = "_graft_asof_side"
+  private val PayCol = "_graft_asof_payload"
 
   /** @param payload right-side columns carried onto left rows
     *   (must not collide with left column names) */
@@ -26,18 +39,21 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+    require(!leftCols.exists(Set(TsCol, SideCol, PayCol)),
+      s"AsOfJoin: left side must not contain reserved columns $TsCol/$SideCol/$PayCol")
+    val l = left.withColumn(TsCol, col(leftTs)).withColumn(SideCol, lit(1))
     val r = right
-      .select((keys.map(col) :+ col(rightTs).as("_ts")) ++ payload.map(col): _*)
-      .withColumn("_side", lit(0))
+      .filter(col(rightTs).isNotNull)
+      .select((keys.map(col) :+ col(rightTs).as(TsCol)) :+
+        struct(payload.map(col): _*).as(PayCol): _*)
+      .withColumn(SideCol, lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col(TsCol).asc_nulls_first, col(SideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(u) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+    val filled = u.withColumn(PayCol, last(col(PayCol), ignoreNulls = true).over(w))
+    filled.filter(col(SideCol) === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(PayCol).getField(p).as(p)): _*)
   }
 }

@@ -26,7 +26,11 @@ object Salt {
     */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                      salt: Column, nSalts: Int): DataFrame = {
-    val b = big.withColumn("_salt", pmod(salt, lit(nSalts)).cast("int"))
+    // coalesce: a NULL salt expression would make _salt NULL, match
+    // no replicated small-side row, and silently drop the big-side
+    // row — breaking the identical-to-plain-join contract.
+    val b = big.withColumn("_salt",
+      coalesce(pmod(salt, lit(nSalts)), lit(0)).cast("int"))
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
       .withColumn("_salt", col("_salt").cast("int"))
     b.join(s, keys :+ "_salt").drop("_salt")
@@ -36,10 +40,13 @@ object Salt {
     * `salt` should spread rows of a key across [0, nSalts). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      salt: Column, nSalts: Int): DataFrame = {
-    val keyed = df.withColumn("_salt", pmod(salt, lit(nSalts)))
+    val keyed = df.withColumn("_salt", coalesce(pmod(salt, lit(nSalts)), lit(0)))
     val phase1 = keyed
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
-      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("_psum"),
+      // decimal(28,4): same scale (values unchanged), but headroom to
+      // ~10^24 — (18,4) would turn a >=1e14 value into NULL (non-ANSI
+      // cast) and silently drop it from the sum.
+      .agg(sum(col(valueCol).cast("decimal(28,4)")).as("_psum"),
         count(lit(1)).as("_pcnt"))
     phase1
       .groupBy(keyCols.map(col): _*)

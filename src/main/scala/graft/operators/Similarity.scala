@@ -38,6 +38,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
+  /** Per-pair cosine ranking score: 6-dp rounding (engine-stable).
+    * try_divide: a zero-norm vector yields NULL (excluded by the
+    * topK/pairs guards) instead of an ANSI divide-by-zero ABORTING
+    * the whole job — one degenerate embedding must not kill a run. */
+  private def cosineScore(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    round(try_divide(dot(qv, cv), sqrt(qn * cn)), 6)
+
+  /** Shared ranking scaffold: per-query (score DESC, neighbor ASC)
+    * row_number, keep k. Non-finite scores are excluded FIRST: Spark
+    * orders NaN above every real double, so a corpus row with a NaN
+    * element would otherwise take rank 1 for every query, and a
+    * zero-norm vector's NULL score could fill underfull buckets. */
+  private def topK(scored: DataFrame, scoreCol: String, k: Int,
+                   extraCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    scored
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select((Seq("query_id", "rank", "neighbor_id", scoreCol) ++ extraCols).map(col): _*)
+  }
+
   /** Exact top-k neighbors by cosine for each query vector.
     * `queries` and `corpus` both expose (idCol, vecCol); self-pairs
     * are excluded by id. Ranking key: (round(cos,6) DESC, id ASC). */
@@ -53,20 +76,17 @@ object Similarity {
       .transform(Spread.byKey("neighbor_id"))
       .withColumn("cn", norm2(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, "score", k)
   }
 
   /** Deterministic integer "hyperplane" weight for LSH bit j
     * (0-based) and dimension d (0-based): a fixed pseudo-random value
-    * in [-48, 48] — identical in any engine, no RNG state. */
-  def hyperplaneWeight(j: Int, d: Int): Long =
-    ((j.toLong * 64 + d) * 2654435761L) % 97 - 48
+    * in [-48, 48] — identical in any engine, no RNG state. Flattened
+    * index strides by the ACTUAL dim (a fixed stride would make
+    * hyperplane j+1 a shifted copy of j whenever dim exceeded it). */
+  def hyperplaneWeight(j: Int, d: Int, dim: Int = 64): Long =
+    ((j.toLong * dim + d) * 2654435761L) % 97 - 48
 
   /** Sign-random-projection bucket id in [0, 2^bits): bit j is set
     * iff dot(v, hyperplane_j) >= 0. Weights are small integers, exact
@@ -74,7 +94,7 @@ object Similarity {
     * fold order as the HOF formulation (oracle-stable). */
   def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { j =>
-      val w = array((0 until dim).map(d => lit(hyperplaneWeight(j, d).toFloat)): _*)
+      val w = array((0 until dim).map(d => lit(hyperplaneWeight(j, d, dim).toFloat)): _*)
       val proj = dot(vec, w)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -96,13 +116,8 @@ object Similarity {
       .withColumn("cn", norm2(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score", "bucket")
+      .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, "score", k, Seq("bucket"))
   }
 
   /** IVF-style cell assignment: each vector joins the (broadcast)
@@ -110,15 +125,20 @@ object Similarity {
     * Deterministic: rank on (round(cos,6) DESC, centroid id ASC).
     * At 100 TB the corpus is written partitioned/bucketed by `cell`,
     * so probes become partition-pruned scans. */
+  /** @param spread repartition the vector side first — right for the
+    *   corpus (a single input split would assign every cell on one
+    *   core), wasteful for a tiny query set that is immediately
+    *   broadcast afterwards. */
   def assignCells(vecs: DataFrame, centroids: DataFrame,
-                  idCol: String, vecCol: String): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .transform(Spread.byKey("id"))
+                  idCol: String, vecCol: String,
+                  spread: Boolean = true): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = (if (spread) base.transform(Spread.byKey("id")) else base)
       .withColumn("n2", norm2(col("v")))
     val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .withColumn("cn2", norm2(col("cv")))
     val scored = v.join(broadcast(c))
-      .withColumn("cs", round(dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")), 6))
+      .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
     val w = Window.partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
@@ -131,7 +151,7 @@ object Similarity {
     * reduction in scanned vectors. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = assignCells(queries, centroids, idCol, vecCol)
+    val q = assignCells(queries, centroids, idCol, vecCol, spread = false)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn"), col("cell"))
     val c = assignCells(corpus, centroids, idCol, vecCol)
@@ -139,13 +159,8 @@ object Similarity {
         col("n2").as("cn"), col("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score",
-        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score", "cell")
+      .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, "score", k, Seq("cell"))
   }
 
   /** int8 scalar quantization: clip(round(x * 127)) per element — 4x
@@ -155,9 +170,15 @@ object Similarity {
     transform(vec, x =>
       greatest(lit(-127), least(lit(127), round(x.cast("double") * 127))).cast("int"))
 
-  /** Integer dot product over quantized vectors (exact, order-free). */
+  /** Integer dot product over quantized vectors (exact, order-free).
+    * Runs through the codegen'd FloatDotProduct: int8 values and
+    * their products (|p| <= 16129) are exact as float, and the double
+    * accumulation is exact far beyond any real dim — so the result
+    * IS the integer dot, at codegen speed instead of the interpreted
+    * per-element lambda chain (this is the O(|Q|*|C|) hot path). */
   def dotQ8(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y), lit(0L), (acc, x) => acc + x)
+    dot(transform(a, x => x.cast("float")),
+      transform(b, x => x.cast("float"))).cast("long")
 
   /** Top-k by quantized dot product — the memory-bound scale path:
     * rank on the int score with an id tie-break. */
@@ -170,11 +191,7 @@ object Similarity {
       .withColumn("cq", quantize8(col("cv"))).drop("cv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", dotQ8(col("qq"), col("cq")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qdot").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "qdot")
+    topK(scored, "qdot", k)
   }
 
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding
@@ -191,7 +208,10 @@ object Similarity {
     val joined = withB.as("a").join(withB.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.v"), col("b.v")) / sqrt(col("a.n2") * col("b.n2")), 6).as("cos_sim"))
-    joined.filter(col("cos_sim") >= threshold)
+        cosineScore(col("a.v"), col("b.v"), col("a.n2"), col("b.n2")).as("cos_sim"))
+    // !isnan: Spark SQL orders AND compares NaN above every double,
+    // so a NaN similarity would pass the threshold; NULL (zero-norm
+    // vector) already fails the comparison.
+    joined.filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 }

@@ -28,4 +28,32 @@ class AsOfJoinSpec extends SparkSpec {
       "a" -> None, "b" -> Some(2.0), "c" -> Some(2.0),
       "d" -> Some(3.0), "e" -> Some(9.0), "f" -> None))
   }
+
+  test("backward: payload travels as a unit — no cross-row stitching") {
+    // the as-of row at ts=20 has bid=NULL: the output must keep that
+    // NULL, not resurrect bid=10 from the older ts=10 row
+    val quotes = Seq(
+      ("k", ts(10), Some(10.0), Some(11.0)),
+      ("k", ts(20), Option.empty[Double], Some(12.0))
+    ).toDF("key", "qts", "bid", "ask")
+    val ticks = Seq(("k", ts(30), "t1")).toDF("key", "tts", "tick")
+    val out = AsOfJoin.backward(ticks, quotes, Seq("key"), "tts", "qts",
+      Seq("bid", "ask")).select("bid", "ask")
+      .as[(Option[Double], Option[Double])].head()
+    assert(out == (None, Some(12.0)))
+  }
+
+  test("backward: NULL timestamps never match") {
+    val quotes = Seq(
+      ("k", Option.empty[Timestamp], 7.0), // null qts: not a quote
+      ("k", Some(ts(20)), 9.0)
+    ).toDF("key", "qts", "px")
+    val ticks = Seq(
+      ("k", Some(ts(5)), "early"), // before the only real quote
+      ("k", Option.empty[Timestamp], "null_ts") // null left ts -> no match
+    ).toDF("key", "tts", "tick")
+    val out = AsOfJoin.backward(ticks, quotes, Seq("key"), "tts", "qts", Seq("px"))
+      .select("tick", "px").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("early" -> None, "null_ts" -> None))
+  }
 }

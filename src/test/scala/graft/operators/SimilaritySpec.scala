@@ -55,4 +55,36 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("NaN and zero-norm vectors never pollute top-k or pair output") {
+    val poisoned = vecs.union(Seq(
+      (90L, Array(Float.NaN, 1.0f, 0.0f, 0.0f)), // NaN element
+      (91L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero norm -> NULL cosine
+    ).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(
+      poisoned.filter(col("vec_id") === 0), poisoned,
+      "vec_id", "embedding", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    // without the finite-score guard, 90 (NaN sorts above all doubles
+    // in Spark) would take rank 1 and 91 would fill the under-k tail
+    assert(!top.contains(90L) && !top.contains(91L) && top.nonEmpty)
+    val pairs = Similarity.cosinePairs(poisoned, "vec_id", "embedding",
+      dim = 4, threshold = 0.5, bits = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a < 90 && b < 90 })
+  }
+
+  test("hyperplaneWeight strides by the actual dim (no shifted copies)") {
+    // with a fixed stride of 64, weight(j, d+64, 128) would equal
+    // weight(j+1, d, 128) for every d — adjacent hyperplanes sharing
+    // half their stream; the dim-strided flattening breaks that
+    val dim = 128
+    val shiftedCopy = (0 until 64).forall(d =>
+      Similarity.hyperplaneWeight(0, d + 64, dim) ==
+        Similarity.hyperplaneWeight(1, d, dim))
+    assert(!shiftedCopy)
+    // dim=64 callers (the oracle-checked queries) are unchanged
+    assert(Similarity.hyperplaneWeight(2, 3) ==
+      ((2L * 64 + 3) * 2654435761L) % 97 - 48)
+  }
 }
