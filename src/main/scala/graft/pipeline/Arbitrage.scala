@@ -40,9 +40,10 @@ object Arbitrage {
     // the reference assigns ids at build time, so a leg orphaned by
     // finished-game removal must NOT re-pair with its neighbor — the
     // sign audit then drops the single-leg game, like the reference.
+    val ordered = grid.withColumn("idx", col("idx").cast("long"))
     val withGame =
-      if (grid.columns.contains("game_id")) grid
-      else grid.withColumn("game_id",
+      if (ordered.columns.contains("game_id")) ordered
+      else ordered.withColumn("game_id",
         Reshape.pairId(Seq("Sport", "BetType"), Seq(col("idx"))))
 
     // payout legs only (arbitrage_scanner.py:275). Per bookie:

@@ -34,12 +34,16 @@ object Bovada {
       .withColumn("team2", TextNorm.camelSecond(col("team_pair")))
       .withColumn("spreads", regexp_extract_all(col("rest"),
         lit("([+-]\\d+(?:\\.\\d+)?)\\("), lit(1)))
+      // anything inside parens: a payout can be "EVEN" or "+100",
+      // not only a bare signed integer — a digits-only pattern would
+      // under-count and the size filter would silently drop the
+      // whole matchup (bovada_pull.py:152-154 normalizes EVEN).
       .withColumn("paren_payouts", regexp_extract_all(col("rest"),
-        lit("\\((-?\\d+)\\)"), lit(1)))
+        lit("\\(([^()]+)\\)"), lit(1)))
       .withColumn("totals", regexp_extract_all(col("rest"),
         lit("[OU](\\d+(?:\\.\\d+)?)"), lit(1)))
       .withColumn("mls", regexp_extract_all(col("rest"),
-        lit("(?<!\\()([+-]\\d+)(?![\\d.(])"), lit(1)))
+        lit("(?<!\\()(EVEN|[+-]\\d+)(?![\\d.(])"), lit(1)))
       .filter(size(col("spreads")) === 2 && size(col("paren_payouts")) === 4 &&
         size(col("totals")) === 2 && size(col("mls")) === 2)
 
@@ -57,20 +61,36 @@ object Bovada {
         "total" -> concat(lit("u"), element_at(col("totals"), 2)),
         "total_pay" -> element_at(col("paren_payouts"), 4),
         "ml" -> element_at(col("mls"), 2))))
+      // team key reduced to the nickname (last word,
+      // bovada_pull.py:167,180,191) — the odds grid and the dims join
+      // on nicknames, so full names would silently match nothing.
+      .withColumn("Team", TextNorm.lastToken(col("Team")))
 
-    // G1/G3 (bovada_pull.py:164-200): three bet-type projections,
-    // unioned into the long quote relation.
-    val mlRows = sides.select(col("Team"), lit("ML").as("BetType"),
-      lit("Payout").as("Info"), col("ml").as("Bovada"))
-    val spreadLine = sides.select(col("Team"), lit("Spread").as("BetType"),
-      lit("Line").as("Info"), col("spread").as("Bovada"))
-    val spreadPay = sides.select(col("Team"), lit("Spread").as("BetType"),
-      lit("Payout").as("Info"), col("spread_pay").as("Bovada"))
-    val ouLine = sides.select(col("Team"), lit("Over/Under").as("BetType"),
-      lit("Line").as("Info"), Odds.totalLineToSigned(col("total")).as("Bovada"))
-    val ouPay = sides.select(col("Team"), lit("Over/Under").as("BetType"),
-      lit("Payout").as("Info"), col("total_pay").as("Bovada"))
-    mlRows.unionByName(spreadLine).unionByName(spreadPay)
-      .unionByName(ouLine).unionByName(ouPay)
+    // O6 (bovada_pull.py:156-162): a team appearing in a SECOND
+    // matchup (Monday pull showing tonight's and next weekend's game)
+    // drops that second game whole — without this, duplicate
+    // (Team, BetType, Info) keys would fan out the grid join.
+    val deduped = Reshape.dropRepeatMatchups(sides, "Team",
+      Seq(col("section_no"), col("side_no")))
+
+    // G1/G3 (bovada_pull.py:164-200): five (BetType, Info) quote kinds
+    // per side — ONE generator pass (a 5-way union of projections
+    // would re-run the whole regex battery once per branch; Catalyst
+    // does not share subplans across union arms). EVEN -> +100 and
+    // N/A -> null normalization per bovada_pull.py:152-154.
+    val kinds = array(
+      struct(lit("ML").as("BetType"), lit("Payout").as("Info"),
+        Odds.normalizePayout(col("ml")).as("Bovada")),
+      struct(lit("Spread").as("BetType"), lit("Line").as("Info"),
+        col("spread").as("Bovada")),
+      struct(lit("Spread").as("BetType"), lit("Payout").as("Info"),
+        Odds.normalizePayout(col("spread_pay")).as("Bovada")),
+      struct(lit("Over/Under").as("BetType"), lit("Line").as("Info"),
+        Odds.totalLineToSigned(col("total")).as("Bovada")),
+      struct(lit("Over/Under").as("BetType"), lit("Payout").as("Info"),
+        Odds.normalizePayout(col("total_pay")).as("Bovada")))
+    deduped.select(col("Team"), explode(kinds).as("q"))
+      .select(col("Team"), col("q.BetType").as("BetType"),
+        col("q.Info").as("Info"), col("q.Bovada").as("Bovada"))
   }
 }

@@ -38,9 +38,12 @@ object Normalize {
     val header = headerRow match {
       case Some(Row(c: scala.collection.Seq[_])) => c.map(String.valueOf)
       // failed scrape (zero snapshots / zero rows / null cells):
-      // flow through as an EMPTY named frame, never crash — the
-      // empty-DF-with-schema contract every stage follows.
-      case _ => return cells.filter(lit(false)).select("file", "row_no")
+      // return an EMPTY (file, row_no, idx) frame. There is no header
+      // to derive named columns from, so callers that feed grid()
+      // must guard on isEmpty — the same check the Fetcher-None skip
+      // sentinel requires.
+      case _ => return cells.filter(lit(false))
+        .select(col("file"), col("row_no"), lit(0L).as("idx"))
     }
     // de-duplicate promoted names the explicit way (a scraped header
     // can repeat a label): suffix _2, _3, ...
@@ -49,8 +52,15 @@ object Normalize {
       val n = seen.updateWith(h)(c => Some(c.getOrElse(0) + 1)).get
       if (n == 1) h else s"${h}_$n"
     }
+    // global load-order idx across snapshots: per-file row_no repeats
+    // between files, and downstream pairing needs ONE total order
+    // (the reference concatenates per-sport frames the same way).
+    // Single-partition window — scrape snapshots are KB-scale per
+    // cycle; never feed this a large table.
+    val w = org.apache.spark.sql.expressions.Window.orderBy("file", "row_no")
     cells.filter(col("row_no") > 0)
-      .select(col("file") +: col("row_no") +:
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .select(col("file") +: col("row_no") +: col("idx") +:
         named.zipWithIndex.map { case (h, i) =>
           col("cells").getItem(i).as(h)
         }.toSeq: _*)
@@ -65,6 +75,11 @@ object Normalize {
     // and embedded header rows (a cell equal to its own column name)
     // — null-safe comparisons throughout.
     val clean = raw
+      // idx arrives as a STRING on the scraped shape: ordering must be
+      // numeric, or lexicographic '10' < '2' mispairs legs and the
+      // sign audit can bless a fabricated arbitrage. Junk idx fails
+      // loudly (ANSI cast) instead of silently mis-sorting.
+      .withColumn("idx", col("idx").cast("long"))
       .filter(coalesce(col("Team"), lit("")) =!= "")
       .filter(coalesce(col(classifierBookie), lit("")) =!= classifierBookie)
 

@@ -17,7 +17,10 @@ object TextBlob {
 
   /** Explode each blob row into (section_no, marker, content) rows.
     * Misaligned blobs (marker/segment count mismatch, e.g. truncated
-    * scrapes) produce zero rows instead of corrupt pairs. */
+    * scrapes) produce zero rows instead of corrupt pairs.
+    * Output adds section_no/marker/content to the blob's columns
+    * (those three names are the documented contract); intermediates
+    * use a _tb_ prefix so caller columns like `pos`/`col` survive. */
   def sections(blobs: DataFrame, textCol: String,
                markerPattern: String = DefaultDatePattern): DataFrame = {
     val markers = regexp_extract_all(col(textCol), lit(s"($markerPattern)"), lit(1))
@@ -29,10 +32,10 @@ object TextBlob {
       arrays_zip(markers.as("marker"), contents.as("content")))
       .otherwise(array().cast("array<struct<marker:string,content:string>>"))
     blobs
-      .withColumn("_z", zipped)
-      .select(col("*"), posexplode(col("_z")))
-      .select(col("*"), (col("pos") + 1).as("section_no"),
-        col("col.marker").as("marker"), col("col.content").as("content"))
-      .drop("_z", "pos", "col", textCol)
+      .withColumn("_tb_z", zipped)
+      .select(col("*"), posexplode(col("_tb_z")).as(Seq("_tb_pos", "_tb_s")))
+      .select(col("*"), (col("_tb_pos") + 1).as("section_no"),
+        col("_tb_s.marker").as("marker"), col("_tb_s.content").as("content"))
+      .drop("_tb_z", "_tb_pos", "_tb_s", textCol)
   }
 }

@@ -68,12 +68,14 @@ class EngineSpec extends SparkSpec {
   }
 
   test("bovada blobs merge as a bookie column and can win the argmax") {
+    // grid/dim teams are NICKNAMES (the odds-site convention); the
+    // bovada full names reduce to nicknames before the join
     val rawSf = Seq(
-      (1, "NFL", "Seattle Seahawks", "+150", "-500", "+145"),
-      (2, "NFL", "San Francisco 49ers", "-600", "-180", "-580")
+      (1, "NFL", "Seahawks", "+150", "-500", "+145"),
+      (2, "NFL", "49ers", "-600", "-180", "-580")
     ).toDF("idx", "Sport", "Team", "DraftKings", "Caesars", "Bet365")
-    val dims = Seq(("Seattle Seahawks", "NFL", "SEA"),
-      ("San Francisco 49ers", "NFL", "SF")).toDF("Team", "Sport", "Abbreviation")
+    val dims = Seq(("Seahawks", "NFL", "SEA"),
+      ("49ers", "NFL", "SF")).toDF("Team", "Sport", "Abbreviation")
     // without bovada: best legs +150 / -180 -> calc < 0, no alert;
     // bovada's +225 on the Seahawks creates the arb
     val blob = "x 9/14/25 " +
@@ -86,7 +88,7 @@ class EngineSpec extends SparkSpec {
     assert(r.delivered == 2)
     val best = r.alerts.select("Team", "best_bookie")
       .as[(String, String)].collect().toMap
-    assert(best("Seattle Seahawks") == "Bovada")
+    assert(best("Seahawks") == "Bovada")
     assert(sink.sent.exists(m => m.contains("+225") && m.contains("Bovada")))
   }
 

@@ -44,6 +44,19 @@ class NormalizeSpec extends SparkSpec {
     assert(!rows.exists(r => r._1 == "Time" || r._1 == ""))
   }
 
+  test("STRING idx orders numerically — '10' pairs after '9', not after '1'") {
+    val rows = (1 to 12).map(i =>
+      (i.toString, "NFL", s"T$i", "+100", "-110", "+102"))
+    val raw12 = rows.toDF("idx", "Sport", "Team", "DraftKings", "Caesars", "Bet365")
+    val games = Normalize.grid(raw12, bookies, "Bet365")
+      .select("Team", "game_id").as[(String, Int)].collect().toMap
+    // lexicographic order ('1','10','11','12','2',...) would pair
+    // T1 with T10; numeric order pairs consecutive legs
+    assert(games("T1") == games("T2"))
+    assert(games("T9") == games("T10"))
+    assert(games("T11") == games("T12"))
+  }
+
   test("withBovada merges the bovada column; empty bovada leaves nulls") {
     val g = Normalize.grid(raw, bookies, classifierBookie = "Bet365")
     val bov = Seq(("Chiefs", "ML", "Payout", "+240")).toDF("Team", "BetType", "Info", "Bovada")

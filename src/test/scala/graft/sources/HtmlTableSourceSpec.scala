@@ -52,7 +52,7 @@ class HtmlTableSourceSpec extends SparkSpec {
     write(dir, "empty.html", "<p>no tables here</p>")
     val named = graft.pipeline.Normalize.promoteHeader(
       spark.read.format("odds-html").load(dir.toString))
-    assert(named.columns.toSeq == Seq("file", "row_no"))
+    assert(named.columns.toSeq == Seq("file", "row_no", "idx"))
     assert(named.isEmpty)
   }
 
@@ -93,9 +93,8 @@ class HtmlTableSourceSpec extends SparkSpec {
     val named = graft.pipeline.Normalize.promoteHeader(
       spark.read.format("odds-html").load(dir.toString))
     assert(named.columns.toSeq ==
-      Seq("file", "row_no", "Time", "Team", "DraftKings", "Caesars", "Bet365"))
+      Seq("file", "row_no", "idx", "Time", "Team", "DraftKings", "Caesars", "Bet365"))
     val raw = named.withColumn("Sport", lit("NFL"))
-      .withColumnRenamed("row_no", "idx")
     val grid = graft.pipeline.Normalize.grid(raw,
       Seq("DraftKings", "Caesars", "Bet365"), "Bet365")
     val alerts = graft.pipeline.Arbitrage.detect(grid,
@@ -112,7 +111,7 @@ class HtmlTableSourceSpec extends SparkSpec {
     write(dir, "x.html", page)
     val named = graft.pipeline.Normalize.promoteHeader(
       spark.read.format("odds-html").load(dir.toString))
-    assert(named.columns.toSeq == Seq("file", "row_no", "A", "A_2"))
+    assert(named.columns.toSeq == Seq("file", "row_no", "idx", "A", "A_2"))
     assert(named.select("A", "A_2").as[(String, String)].head() == ("1", "2"))
   }
 
