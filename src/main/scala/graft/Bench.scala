@@ -28,11 +28,28 @@ object Bench {
     // (ContextCleaner is async; the hint keeps pass 2 comparable)
     System.gc(); Thread.sleep(500)
     val warm = pass()
-    val qs = warm.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = if (warm.nonEmpty) warm.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass":"warm","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    // Full-name per-query map: printed first (and written to a file)
+    // for humans/tools reading the whole log.
+    val fullQs = warm.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$fullQs,"sf":"$sfDir"}"""
+    println(full)
+    try {
+      val w = new java.io.PrintWriter("target/bench-full.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    // The FINAL line is the machine contract. The harness that reads it
+    // keeps only the last ~2000 chars of output (an sbt [success]
+    // trailer eats ~80 more), so this line must stay well under that:
+    // keys are shortened to the qNN prefix and values to 3 decimals
+    // (~13 chars/query; 80+ queries ≈ 1100 chars).
+    val shortQs = warm.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

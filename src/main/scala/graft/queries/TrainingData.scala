@@ -589,8 +589,10 @@ object TrainingData extends QueryGroup {
     "q81_sequence_packing" ->
       s"""WITH $dTok
          SELECT d.lang, d.doc_id, len(toks) AS n_tokens,
-           sum(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+           -- ::BIGINT: DuckDB integer sum() yields HUGEINT, which lands
+           -- in the checker as float64 and breaks the value hash
+           CAST(sum(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
            CAST(FLOOR((sum(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks))
              / 2048) AS INT) AS pack_id

@@ -42,6 +42,17 @@ def compare(name, spark_df, duck_df):
     bad_cols = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes str(value), so an int column on one side and
+        # float on the other ("99111" vs "99111.0") hash-mismatches even
+        # when numerically equal (DuckDB integer sum() -> HUGEINT ->
+        # pandas float64 is the usual culprit; cast ::BIGINT in the
+        # oracle). Flag it here so the local gate is as strict.
+        if (av.dtype.kind in "iu") != (bv.dtype.kind in "iu") and \
+                av.dtype.kind in "fiu" and bv.dtype.kind in "fiu":
+            bad_cols.append(
+                f"{c}(dtype skew: spark={av.dtype} duck={bv.dtype} — "
+                f"driver str-hash would mismatch)")
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float); bv = bv.astype(float)
             eq = (av == bv) | (av.isna() & bv.isna())
