@@ -13,7 +13,8 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     q.Relational,
     q.Domain,
-    q.TrainingData
+    q.TrainingData,
+    q.Extensions
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -53,6 +53,48 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn(PayCol, last(col(PayCol), ignoreNulls = true).over(w))
     filled.filter(col(SideCol) === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(PayCol).getField(p).as(p)): _*)
+  }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row
+    * with rightTs >= leftTs on the same key, optionally bounded by
+    * `tolerance` (match discarded when rightTs > leftTs + tolerance).
+    * Same union+window scale shape as `backward`, run in descending
+    * time order; the matched rightTs is carried in the payload struct
+    * so the tolerance is applied AFTER the fill (a match beyond the
+    * bound nulls the whole payload, not just some fields).
+    *
+    * At equal timestamps the right row matches (inclusive), mirroring
+    * `backward`. Right rows must be unique per (key, ts).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String],
+              tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(Set(TsCol, SideCol, PayCol)),
+      s"AsOfJoin: left side must not contain reserved columns $TsCol/$SideCol/$PayCol")
+    val matchTs = "_graft_asof_match_ts"
+    val l = left.withColumn(TsCol, col(leftTs)).withColumn(SideCol, lit(1))
+    val r = right
+      .filter(col(rightTs).isNotNull)
+      .select((keys.map(col) :+ col(rightTs).as(TsCol)) :+
+        struct((col(rightTs).as(matchTs) +: payload.map(col)): _*).as(PayCol): _*)
+      .withColumn(SideCol, lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // Descending time: the running last-seen right payload IS the
+    // earliest right row at-or-after the current left row. Left rows
+    // with NULL ts sort last (desc_nulls_last) and match nothing.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TsCol).desc_nulls_last, col(SideCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u.withColumn(PayCol, last(col(PayCol), ignoreNulls = true).over(w))
+    val bounded = tolerance match {
+      case Some(tol) => filled.withColumn(PayCol,
+        when(col(PayCol).getField(matchTs) <= col(TsCol) + tol, col(PayCol)))
+      case None => filled
+    }
+    bounded.filter(col(SideCol) === 1)
       .select(leftCols.map(col) ++
         payload.map(p => col(PayCol).getField(p).as(p)): _*)
   }

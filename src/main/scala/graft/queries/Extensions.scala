@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.Text
+import graft.operators.{AsOfJoin, Chunking}
+
+/** Round-3 extension queries: corpus chunking/truncation for
+  * training/RAG pipelines, vocabulary construction, an n-gram LM
+  * statistic, and the relational long tail (interval-union islands,
+  * two-pass histogram, forward as-of with tolerance, explicit
+  * GROUPING SETS, approx-distinct audit). Same contract as every
+  * other group: the DuckDB oracle lives beside each Spark plan and
+  * both follow the shared determinism rules (exact integer
+  * arithmetic, total ORDER BYs, identical aliases, ::BIGINT casts
+  * where DuckDB would widen to HUGEINT).
+  */
+object Extensions extends QueryGroup {
+
+  private val dToks = "regexp_extract_all(text, '([a-z0-9]+)', 1)"
+  private val dTok = s"tok AS (SELECT doc_id, $dToks AS toks FROM documents)"
+
+  /** Decimal-exact double sum (shared determinism rule). */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    round(sum(c.cast("decimal(18,4)")), 2).cast("double")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RAG/context chunking: sliding 32-token windows, 8-token
+    // overlap. Narrow generator — no shuffle at any scale.
+    "q83_doc_chunking" -> ((s, dir) => {
+      Chunking.chunk(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+    }),
+
+    // Vocabulary build: top-500 terms by document frequency
+    // (df desc, tf desc, term — a total order). TakeOrderedAndProject:
+    // only 500 rows per partition survive the final exchange, the
+    // scale-correct top-k (NOT a global sort).
+    "q84_vocabulary" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tf").desc, col("term"))
+        .limit(500)
+    }),
+
+    // Interval-union "islands": per supplier, merge overlapping
+    // [shipdate, shipdate + 1..7 days] intervals and report island
+    // count + total covered days. The classic gaps-and-islands shape:
+    // one shuffle on the partition key, running-max window, NO range
+    // self-join (the quadratic formulation).
+    "q85_interval_islands" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val iv = li.select(col("l_suppkey").as("suppkey"),
+        to_date(col("l_shipdate")).as("start_d"),
+        date_add(to_date(col("l_shipdate")),
+          pmod(floor(col("l_quantity")).cast("int"), lit(7)) + 1).as("end_d"),
+        col("l_orderkey"), col("l_linenumber"))
+      val ord = Seq(col("start_d"), col("end_d"), col("l_orderkey"), col("l_linenumber"))
+      val wPrev = Window.partitionBy("suppkey").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("suppkey").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("prev_max_end", max(col("end_d")).over(wPrev))
+        .withColumn("new_island",
+          when(col("prev_max_end").isNull || col("start_d") > col("prev_max_end"), 1)
+            .otherwise(0))
+        .withColumn("island_id", sum(col("new_island")).over(wRun))
+        .groupBy(col("suppkey"), col("island_id"))
+        .agg(min(col("start_d")).as("i_start"), max(col("end_d")).as("i_end"),
+          count(lit(1)).as("n_iv"))
+        .groupBy("suppkey")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(datediff(col("i_end"), col("i_start")) + 1).as("covered_days"),
+          sum(col("n_iv")).as("n_intervals"))
+    }),
+
+    // Two-pass histogram: global min/max (one tiny broadcast), then
+    // 20 equal-width buckets. Bucket edges are raw doubles — both
+    // engines compute mn + b*((mx-mn)/20) with the same IEEE ops, so
+    // no rounding is needed (or wanted; see README midpoint note).
+    "q86_histogram" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("w", (col("mx") - col("mn")) / 20.0)
+        .withColumn("bucket",
+          when(col("w") === 0.0, lit(0.0))
+            .otherwise(least(floor((col("o_totalprice") - col("mn")) / col("w")), lit(19.0)))
+            .cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("mn") + col("bucket") * col("w")).as("lo"),
+          min(col("mn") + (col("bucket") + 1) * col("w")).as("hi"))
+    }),
+
+    // Forward as-of with tolerance: each click joins the EARLIEST
+    // purchase at-or-after it per user, but only within 3 days —
+    // union+window (one shuffle), vs DuckDB's native forward
+    // ASOF JOIN, an independently-implemented semantics oracle.
+    "q87_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mw = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val marks = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(mw)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("mts"), col("value").as("mark_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.forward(clicks, marks, Seq("user_id"), "ts", "mts",
+          Seq("mts", "mark_value"), tolerance = Some(expr("INTERVAL 3 DAYS")))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("mts")).as("mts_ms"), col("mark_value"))
+    }),
+
+    // Explicit GROUPING SETS (beyond q47 rollup / q65 cube): the
+    // analyst-chosen subset with grouping_id disambiguation.
+    "q88_grouping_sets" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+          grouping_id().as("gid"))
+    }),
+
+    // Token-budget truncation: greedy whole-token prefix under a
+    // 200-char budget (the context-window guillotine). Exact integer
+    // fold, same operation order as DuckDB's list_reduce.
+    "q89_token_budget" -> ((s, dir) => {
+      Chunking.truncateToCharBudget(Tables.documents(s, dir), "doc_id", "text", 200)
+    }),
+
+    // Bigram LM statistics: the most likely next token per token,
+    // with conditional probability — two partial-agg shuffles plus a
+    // per-w1 window, no driver-side state.
+    "q90_bigram_lm" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sp = d
+        .select(explode(Text.shinglesWithDuplicates(Text.tokens(col("text")), 2)).as("gram"))
+        .select(substring_index(col("gram"), " ", 1).as("w1"),
+          substring_index(col("gram"), " ", -1).as("w2"))
+      val counts = sp.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val wTot = Window.partitionBy("w1")
+      val wRank = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2"))
+      counts
+        .withColumn("total", sum(col("cnt")).over(wTot))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") === 1 && col("total") >= 20)
+        .select(col("w1"), col("w2").as("next_tok"), col("cnt"), col("total"),
+          round(col("cnt").cast("double") / col("total"), 6).as("p"))
+    }),
+
+    // Approx-distinct audit: HLL++ sketch next to the exact count.
+    // No DuckDB oracle (different sketch implementations cannot
+    // hash-match) — rows-only driver check; the accuracy bound is
+    // asserted in ExtensionsSpec instead.
+    "q91_approx_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("rel_err",
+          round(abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users"), 6))
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+
+    "q83_doc_chunking" ->
+      s"""WITH $dTok,
+         st AS (SELECT doc_id, toks,
+                  unnest(generate_series(0, greatest(len(toks) - 9, 0), 24)) AS start
+                FROM tok WHERE len(toks) > 0)
+         SELECT doc_id, CAST(start // 24 AS INT) AS chunk_no,
+           len(list_slice(toks, start + 1, start + 32)) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+         FROM st""",
+
+    "q84_vocabulary" ->
+      s"""WITH $dTok,
+         ex AS (SELECT doc_id, unnest(toks) AS term FROM tok)
+         SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+         FROM ex GROUP BY term
+         ORDER BY df DESC, tf DESC, term LIMIT 500""",
+
+    "q85_interval_islands" ->
+      """WITH iv AS (
+           SELECT l_suppkey AS suppkey,
+             CAST(l_shipdate AS DATE) AS start_d,
+             CAST(l_shipdate AS DATE)
+               + ((CAST(floor(l_quantity) AS INT) % 7) + 1) AS end_d,
+             l_orderkey, l_linenumber
+           FROM lineitem),
+         flagged AS (
+           SELECT suppkey, start_d, end_d, l_orderkey, l_linenumber,
+             CASE WHEN max(end_d) OVER w1 IS NULL
+                    OR start_d > max(end_d) OVER w1 THEN 1 ELSE 0 END AS new_island
+           FROM iv
+           WINDOW w1 AS (PARTITION BY suppkey
+             ORDER BY start_d, end_d, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         numbered AS (
+           SELECT suppkey, start_d, end_d,
+             sum(new_island) OVER (PARTITION BY suppkey
+               ORDER BY start_d, end_d, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+           FROM flagged),
+         islands AS (
+           SELECT suppkey, island_id, min(start_d) AS i_start,
+             max(end_d) AS i_end, count(*) AS n_iv
+           FROM numbered GROUP BY suppkey, island_id)
+         SELECT suppkey, count(*) AS n_islands,
+           CAST(sum(date_diff('day', i_start, i_end) + 1) AS BIGINT) AS covered_days,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals
+         FROM islands GROUP BY suppkey""",
+
+    "q86_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+         b AS (SELECT o_totalprice, mn, mx, (mx - mn)/20 AS w,
+                 CAST(CASE WHEN (mx - mn)/20 = 0 THEN 0
+                      ELSE least(floor((o_totalprice - mn)/((mx - mn)/20)), 19)
+                      END AS INT) AS bucket
+               FROM orders, mm)
+         SELECT bucket, count(*) AS cnt,
+           min(mn + bucket * w) AS lo,
+           min(mn + (bucket + 1) * w) AS hi
+         FROM b GROUP BY bucket""",
+
+    "q87_asof_forward" ->
+      """WITH marks0 AS (
+           SELECT user_id, ts AS mts, value AS mark_value,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT user_id, mts, mark_value FROM marks0 WHERE rn = 1),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         j AS (SELECT c.event_id, c.user_id, c.ts, m.mts, m.mark_value
+               FROM c ASOF LEFT JOIN m
+                 ON c.user_id = m.user_id AND c.ts <= m.mts)
+         SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           CASE WHEN mts <= ts + INTERVAL 3 DAY THEN epoch_ms(mts) END AS mts_ms,
+           CASE WHEN mts <= ts + INTERVAL 3 DAY THEN mark_value END AS mark_value
+         FROM j""",
+
+    "q88_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2)::DOUBLE AS revenue,
+         GROUPING(o_orderpriority, o_orderstatus) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderpriority), ())""",
+
+    "q89_token_budget" ->
+      s"""WITH $dTok,
+         f AS (SELECT doc_id, toks,
+                 list_reduce(
+                   list_prepend(0::BIGINT, list_transform(toks, t -> len(t)::BIGINT)),
+                   (acc, L) -> CASE
+                     WHEN (acc // 1000000) + L
+                          + (CASE WHEN acc % 1000000 > 0 THEN 1 ELSE 0 END) <= 200
+                     THEN ((acc // 1000000) + L
+                          + (CASE WHEN acc % 1000000 > 0 THEN 1 ELSE 0 END)) * 1000000
+                          + (acc % 1000000) + 1
+                     ELSE 201 * 1000000 + (acc % 1000000) END) AS packed
+               FROM tok),
+         k AS (SELECT doc_id, toks, CAST(packed % 1000000 AS INT) AS n_kept FROM f)
+         SELECT doc_id, len(toks) AS n_tokens, n_kept,
+           CAST(list_sum(list_prepend(0::BIGINT,
+               list_transform(toks[1:n_kept], t -> len(t)::BIGINT)))
+             + greatest(n_kept - 1, 0) AS BIGINT) AS kept_chars,
+           n_kept < len(toks) AS truncated,
+           array_to_string(toks[1:n_kept], ' ') AS text_trunc
+         FROM k""",
+
+    "q90_bigram_lm" ->
+      s"""WITH $dTok,
+         g AS (SELECT unnest(CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])
+                 ELSE []::VARCHAR[] END) AS gram
+               FROM tok),
+         sp AS (SELECT split_part(gram, ' ', 1) AS w1,
+                       split_part(gram, ' ', 2) AS w2 FROM g),
+         c AS (SELECT w1, w2, count(*) AS cnt FROM sp GROUP BY w1, w2),
+         r AS (SELECT w1, w2, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS total,
+                 row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rn
+               FROM c)
+         SELECT w1, w2 AS next_tok, cnt, total,
+           round(cnt::DOUBLE / total, 6) AS p
+         FROM r WHERE rn = 1 AND total >= 20"""
+  )
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 class AsOfJoinSpec extends SparkSpec {
@@ -55,5 +56,41 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.backward(ticks, quotes, Seq("key"), "tts", "qts", Seq("px"))
       .select("tick", "px").as[(String, Option[Double])].collect().toMap
     assert(out == Map("early" -> None, "null_ts" -> None))
+  }
+
+  test("forward: earliest right row at-or-after each left row, per key") {
+    val quotes = Seq(
+      ("k1", ts(10), 1.0), ("k1", ts(20), 2.0), ("k1", ts(30), 3.0),
+      ("k2", ts(15), 9.0)
+    ).toDF("key", "qts", "px")
+    val ticks = Seq(
+      ("k1", ts(5), "a"),   // -> first future quote 1.0
+      ("k1", ts(20), "b"),  // equal ts -> inclusive match 2.0
+      ("k1", ts(25), "c"),  // -> 3.0
+      ("k1", ts(99), "d"),  // after all -> null
+      ("k2", ts(16), "e"),  // past the only k2 quote -> null
+      ("k3", ts(50), "f")   // no quotes -> null
+    ).toDF("key", "tts", "tick")
+    val out = AsOfJoin.forward(ticks, quotes, Seq("key"), "tts", "qts", Seq("px"))
+      .select("tick", "px").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "a" -> Some(1.0), "b" -> Some(2.0), "c" -> Some(3.0),
+      "d" -> None, "e" -> None, "f" -> None))
+  }
+
+  test("forward: tolerance nulls the WHOLE payload beyond the bound") {
+    val quotes = Seq(("k", ts(100), 5.0, "mk")).toDF("key", "qts", "px", "tag")
+    val ticks = Seq(
+      ("k", ts(95), "in"),   // 5s away, within tol=10s
+      ("k", ts(80), "out")   // 20s away, beyond tol
+    ).toDF("key", "tts", "tick")
+    val out = AsOfJoin.forward(ticks, quotes, Seq("key"), "tts", "qts",
+        Seq("px", "tag"), tolerance = Some(expr("INTERVAL 10 SECONDS")))
+      .select("tick", "px", "tag")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(out == Map(
+      "in" -> ((Some(5.0), Some("mk"))),
+      "out" -> ((None, None))))
   }
 }
