@@ -26,7 +26,8 @@ object PlanAudit {
     "q36_ann_topk" -> "exact brute-force baseline; 8-query side broadcast",
     "q70_ann_int8" -> "int8 brute-force scoring; 8-query side broadcast",
     "q45_ann_ivf" -> "cell assignment vs 12 broadcast centroids",
-    "q53_tfidf_keywords" -> "1-row corpus-size broadcast cross join"
+    "q53_tfidf_keywords" -> "1-row corpus-size broadcast cross join",
+    "q86_histogram" -> "1-row global min/max broadcast cross join"
   )
 
   private def globalWindow(root: SparkPlan): Boolean =

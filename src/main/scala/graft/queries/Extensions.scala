@@ -156,6 +156,43 @@ object Extensions extends QueryGroup {
           round(col("cnt").cast("double") / col("total"), 6).as("p"))
     }),
 
+    // Data MIXING: deterministic per-source downsampling to target
+    // mixture weights (the corpus-reweighting step before training).
+    // Hash-bucketed like q63/q68 — rand()-free, so the sample is
+    // reproducible on any cluster at any parallelism, and a narrow
+    // map (no shuffle) at any scale.
+    "q92_mixture_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val wgt = when(col("source") === "src0", 1.0)
+        .when(col("source") === "src1", 0.5)
+        .when(col("source") === "src2", 0.25)
+        .otherwise(0.1)
+      d.withColumn("bucket",
+          pmod(Text.md5Long(concat_ws(":", col("source"), col("doc_id")), 12),
+            lit(10000L)))
+        .filter(col("bucket") < wgt * 10000)
+        .select("doc_id", "source", "bucket")
+    }),
+
+    // Cross-corpus decontamination: web-side docs sharing their
+    // winnowing-style minimal 8-token-window fingerprint with the
+    // curated corpus (src0-4) — robust to prefix/suffix edits where
+    // an exact content hash is not. Shuffle hash-join on the
+    // fingerprint — at 100 TB both sides partition on it, nothing
+    // broadcasts, no row compares beyond its hash bucket.
+    "q93_cross_corpus_dedup" -> ((s, dir) => {
+      val curated = Seq("src0", "src1", "src2", "src3", "src4")
+      val h = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          Text.windowFingerprint(Text.tokens(col("text")), 8).as("wfp"))
+        .filter(col("wfp").isNotNull)
+      val a = h.filter(col("source").isin(curated: _*))
+        .groupBy("wfp").agg(min(col("doc_id")).as("matched_a_id"))
+      h.filter(!col("source").isin(curated: _*))
+        .join(a, "wfp")
+        .select(col("doc_id"), col("source"), col("matched_a_id"))
+    }),
+
     // Approx-distinct audit: HLL++ sketch next to the exact count.
     // No DuckDB oracle (different sketch implementations cannot
     // hash-match) — rows-only driver check; the accuracy bound is
@@ -277,6 +314,30 @@ object Extensions extends QueryGroup {
            n_kept < len(toks) AS truncated,
            array_to_string(toks[1:n_kept], ' ') AS text_trunc
          FROM k""",
+
+    "q92_mixture_sample" ->
+      """SELECT doc_id, source,
+         ('0x' || substr(md5(source || ':' || doc_id), 1, 12))::BIGINT % 10000 AS bucket
+         FROM documents
+         WHERE ('0x' || substr(md5(source || ':' || doc_id), 1, 12))::BIGINT % 10000
+           < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+              WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 10000""",
+
+    "q93_cross_corpus_dedup" -> {
+      val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+      s"""WITH tok AS (SELECT doc_id, source, $dToks AS toks FROM documents),
+         fp AS (SELECT doc_id, source,
+                  list_min(list_transform(
+                    list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                      i -> $gram8)),
+                    g -> ('0x' || substr(md5(g), 1, 12))::BIGINT)) AS wfp
+                FROM tok WHERE len(toks) >= 8),
+         a AS (SELECT wfp, min(doc_id) AS matched_a_id FROM fp
+               WHERE source IN ('src0','src1','src2','src3','src4')
+               GROUP BY wfp)
+         SELECT doc_id, source, matched_a_id
+         FROM fp JOIN a USING (wfp)
+         WHERE source NOT IN ('src0','src1','src2','src3','src4')""" },
 
     "q90_bigram_lm" ->
       s"""WITH $dTok,

@@ -74,6 +74,25 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream INTERVAL join (the streaming form of the q87
+    * forward-as-of shape): each left row joins right rows on `keys`
+    * whose `rightTs` falls in [leftTs, leftTs + tolerance]. Both
+    * sides MUST carry a watermark; the time-range condition bounds
+    * the join state on both sides (Spark derives the state
+    * watermarks from the range), so state stays
+    * O(in-flight interval), not O(stream). Inner join: left rows
+    * with no right match within the interval are dropped once the
+    * watermark passes (use the batch AsOfJoin.forward for
+    * left-outer semantics over bounded data).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, tolerance: String): DataFrame = {
+    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
+    val rangeCond = right(rightTs) >= left(leftTs) &&
+      right(rightTs) <= left(leftTs) + expr(s"INTERVAL $tolerance")
+    left.join(right, keyCond && rangeCond, "inner")
+  }
+
   /** Streaming NEAR-dup removal: dedup on the order-invariant
     * TOKEN-MULTISET fingerprint (md5 of the sorted token array)
     * within the watermark — catches re-posted content with shuffled

@@ -68,6 +68,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin matches right rows within [leftTs, leftTs + tolerance] per key") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp, String)]
+    val buys = MemoryStream[(String, Timestamp, Double)]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user", "cts", "click").withWatermark("cts", "1 hour"),
+      buys.toDF().toDF("user", "bts", "amount").withWatermark("bts", "1 hour"),
+      Seq("user"), "cts", "bts", "2 hours")
+    val q = joined.writeStream.format("memory")
+      .queryName("ij_out").outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(("u1", ts(day0, 1), "c1"), // buy at h2 within 2h -> match
+        ("u1", ts(day0, 8), "c2"),              // no buy within [8, 10] -> dropped
+        ("u2", ts(day0, 1), "c3"))              // other user's buy must NOT match
+      buys.addData(("u1", ts(day0, 2), 5.0), ("u1", ts(day0, 12), 7.0))
+      q.processAllAvailable()
+      val out = spark.table("ij_out")
+        .select("click", "amount").as[(String, Double)].collect().toSet
+      assert(out == Set(("c1", 5.0)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated business keys") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
