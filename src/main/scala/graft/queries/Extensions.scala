@@ -141,8 +141,15 @@ object Extensions extends QueryGroup {
     // per-w1 window, no driver-side state.
     "q90_bigram_lm" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // tokens behind a projection boundary (multi-referenced alias)
+      // so the tokenizer regex runs once per doc, not per element_at
+      // inside the bigram lambda; Spread.byKey spreads the CPU-heavy
+      // projection across cores regardless of input split count.
       val sp = d
-        .select(explode(Text.shinglesWithDuplicates(Text.tokens(col("text")), 2)).as("gram"))
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Spread.byKey("doc_id"))
+        .select(Text.tokens(col("text")).as("toks"))
+        .select(explode(Text.shinglesWithDuplicates(col("toks"), 2)).as("gram"))
         .select(substring_index(col("gram"), " ", 1).as("w1"),
           substring_index(col("gram"), " ", -1).as("w2"))
       val counts = sp.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
@@ -182,9 +189,19 @@ object Extensions extends QueryGroup {
     // broadcasts, no row compares beyond its hash bucket.
     "q93_cross_corpus_dedup" -> ((s, dir) => {
       val curated = Seq("src0", "src1", "src2", "src3", "src4")
+      // Staged projections (tokens -> grams -> fingerprint): inlining
+      // tokens() into the shingle lambda re-runs the tokenizer regex
+      // per element_at (the 17x trap; see Dedup.shingleSets), and the
+      // two consumers + the join's inferred isNotNull would clone the
+      // whole fingerprint chain — materialize once instead.
       val h = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .transform(graft.operators.Spread.byKey("doc_id"))
+        .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("source"),
-          Text.windowFingerprint(Text.tokens(col("text")), 8).as("wfp"))
+          array_min(transform(Text.shingles(col("toks"), 8),
+            g => Text.md5Long(g, 12))).as("wfp"))
+        .localCheckpoint(false)
         .filter(col("wfp").isNotNull)
       val a = h.filter(col("source").isin(curated: _*))
         .groupBy("wfp").agg(min(col("doc_id")).as("matched_a_id"))
