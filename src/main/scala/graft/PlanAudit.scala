@@ -27,7 +27,8 @@ object PlanAudit {
     "q70_ann_int8" -> "int8 brute-force scoring; 8-query side broadcast",
     "q45_ann_ivf" -> "cell assignment vs 12 broadcast centroids",
     "q53_tfidf_keywords" -> "1-row corpus-size broadcast cross join",
-    "q86_histogram" -> "1-row global min/max broadcast cross join"
+    "q86_histogram" -> "1-row global min/max broadcast cross join",
+    "q94_kmeans_iter" -> "8 seed centroids broadcast; argmax is a partial-agg struct max"
   )
 
   private def globalWindow(root: SparkPlan): Boolean =

@@ -194,6 +194,42 @@ object Similarity {
     topK(scored, "qdot", k)
   }
 
+  /** One k-means (Lloyd) iteration over an embedding corpus: assign
+    * each vector to its nearest seed centroid by cosine (6-dp score,
+    * ties -> smaller seed id), then recompute element-wise centroids
+    * decimal-exactly (the q82 shape). Returns
+    * (cluster_id, dim_no, n, centroid).
+    *
+    * Scale shape: seeds broadcast (k rows); the argmax is a
+    * struct-max AGGREGATE, not a join-back or a window — map-side
+    * partial aggregation reduces the k-fanout to one row per vector
+    * before anything shuffles, then the centroid sums shuffle only
+    * (k x dim) cells. Vectors with a NULL/NaN score against every
+    * seed (zero-norm) are dropped. */
+  def kmeansIteration(corpus: DataFrame, seeds: DataFrame,
+                      idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .transform(Spread.byKey("vec_id"))
+      .withColumn("cn", norm2(col("cv")))
+    val s = seeds.select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
+      .withColumn("sn", norm2(col("sv")))
+    val assigned = c.join(broadcast(s), lit(true))
+      .withColumn("score", cosineScore(col("sv"), col("cv"), col("sn"), col("cn")))
+      .filter(col("score").isNotNull && !isnan(col("score").cast("double")))
+      // struct max is lexicographic: best score, then SMALLER seed id
+      // (negated so max picks it); cv rides along, never compared
+      // (neg_seed is unique within a vec_id group).
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), (-col("seed_id")).as("neg_seed"),
+        col("cv").as("cv"))).as("best"))
+      .select((-col("best.neg_seed")).as("cluster_id"), col("best.cv").as("cv"))
+    assigned.select(col("cluster_id"), posexplode(col("cv")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col").cast("decimal(28,10)")).as("ssum"))
+      .select(col("cluster_id"), col("pos").as("dim_no"), col("n"),
+        round(col("ssum").cast("double") / col("n"), 6).as("centroid"))
+  }
+
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding
     * near-dup detection. Blocked by LSH bucket when `bits` > 0 (pairs
     * in different buckets are skipped: approximate but scalable);

@@ -210,6 +210,16 @@ object Extensions extends QueryGroup {
         .select(col("doc_id"), col("source"), col("matched_a_id"))
     }),
 
+    // One k-means Lloyd iteration: cosine assignment to 8 seed
+    // centroids (vec_id < 8) + decimal-exact centroid recompute —
+    // the embedding-clustering step (semantic dedup, corpus
+    // bucketing) as a two-shuffle relational plan.
+    "q94_kmeans_iter" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Similarity.kmeansIteration(
+        e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+    }),
+
     // Approx-distinct audit: HLL++ sketch next to the exact count.
     // No DuckDB oracle (different sketch implementations cannot
     // hash-match) — rows-only driver check; the accuracy bound is
@@ -331,6 +341,34 @@ object Extensions extends QueryGroup {
            n_kept < len(toks) AS truncated,
            array_to_string(toks[1:n_kept], ' ') AS text_trunc
          FROM k""",
+
+    "q94_kmeans_iter" -> {
+      // double-accumulation left-to-right fold == FloatDotProduct
+      def dDot(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+          s"generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), " +
+          "(acc, x) -> acc + x)"
+      s"""WITH s AS (SELECT vec_id AS seed_id, embedding AS sv,
+             ${dDot("embedding", "embedding")} AS sn
+           FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding AS cv,
+             ${dDot("embedding", "embedding")} AS cn
+           FROM embeddings),
+         scored AS (SELECT vec_id, seed_id, cv,
+             round(${dDot("sv", "cv")} / sqrt(sn * cn), 6) AS score
+           FROM c, s),
+         best AS (SELECT vec_id, seed_id AS cluster_id, cv,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, seed_id ASC) AS rn
+           FROM scored WHERE score IS NOT NULL AND NOT isnan(score)),
+         a AS (SELECT cluster_id, cv FROM best WHERE rn = 1)
+         SELECT cluster_id, CAST(dim_no AS INT) AS dim_no, count(*) AS n,
+           round(sum(v::DECIMAL(28,10))::DOUBLE / count(*), 6) AS centroid
+         FROM (SELECT cluster_id,
+                 unnest(generate_series(0, len(cv) - 1)) AS dim_no,
+                 unnest(cv) AS v
+               FROM a)
+         GROUP BY cluster_id, dim_no""" },
 
     "q92_mixture_sample" ->
       """SELECT doc_id, source,
