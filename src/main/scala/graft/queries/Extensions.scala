@@ -220,6 +220,37 @@ object Extensions extends QueryGroup {
         e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
     }),
 
+    // Per-GROUP exact quantiles: Spark percentile() and DuckDB
+    // quantile_cont are both the R-7 estimator (pos = q*(n-1),
+    // lower + frac*(upper-lower)) — raw doubles, no rounding (the
+    // interpolation arithmetic is IEEE-identical).
+    "q95_group_quantiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+    }),
+
+    // Three-stage FUNNEL: first view -> first click at-or-after it ->
+    // first purchase at-or-after that, per user. Each stage is a
+    // partial-agg min + a key join — no window over the whole event
+    // stream, no per-user event arrays; state per stage is one row
+    // per surviving user.
+    "q96_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id", "v_ts").agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id", "v_ts", "c_ts").agg(min(col("ts")).as("p_ts"))
+      p.select(col("user_id"), unix_millis(col("v_ts")).as("v_ms"),
+        unix_millis(col("c_ts")).as("c_ms"), unix_millis(col("p_ts")).as("p_ms"))
+    }),
+
     // Approx-distinct audit: HLL++ sketch next to the exact count.
     // No DuckDB oracle (different sketch implementations cannot
     // hash-match) — rows-only driver check; the accuracy bound is
@@ -341,6 +372,27 @@ object Extensions extends QueryGroup {
            n_kept < len(toks) AS truncated,
            array_to_string(toks[1:n_kept], ' ') AS text_trunc
          FROM k""",
+
+    "q95_group_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+         quantile_cont(l_extendedprice, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.9) AS p90
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q96_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, v.v_ts, min(e.ts) AS c_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+               GROUP BY e.user_id, v.v_ts),
+         p AS (SELECT e.user_id, c.v_ts, c.c_ts, min(e.ts) AS p_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+               GROUP BY e.user_id, c.v_ts, c.c_ts)
+         SELECT user_id, epoch_ms(v_ts) AS v_ms, epoch_ms(c_ts) AS c_ms,
+           epoch_ms(p_ts) AS p_ms
+         FROM p""",
 
     "q94_kmeans_iter" -> {
       // double-accumulation left-to-right fold == FloatDotProduct
