@@ -251,6 +251,35 @@ object Extensions extends QueryGroup {
         unix_millis(col("c_ts")).as("c_ms"), unix_millis(col("p_ts")).as("p_ms"))
     }),
 
+    // Bivariate moments: per-group Pearson correlation from
+    // decimal-EXACT power sums (q58's univariate moments extended).
+    // Built-in corr() uses a streaming co-moment update whose float
+    // order differs per engine/partitioning; the closed-form over
+    // exact sums is deterministic everywhere — and it's one partial
+    // aggregation, no second pass.
+    "q97_correlation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val agg = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(28,8)")).as("sx"),
+        sum(y.cast("decimal(28,8)")).as("sy"),
+        sum((x * y).cast("decimal(28,8)")).as("sxy"),
+        sum((x * x).cast("decimal(28,8)")).as("sx2"),
+        sum((y * y).cast("decimal(28,8)")).as("sy2"))
+      val nD = col("n").cast("double")
+      val (sx, sy, sxy, sx2, sy2) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sx2").cast("double"), col("sy2").cast("double"))
+      // 6-dp rounding: the big decimal sums convert to double with
+      // one-ulp differences between engines (Spark rounds the decimal
+      // directly; DuckDB divides the int128 by 10^scale) — the 1e-16
+      // drift is far below the 1e-6 grain.
+      agg.select(col("l_returnflag"), col("n"),
+        round((nD * sxy - sx * sy) /
+          sqrt((nD * sx2 - sx * sx) * (nD * sy2 - sy * sy)), 6).as("corr_qty_price"))
+    }),
+
     // Approx-distinct audit: HLL++ sketch next to the exact count.
     // No DuckDB oracle (different sketch implementations cannot
     // hash-match) — rows-only driver check; the accuracy bound is
@@ -372,6 +401,22 @@ object Extensions extends QueryGroup {
            n_kept < len(toks) AS truncated,
            array_to_string(toks[1:n_kept], ' ') AS text_trunc
          FROM k""",
+
+    "q97_correlation" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(28,8))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS sy,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS sxy,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS sx2,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS sy2
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+             AS corr_qty_price
+         FROM a""",
 
     "q95_group_quantiles" ->
       """SELECT l_returnflag, count(*) AS n,

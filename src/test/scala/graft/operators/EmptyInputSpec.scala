@@ -45,5 +45,18 @@ class EmptyInputSpec extends SparkSpec {
     val out = AsOfJoin.backward(ticks, noQuotes, Seq("key"), "ts", "qts", Seq("px"))
       .select("tick", "px").as[(String, Option[Double])].collect()
     assert(out.toSeq == Seq(("t1", None)))
+    val fwd = AsOfJoin.forward(ticks, noQuotes, Seq("key"), "ts", "qts", Seq("px"))
+      .select("tick", "px").as[(String, Option[Double])].collect()
+    assert(fwd.toSeq == Seq(("t1", None)))
+  }
+
+  test("chunking and k-means on empty inputs") {
+    assert(Chunking.chunk(noDocs, "doc_id", "text", 32, 8).count() == 0)
+    assert(Chunking.truncateToCharBudget(noDocs, "doc_id", "text", 100).count() == 0)
+    // empty corpus -> no assignments -> no centroids
+    assert(Similarity.kmeansIteration(noVecs, noVecs, "vec_id", "embedding").count() == 0)
+    // empty SEEDS with a non-empty corpus: nothing to assign to
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.kmeansIteration(vecs, noVecs, "vec_id", "embedding").count() == 0)
   }
 }

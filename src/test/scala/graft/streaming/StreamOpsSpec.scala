@@ -90,6 +90,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins the dim per micro-batch") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    val dim = Seq(("A", "Hawks"), ("B", "Lions")).toDF("team", "full_name")
+    val in = MemoryStream[(String, Timestamp)]
+    val enriched = in.toDF().toDF("team", "ts")
+      .join(broadcast(dim), Seq("team"), "left")
+    val q = enriched.writeStream.format("memory")
+      .queryName("ss_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(("A", ts(day0, 1)), ("C", ts(day0, 2)))
+      q.processAllAvailable()
+      val out = spark.table("ss_out")
+        .select("team", "full_name").as[(String, Option[String])].collect().toSet
+      assert(out == Set(("A", Some("Hawks")), ("C", None)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated business keys") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
