@@ -280,6 +280,23 @@ object Extensions extends QueryGroup {
           sqrt((nD * sx2 - sx * sx) * (nD * sy2 - sy * sy)), 6).as("corr_qty_price"))
     }),
 
+    // Time-series RESAMPLING to daily OHLC bars: open/close are
+    // struct-min/max over (ts, event_id, value) — one partial-agg
+    // shuffle, no window over the raw stream, no sort; the total
+    // (ts, event_id) order makes first/last deterministic.
+    "q98_daily_bars" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.withColumn("day", to_date(col("ts")))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"), min(col("value")).as("low"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("o.value").as("open"), col("high"), col("low"),
+          col("c.value").as("close"))
+    }),
+
     // Approx-distinct audit: HLL++ sketch next to the exact count.
     // No DuckDB oracle (different sketch implementations cannot
     // hash-match) — rows-only driver check; the accuracy bound is
@@ -401,6 +418,24 @@ object Extensions extends QueryGroup {
            n_kept < len(toks) AS truncated,
            array_to_string(toks[1:n_kept], ' ') AS text_trunc
          FROM k""",
+
+    "q98_daily_bars" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+                    FROM events),
+         o AS (SELECT user_id, day, value,
+                 row_number() OVER (PARTITION BY user_id, day
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, day
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+               FROM e),
+         agg AS (SELECT user_id, day, count(*) AS n, min(value) AS low,
+                   max(value) AS high
+                 FROM e GROUP BY user_id, day)
+         SELECT a.user_id, strftime(a.day, '%Y-%m-%d') AS day, a.n,
+           oo.value AS open, a.high, a.low, cc.value AS close
+         FROM agg a
+         JOIN o oo ON oo.user_id = a.user_id AND oo.day = a.day AND oo.rn_a = 1
+         JOIN o cc ON cc.user_id = a.user_id AND cc.day = a.day AND cc.rn_d = 1""",
 
     "q97_correlation" ->
       """WITH a AS (
