@@ -9,6 +9,53 @@ import graft.SparkSpec
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("interval islands: touching intervals merge, gapped ones split") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // [1,3] and [3,5] touch (start == prev end -> same island);
+    // [7,8] is gapped -> second island. Mirrors the q85 window logic.
+    val iv = Seq((1, "2024-01-01", "2024-01-03"), (1, "2024-01-03", "2024-01-05"),
+      (1, "2024-01-07", "2024-01-08"))
+      .toDF("k", "s", "e")
+      .select(col("k"), to_date(col("s")).as("start_d"), to_date(col("e")).as("end_d"))
+    val ord = Seq(col("start_d"), col("end_d"))
+    val wPrev = Window.partitionBy("k").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("k").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = iv
+      .withColumn("prev_max", max(col("end_d")).over(wPrev))
+      .withColumn("ni", when(col("prev_max").isNull || col("start_d") > col("prev_max"), 1)
+        .otherwise(0))
+      .withColumn("iid", sum(col("ni")).over(wRun))
+      .groupBy("k", "iid")
+      .agg(min("start_d").as("is"), max("end_d").as("ie"))
+      .select(datediff(col("ie"), col("is")).as("span"))
+      .as[Int].collect().toSeq.sorted
+    assert(islands == Seq(1, 4)) // merged [1..5] span 4; [7..8] span 1
+  }
+
+  test("kmeansIteration: hand-checkable assignment and centroid on axis vectors") {
+    import org.apache.spark.sql.functions.col
+    // seeds: e1=(1,0), e2=(0,1); vectors near each axis assign to it;
+    // the (1,1) diagonal ties at cosine 0.707107 on both seeds and
+    // must go to the SMALLER seed id (0).
+    val data = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),   // the seeds themselves
+      (2L, Array(4f, 0f)), (3L, Array(0f, 2f)),
+      (4L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kmeansIteration(
+        data, data.filter(col("vec_id") < 2), "vec_id", "embedding")
+      .select("cluster_id", "dim_no", "n", "centroid")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // cluster 0: vecs (1,0),(4,0),(1,1) -> centroid (2, 1/3); n=3
+    // cluster 1: vecs (0,1),(0,2) -> centroid (0, 1.5); n=2
+    assert(out == Set(
+      (0L, 0, 3L, 2.0), (0L, 1, 3L, 0.333333),
+      (1L, 0, 2L, 0.0), (1L, 1, 2L, 1.5)))
+  }
+
   test("q91 approx_count_distinct stays within 5% of the exact count") {
     val rows = Extensions.queries("q91_approx_distinct")(spark, "/root/testdata/sf0.01")
       .select("event_type", "rel_err").as[(String, Double)].collect()
