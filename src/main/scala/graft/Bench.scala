@@ -28,7 +28,10 @@ object Bench {
     // (ContextCleaner is async; the hint keeps pass 2 comparable)
     System.gc(); Thread.sleep(500)
     val warm = pass()
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which
+    // under e.g. LANG=de_DE renders "1,234" and corrupts the JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (warm.nonEmpty) warm.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     // Full-name per-query map: printed first (and written to a file)

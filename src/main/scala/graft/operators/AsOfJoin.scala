@@ -84,9 +84,11 @@ object AsOfJoin {
     val u = l.unionByName(r, allowMissingColumns = true)
     // Descending time: the running last-seen right payload IS the
     // earliest right row at-or-after the current left row. Left rows
-    // with NULL ts sort last (desc_nulls_last) and match nothing.
+    // with NULL ts must sort FIRST (before any right row has been
+    // seen) so they match nothing — nulls_last would put them after
+    // every right row and hand them the smallest rightTs's payload.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(TsCol).desc_nulls_last, col(SideCol))
+      .orderBy(col(TsCol).desc_nulls_first, col(SideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn(PayCol, last(col(PayCol), ignoreNulls = true).over(w))
     val bounded = tolerance match {

@@ -199,8 +199,7 @@ object Extensions extends QueryGroup {
         .transform(graft.operators.Spread.byKey("doc_id"))
         .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("source"),
-          array_min(transform(Text.shingles(col("toks"), 8),
-            g => Text.md5Long(g, 12))).as("wfp"))
+          Text.windowFingerprint(col("toks"), 8).as("wfp"))
         .localCheckpoint(false)
         .filter(col("wfp").isNotNull)
       val a = h.filter(col("source").isin(curated: _*))

@@ -90,7 +90,10 @@ object StreamOps {
     val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
     val rangeCond = right(rightTs) >= left(leftTs) &&
       right(rightTs) <= left(leftTs) + expr(s"INTERVAL $tolerance")
-    left.join(right, keyCond && rangeCond, "inner")
+    // drop the right-side key copies: both sides carry the key under
+    // the same name and any downstream reference would be ambiguous
+    keys.foldLeft(left.join(right, keyCond && rangeCond, "inner"))(
+      (d, k) => d.drop(right(k)))
   }
 
   /** Streaming NEAR-dup removal: dedup on the order-invariant

@@ -78,6 +78,20 @@ class AsOfJoinSpec extends SparkSpec {
       "d" -> None, "e" -> None, "f" -> None))
   }
 
+  test("forward: NULL timestamps never match (left sorts before any right row)") {
+    val quotes = Seq(
+      ("k", Some(ts(10)), 1.0), ("k", Some(ts(20)), 2.0),
+      ("k", Option.empty[Timestamp], 7.0) // null qts: not a quote
+    ).toDF("key", "qts", "px")
+    val ticks = Seq(
+      ("k", Option.empty[Timestamp], "null_ts"), // must NOT grab ts=10's payload
+      ("k", Some(ts(15)), "mid")
+    ).toDF("key", "tts", "tick")
+    val out = AsOfJoin.forward(ticks, quotes, Seq("key"), "tts", "qts", Seq("px"))
+      .select("tick", "px").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("null_ts" -> None, "mid" -> Some(2.0)))
+  }
+
   test("forward: tolerance nulls the WHOLE payload beyond the bound") {
     val quotes = Seq(("k", ts(100), 5.0, "mk")).toDF("key", "qts", "px", "tag")
     val ticks = Seq(

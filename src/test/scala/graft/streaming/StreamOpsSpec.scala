@@ -84,9 +84,11 @@ class StreamOpsSpec extends SparkSpec {
         ("u2", ts(day0, 1), "c3"))              // other user's buy must NOT match
       buys.addData(("u1", ts(day0, 2), 5.0), ("u1", ts(day0, 12), 7.0))
       q.processAllAvailable()
+      // referencing the key post-join must not be ambiguous (the
+      // right-side copy is dropped by intervalJoin)
       val out = spark.table("ij_out")
-        .select("click", "amount").as[(String, Double)].collect().toSet
-      assert(out == Set(("c1", 5.0)))
+        .select("user", "click", "amount").as[(String, String, Double)].collect().toSet
+      assert(out == Set(("u1", "c1", 5.0)))
     } finally q.stop()
   }
 
