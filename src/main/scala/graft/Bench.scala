@@ -12,11 +12,14 @@ object Bench {
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () })
 
+    // A failed query records the -1 sentinel, NOT its elapsed time —
+    // a missing table must not masquerade as a 20 ms "success".
     def pass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
 
     // Two full passes: the first carries per-query JIT/codegen-cache
@@ -28,17 +31,24 @@ object Bench {
     // (ContextCleaner is async; the hint keeps pass 2 comparable)
     System.gc(); Thread.sleep(500)
     val warm = pass()
-    // Locale.ROOT: the f-interpolator uses the default locale, which
-    // under e.g. LANG=de_DE renders "1,234" and corrupts the JSON.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = if (warm.nonEmpty) warm.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    // Locale.ROOT: default-locale formatting renders "1,234" under
+    // comma-decimal locales and corrupts the JSON.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // JSON string escape for the sf path (quotes/backslashes/control chars)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // totals sum only the successful queries (failures are -1)
+    val total = warm.values.filter(_ >= 0).sum
+    val coldTotal = cold.values.filter(_ >= 0).sum
     // Full-name per-query map: printed first (and written to a file)
     // for humans/tools reading the whole log.
     val fullQs = warm.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$fullQs,"sf":${jstr(sfDir)}}"""
     println(full)
     try {
       val w = new java.io.PrintWriter("target/bench-full.json")
@@ -52,7 +62,7 @@ object Bench {
     val shortQs = warm.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$shortQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$shortQs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
