@@ -296,6 +296,37 @@ object Extensions extends QueryGroup {
           col("c.value").as("close"))
     }),
 
+    // Model-based quality score (the perplexity-filter shape): each
+    // doc's mean corpus-bigram probability. The LM is built from the
+    // same gram relation it scores (materialized once — at 100 TB
+    // the LM table would be persisted and reused across corpora);
+    // 6-dp probs summed through DECIMAL so the per-doc mean is
+    // aggregation-order-free in both engines.
+    "q99_lm_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val grams = d.select(col("doc_id"), col("text"))
+        .transform(graft.operators.Spread.byKey("doc_id"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(Text.shinglesWithDuplicates(col("toks"), 2)).as("gram"))
+        .select(col("doc_id"), substring_index(col("gram"), " ", 1).as("w1"),
+          substring_index(col("gram"), " ", -1).as("w2"))
+        .localCheckpoint(false)
+      val lm = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy("w1")))
+        .select(col("w1"), col("w2"),
+          round(col("cnt").cast("double") / col("total"), 6).as("p"))
+      // sum_p_micro: the 6-dp probs summed as exact integers (x 1e6).
+      // A final round(sum/n, 6) would land on rounding midpoints
+      // (observed at sf0.01) where the engines' half-up disagree —
+      // the mean stays a consumer-side division of two exact ints.
+      grams.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("p").cast("decimal(18,6)")) * 1000000)
+            .cast("long").as("sum_p_micro"))
+    }),
+
     // Approx-distinct audit: HLL++ sketch next to the exact count.
     // No DuckDB oracle (different sketch implementations cannot
     // hash-match) — rows-only driver check; the accuracy bound is
@@ -417,6 +448,23 @@ object Extensions extends QueryGroup {
            n_kept < len(toks) AS truncated,
            array_to_string(toks[1:n_kept], ' ') AS text_trunc
          FROM k""",
+
+    "q99_lm_quality" ->
+      s"""WITH $dTok,
+         g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])
+                 ELSE []::VARCHAR[] END) AS gram
+               FROM tok),
+         sp AS (SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+                       split_part(gram, ' ', 2) AS w2 FROM g),
+         lm AS (SELECT w1, w2,
+                  round(cnt::DOUBLE / sum(cnt) OVER (PARTITION BY w1), 6) AS p
+                FROM (SELECT w1, w2, count(*) AS cnt FROM sp GROUP BY w1, w2))
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(CAST(p AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_p_micro
+         FROM sp JOIN lm USING (w1, w2)
+         GROUP BY doc_id""",
 
     "q98_daily_bars" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
