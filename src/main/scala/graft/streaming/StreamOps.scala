@@ -74,6 +74,52 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** A closed session emitted by `sessionize`. */
+  case class Session(key: String, startMs: Long, endMs: Long, nEvents: Int)
+
+  /** Streaming-native SESSIONIZATION (the q46/q54 batch shape as
+    * bounded state): events keyed by `key`; a session closes when the
+    * watermark passes its last event + `gapMs`. State per key is one
+    * (start, end, count) triple — independent of session length —
+    * and expires via event-time timeout, so total state is
+    * O(active keys) at any scale. Sessions are emitted ONLY when
+    * closed (append semantics, exactly once per session).
+    *
+    * Input must carry a watermark on `ts`. Late events beyond the
+    * watermark are dropped by the groupByKey upstream of state.
+    */
+  def sessionize(events: Dataset[(String, java.sql.Timestamp)],
+                 gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Int), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[(Long, Long, Int)]) =>
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator.single(Session(key, s, e, n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            // merge the batch into the open session; a batch gap
+            // larger than gapMs closes the earlier run immediately
+            var (start, end, n) = state.getOption.getOrElse((times.head, times.head, 0))
+            val closed = Seq.newBuilder[Session]
+            times.foreach { t =>
+              if (n > 0 && t - end > gapMs) {
+                closed += Session(key, start, end, n)
+                start = t; n = 0
+              }
+              end = t; n += 1
+            }
+            state.update((start, end, n))
+            state.setTimeoutTimestamp(end + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream INTERVAL join (the streaming form of the q87
     * forward-as-of shape): each left row joins right rows on `keys`
     * whose `rightTs` falls in [leftTs, leftTs + tolerance]. Both
