@@ -88,9 +88,16 @@ object Dedup {
     val sh = materialize(shingleSets(df, idCol, textCol, n))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-    val filtered = inv
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
+    // Hot-shingle guard as partial-agg + broadcast anti-join, NOT a
+    // window over the raw rows: a window partitioned by shingle has
+    // no map-side combine, so the 10^7-document stop-shingle this
+    // guard exists for would funnel through one task before being
+    // dropped. The groupBy is partial-agg bounded (one row per
+    // shingle per mapper) and the hot list broadcast stays tiny by
+    // construction (<= |inv| / maxDf entries).
+    val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val filtered = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
     val pairs = filtered.as("a").join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -215,7 +222,12 @@ object Dedup {
         .localCheckpoint(true)
       changed = awaitMetric(obs, "n_changed").getOrElse(
         updated.filter(col("cluster") =!= col("old")).count())
+      // free the PREVIOUS round's checkpoint blocks now that the new
+      // round is materialized — otherwise one full labels copy per
+      // round piles up until the GC-driven ContextCleaner notices.
+      val prev = labels
       labels = updated.select("id", "cluster")
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(prev)
     }
     labels
   }
@@ -310,7 +322,12 @@ object Dedup {
           next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
           edges.join(next, Seq("u", "v"), "left_anti").isEmpty)
       prev = cur
+      // free the previous round's checkpoint blocks (and, after round
+      // 1, the pair base that initial edges derived from) — the
+      // set-equality check above was the last reader.
+      val prevEdges = edges
       edges = next
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(prevEdges)
     }
     nodes
       .join(edges.select(col("u").as("id"), col("v").as("parent")), Seq("id"), "left")

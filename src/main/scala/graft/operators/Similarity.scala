@@ -93,6 +93,8 @@ object Similarity {
     * as float, so the codegen'd float dot keeps the same products and
     * fold order as the HOF formulation (oracle-stable). */
   def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
+    require(bits >= 1, "lshBucket: bits must be >= 1 " +
+      "(for the exact no-bucketing variant use cosinePairs(bits = 0) / bruteForceTopK)")
     val bitCols = (0 until bits).map { j =>
       val w = array((0 until dim).map(d => lit(hyperplaneWeight(j, d, dim).toFloat)): _*)
       val proj = dot(vec, w)
@@ -239,10 +241,17 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .transform(Spread.byKey("id"))
       .withColumn("n2", norm2(col("v")))
-    val withB = if (bits > 0) base.withColumn("bucket", lshBucket(col("v"), dim, bits))
-                else base.withColumn("bucket", lit(0L))
-    val joined = withB.as("a").join(withB.as("b"),
+    // bits = 0 (exact variant) joins on id inequality ONLY — an
+    // explicit non-equi join, not an equi-join on a constant bucket
+    // column, whose parallelism would hinge on FoldablePropagation
+    // rewriting the condition (one shuffle partition if it doesn't).
+    val joined = (if (bits > 0) {
+      val withB = base.withColumn("bucket", lshBucket(col("v"), dim, bits))
+      withB.as("a").join(withB.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    } else {
+      base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+    })
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosineScore(col("a.v"), col("b.v"), col("a.n2"), col("b.n2")).as("cos_sim"))
     // !isnan: Spark SQL orders AND compares NaN above every double,

@@ -74,51 +74,29 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** A closed session emitted by `sessionize`. */
-  case class Session(key: String, startMs: Long, endMs: Long, nEvents: Int)
-
-  /** Streaming-native SESSIONIZATION (the q46/q54 batch shape as
-    * bounded state): events keyed by `key`; a session closes when the
-    * watermark passes its last event + `gapMs`. State per key is one
-    * (start, end, count) triple — independent of session length —
-    * and expires via event-time timeout, so total state is
-    * O(active keys) at any scale. Sessions are emitted ONLY when
-    * closed (append semantics, exactly once per session).
+  /** Streaming-native SESSIONIZATION (the q46/q54 batch shape on a
+    * stream): Spark's built-in session_window aggregation. Why NOT a
+    * hand-rolled flatMapGroupsWithState machine: the built-in merges
+    * late-but-within-watermark events into the RIGHT session (an
+    * event older than the open session's end must extend backwards),
+    * emits each session exactly once when the watermark passes its
+    * end + gap, and keeps state bounded — re-implementing that
+    * watermark contract by hand is where the bugs live (premature
+    * emit on an in-batch gap, end regression on out-of-order input).
     *
-    * Input must carry a watermark on `ts`. Late events beyond the
-    * watermark are dropped by the groupByKey upstream of state.
+    * Input must carry a watermark on `tsCol`. Output (append mode):
+    * (key, session_start, session_end, n_events), one row per closed
+    * session.
     */
-  def sessionize(events: Dataset[(String, java.sql.Timestamp)],
-                 gapMs: Long): Dataset[Session] = {
-    import events.sparkSession.implicits._
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: String): DataFrame =
     events
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Int), Session](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (key, rows, state: GroupState[(Long, Long, Int)]) =>
-          if (state.hasTimedOut) {
-            val (s, e, n) = state.get
-            state.remove()
-            Iterator.single(Session(key, s, e, n))
-          } else {
-            val times = rows.map(_._2.getTime).toSeq.sorted
-            // merge the batch into the open session; a batch gap
-            // larger than gapMs closes the earlier run immediately
-            var (start, end, n) = state.getOption.getOrElse((times.head, times.head, 0))
-            val closed = Seq.newBuilder[Session]
-            times.foreach { t =>
-              if (n > 0 && t - end > gapMs) {
-                closed += Session(key, start, end, n)
-                start = t; n = 0
-              }
-              end = t; n += 1
-            }
-            state.update((start, end, n))
-            state.setTimeoutTimestamp(end + gapMs)
-            closed.result().iterator
-          }
-      }
-  }
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 
   /** Stream-stream INTERVAL join (the streaming form of the q87
     * forward-as-of shape): each left row joins right rows on `keys`
@@ -157,8 +135,11 @@ object StreamOps {
                              tsCol: String, watermark: String): DataFrame = {
     import graft.functions.Text
     events
+      // lower() first: Text.tokens matches [a-z0-9]+ runs (lowercase-
+      // input assumed) — un-lowercased stream text would drop every
+      // uppercase segment and collide unrelated documents.
       .withColumn("_nd_fp",
-        md5(concat_ws(" ", sort_array(Text.tokens(col(textCol))))))
+        md5(concat_ws(" ", sort_array(Text.tokens(lower(col(textCol)))))))
       .transform(d => dedupWithinWatermark(d, tsCol, Seq("_nd_fp"), watermark))
       .drop("_nd_fp")
   }

@@ -110,46 +110,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize emits a session once the watermark passes its gap") {
+  test("sessionize merges within the gap, splits across it, emits once closed") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
     val sessions = StreamOps.sessionize(
-      in.toDS().withWatermark("_2", "0 seconds"), gapMs = 30 * 60 * 1000)
+      in.toDF().toDF("user", "ts").withWatermark("ts", "0 seconds"),
+      "user", "ts", "30 minutes")
     val q = sessions.writeStream.format("memory")
       .queryName("sz_out").outputMode(OutputMode.Append).start()
     try {
-      // u1: two events 10 min apart (one session); u2: one event
-      in.addData(("u1", ts(day0, 1)), ("u2", ts(day0, 1)))
+      // u1: events 10 min apart (one session) + one 4h later (second
+      // session); u2: a single event
+      in.addData(("u1", ts(day0, 1)),
+        ("u1", new Timestamp(day0 + 3600_000 + 600_000)),
+        ("u2", ts(day0, 1)), ("u1", ts(day0, 5)))
       q.processAllAvailable()
-      in.addData(("u1", new Timestamp(day0 + 1 * 3600_000 + 600_000)))
-      q.processAllAvailable()
-      // watermark far past every session's end + gap -> all closed
+      // advance the watermark far past every session end + gap
       in.addData(("u3", ts(day0, 12)))
       q.processAllAvailable()
       in.addData(("u3", ts(day0, 13)))
       q.processAllAvailable()
       val out = spark.table("sz_out")
-        .select("key", "nEvents").as[(String, Int)].collect()
-        .filter(r => r._1 == "u1" || r._1 == "u2").toSet
-      assert(out == Set(("u1", 2), ("u2", 1)))
-    } finally q.stop()
-  }
-
-  test("sessionize splits runs separated by more than the gap within one batch") {
-    implicit val sq = spark.sqlContext
-    val in = MemoryStream[(String, Timestamp)]
-    val sessions = StreamOps.sessionize(
-      in.toDS().withWatermark("_2", "0 seconds"), gapMs = 30 * 60 * 1000)
-    val q = sessions.writeStream.format("memory")
-      .queryName("sz_split").outputMode(OutputMode.Append).start()
-    try {
-      // one batch: events at h1 and h5 (gap 4h > 30min) -> first run
-      // closes immediately, second stays open in state
-      in.addData(("u1", ts(day0, 1)), ("u1", ts(day0, 5)))
-      q.processAllAvailable()
-      val out = spark.table("sz_split")
-        .select("key", "startMs", "nEvents").as[(String, Long, Int)].collect().toSet
-      assert(out == Set(("u1", day0 + 3600_000L, 1)))
+        .select("user", "n_events").as[(String, Long)].collect()
+        .filter(r => r._1 == "u1" || r._1 == "u2")
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(out == Map("u1" -> Seq(1L, 2L), "u2" -> Seq(1L)))
     } finally q.stop()
   }
 
