@@ -66,36 +66,51 @@ object Arbitrage {
     val wGame = Window.partitionBy("Sport", "BetType", "game_id")
     val wLeg = wGame.orderBy("idx")
 
-    val scored = parsed
+    // ONE window pass, ONE filter at the end. Every guard in this
+    // chain is GAME-level — arb_calc, the double-EVEN test (both legs
+    // are +100 when it fires), n_signs, and margin_pct take the same
+    // value on every leg of a game — so no filter ever drops a single
+    // leg. Window results over the pre-filter rows are therefore
+    // identical to the reference's filter-then-window sequence, and
+    // collapsing lets Spark evaluate the whole chain in 3 Window
+    // operators (wGame agg / wLeg ordered / wGame over stake) on one
+    // sorted partition pass instead of 6+ with re-sorts between.
+    // Scalar window INPUTS are projected first (sign, anchor payout):
+    // a Project interleaved between two Window nodes blocks Spark's
+    // CollapseWindow, so all four first-stage window columns are added
+    // in ONE withColumns — ExtractWindowExpressions then groups them
+    // into exactly two Window operators (wGame agg + wLeg ordered,
+    // row_number and first sharing the same cumulative row frame).
+    val sized = parsed
       .withColumn("max_payout", best.getField("v"))
       .withColumn("best_bookie", best.getField("bookie"))
-      // the arbitrage calc: per-game sum of best payouts
-      // (arbitrage_scanner.py:280-287) -- window, not groupby+join-back
-      .withColumn("arb_calc", sum(col("max_payout")).over(wGame))
-      // positive calc = guaranteed profit exists; the double-EVEN
-      // (+100/+100) false positive is excluded (arbitrage_scanner.py:331-332)
-      .filter(col("arb_calc") > 0 &&
-        !(col("max_payout") === 100 && col("arb_calc") === 200))
-      // sign audit: both legs carrying the same sign is a scrape
-      // error, not an arb (arbitrage_scanner.py:427-431)
-      .withColumn("n_signs",
-        size(collect_set(sign(col("max_payout"))).over(wGame)))
-      .filter(col("n_signs") =!= 1)
-
-    // stake sizing (arbitrage_scanner.py:360-378): anchor leg stakes
-    // 100 at decimal odds d1 (payout = 100*d1); the other leg hedges
-    // payout/d2 so both legs pay out equally; margin integer-rounded.
-    val sized = scored
       .withColumn("dec_odds", Odds.americanToDecimal(col("max_payout")))
-      .withColumn("is_anchor", row_number().over(wLeg) === 1)
-      .withColumn("payout",
-        first(round(col("dec_odds") * 100, 2)).over(
-          wLeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_sign", sign(col("max_payout")))
+      .withColumn("_anchor_pay", round(col("dec_odds") * 100, 2))
+      .withColumns(Map(
+        // the arbitrage calc: per-game sum of best payouts
+        // (arbitrage_scanner.py:280-287) -- window, not groupby+join-back
+        "arb_calc" -> sum(col("max_payout")).over(wGame),
+        // sign audit input: both legs carrying the same sign is a
+        // scrape error, not an arb (arbitrage_scanner.py:427-431)
+        "n_signs" -> size(collect_set(col("_sign")).over(wGame)),
+        // stake sizing (arbitrage_scanner.py:360-378): anchor leg
+        // stakes 100 at decimal odds d1 (payout = 100*d1); the other
+        // leg hedges payout/d2 so both legs pay out equally.
+        "is_anchor" -> (row_number().over(wLeg) === 1),
+        "payout" -> first(col("_anchor_pay")).over(
+          wLeg.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       .withColumn("stake", when(col("is_anchor"), lit(100.0))
         .otherwise(Odds.hedgeStake(col("payout"), col("dec_odds"))))
       .withColumn("total_stake", round(sum(col("stake")).over(wGame), 2))
       .withColumn("margin_pct", Odds.profitMargin(col("payout"), col("total_stake")))
-      .filter(col("margin_pct") >= minMarginPct) // arbitrage_scanner.py:401
+      .filter(
+        // positive calc = guaranteed profit exists; the double-EVEN
+        // (+100/+100) false positive is excluded (arbitrage_scanner.py:331-332)
+        col("arb_calc") > 0 &&
+        !(col("max_payout") === 100 && col("arb_calc") === 200) &&
+        col("n_signs") =!= 1 &&
+        col("margin_pct") >= minMarginPct) // arbitrage_scanner.py:401
 
     alertColumns(sized)
   }
