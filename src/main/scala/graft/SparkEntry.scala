@@ -14,7 +14,8 @@ object SparkEntry {
     q.Relational,
     q.Domain,
     q.TrainingData,
-    q.Extensions
+    q.Extensions,
+    q.Curation
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

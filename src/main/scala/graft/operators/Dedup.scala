@@ -131,6 +131,17 @@ object Dedup {
     shingleHashes(sh).groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash signature per document as ONE array<long> column
+    * (id, sig), via the codegen'd min-aggregate scale path (explode +
+    * map-side partial agg — the interpreted array-fold variant is
+    * ~100x slower at sf0.1). numPerm permutations, shingle size n. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numPerm: Int): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    minhashSigTable(sh, numPerm)
+      .select(col("id"), array((1 to numPerm).map(j => col(s"mh_$j")): _*).as("sig"))
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double,

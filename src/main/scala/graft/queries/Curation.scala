@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.Text
+import graft.operators.{Bucketing, Dedup, Similarity}
+
+/** Round-3 corpus-curation additions: the ops that COMPLETE stories
+  * the engine already tells —
+  *  - dedup MATERIALIZATION (clusters -> the kept corpus),
+  *  - per-source quality caps (the domain-cap rule of web-corpus
+  *    curation),
+  *  - MinHash-estimate accuracy vs exact Jaccard (the measurement
+  *    that justifies LSH at scale),
+  *  - kNN label propagation over embeddings,
+  *  - bigram collocation lift (PMI without the transcendental log, so
+  *    parity is exact),
+  *  - changelog compaction (CDC latest-wins, ONE shuffle, no window
+  *    sort),
+  *  - a shuffle-free bucketed join (storage layout as an operator).
+  * Same contract as every group: DuckDB oracle beside each plan,
+  * shared determinism rules.
+  */
+object Curation extends QueryGroup {
+
+  import TrainingData.{ccCte, dMd5Long, dSh, dSig, dDot, dTok, P, NumPerm, AnnQueries}
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Dedup MATERIALIZATION: near-dup clusters -> the deduplicated
+    // corpus. Keep the representative (min doc_id == the cluster
+    // label) of every near-dup cluster plus all unclustered docs.
+    // The corpus never shuffles: cluster labels are a pair-graph-sized
+    // table (tiny by construction) joined back onto documents.
+    "q100_dedup_materialize" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      val clusters = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      d.join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // Per-source cap: keep the 20 most lexically diverse docs per
+    // source (ttr DESC, doc_id tie-break) — the per-domain cap of
+    // web-corpus curation. One shuffle on source; at 100 TB source
+    // cardinality is huge (domains), so the partitions stay balanced.
+    "q101_source_cap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy("source")
+        .orderBy(col("ttr").desc, col("doc_id"))
+      d.select(col("doc_id"), col("source"),
+          round(Text.typeTokenRatio(Text.tokens(col("text"))), 6).as("ttr"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+    }),
+
+    // MinHash ACCURACY: estimated Jaccard (share of agreeing
+    // signature positions; /32 is a power of two, so the ratio is
+    // exact binary) next to the exact Jaccard for every near-dup
+    // pair. The per-pair work is a 32-element zip on two broadcast-
+    // joinable signature columns — never the shingle sets.
+    "q102_minhash_estimate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+        n = 3, numPerm = NumPerm)
+      val nEq = size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+      pairs
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"), nEq.as("n_eq"))
+        .withColumn("est_jaccard",
+          round(col("n_eq").cast("double") / NumPerm, 6))
+    }),
+
+    // kNN label propagation: classify each query embedding by
+    // majority vote of its 5 nearest LABELED neighbors (vote count
+    // DESC, best rank ASC, label ASC — a total order). The semi-
+    // supervised labeling pass of embedding-based curation.
+    "q103_knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val labeled = e.filter(col("vec_id") >= AnnQueries)
+      val nn = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < AnnQueries), labeled,
+        "vec_id", "embedding", k = 5)
+      val votes = nn
+        .join(labeled.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("best_rank"), col("label"))
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"),
+          col("votes"), col("best_rank"))
+    }),
+
+    // Collocation LIFT: top-100 bigrams by
+    // N * c(ab) / (c(a) * c(b)), min support 5 — PMI's argument
+    // without the log, so both engines divide the same exact integers.
+    // All three count tables are keyed shuffles with map-side partial
+    // aggregation; N rides in on a one-row broadcast.
+    "q104_bigram_lift" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(Text.tokens(col("text")).as("toks"))
+      val bg = toks.select(
+        explode(Text.shinglesWithDuplicates(col("toks"), 2)).as("bigram"))
+      val bgc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      val ug = toks.select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = bg.agg(count(lit(1)).as("n_bigrams"))
+      bgc.filter(col("c_ab") >= 5)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(ug.select(col("term").as("w1"), col("c").as("c_a")), "w1")
+        .join(ug.select(col("term").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift", round(
+          (col("c_ab") * col("n_bigrams")).cast("double") /
+            (col("c_a") * col("c_b")), 6))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(100)
+        .select("bigram", "c_ab", "c_a", "c_b", "lift")
+    }),
+
+    // Changelog COMPACTION (CDC latest-wins): the newest event per
+    // (user_id, event_type) by (ts, event_id) via struct-argmax — ONE
+    // shuffle with map-side partial aggregation, NOT a window (which
+    // would sort every historical version of every key; compaction at
+    // 100 TB keeps only |keys| rows after the partial agg).
+    "q105_cdc_compact" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("event_type"),
+          // epoch millis, the repo's cross-engine timestamp convention
+          // (a raw timestamp column compares tz-aware vs naive)
+          unix_millis(col("last.ts")).as("last_ts_ms"),
+          col("last.event_id").as("last_event_id"),
+          col("last.value").as("last_value"),
+          col("n_versions"))
+    }),
+
+    // Shuffle-free CO-LOCATED join over bucketed tables (storage
+    // layout as an operator; BucketingSpec asserts the Exchange-free
+    // join plan). The oracle checks the RESULT equals the plain join.
+    "q106_bucketed_join" -> ((s, dir) =>
+      Bucketing.revenueByPriority(s, dir))
+  )
+
+  override val oracles: Map[String, String] = Map(
+
+    "q100_dedup_materialize" ->
+      s"""WITH RECURSIVE $ccCte,
+         clus AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d LEFT JOIN clus USING (doc_id)
+         WHERE clus.cluster IS NULL OR clus.cluster = d.doc_id""",
+
+    "q101_source_cap" ->
+      s"""WITH $dTok,
+         sc AS (SELECT doc_id,
+             round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr
+           FROM tok)
+         SELECT doc_id, source, ttr, rk FROM (
+           SELECT d.doc_id, d.source, sc.ttr,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY sc.ttr DESC NULLS LAST, d.doc_id) AS rk
+           FROM documents d JOIN sc USING (doc_id))
+         WHERE rk <= 20""",
+
+    "q102_minhash_estimate" ->
+      s"""WITH $dSh,
+         hs AS (SELECT doc_id, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hashes FROM shn),
+         sigs AS (SELECT doc_id, $dSig AS sig FROM hs),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         jp AS (SELECT id_a, id_b,
+             round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+           FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5)
+         SELECT id_a, id_b, jaccard,
+           len(list_filter(generate_series(1, $NumPerm),
+             i -> sa.sig[i] = sb.sig[i]))::INT AS n_eq,
+           round(len(list_filter(generate_series(1, $NumPerm),
+             i -> sa.sig[i] = sb.sig[i]))::DOUBLE / $NumPerm, 6) AS est_jaccard
+         FROM jp JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id""",
+
+    "q103_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             ${dDot("embedding", "embedding")} AS qn
+           FROM embeddings WHERE vec_id < $AnnQueries),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label,
+             ${dDot("embedding", "embedding")} AS cn
+           FROM embeddings WHERE vec_id >= $AnnQueries),
+         scored AS (SELECT query_id, neighbor_id, label,
+             round(${dDot("qv", "cv")} / sqrt(qn * cn), 6) AS score
+           FROM c JOIN q ON query_id != neighbor_id),
+         nn AS (SELECT query_id, neighbor_id, label, rank FROM (
+             SELECT query_id, neighbor_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+             FROM scored) WHERE rank <= 5),
+         votes AS (SELECT query_id, label,
+             count(*) AS votes, min(rank) AS best_rank
+           FROM nn GROUP BY 1, 2)
+         SELECT query_id, label AS pred_label, votes, best_rank FROM (
+           SELECT query_id, label, votes, best_rank,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, best_rank, label) AS rn
+           FROM votes) WHERE rn = 1""",
+
+    "q104_bigram_lift" ->
+      s"""WITH $dTok,
+         bg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+             THEN list_transform(generate_series(1, len(toks)-1),
+                                 i -> toks[i] || ' ' || toks[i+1])
+             ELSE []::VARCHAR[] END) AS bigram FROM tok),
+         ug AS (SELECT unnest(toks) AS term FROM tok),
+         bgc AS (SELECT bigram, count(*)::BIGINT AS c_ab FROM bg GROUP BY 1),
+         ugc AS (SELECT term, count(*)::BIGINT AS c FROM ug GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n_bigrams FROM bg)
+         SELECT bigram, c_ab, c_a, c_b,
+           round((c_ab * n_bigrams)::DOUBLE / (c_a * c_b), 6) AS lift
+         FROM (SELECT b.bigram, b.c_ab, a.c AS c_a, bb.c AS c_b
+               FROM bgc b
+               JOIN ugc a ON a.term = split_part(b.bigram, ' ', 1)
+               JOIN ugc bb ON bb.term = split_part(b.bigram, ' ', 2)
+               WHERE b.c_ab >= 5), tot
+         ORDER BY lift DESC, bigram LIMIT 100""",
+
+    "q105_cdc_compact" ->
+      """SELECT user_id, event_type, epoch_ms(ts) AS last_ts_ms,
+           event_id AS last_event_id, value AS last_value,
+           n_versions
+         FROM (SELECT *,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+           FROM events) WHERE rn = 1""",
+
+    "q106_bucketed_join" ->
+      """SELECT o_orderpriority,
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1"""
+  )
+}

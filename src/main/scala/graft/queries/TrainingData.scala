@@ -27,20 +27,20 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   */
 object TrainingData extends QueryGroup {
 
-  private val P = Text.MinhashP // 1000000007
+  private[queries] val P = Text.MinhashP // 1000000007
   private val Bands = 8
   private val RowsPerBand = 4
-  private val NumPerm = Bands * RowsPerBand // 32
+  private[queries] val NumPerm = Bands * RowsPerBand // 32
   private val SimhashBits = 16
-  private val AnnQueries = 8 // vec_id < 8 are the query vectors
-  private val Dim = 64
+  private[queries] val AnnQueries = 8 // vec_id < 8 are the query vectors
+  private[queries] val Dim = 64
   private val LshBits = 4
 
   // ---- DuckDB SQL fragment generators (mirror graft.functions.Text) ----
 
-  private def dMd5Long(e: String, k: Int) = s"('0x' || substr(md5($e), 1, $k))::BIGINT"
+  private[queries] def dMd5Long(e: String, k: Int) = s"('0x' || substr(md5($e), 1, $k))::BIGINT"
 
-  private val dToks = "regexp_extract_all(text, '([a-z0-9]+)', 1)"
+  private[queries] val dToks = "regexp_extract_all(text, '([a-z0-9]+)', 1)"
 
   private def dShingles(toks: String, n: Int): String = {
     val gram = (0 until n).map(o => s"$toks[i+$o]").mkString(" || ' ' || ")
@@ -49,16 +49,16 @@ object TrainingData extends QueryGroup {
   }
 
   /** Shared tokenized-documents CTE. */
-  private val dTok = s"tok AS (SELECT doc_id, $dToks AS toks FROM documents)"
+  private[queries] val dTok = s"tok AS (SELECT doc_id, $dToks AS toks FROM documents)"
 
   /** Shared shingle CTE (distinct 3-gram shingles, non-empty only). */
-  private val dSh =
+  private[queries] val dSh =
     s"""$dTok,
        sh AS (SELECT doc_id, ${dShingles("toks", 3)} AS shingles FROM tok),
        shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)"""
 
   /** MinHash signature list literal from a `hashes` list column. */
-  private val dSig: String = {
+  private[queries] val dSig: String = {
     val mins = (1 to NumPerm).map { j =>
       s"list_min(list_transform(hashes, h -> (${Text.minhashCoeffA(j)} * h + ${Text.minhashCoeffB(j)}) % $P))"
     }
@@ -66,7 +66,7 @@ object TrainingData extends QueryGroup {
   }
 
   /** Left-fold double dot product of list columns a·b (len `Dim`). */
-  private def dDot(a: String, b: String): String =
+  private[queries] def dDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
 
@@ -417,8 +417,12 @@ object TrainingData extends QueryGroup {
   /** Shared by q69 (fixpoint propagation) and q73 (large-star/
     * small-star): both must agree with min-reachable-id over the
     * Jaccard>=0.5 pair graph, computed as a recursive CTE. */
-  private lazy val ccClusterOracle =
-    s"""WITH RECURSIVE $dSh,
+  /** Recursive-CTE WITH-clause list for min-reachable-id clustering
+    * over the Jaccard>=0.5 pair graph; callers prepend WITH RECURSIVE
+    * and select from `reach`. Shared by q69/q73 and the Curation
+    * group's dedup-materialization oracle. */
+  private[queries] lazy val ccCte =
+    s"""$dSh,
        inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
        filt AS (SELECT * FROM (
            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
@@ -437,7 +441,10 @@ object TrainingData extends QueryGroup {
        reach AS (
          SELECT id, id AS r FROM nodes
          UNION
-         SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)
+         SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)"""
+
+  private lazy val ccClusterOracle =
+    s"""WITH RECURSIVE $ccCte
        SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id"""
 
   def oracles: Map[String, String] = Map(

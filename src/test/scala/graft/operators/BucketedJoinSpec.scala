@@ -45,4 +45,21 @@ class BucketedJoinSpec extends SparkSpec {
     if (wh.exists()) wh.delete() // empty after the drops
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("Bucketing.revenueByPriority joins shuffle-free and is re-runnable") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // run twice: the operator must be idempotent (stale warehouse
+      // locations from a previous JVM are the production failure mode)
+      Bucketing.revenueByPriority(spark, "/root/testdata/sf0.001").count()
+      val df = Bucketing.revenueByPriority(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      // only the final 5-key priority aggregation may exchange
+      assert(exchanges <= 1, s"unexpected exchanges in:\n$plan")
+      assert(df.count() == 5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Golden tests for the Curation group's composed semantics on
+  * planted data (the oracle gate re-checks them against DuckDB at
+  * sf0.01; these pin the SEMANTICS on cases small enough to eyeball). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cdc compaction keeps the latest version per key with event_id tie-break") {
+    val ev = Seq(
+      // user 1, type "set": two versions, later ts wins
+      (1L, "2024-01-01 10:00:00", 1L, "set", 1.0),
+      (2L, "2024-01-01 11:00:00", 1L, "set", 2.0),
+      // user 1, type "del": ts TIE -> higher event_id wins
+      (3L, "2024-01-02 09:00:00", 1L, "del", 3.0),
+      (4L, "2024-01-02 09:00:00", 1L, "del", 4.0),
+      // user 2: single version
+      (5L, "2024-01-03 08:00:00", 2L, "set", 5.0)
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+    val out = ev.groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"), col("n_versions"))
+      .as[(Long, String, Long, Double, Long)].collect().toSet
+
+    assert(out == Set(
+      (1L, "set", 2L, 2.0, 2L),
+      (1L, "del", 4L, 4.0, 2L),
+      (2L, "set", 5L, 5.0, 1L)))
+  }
+
+  test("source cap keeps the top-k most diverse docs per source, deterministic on ties") {
+    val docs = Seq(
+      // source A: d1 ttr=1.0, d2 ttr=0.5, d3 ttr=0.5 (tie -> lower id first)
+      (1L, "a b c d", "A"),
+      (2L, "a a b b", "A"),
+      (3L, "c c d d", "A"),
+      (4L, "x x x x", "B")
+    ).toDF("doc_id", "text", "source")
+    val w = Window.partitionBy("source").orderBy(col("ttr").desc, col("doc_id"))
+    val out = docs.select(col("doc_id"), col("source"),
+        round(Text.typeTokenRatio(Text.tokens(col("text"))), 6).as("ttr"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("doc_id", "rk").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 2, 4L -> 1))
+  }
+
+  test("minhash estimate agrees exactly with jaccard on identical docs") {
+    val same = "spark query engine scans parquet files with vectorized readers"
+    val docs = Seq((1L, same), (2L, same)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numPerm = 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    // identical shingle sets -> identical signatures -> est = 1.0
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).length == 32)
+  }
+
+  test("dedup materialization keeps cluster representatives plus singletons") {
+    val a = "spark query engine scans parquet files with vectorized readers and pushes filters down"
+    val docs = Seq(
+      (10L, a), (20L, a), // near-dup cluster, rep = 10
+      (30L, "completely different text about cooking pasta with garlic butter and basil")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val kept = docs.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 30L))
+  }
+}
