@@ -49,6 +49,12 @@ object Bucketing {
     val t = tag(sfDir)
     val liT = s"graft_li_bkt_$t"
     val ordT = s"graft_ord_bkt_$t"
+    // Pay the layout ONCE per (JVM, source dir) — that is the whole
+    // bucketing contract: ingest shuffles once, every later run joins
+    // shuffle-free. The source parquet is immutable testdata, so a
+    // catalog hit means the bucketed copy is current.
+    if (spark.catalog.tableExists(liT) && spark.catalog.tableExists(ordT))
+      return (spark.table(liT), spark.table(ordT))
     dropStale(spark, liT)
     dropStale(spark, ordT)
     Tables.lineitem(spark, sfDir)

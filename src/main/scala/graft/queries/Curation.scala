@@ -150,6 +150,28 @@ object Curation extends QueryGroup {
           col("n_versions"))
     }),
 
+    // One POWER-ITERATION step of X^T X v over the embedding matrix —
+    // distributed linear algebra as a relational plan: u_d =
+    // sum_i (x_i . v) * x_i[d]. The x.v fold is the shared left-to-
+    // right IEEE dot (bitwise-equal cross-engine); per-dim sums go
+    // decimal-exact. No vector is ever held whole on one node, and
+    // the only shuffle is 64 (dim, partial-sum) cells per mapper —
+    // the plan shape a 100 TB PCA/spectral pass needs.
+    "q107_power_iteration" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val v = array((0 until TrainingData.Dim).map(d =>
+        lit(Similarity.hyperplaneWeight(0, d).toDouble)): _*)
+      val xv = aggregate(
+        zip_with(col("embedding"), v, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, p) => acc + p)
+      e.select(col("embedding"), xv.as("xv"))
+        .select(posexplode(col("embedding")).as(Seq("dim_no", "x_d")), col("xv"))
+        .groupBy("dim_no")
+        .agg(round(sum((col("x_d").cast("double") * col("xv"))
+          .cast("decimal(28,10)")).cast("double"), 6).as("u"))
+        .select(col("dim_no"), col("u"))
+    }),
+
     // Shuffle-free CO-LOCATED join over bucketed tables (storage
     // layout as an operator; BucketingSpec asserts the Exchange-free
     // join plan). The oracle checks the RESULT equals the plain join.
@@ -253,6 +275,25 @@ object Curation extends QueryGroup {
                                 ORDER BY ts DESC, event_id DESC) AS rn,
              count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
            FROM events) WHERE rn = 1""",
+
+    "q107_power_iteration" -> {
+      val vList = (0 until TrainingData.Dim)
+        .map(d => s"${Similarity.hyperplaneWeight(0, d)}.0")
+        .mkString("[", ", ", "]")
+      s"""WITH e2 AS (SELECT embedding,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, ${TrainingData.Dim}),
+                 i -> embedding[i]::DOUBLE * ($vList::DOUBLE[])[i])),
+               (acc, x) -> acc + x) AS xv
+           FROM embeddings)
+         SELECT CAST(dim_no AS INT) AS dim_no,
+           round(sum((x_d::DOUBLE * xv)::DECIMAL(28,10))::DOUBLE, 6) AS u
+         FROM (SELECT xv,
+             unnest(generate_series(0, len(embedding)-1)) AS dim_no,
+             unnest(embedding) AS x_d
+           FROM e2)
+         GROUP BY 1"""
+    },
 
     "q106_bucketed_join" ->
       """SELECT o_orderpriority,

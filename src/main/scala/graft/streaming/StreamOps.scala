@@ -120,6 +120,29 @@ object StreamOps {
       (d, k) => d.drop(right(k)))
   }
 
+  /** Streaming CDC COMPACTION (the streaming form of q105): maintain
+    * the latest version per key as an update-mode aggregate —
+    * max(struct(ts, tieBreak, values...)) keeps ONE struct per key,
+    * so state is O(|keys|) with no version history, and each
+    * micro-batch emits only the keys it touched (an incrementally-
+    * maintained upsert view; pair with a foreachBatch MERGE sink to
+    * materialize it). Late rows older than a key's current version
+    * are absorbed with no output change — latest-wins is inherently
+    * out-of-order-safe, no watermark needed for correctness (add one
+    * upstream only to bound OTHER stateful ops composed before this).
+    * Ties on ts resolve by `tieBreak` (pass a unique id). Output:
+    * keyCols ++ (tsCol, tieBreak, valueCols) of the winning version,
+    * original names. */
+  def compactLatest(updates: DataFrame, keyCols: Seq[String], tsCol: String,
+                    tieBreak: String, valueCols: Seq[String]): DataFrame = {
+    val payload = (tsCol +: tieBreak +: valueCols).map(col)
+    updates
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(payload: _*)).as("_last"))
+      .select(keyCols.map(col) ++
+        (tsCol +: tieBreak +: valueCols).map(f => col(s"_last.$f").as(f)): _*)
+  }
+
   /** Streaming NEAR-dup removal: dedup on the order-invariant
     * TOKEN-MULTISET fingerprint (md5 of the sorted token array)
     * within the watermark — catches re-posted content with shuffled
