@@ -28,7 +28,9 @@ object PlanAudit {
     "q45_ann_ivf" -> "cell assignment vs 12 broadcast centroids",
     "q53_tfidf_keywords" -> "1-row corpus-size broadcast cross join",
     "q86_histogram" -> "1-row global min/max broadcast cross join",
-    "q94_kmeans_iter" -> "8 seed centroids broadcast; argmax is a partial-agg struct max"
+    "q94_kmeans_iter" -> "8 seed centroids broadcast; argmax is a partial-agg struct max",
+    "q103_knn_classify" -> "exact kNN baseline; 8-query side broadcast (q36 shape)",
+    "q104_bigram_lift" -> "1-row total-bigram-count broadcast cross join (q53 shape)"
   )
 
   private def globalWindow(root: SparkPlan): Boolean =
