@@ -20,9 +20,10 @@ import org.apache.spark.sql.types._
   *
   * Semantics are IDENTICAL to the fold (same IEEE operation order:
   * ((0+p1)+p2)+...), so DuckDB-oracle parity is preserved bit for
-  * bit. A null array or null element yields null, like the HOF chain;
-  * lengths are expected equal (extra tail elements on either side are
-  * ignored).
+  * bit. A null array, a null element, or a LENGTH MISMATCH yields
+  * null — exactly the HOF chain's behavior (zip_with pads the shorter
+  * side with nulls), which is what lets RewriteHofDotProduct swap the
+  * chain for this expression without any semantic delta.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -32,21 +33,18 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
-  /** A null ELEMENT also yields null, so nullability must include the
-    * arrays' containsNull — BinaryExpression's default (left.nullable
-    * || right.nullable) would declare non-nullable for non-nullable
-    * array columns and let codegen assign to a literal `false`. */
-  override def nullable: Boolean =
-    left.nullable || right.nullable ||
-      Seq(left.dataType, right.dataType).exists {
-        case ArrayType(_, containsNull) => containsNull
-        case _ => true
-      }
+  /** A null ELEMENT or a length mismatch also yields null, so the
+    * expression is always nullable — BinaryExpression's default
+    * (left.nullable || right.nullable) would declare non-nullable for
+    * non-nullable array columns and let codegen assign to a literal
+    * `false`. */
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -62,22 +60,19 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      // Only emit the null-element branch (which assigns ev.isNull)
-      // when the expression is nullable: if containsNull is false on
-      // both inputs, ev.isNull is the literal `false` and an
-      // assignment to it would not compile.
-      val nullElementCheck =
-        if (nullable)
-          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+      // nullable is constant-true, so ev.isNull is a real variable and
+      // the null-element / length-mismatch assignments always compile.
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullElementCheck
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 
