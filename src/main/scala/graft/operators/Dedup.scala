@@ -82,10 +82,16 @@ object Dedup {
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDf: Int = 100,
-                   materialize: Materialize = DefaultMaterialize): DataFrame = {
-    // Two consumers (inverted index + sizes): same reuse story as
-    // minhashLshPairs — materialize once.
-    val sh = materialize(shingleSets(df, idCol, textCol, n))
+                   materialize: Materialize = DefaultMaterialize): DataFrame =
+    jaccardPairsFromShingles(
+      materialize(shingleSets(df, idCol, textCol, n)), threshold, maxDf)
+
+  /** Same pair generation over an ALREADY-built (id, shingles) table —
+    * callers that need the shingle table for more than one consumer
+    * (e.g. pairs + minhash signatures) materialize it once and pass
+    * it here, saving a full tokenize+shingle pass per consumer. */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+                               maxDf: Int = 100): DataFrame = {
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     // Hot-shingle guard as partial-agg + broadcast anti-join, NOT a
@@ -136,11 +142,14 @@ object Dedup {
     * map-side partial agg — the interpreted array-fold variant is
     * ~100x slower at sf0.1). numPerm permutations, shingle size n. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, numPerm: Int): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
+                        n: Int, numPerm: Int): DataFrame =
+    minhashSignaturesFromShingles(shingleSets(df, idCol, textCol, n), numPerm)
+
+  /** Signature variant over an already-built (id, shingles) table
+    * (see jaccardPairsFromShingles for the shared-consumer story). */
+  def minhashSignaturesFromShingles(sh: DataFrame, numPerm: Int): DataFrame =
     minhashSigTable(sh, numPerm)
       .select(col("id"), array((1 to numPerm).map(j => col(s"mh_$j")): _*).as("sig"))
-  }
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,

@@ -66,10 +66,13 @@ object Curation extends QueryGroup {
     // joinable signature columns — never the shingle sets.
     "q102_minhash_estimate" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDf = 100)
-      val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
-        n = 3, numPerm = NumPerm)
+      // ONE tokenize+shingle pass feeds both consumers (pairs and
+      // signatures) — the materialized table is read twice, the
+      // expensive projection runs once.
+      val sh = Dedup.DefaultMaterialize(
+        Dedup.shingleSets(d, "doc_id", "text", 3))
+      val pairs = Dedup.jaccardPairsFromShingles(sh, threshold = 0.5, maxDf = 100)
+      val sigs = Dedup.minhashSignaturesFromShingles(sh, numPerm = NumPerm)
       val nEq = size(filter(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
       pairs
