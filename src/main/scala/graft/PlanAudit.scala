@@ -30,7 +30,15 @@ object PlanAudit {
     "q86_histogram" -> "1-row global min/max broadcast cross join",
     "q94_kmeans_iter" -> "8 seed centroids broadcast; argmax is a partial-agg struct max",
     "q103_knn_classify" -> "exact kNN baseline; 8-query side broadcast (q36 shape)",
-    "q104_bigram_lift" -> "1-row total-bigram-count broadcast cross join (q53 shape)"
+    "q104_bigram_lift" -> "1-row total-bigram-count broadcast cross join (q53 shape)",
+    "q108_vocab_coverage" -> "4-row threshold table + 1-row total broadcast; non-equi coverage test"
+  )
+
+  /** Global-window allow-list: the windowed relation is bounded by
+    * construction (never the raw fact table). */
+  private val globalWindowOk: Map[String, String] = Map(
+    "q108_vocab_coverage" ->
+      "rank/cumsum over the AGGREGATED vocab relation (|distinct terms|, Heaps-law bounded) — the corpus never passes through the single partition"
   )
 
   private def globalWindow(root: SparkPlan): Boolean =
@@ -60,7 +68,8 @@ object PlanAudit {
           if (cart) Some("CARTESIAN") else None,
           if (bnlj && !bnljOk.contains(name)) Some("BNLJ") else None,
           if (bnlj && bnljOk.contains(name)) Some("bnlj-ok") else None,
-          if (gw) Some("GLOBAL-WINDOW") else None
+          if (gw && !globalWindowOk.contains(name)) Some("GLOBAL-WINDOW") else None,
+          if (gw && globalWindowOk.contains(name)) Some("gw-ok") else None
         ).flatten
         val bad = notes.exists(n => n == "CARTESIAN" || n == "BNLJ" || n == "GLOBAL-WINDOW")
         if (bad) flagged ::= s"$name: ${notes.mkString(",")}"

@@ -100,4 +100,67 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         payload.map(p => col(PayCol).getField(p).as(p)): _*)
   }
+
+  /** NEAREST as-of join: for each left row, the right row minimizing
+    * |rightTs - leftTs| on the same key; ties (equal gap both sides)
+    * resolve to the BACKWARD match. Still ONE shuffle on the key —
+    * the same union carries both a running backward fill (time
+    * ascending) and a running forward fill (time descending), two
+    * Window passes over one exchange, and the smaller gap wins per
+    * row. `tolerance` bounds the gap on BOTH sides.
+    *
+    * Same contracts as backward/forward: right rows unique per
+    * (key, ts), NULL-ts right rows excluded, NULL-ts left rows match
+    * nothing, the payload travels as one struct (never stitched from
+    * two right rows).
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String],
+              tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(Set(TsCol, SideCol, PayCol)),
+      s"AsOfJoin: left side must not contain reserved columns $TsCol/$SideCol/$PayCol")
+    val matchTs = "_graft_asof_match_ts"
+    val backCol = "_graft_asof_back"
+    val fwdCol = "_graft_asof_fwd"
+    val l = left.withColumn(TsCol, col(leftTs)).withColumn(SideCol, lit(1))
+    val r = right
+      .filter(col(rightTs).isNotNull)
+      .select((keys.map(col) :+ col(rightTs).as(TsCol)) :+
+        struct((col(rightTs).as(matchTs) +: payload.map(col)): _*).as(PayCol): _*)
+      .withColumn(SideCol, lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // Both fills share the partitioning: one exchange, two sorts. At
+    // equal timestamps the right row precedes the left row in BOTH
+    // orders (SideCol ascending), so an exact-ts match is inclusive
+    // from either direction; null-ts left rows sort first in both and
+    // see no right payload.
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TsCol).asc_nulls_first, col(SideCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(TsCol).desc_nulls_first, col(SideCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u
+      .withColumn(backCol, last(col(PayCol), ignoreNulls = true).over(wB))
+      .withColumn(fwdCol, last(col(PayCol), ignoreNulls = true).over(wF))
+    def inTol(c: Column): Column = tolerance match {
+      case Some(tol) =>
+        c.getField(matchTs).between(col(TsCol) - tol, col(TsCol) + tol)
+      case None => lit(true)
+    }
+    def gap(c: Column): Column =
+      abs(unix_micros(c.getField(matchTs)) - unix_micros(col(TsCol)))
+    val chosen = filled
+      .withColumn(backCol, when(inTol(col(backCol)), col(backCol)))
+      .withColumn(fwdCol, when(inTol(col(fwdCol)), col(fwdCol)))
+      .withColumn(PayCol,
+        when(col(backCol).isNull, col(fwdCol))
+          .when(col(fwdCol).isNull, col(backCol))
+          .when(gap(col(fwdCol)) < gap(col(backCol)), col(fwdCol))
+          .otherwise(col(backCol)))
+    chosen.filter(col(SideCol) === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(PayCol).getField(p).as(p)): _*)
+  }
 }

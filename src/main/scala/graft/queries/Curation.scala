@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.Text
-import graft.operators.{Bucketing, Dedup, Similarity}
+import graft.operators.{AsOfJoin, Bucketing, Dedup, Similarity}
 
 /** Round-3 corpus-curation additions: the ops that COMPLETE stories
   * the engine already tells —
@@ -175,6 +175,53 @@ object Curation extends QueryGroup {
         .select(col("dim_no"), col("u"))
     }),
 
+    // Zipf/vocabulary COVERAGE curve: how many distinct terms cover
+    // 50/90/95/99% of all token occurrences — the corpus statistic
+    // behind tokenizer-vocab sizing. The window is global BUT runs
+    // over the AGGREGATED vocab relation (|distinct terms|, Heaps-law
+    // bounded), never the raw corpus; PlanAudit allow-lists it with
+    // that justification. Coverage test is exact integer math
+    // (cum*100 >= N*pct).
+    "q108_vocab_coverage" -> ((s, dir) => {
+      val tc = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+      val w = Window.orderBy(col("tf").desc, col("term"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = tc
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("tf")).over(wCum))
+      val tot = tc.agg(sum(col("tf")).as("n_tokens"))
+      val th = s.range(1).select(
+        explode(array(lit(50), lit(90), lit(95), lit(99))).as("pct"))
+      ranked.crossJoin(broadcast(tot)).join(broadcast(th),
+          col("cum") * 100 >= col("n_tokens") * col("pct"))
+        .groupBy("pct")
+        .agg(min(struct(col("rk"), col("cum"))).as("m"),
+          max(col("n_tokens")).as("n_tokens"))
+        .select(col("pct"), col("m.rk").as("k_terms"),
+          col("m.cum").as("covered_tokens"), col("n_tokens"))
+    }),
+
+    // NEAREST as-of join (backward and forward fills over ONE
+    // exchange, smaller gap wins, tie -> backward) vs an oracle
+    // composed from DuckDB's two native ASOF directions — independent
+    // implementations of the same semantics, like q49/q87.
+    "q109_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mw = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val marks = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(mw)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("mts"), col("value").as("mark_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.nearest(clicks, marks, Seq("user_id"), "ts", "mts",
+          Seq("mts", "mark_value"), tolerance = Some(expr("INTERVAL 2 DAYS")))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("mts")).as("mts_ms"), col("mark_value"))
+    }),
+
     // Shuffle-free CO-LOCATED join over bucketed tables (storage
     // layout as an operator; BucketingSpec asserts the Exchange-free
     // join plan). The oracle checks the RESULT equals the plain join.
@@ -297,6 +344,54 @@ object Curation extends QueryGroup {
            FROM e2)
          GROUP BY 1"""
     },
+
+    "q108_vocab_coverage" ->
+      s"""WITH $dTok,
+         tc AS (SELECT unnest(toks) AS term FROM tok),
+         vc AS (SELECT term, count(*)::BIGINT AS tf FROM tc GROUP BY 1),
+         ranked AS (SELECT term, tf,
+             row_number() OVER (ORDER BY tf DESC, term) AS rk,
+             CAST(sum(tf) OVER (ORDER BY tf DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM vc),
+         tot AS (SELECT sum(tf)::BIGINT AS n_tokens FROM vc),
+         th AS (SELECT unnest([50, 90, 95, 99]) AS pct)
+         SELECT pct, CAST(min(rk) AS INT) AS k_terms,
+           CAST(min_by(cum, rk) AS BIGINT) AS covered_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens
+         FROM ranked, tot, th
+         WHERE cum * 100 >= n_tokens * pct
+         GROUP BY pct""",
+
+    "q109_asof_nearest" ->
+      """WITH marks0 AS (
+           SELECT user_id, ts AS mts, value AS mark_value,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT user_id, mts, mark_value FROM marks0 WHERE rn = 1),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         b AS (SELECT c.event_id, c.user_id, c.ts, m.mts AS bts, m.mark_value AS bval
+               FROM c ASOF LEFT JOIN m
+                 ON c.user_id = m.user_id AND c.ts >= m.mts),
+         f AS (SELECT c.event_id, m.mts AS fts, m.mark_value AS fval
+               FROM c ASOF LEFT JOIN m
+                 ON c.user_id = m.user_id AND c.ts <= m.mts),
+         sel AS (SELECT b.event_id, b.user_id, b.ts,
+             CASE WHEN bts >= b.ts - INTERVAL 2 DAY THEN bts END AS bts,
+             CASE WHEN bts >= b.ts - INTERVAL 2 DAY THEN bval END AS bval,
+             CASE WHEN fts <= b.ts + INTERVAL 2 DAY THEN fts END AS fts,
+             CASE WHEN fts <= b.ts + INTERVAL 2 DAY THEN fval END AS fval
+           FROM b JOIN f USING (event_id))
+         SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           epoch_ms(CASE
+             WHEN bts IS NULL THEN fts
+             WHEN fts IS NULL THEN bts
+             WHEN (fts - ts) < (ts - bts) THEN fts ELSE bts END) AS mts_ms,
+           CASE
+             WHEN bts IS NULL THEN fval
+             WHEN fts IS NULL THEN bval
+             WHEN (fts - ts) < (ts - bts) THEN fval ELSE bval END AS mark_value
+         FROM sel""",
 
     "q106_bucketed_join" ->
       """SELECT o_orderpriority,

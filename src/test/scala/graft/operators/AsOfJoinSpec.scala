@@ -107,4 +107,34 @@ class AsOfJoinSpec extends SparkSpec {
       "in" -> ((Some(5.0), Some("mk"))),
       "out" -> ((None, None))))
   }
+
+  test("nearest: smaller gap wins, ties go backward, tolerance bounds both sides") {
+    val quotes = Seq(
+      ("k1", ts(10), 1.0), ("k1", ts(30), 3.0),
+      ("k2", ts(100), 9.0)
+    ).toDF("key", "qts", "px")
+    val ticks = Seq(
+      ("k1", ts(12), "a"),  // gaps 2 back / 18 fwd -> 1.0
+      ("k1", ts(28), "b"),  // gaps 18 back / 2 fwd -> 3.0
+      ("k1", ts(20), "c"),  // TIE (10 both) -> backward 1.0
+      ("k1", ts(30), "d"),  // exact match -> 3.0
+      ("k2", ts(10), "e"),  // only match 90s away, tolerance 60s -> null
+      ("k3", ts(50), "f")   // no quotes on key -> null
+    ).toDF("key", "tts", "tick")
+    val out = AsOfJoin.nearest(ticks, quotes, Seq("key"), "tts", "qts",
+        Seq("px"), tolerance = Some(expr("INTERVAL 60 SECONDS")))
+      .select("tick", "px").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "a" -> Some(1.0), "b" -> Some(3.0), "c" -> Some(1.0),
+      "d" -> Some(3.0), "e" -> None, "f" -> None))
+  }
+
+  test("nearest: one exchange feeds both directional fills") {
+    val quotes = Seq(("k", ts(10), 1.0)).toDF("key", "qts", "px")
+    val ticks = Seq(("k", ts(12), "a")).toDF("key", "tts", "tick")
+    val plan = AsOfJoin.nearest(ticks, quotes, Seq("key"), "tts", "qts", Seq("px"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single keyed exchange in:\n$plan")
+  }
 }
