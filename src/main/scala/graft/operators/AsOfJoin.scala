@@ -118,11 +118,12 @@ object AsOfJoin {
               leftTs: String, rightTs: String, payload: Seq[String],
               tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.exists(Set(TsCol, SideCol, PayCol)),
-      s"AsOfJoin: left side must not contain reserved columns $TsCol/$SideCol/$PayCol")
     val matchTs = "_graft_asof_match_ts"
     val backCol = "_graft_asof_back"
     val fwdCol = "_graft_asof_fwd"
+    require(!leftCols.exists(Set(TsCol, SideCol, PayCol, backCol, fwdCol)),
+      s"AsOfJoin: left side must not contain reserved columns " +
+        s"$TsCol/$SideCol/$PayCol/$backCol/$fwdCol")
     val l = left.withColumn(TsCol, col(leftTs)).withColumn(SideCol, lit(1))
     val r = right
       .filter(col(rightTs).isNotNull)

@@ -46,7 +46,9 @@ object Bucketing {
     * bucketed layout. */
   def bucketedLineitemOrders(spark: SparkSession, sfDir: String,
                              nBuckets: Int = 8): (DataFrame, DataFrame) = {
-    val t = tag(sfDir)
+    // nBuckets is part of the table identity: a later call sized for a
+    // bigger target must not silently reuse a coarser layout.
+    val t = s"${tag(sfDir)}_$nBuckets"
     val liT = s"graft_li_bkt_$t"
     val ordT = s"graft_ord_bkt_$t"
     // Pay the layout ONCE per (JVM, source dir) — that is the whole

@@ -112,14 +112,17 @@ object Curation extends QueryGroup {
     // All three count tables are keyed shuffles with map-side partial
     // aggregation; N rides in on a one-row broadcast.
     "q104_bigram_lift" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(Text.tokens(col("text")).as("toks"))
+      // ONE tokenize pass feeds both count tables (the q102 shared-
+      // consumer convention); the bigram total derives from bgc, so
+      // no third scan exists at all.
+      val toks = Dedup.DefaultMaterialize(Tables.documents(s, dir)
+        .select(Text.tokens(col("text")).as("toks")))
       val bg = toks.select(
         explode(Text.shinglesWithDuplicates(col("toks"), 2)).as("bigram"))
       val bgc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
       val ug = toks.select(explode(col("toks")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("c"))
-      val tot = bg.agg(count(lit(1)).as("n_bigrams"))
+      val tot = bgc.agg(sum(col("c_ab")).as("n_bigrams"))
       bgc.filter(col("c_ab") >= 5)
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
         .withColumn("w2", split(col("bigram"), " ").getItem(1))
@@ -183,9 +186,12 @@ object Curation extends QueryGroup {
     // that justification. Coverage test is exact integer math
     // (cum*100 >= N*pct).
     "q108_vocab_coverage" -> ((s, dir) => {
-      val tc = Tables.documents(s, dir)
+      // materialized once: ranked AND the total both consume the
+      // term-count relation (column pruning would otherwise re-run
+      // the scan+tokenize+explode+agg for each)
+      val tc = Dedup.DefaultMaterialize(Tables.documents(s, dir)
         .select(explode(Text.tokens(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .groupBy("term").agg(count(lit(1)).as("tf")))
       val w = Window.orderBy(col("tf").desc, col("term"))
       val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ranked = tc

@@ -38,9 +38,11 @@ class FloatDotProductSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
-  test("non-nullable containsNull=false inputs compile in codegen") {
-    // array(...) of literals has containsNull=false and nullable=false:
-    // exercises the nullable=false codegen branch (no ev.isNull writes).
+  test("literal containsNull=false inputs execute in codegen") {
+    // array(...) of literals has containsNull=false and nullable=false;
+    // the expression itself is ALWAYS nullable (length mismatch -> null)
+    // so ev.isNull stays a real variable and codegen must still compile
+    // and evaluate against these non-nullable inputs.
     val d = spark.range(2).select(
       array(lit(1.0f), lit(2.0f)).as("a"), array(lit(3.0f), lit(0.5f)).as("b"))
     val e = graft.operators.Similarity.dot(col("a"), col("b")).as("d")
