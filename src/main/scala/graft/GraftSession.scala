@@ -22,6 +22,39 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   val ExcludedRules = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
+  /** The settings this engine expects on a REAL cluster (the local
+    * profile below right-sizes the same knobs for local[N]). Kept as
+    * data so a deployment can `clusterConf.foldLeft(builder)(...)` —
+    * and so the 100 TB stance is code, not tribal knowledge.
+    *
+    *  - AQE owns runtime re-planning: coalesced shuffle partitions
+    *    replace a hand-tuned shuffle.partitions; skew-join splitting
+    *    complements the explicit salting ops (operators.Salt) for the
+    *    skews AQE can see.
+    *  - advisoryPartitionSizeInBytes targets the post-compression
+    *    shuffle block a 4-8 GiB-heap executor core chews comfortably.
+    *  - maxPartitionBytes bounds scan splits so a 100 TB table fans
+    *    into units whose row-group footers + vectorized batches fit
+    *    the task memory budget.
+    *  - Runtime bloom filters push selective join keys into the
+    *    probe-side scan (the semi-join pushdown big joins want).
+    *  - The InferFiltersFromGenerate exclusion is NOT local-only: the
+    *    explode-clones-the-tokenizer pathology (see class doc) costs
+    *    the same 17x on a cluster.
+    */
+  val clusterConf: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128m",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> "256m",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.excludedRules" -> ExcludedRules,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.extensions" -> "graft.GraftExtensions"
+  )
+
   def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
