@@ -154,15 +154,25 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double,
-                      materialize: Materialize = DefaultMaterialize): DataFrame = {
-    val numPerm = bands * rowsPerBand
+                      materialize: Materialize = DefaultMaterialize): DataFrame =
     // The shingle table feeds THREE consumers (signatures, candidate
     // verify, sizes). Column pruning rewrites each consumer's subtree
     // below the exchange, so ReuseExchange never fires and the
     // tokenize+shingle work would run per consumer (plan audit: 28
     // parquet scans). Materializing it once fixes that (q33 at sf0.1:
     // 7.2s -> 3.0s); see DefaultMaterialize for the cluster caveat.
-    val sh = materialize(shingleSets(df, idCol, textCol, n))
+    minhashLshPairsFromShingles(
+      materialize(shingleSets(df, idCol, textCol, n)),
+      bands, rowsPerBand, threshold)
+
+  /** LSH pair variant over an already-MATERIALIZED (id, shingles)
+    * table (see jaccardPairsFromShingles for the shared-consumer
+    * story; pass a materialized table — this op alone reads it three
+    * times). */
+  def minhashLshPairsFromShingles(sh: DataFrame, bands: Int,
+                                  rowsPerBand: Int,
+                                  threshold: Double): DataFrame = {
+    val numPerm = bands * rowsPerBand
     val sigs = minhashSigTable(sh, numPerm)
     // band b (1-based) covers mh_{(b-1)*r+1} .. mh_{b*r}.
     val bandKeys = (1 to bands).map { b =>

@@ -178,6 +178,25 @@ object Curation extends QueryGroup {
         .select(col("dim_no"), col("u"))
     }),
 
+    // LSH RECALL eval — "measure, don't guess" as a query: how many
+    // of the exact Jaccard>=0.5 pairs does the banded-LSH scale path
+    // recover (8x4 banding)? One shingle table feeds BOTH pipelines;
+    // the three counts are 1-row aggregates (bounded broadcasts).
+    "q110_lsh_recall" -> ((s, dir) => {
+      val sh = Dedup.DefaultMaterialize(
+        Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
+      val exact = Dedup.jaccardPairsFromShingles(sh, threshold = 0.5, maxDf = 100)
+        .select("id_a", "id_b")
+      val lsh = Dedup.minhashLshPairsFromShingles(sh,
+        bands = 8, rowsPerBand = 4, threshold = 0.5).select("id_a", "id_b")
+      val both = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(both.agg(count(lit(1)).as("n_both")))
+        .withColumn("recall",
+          round(col("n_both").cast("double") / col("n_exact"), 6))
+    }),
+
     // Zipf/vocabulary COVERAGE curve: how many distinct terms cover
     // 50/90/95/99% of all token occurrences — the corpus statistic
     // behind tokenizer-vocab sizing. The window is global BUT runs
@@ -350,6 +369,45 @@ object Curation extends QueryGroup {
            FROM e2)
          GROUP BY 1"""
     },
+
+    // 8 bands x 4 rows hardcoded to mirror the Spark call above.
+    "q110_lsh_recall" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         jp AS (SELECT id_a, id_b
+           FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hashes FROM shn),
+         sigs AS (SELECT doc_id, shingles, $dSig AS sig FROM hs),
+         bandrows AS (SELECT doc_id,
+             unnest(generate_series(1, 8)) AS band,
+             unnest(list_transform(generate_series(1, 8),
+               b -> md5(array_to_string(sig[((b-1)*4+1):(b*4)], ',')))) AS band_key
+           FROM sigs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bandrows a JOIN bandrows b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         verified AS (SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+           FROM cand JOIN shn sa ON id_a = sa.doc_id JOIN shn sb ON id_b = sb.doc_id),
+         lshp AS (SELECT id_a, id_b FROM verified
+                  WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.5),
+         e AS (SELECT count(*)::BIGINT AS n_exact FROM jp),
+         l AS (SELECT count(*)::BIGINT AS n_lsh FROM lshp),
+         bt AS (SELECT count(*)::BIGINT AS n_both FROM jp
+                WHERE EXISTS (SELECT 1 FROM lshp
+                              WHERE lshp.id_a = jp.id_a AND lshp.id_b = jp.id_b))
+         SELECT n_exact, n_lsh, n_both,
+           round(n_both::DOUBLE / n_exact, 6) AS recall
+         FROM e, l, bt""",
 
     "q108_vocab_coverage" ->
       s"""WITH $dTok,
