@@ -178,6 +178,25 @@ object Curation extends QueryGroup {
         .select(col("dim_no"), col("u"))
     }),
 
+    // LEAKAGE-SAFE train/test split: hash the CLUSTER representative,
+    // not the doc — near-duplicate docs land on the SAME side (q63's
+    // doc-hash split would leak test content into train through its
+    // near-dups, the classic contamination bug dedup-aware splits
+    // exist to prevent). Same md5-bucket convention as q63.
+    "q111_leakage_safe_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      val clusters = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val bucket = pmod(Text.md5Long(
+        concat(col("rep").cast("string"), lit(":split-seed-42")), 8), lit(100))
+      d.join(clusters, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("split", when(bucket < 80, "train").otherwise("test"))
+        .select("doc_id", "rep", "split")
+    }),
+
     // LSH RECALL eval — "measure, don't guess" as a query: how many
     // of the exact Jaccard>=0.5 pairs does the banded-LSH scale path
     // recover (8x4 banding)? One shingle table feeds BOTH pipelines;
@@ -369,6 +388,15 @@ object Curation extends QueryGroup {
            FROM e2)
          GROUP BY 1"""
     },
+
+    "q111_leakage_safe_split" ->
+      s"""WITH RECURSIVE $ccCte,
+         clus AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+         SELECT d.doc_id,
+           coalesce(clus.cluster, d.doc_id) AS rep,
+           CASE WHEN ${dMd5Long("coalesce(clus.cluster, d.doc_id) || ':split-seed-42'", 8)} % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+         FROM documents d LEFT JOIN clus USING (doc_id)""",
 
     // 8 bands x 4 rows hardcoded to mirror the Spark call above.
     "q110_lsh_recall" ->

@@ -66,6 +66,28 @@ class CurationSpec extends SparkSpec {
     assert(sigs(1L).length == 32)
   }
 
+  test("leakage-safe split puts every member of a near-dup cluster on one side") {
+    val a = "spark query engine scans parquet files with vectorized readers and pushes filters down"
+    val docs = Seq(
+      (10L, a), (20L, a), (21L, a.replace("vectorized", "columnar")),
+      (30L, "completely different text about cooking pasta with garlic butter and basil")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val bucket = pmod(Text.md5Long(
+      concat(col("rep").cast("string"), lit(":split-seed-42")), 8), lit(100))
+    val out = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split", when(bucket < 80, "train").otherwise("test"))
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect()
+    val byRep = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    // the 10/20/21 cluster shares rep 10 and ONE split side
+    assert(out.filter(r => Set(10L, 20L, 21L)(r._1)).map(_._2).toSet == Set(10L))
+    assert(byRep(10L).size == 1)
+    assert(out.find(_._1 == 30L).get._2 == 30L)
+  }
+
   test("dedup materialization keeps cluster representatives plus singletons") {
     val a = "spark query engine scans parquet files with vectorized readers and pushes filters down"
     val docs = Seq(
