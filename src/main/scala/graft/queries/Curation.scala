@@ -178,6 +178,28 @@ object Curation extends QueryGroup {
         .select(col("dim_no"), col("u"))
     }),
 
+    // Snapshot RECONCILIATION diff: FULL OUTER join two corpus
+    // versions on the key, classify each key added / removed /
+    // changed / same by content hash, count per class — the
+    // pipeline-ops "what changed between ingests" audit. Both
+    // snapshots derive deterministically from documents.
+    "q112_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldSnap = d.filter(col("doc_id") < 400)
+        .select(col("doc_id"), md5(col("text")).as("h_old"))
+      val newSnap = d.filter(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" edited"))).otherwise(col("text"))).as("h_new"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") === col("h_new"), "same")
+            .otherwise("changed"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+    }),
+
     // LEAKAGE-SAFE train/test split: hash the CLUSTER representative,
     // not the doc — near-duplicate docs land on the SAME side (q63's
     // doc-hash split would leak test content into train through its
@@ -388,6 +410,20 @@ object Curation extends QueryGroup {
            FROM e2)
          GROUP BY 1"""
     },
+
+    "q112_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id < 400),
+         n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END) AS h_new
+           FROM documents WHERE doc_id >= 100)
+         SELECT CASE
+             WHEN h_old IS NULL THEN 'added'
+             WHEN h_new IS NULL THEN 'removed'
+             WHEN h_old = h_new THEN 'same'
+             ELSE 'changed' END AS status,
+           count(*) AS n
+         FROM o FULL OUTER JOIN n USING (doc_id)
+         GROUP BY 1""",
 
     "q111_leakage_safe_split" ->
       s"""WITH RECURSIVE $ccCte,

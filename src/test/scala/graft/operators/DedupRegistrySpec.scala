@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Cross-run content dedup against the persistent fingerprint
+  * registry: in-batch dups resolve to the smallest id, later batches
+  * (and replays) are deduped against everything ever accepted. */
+class DedupRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupAppend keeps new content only, across batches and replays") {
+    val dir = Files.createTempDirectory("graft_reg_").toString + "/reg"
+    val reg = new DedupRegistry(dir)
+    def fp = md5(col("text"))
+
+    // batch 1: two copies of A (min id wins) + B
+    val b1 = Seq((2L, "doc A"), (1L, "doc A"), (3L, "doc B")).toDF("doc_id", "text")
+    val out1 = reg.dedupAppend(b1, "doc_id", fp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out1 == Set(1L, 3L))
+
+    // batch 2: A again (registered), C (new)
+    val b2 = Seq((10L, "doc A"), (11L, "doc C")).toDF("doc_id", "text")
+    val out2 = reg.dedupAppend(b2, "doc_id", fp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(11L))
+
+    // replay of batch 2: everything already registered
+    val out3 = reg.dedupAppend(b2, "doc_id", fp).count()
+    assert(out3 == 0)
+
+    // registry holds exactly the three accepted fingerprints
+    assert(reg.read(spark).distinct().count() == 3)
+  }
+}
