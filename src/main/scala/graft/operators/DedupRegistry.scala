@@ -30,29 +30,40 @@ class DedupRegistry(path: String) {
     } catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
-  /** Dedup `batch` against the registry AND within itself, append the
-    * survivors' fingerprints, return the surviving rows (original
-    * schema). `fingerprint` is any deterministic Column over the
-    * batch's columns (content md5, minhash band key, simhash...). */
-  def dedupAppend(batch: DataFrame, idCol: String,
-                  fingerprint: Column): DataFrame = {
+  /** Dedup `batch` against the registry AND within itself, persist
+    * the survivors via `persist`, THEN append their fingerprints, and
+    * return the surviving rows (original schema). `fingerprint` is
+    * any deterministic Column over the batch's columns (content md5,
+    * minhash band key, simhash...).
+    *
+    * WRITE ORDER is the delivery guarantee: the corpus sink runs
+    * BEFORE the registry append, so a crash between the two replays
+    * the batch as duplicates (at-least-once, fixable downstream) —
+    * never as silent loss. Registering first would make any failure
+    * before the sink drop those documents FOREVER: the replay
+    * anti-joins against its own fingerprints and returns nothing. */
+  def dedupAppend(batch: DataFrame, idCol: String, fingerprint: Column,
+                  persist: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
-    val withFp = batch.withColumn("_reg_fp", fingerprint)
+    val fpCol = "_reg_fp"
+    require(!batch.columns.contains(fpCol),
+      s"DedupRegistry: batch must not contain reserved column $fpCol")
+    val withFp = batch.withColumn(fpCol, fingerprint)
     // in-batch winners: smallest id per fingerprint
-    val inBatch = Dedup.exactDedup(withFp, idCol, col("_reg_fp"))
-      .withColumnRenamed("dedup_key", "_reg_fp")
-      .select(col(idCol))
+    val inBatch = Dedup.exactDedup(withFp, idCol, col(fpCol)).select(col(idCol))
     val winners = withFp.join(inBatch, Seq(idCol), "left_semi")
     // registry probe: drop fingerprints seen in ANY earlier batch
     val fresh = winners.join(
-      read(spark).withColumnRenamed("fp", "_reg_fp"),
-      Seq("_reg_fp"), "left_anti")
+      read(spark).withColumnRenamed("fp", fpCol),
+      Seq(fpCol), "left_anti")
     // Materialize BEFORE appending: the survivors plan reads the
     // registry it is about to extend (same recache hazard as the
     // notification log, SURVEY.md §7 risk 6).
     val pinned = fresh.localCheckpoint(true)
-    pinned.select(col("_reg_fp").as("fp"))
+    val out = pinned.drop(fpCol)
+    persist(out)
+    pinned.select(col(fpCol).as("fp"))
       .write.mode("append").parquet(path)
-    pinned.drop("_reg_fp")
+    out
   }
 }

@@ -234,8 +234,10 @@ object Curation extends QueryGroup {
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(both.agg(count(lit(1)).as("n_both")))
-        .withColumn("recall",
-          round(col("n_both").cast("double") / col("n_exact"), 6))
+        // n_exact=0 guard: Spark 0/0 is NULL but DuckDB IEEE 0/0 is
+        // NaN — both sides CASE to NULL so parity is unconditional
+        .withColumn("recall", when(col("n_exact") === 0, lit(null))
+          .otherwise(round(col("n_both").cast("double") / col("n_exact"), 6)))
     }),
 
     // Zipf/vocabulary COVERAGE curve: how many distinct terms cover
@@ -470,7 +472,8 @@ object Curation extends QueryGroup {
                 WHERE EXISTS (SELECT 1 FROM lshp
                               WHERE lshp.id_a = jp.id_a AND lshp.id_b = jp.id_b))
          SELECT n_exact, n_lsh, n_both,
-           round(n_both::DOUBLE / n_exact, 6) AS recall
+           CASE WHEN n_exact = 0 THEN NULL
+                ELSE round(n_both::DOUBLE / n_exact, 6) END AS recall
          FROM e, l, bt""",
 
     "q108_vocab_coverage" ->

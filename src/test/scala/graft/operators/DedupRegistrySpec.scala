@@ -15,11 +15,15 @@ class DedupRegistrySpec extends SparkSpec {
     val reg = new DedupRegistry(dir)
     def fp = md5(col("text"))
 
-    // batch 1: two copies of A (min id wins) + B
+    // batch 1: two copies of A (min id wins) + B; the corpus sink
+    // callback must see exactly the survivors BEFORE they register
+    var persisted = Set.empty[Long]
     val b1 = Seq((2L, "doc A"), (1L, "doc A"), (3L, "doc B")).toDF("doc_id", "text")
-    val out1 = reg.dedupAppend(b1, "doc_id", fp)
+    val out1 = reg.dedupAppend(b1, "doc_id", fp,
+        persist = d => persisted = d.select("doc_id").as[Long].collect().toSet)
       .select("doc_id").as[Long].collect().toSet
     assert(out1 == Set(1L, 3L))
+    assert(persisted == Set(1L, 3L))
 
     // batch 2: A again (registered), C (new)
     val b2 = Seq((10L, "doc A"), (11L, "doc C")).toDF("doc_id", "text")

@@ -37,12 +37,26 @@ object DotProductProps extends Properties("float_dot") {
     zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
     lit(0.0), (acc, x) => acc + x)
 
+  /** A literal-backed LocalRelation constant-folds through the
+    * interpreted HOF before the injected rewrite runs — round-trip
+    * through parquet so the property actually exercises the
+    * codegen'd FloatDotProduct (and assert it is in the plan). */
+  private def viaParquet(rows: Seq[(Int, Array[Float], Array[Float])]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dotprop_").toString
+    rows.toDF("i", "a", "b").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def usesFloatDot(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.graft.FloatDotProduct]))
+
   property("rewritten HOF dot == driver-side reference fold, bitwise") =
     forAll(Gen.listOfN(16, pair)) { pairs =>
       val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
-      val out = rows.toDF("i", "a", "b").select(col("i"), hof.as("d"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      pairs.zipWithIndex.forall { case ((a, b), i) =>
+      val q = viaParquet(rows).select(col("i"), hof.as("d"))
+      val out = q.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      usesFloatDot(q) && pairs.zipWithIndex.forall { case ((a, b), i) =>
         java.lang.Double.doubleToLongBits(out(i)) ==
           java.lang.Double.doubleToLongBits(refFold(a, b))
       }
@@ -50,8 +64,8 @@ object DotProductProps extends Properties("float_dot") {
 
   property("length mismatch yields null (zip_with pad semantics)") =
     forAll(Gen.choose(1, 32)) { n =>
-      val d = Seq((Array.fill(n)(1.0f), Array.fill(n + 1)(1.0f)))
-        .toDF("a", "b").select(hof.as("d"))
-      d.collect().head.isNullAt(0)
+      val q = viaParquet(Seq((0, Array.fill(n)(1.0f), Array.fill(n + 1)(1.0f))))
+        .select(hof.as("d"))
+      usesFloatDot(q) && q.collect().head.isNullAt(0)
     }
 }
