@@ -239,6 +239,10 @@ object Domain extends QueryGroup {
           (round(col("l_discount") * 4000) - 200).as("dkv"),
           (round(col("l_tax") * 4000) - 200).as("czv"))
       val grid = pairs.select(
+        // build-time game id, like Normalize.grid's production
+        // contract (each okey contributes exactly the two legs of one
+        // game, so okey IS the pair id — no re-derivation window)
+        col("okey").as("game_id"),
         (col("okey") * 10 + col("rn")).as("idx"),
         concat(lit("S"), pmod(col("okey"), lit(8))).as("Sport"),
         concat(lit("T"), col("okey"), lit("_"), col("rn")).as("Team"),
@@ -382,7 +386,7 @@ object Domain extends QueryGroup {
                  FROM lineitem)
            WHERE rn <= 2 AND nl >= 2),
          grid AS (
-           SELECT okey*10 + rn AS idx, 'S' || (okey % 8) AS Sport,
+           SELECT okey AS game_id, okey*10 + rn AS idx, 'S' || (okey % 8) AS Sport,
              'T' || okey || '_' || rn AS Team, 'ML' AS BetType, 'Payout' AS Info,
              CASE WHEN okey % 7 = 0 THEN 'EVEN'
                   WHEN okey % 11 = 0 THEN 'N/A'
@@ -391,14 +395,11 @@ object Domain extends QueryGroup {
              CASE WHEN okey % 13 = 0 THEN 'even'
                   ELSE printf('%+d', CAST(czv AS INT)) END AS Caesars
            FROM lipairs),
-         game AS (
-           SELECT *, CAST(FLOOR((row_number() OVER (PARTITION BY Sport, BetType
-             ORDER BY idx) - 1) / 2) + 1 AS INT) AS game_id FROM grid),
          normed AS (
            SELECT *,
              regexp_replace(trim(regexp_replace(DraftKings, '[ +]+$', '')), '(?i)^EVEN$', '+100') AS dkn,
              regexp_replace(trim(regexp_replace(Caesars, '[ +]+$', '')), '(?i)^EVEN$', '+100') AS czn
-           FROM game WHERE Info = 'Payout'),
+           FROM grid WHERE Info = 'Payout'),
          parsed AS (
            SELECT *,
              TRY_CAST(CASE WHEN dkn = 'N/A' THEN NULL ELSE dkn END AS DOUBLE) AS dk_v,
