@@ -15,7 +15,8 @@ object SparkEntry {
     q.Domain,
     q.TrainingData,
     q.Extensions,
-    q.Curation
+    q.Curation,
+    q.Scale
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.Text
+import graft.operators.Merge
+
+/** Round-3 layout/maintenance additions — the operators a 100 TB
+  * lakehouse pipeline runs BETWEEN queries:
+  *  - z-order (Morton) clustering audit: the multi-dimensional
+  *    data-skipping layout, proven by per-block bounding boxes;
+  *  - batch MERGE (upsert/delete) — CDC applied to a snapshot in one
+  *    full-outer join;
+  *  - inverted index with BOUNDED posting lists (window top-k per
+  *    term, so a stop-word's postings never collect unbounded);
+  *  - token-budget water-filling: the per-source allocation rule of
+  *    data-mixing under a global token budget, exact integer
+  *    arithmetic end-to-end.
+  * Same contract as every group: DuckDB oracle beside each plan,
+  * shared determinism rules (exact integers, total ORDER BYs,
+  * identical aliases, ::BIGINT where DuckDB widens to HUGEINT).
+  */
+object Scale extends QueryGroup {
+
+  private val dToks = "regexp_extract_all(text, '([a-z0-9]+)', 1)"
+  private val dTok = s"tok AS (SELECT doc_id, $dToks AS toks FROM documents)"
+
+  /** Morton-interleave bit i of c at output position 2*i+off. */
+  private def mortonBit(c: org.apache.spark.sql.Column, i: Int, off: Int) =
+    shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off)
+
+  private def dMortonBit(c: String, i: Int, off: Int) =
+    s"((($c >> $i) & 1) << ${2 * i + off})"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Z-ORDER layout audit: interleave 8 bits of (partkey, suppkey)
+    // into a 16-bit Morton code, then show that each 256-value z-block
+    // bounds a tight (x, y) rectangle — the property parquet min/max
+    // stats exploit for two-column data skipping. At 100 TB this is
+    // the WRITE layout (repartitionByRange on z + sortWithinPartitions);
+    // the audit here is the read-side proof, one shuffle on z-block.
+    "q113_zorder_layout" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val withXY = li.select(
+        (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      val z = (0 until 8).map(i =>
+          mortonBit(col("x"), i, 0).bitwiseOR(mortonBit(col("y"), i, 1)))
+        .reduce(_ bitwiseOR _)
+      withXY.withColumn("zblock", shiftright(z, 8))
+        .groupBy("zblock")
+        .agg(count(lit(1)).as("cnt"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .withColumn("bbox_area",
+          (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+    }),
+
+    // Batch MERGE: apply a CDC-style changes table (U = upsert,
+    // D = delete) onto a target snapshot. One full-outer join on the
+    // key (broadcast when the delta is small); provenance kept as an
+    // `action` column. Inserted rows land with null o_orderstatus —
+    // the changes feed doesn't carry it — matching MERGE semantics.
+    "q114_merge_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val target = o.filter(col("o_orderkey") % 4 =!= 3)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changes = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0, lit("U")).otherwise(lit("D")).as("op"),
+          (col("o_totalprice") + lit(10.0)).as("o_totalprice"))
+      Merge.upsert(target, changes, Seq("o_orderkey"))
+    }),
+
+    // Inverted index with BOUNDED postings: df/tf per term plus the
+    // 10 smallest doc_ids as the posting-list head. The top-k runs as
+    // a window row_number (O(1) state per term), NOT collect_list of
+    // every posting — a stop-word with df = 10^8 would otherwise
+    // materialize its whole posting list in one aggregation buffer.
+    "q115_inverted_index" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val counts = t.groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val dist = t.select("term", "doc_id").distinct()
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      val top = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("term")
+        .agg(array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
+      counts.filter(col("df") >= 20).join(top, "term")
+        .select("term", "df", "tf", "postings")
+    }),
+
+    // WATER-FILLING token budget: allocate a global budget (60% of
+    // all chars) across sources with a uniform cap C such that
+    // sum(min(t_i, C)) fills the budget — the allocation rule behind
+    // per-domain caps in data mixing. Exact integer arithmetic:
+    // sort sources ascending, prefix-sum, the first k where
+    // prefix_{k-1} + (n-k+1)*t_k >= B brackets the cap;
+    // C = (B - prefix_{k-1}) div (n-k+1). The global window runs on
+    // the per-source AGGREGATE (domains, not documents) — small by
+    // construction relative to the corpus.
+    "q116_token_waterfill" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val src = d.groupBy("source").agg(sum("n_chars").as("t"))
+      val tot = src.agg(sum("t").as("total"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("t"), col("source"))
+      val pre = src
+        .withColumn("k", row_number().over(w))
+        .withColumn("prefix",
+          sum("t").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(total * 6) div 10"))
+      // budget <= total, so k = n always qualifies: a cap row exists.
+      val capRow = pre
+        .filter(col("prefix") - col("t") + (col("n") - col("k") + 1) * col("t")
+          >= col("budget"))
+        .orderBy("k").limit(1)
+        .select(expr("(budget - (prefix - t)) div (n - k + 1)").as("cap"))
+      pre.crossJoin(broadcast(capRow))
+        .select(col("source"), col("t"),
+          least(col("t"), col("cap")).as("alloc"), col("cap"))
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+
+    "q113_zorder_layout" -> {
+      val dz = (0 until 8).map(i =>
+        dMortonBit("x", i, 0) + " | " + dMortonBit("y", i, 1))
+        .mkString("(", " | ", ")")
+      s"""WITH xy AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+         z AS (SELECT x, y, ($dz >> 8) AS zblock FROM xy)
+         SELECT zblock, count(*)::BIGINT AS cnt,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y,
+                (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS bbox_area
+         FROM z GROUP BY zblock"""
+    },
+
+    "q114_merge_upsert" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 4 != 3),
+         chg AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'D' END AS op,
+                  o_totalprice + 10.0 AS new_price
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+                t.o_orderstatus AS o_orderstatus,
+                CASE WHEN c.op IS NOT NULL THEN c.new_price
+                     ELSE t.o_totalprice END AS o_totalprice,
+                CASE WHEN c.op IS NULL THEN 'keep'
+                     WHEN t.o_orderkey IS NOT NULL THEN 'update'
+                     ELSE 'insert' END AS action
+         FROM target t FULL OUTER JOIN chg c ON t.o_orderkey = c.o_orderkey
+         WHERE c.op IS NULL OR c.op != 'D'""",
+
+    "q115_inverted_index" ->
+      s"""WITH $dTok,
+         t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         cnt AS (SELECT term, count(*)::BIGINT AS tf,
+                        count(DISTINCT doc_id)::BIGINT AS df
+                 FROM t GROUP BY term),
+         dist AS (SELECT DISTINCT term, doc_id FROM t),
+         rk AS (SELECT term, doc_id,
+                       row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+                FROM dist),
+         post AS (SELECT term,
+                         string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+                  FROM rk WHERE rn <= 10 GROUP BY term)
+         SELECT c.term AS term, c.df AS df, c.tf AS tf, p.postings AS postings
+         FROM cnt c JOIN post p ON c.term = p.term
+         WHERE c.df >= 20""",
+
+    "q116_token_waterfill" ->
+      """WITH src AS (SELECT source, sum(n_chars)::BIGINT AS t
+                      FROM documents GROUP BY source),
+         tot AS (SELECT sum(t)::BIGINT AS total, count(*)::BIGINT AS n FROM src),
+         pre AS (SELECT source, t,
+                   row_number() OVER (ORDER BY t, source) AS k,
+                   (sum(t) OVER (ORDER BY t, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS prefix,
+                   total, n, (total * 6) // 10 AS budget
+                 FROM src, tot),
+         cap AS (SELECT (budget - (prefix - t)) // (n - k + 1) AS cap
+                 FROM pre
+                 WHERE prefix - t + (n - k + 1) * t >= budget
+                 ORDER BY k LIMIT 1)
+         SELECT p.source AS source, p.t AS t,
+                least(p.t, c.cap) AS alloc, c.cap AS cap
+         FROM pre p, cap c"""
+  )
+}
