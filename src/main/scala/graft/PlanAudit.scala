@@ -32,14 +32,17 @@ object PlanAudit {
     "q103_knn_classify" -> "exact kNN baseline; 8-query side broadcast (q36 shape)",
     "q104_bigram_lift" -> "1-row total-bigram-count broadcast cross join (q53 shape)",
     "q108_vocab_coverage" -> "4-row threshold table + 1-row total broadcast; non-equi coverage test",
-    "q110_lsh_recall" -> "three 1-row count aggregates cross-joined (bounded by construction)"
+    "q110_lsh_recall" -> "three 1-row count aggregates cross-joined (bounded by construction)",
+    "q116_token_waterfill" -> "1-row total/cap aggregates broadcast onto the per-source table (q53 shape)"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by
     * construction (never the raw fact table). */
   private val globalWindowOk: Map[String, String] = Map(
     "q108_vocab_coverage" ->
-      "rank/cumsum over the AGGREGATED vocab relation (|distinct terms|, Heaps-law bounded) — the corpus never passes through the single partition"
+      "rank/cumsum over the AGGREGATED vocab relation (|distinct terms|, Heaps-law bounded) — the corpus never passes through the single partition",
+    "q116_token_waterfill" ->
+      "prefix-sum over the AGGREGATED per-source relation (|domains|, not |documents|) — at larger source cardinality this becomes a range-partitioned two-pass prefix sum"
   )
 
   private def globalWindow(root: SparkPlan): Boolean =

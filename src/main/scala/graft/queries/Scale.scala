@@ -125,6 +125,60 @@ object Scale extends QueryGroup {
       pre.crossJoin(broadcast(capRow))
         .select(col("source"), col("t"),
           least(col("t"), col("cap")).as("alloc"), col("cap"))
+    }),
+
+    // ROLLING 7-day distinct users per day, via the explode-
+    // contributions pattern: each (user, day) activity row contributes
+    // to the 7 observation days it falls inside, then one exact
+    // distinct per observation day. This replaces the unsupported
+    // "distinct over a sliding range frame" with two keyed shuffles —
+    // the shape that scales (state per day is a count, not a user
+    // set; the 7x row expansion is the bounded price).
+    "q117_rolling_distinct" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val ud = e.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val contrib = ud.select(
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("obs_day"),
+          col("user_id"))
+        .distinct()
+      val days = ud.select(col("day").as("obs_day")).distinct()
+      contrib.groupBy("obs_day").agg(count(lit(1)).as("u7"))
+        .join(days, "obs_day")
+        .select("obs_day", "u7")
+    }),
+
+    // RETENTION cohorts: users grouped by first-active ISO week,
+    // counted in each subsequent week offset — the engagement matrix
+    // every analytics pipeline derives. Two shuffles (first-seen agg,
+    // cohort-cell agg); the user->cohort join is keyed on user_id so
+    // the activity table shuffles once.
+    "q118_retention_cohorts" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val uw = e.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+      val first = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(first, "user_id")
+        .withColumn("week_no", expr("datediff(week, cohort_week) div 7"))
+        .groupBy("cohort_week", "week_no")
+        .agg(countDistinct(col("user_id")).as("users"))
+    }),
+
+    // SKYLINE (Pareto frontier) per (returnflag, linestatus): the
+    // cheapest-price / highest-quantity non-dominated set. Two window
+    // passes over PARTITIONED data (never a self-join): collapse to
+    // per-price max quantity, then keep levels beating the running
+    // max of all strictly-cheaper levels.
+    "q119_skyline" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val lvl = li.groupBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").as("price"))
+        .agg(max("l_quantity").as("qmax"))
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      lvl.withColumn("prev_best", max("qmax").over(w))
+        .filter(col("prev_best").isNull || col("qmax") > col("prev_best"))
+        .select("l_returnflag", "l_linestatus", "price", "qmax")
     })
   )
 
@@ -195,6 +249,38 @@ object Scale extends QueryGroup {
                  ORDER BY k LIMIT 1)
          SELECT p.source AS source, p.t AS t,
                 least(p.t, c.cap) AS alloc, c.cap AS cap
-         FROM pre p, cap c"""
+         FROM pre p, cap c""",
+
+    "q117_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+         contrib AS (SELECT DISTINCT day + i::INTEGER AS obs_day, user_id
+                     FROM ud, generate_series(0, 6) AS g(i)),
+         days AS (SELECT DISTINCT day AS obs_day FROM ud)
+         SELECT c.obs_day AS obs_day, count(*)::BIGINT AS u7
+         FROM contrib c JOIN days d ON c.obs_day = d.obs_day
+         GROUP BY c.obs_day""",
+
+    "q118_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                       date_trunc('week', ts)::DATE AS week FROM events),
+         first AS (SELECT user_id, min(week) AS cohort_week
+                   FROM uw GROUP BY user_id)
+         SELECT f.cohort_week AS cohort_week,
+                date_diff('day', f.cohort_week, u.week) // 7 AS week_no,
+                count(DISTINCT u.user_id)::BIGINT AS users
+         FROM uw u JOIN first f ON u.user_id = f.user_id
+         GROUP BY 1, 2""",
+
+    "q119_skyline" ->
+      """WITH lvl AS (SELECT l_returnflag, l_linestatus,
+                        l_extendedprice AS price, max(l_quantity) AS qmax
+                      FROM lineitem GROUP BY 1, 2, 3),
+         r AS (SELECT l_returnflag, l_linestatus, price, qmax,
+                 max(qmax) OVER (PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+               FROM lvl)
+         SELECT l_returnflag, l_linestatus, price, qmax
+         FROM r WHERE prev_best IS NULL OR qmax > prev_best"""
   )
 }
