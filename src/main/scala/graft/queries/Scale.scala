@@ -179,6 +179,42 @@ object Scale extends QueryGroup {
       lvl.withColumn("prev_best", max("qmax").over(w))
         .filter(col("prev_best").isNull || col("qmax") > col("prev_best"))
         .select("l_returnflag", "l_linestatus", "price", "qmax")
+    }),
+
+    // MODE per group (most frequent event_type per user) as a
+    // struct-argmax over the count table: two keyed shuffles, both
+    // with map-side partial aggregation, no window sort. Tie-break:
+    // the lexicographically LARGEST type (struct max is total, so the
+    // result is deterministic).
+    "q120_mode_per_group" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("mode_event"),
+          col("m.cnt").as("cnt"))
+    }),
+
+    // APPROX-QUANTILE audit: the t-digest-style percentile_approx
+    // next to the EXACT per-group median (inlined R-1/lower-nearest
+    // rank: the value at ceil(n/2) in sort order). Sketch values are
+    // implementation-specific, so — like q91's HLL — this is
+    // rows-checked by the driver; ScaleSpec asserts the relative
+    // error bound that makes the sketch trustworthy at scale.
+    "q121_quantile_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val exact = li
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("exact_p50"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_p50"))
+      exact.join(approx, "l_returnflag")
+        .select("l_returnflag", "exact_p50", "approx_p50")
     })
   )
 
@@ -281,6 +317,20 @@ object Scale extends QueryGroup {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
                FROM lvl)
          SELECT l_returnflag, l_linestatus, price, qmax
-         FROM r WHERE prev_best IS NULL OR qmax > prev_best"""
+         FROM r WHERE prev_best IS NULL OR qmax > prev_best""",
+
+    "q120_mode_per_group" ->
+      """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, cnt,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY cnt DESC, event_type DESC) AS rn
+               FROM c)
+         SELECT user_id, event_type AS mode_event, cnt FROM r WHERE rn = 1"""
+
+    // q121_quantile_audit: no oracle — percentile_approx is a
+    // t-digest-style sketch whose exact output is implementation-
+    // specific (q91 HLL precedent). Driver rows-checks it; ScaleSpec
+    // asserts the error bound.
   )
 }
