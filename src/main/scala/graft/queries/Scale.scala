@@ -215,6 +215,71 @@ object Scale extends QueryGroup {
           .as("approx_p50"))
       exact.join(approx, "l_returnflag")
         .select("l_returnflag", "exact_p50", "approx_p50")
+    }),
+
+    // DUPLICATED PASSAGES within the corpus: rolling 8-token windows
+    // at stride 4, hashed, grouped — any hash hit by >= 2 documents is
+    // a shared passage (the substring-level complement of whole-doc
+    // dedup; cross-corpus variant is q93). The stride bounds the
+    // expansion at ~|tokens|/4 rows; the group-by is partial-agg
+    // friendly. Tokens are materialized behind a checkpoint: inlining
+    // the tokenizer into the window lambda re-runs the regex per
+    // element (the 17x trap, see Dedup.shingleSets).
+    "q122_duplicate_passages" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Spread.byKey("doc_id"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .localCheckpoint(false)
+      toks.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 7, lit(4)),
+          i => Text.md5Long(concat_ws(" ",
+            slice(col("toks"), i, lit(8))), 12))).as("h"))
+        .groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+    }),
+
+    // COMPACTION planning: split each source into byte-budgeted
+    // shards (ceil(bytes / 64KiB), ceil-divided rows per shard) and
+    // assign rows by ranked position — the small-files maintenance
+    // pass a lakehouse runs after ingest. All window state rides one
+    // shuffle on source; every division is exact integer ceil.
+    "q123_compaction_plan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy("source")
+      val ws = w.orderBy("doc_id")
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rows", count(lit(1)).over(w))
+        .withColumn("bytes", sum("n_chars").over(w))
+        .withColumn("rn", row_number().over(ws))
+        .withColumn("shards", expr("(bytes + 65535) div 65536"))
+        .withColumn("rps", expr("(rows + shards - 1) div shards"))
+        .withColumn("shard_id", expr("(rn - 1) div rps"))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    }),
+
+    // INCREMENTAL aggregate maintenance: a stored base aggregate and
+    // a delta aggregate MERGE into exactly the full re-aggregation,
+    // because count/decimal-sum are mergeable partial states — the
+    // contract that lets a 100 TB rollup update from yesterday's
+    // aggregate + today's partition instead of a full rescan. The
+    // oracle IS the full re-aggregation.
+    "q124_incremental_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def agg(df: DataFrame) = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      val base = agg(o.filter(col("o_orderdate") < lit("1995-07-01")))
+      val delta = agg(o.filter(col("o_orderdate") >= lit("1995-07-01")))
+      base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          round(sum(col("rev")), 2).cast("double").as("revenue"))
     })
   )
 
@@ -332,5 +397,37 @@ object Scale extends QueryGroup {
     // t-digest-style sketch whose exact output is implementation-
     // specific (q91 HLL precedent). Driver rows-checks it; ScaleSpec
     // asserts the error bound.
+    ,
+
+    "q122_duplicate_passages" -> {
+      val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+      s"""WITH tok AS (SELECT doc_id, $dToks AS toks FROM documents),
+         w AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 7, 4),
+                   i -> ('0x' || substr(md5($gram8), 1, 12))::BIGINT)) AS h
+               FROM tok WHERE len(toks) >= 8)
+         SELECT h, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_occ, min(doc_id) AS first_doc
+         FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2""" },
+
+    "q123_compaction_plan" ->
+      """WITH x AS (SELECT doc_id, source, n_chars,
+                 count(*) OVER (PARTITION BY source)::BIGINT AS rows_,
+                 sum(n_chars) OVER (PARTITION BY source)::BIGINT AS bytes,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+               FROM documents),
+         y AS (SELECT source, doc_id, rn, rows_,
+                 (bytes + 65535) // 65536 AS shards FROM x),
+         z AS (SELECT source, doc_id,
+                 (rn - 1) // ((rows_ + shards - 1) // shards) AS shard_id
+               FROM y)
+         SELECT source, shard_id, count(*)::BIGINT AS n_rows,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM z GROUP BY 1, 2""",
+
+    "q124_incremental_agg" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+                round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS revenue
+         FROM orders GROUP BY 1"""
   )
 }
