@@ -328,17 +328,20 @@ object Extensions extends QueryGroup {
     }),
 
     // Approx-distinct audit: HLL++ sketch next to the exact count.
-    // No DuckDB oracle (different sketch implementations cannot
-    // hash-match) — rows-only driver check; the accuracy bound is
-    // asserted in ExtensionsSpec instead.
+    // The raw sketch value can't cross-engine hash-match, so the
+    // OUTPUT is the exact count plus a within-tolerance flag (HLL++
+    // default rsd 0.05): the oracle asserts TRUE, so a sketch that
+    // drifted past 5% breaks the hash gate — a full correctness
+    // check, not rows-only. Sketches are deterministic for fixed
+    // input, so the flag is stable across runs.
     "q91_approx_distinct" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       ev.groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
-        .withColumn("rel_err",
-          round(abs(col("approx_users") - col("exact_users")).cast("double")
-            / col("exact_users"), 6))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.05).as("within_tol"))
     })
   )
 
@@ -589,6 +592,13 @@ object Extensions extends QueryGroup {
                FROM c)
          SELECT w1, w2 AS next_tok, cnt, total,
            round(cnt::DOUBLE / total, 6) AS p
-         FROM r WHERE rn = 1 AND total >= 20"""
+         FROM r WHERE rn = 1 AND total >= 20""",
+
+    // The oracle asserts within_tol = TRUE: the spark side computes it
+    // from the live HLL++ sketch, so sketch drift fails the hash gate.
+    "q91_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         TRUE AS within_tol
+         FROM events GROUP BY event_type"""
   )
 }

@@ -198,9 +198,10 @@ object Scale extends QueryGroup {
     // APPROX-QUANTILE audit: the t-digest-style percentile_approx
     // next to the EXACT per-group median (inlined R-1/lower-nearest
     // rank: the value at ceil(n/2) in sort order). Sketch values are
-    // implementation-specific, so — like q91's HLL — this is
-    // rows-checked by the driver; ScaleSpec asserts the relative
-    // error bound that makes the sketch trustworthy at scale.
+    // implementation-specific, so — like q91's HLL — the OUTPUT is
+    // the exact median plus a within-1% flag the oracle asserts TRUE:
+    // sketch drift breaks the hash gate. Deterministic for fixed
+    // input, so the flag is stable across runs.
     "q121_quantile_audit" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
@@ -214,7 +215,9 @@ object Scale extends QueryGroup {
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_p50"))
       exact.join(approx, "l_returnflag")
-        .select("l_returnflag", "exact_p50", "approx_p50")
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50"))
+            / col("exact_p50") <= 0.01).as("within_tol"))
     }),
 
     // DUPLICATED PASSAGES within the corpus: rolling 8-token windows
@@ -391,13 +394,20 @@ object Scale extends QueryGroup {
                  row_number() OVER (PARTITION BY user_id
                    ORDER BY cnt DESC, event_type DESC) AS rn
                FROM c)
-         SELECT user_id, event_type AS mode_event, cnt FROM r WHERE rn = 1"""
+         SELECT user_id, event_type AS mode_event, cnt FROM r WHERE rn = 1""",
 
-    // q121_quantile_audit: no oracle — percentile_approx is a
-    // t-digest-style sketch whose exact output is implementation-
-    // specific (q91 HLL precedent). Driver rows-checks it; ScaleSpec
-    // asserts the error bound.
-    ,
+    // within_tol is computed spark-side from the live sketch; the
+    // oracle pins it TRUE, so a drifting percentile_approx fails the
+    // hash gate. exact_p50 is the R-1 lower-nearest-rank median.
+    "q121_quantile_audit" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, l_extendedprice AS exact_p50,
+           TRUE AS within_tol
+         FROM r WHERE rn = (n + 1) // 2""",
 
     "q122_duplicate_passages" -> {
       val gram8 = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")

@@ -2,10 +2,9 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** q91 has no DuckDB oracle (HLL sketches can't hash-match across
-  * engines); its accuracy contract lives here instead: the default
-  * approx_count_distinct rsd is 5%, so the observed relative error
-  * vs the exact count must stay within that at test scale. */
+/** q91's raw HLL sketch value can't hash-match across engines, so the
+  * query outputs a within-5%-tolerance flag the DuckDB oracle asserts
+  * TRUE; this spec exercises the same contract at test scale. */
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -58,10 +57,10 @@ class ExtensionsSpec extends SparkSpec {
 
   test("q91 approx_count_distinct stays within 5% of the exact count") {
     val rows = Extensions.queries("q91_approx_distinct")(spark, "/root/testdata/sf0.01")
-      .select("event_type", "rel_err").as[(String, Double)].collect()
+      .select("event_type", "within_tol").as[(String, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (et, err) =>
-      assert(err <= 0.05, s"event_type=$et rel_err=$err exceeds the 5% rsd bound")
+    rows.foreach { case (et, ok) =>
+      assert(ok, s"event_type=$et HLL estimate exceeds the 5% rsd bound")
     }
   }
 }

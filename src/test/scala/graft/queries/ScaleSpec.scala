@@ -2,21 +2,20 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** Scale-group contracts that the DuckDB gate can't express:
-  * q121's sketch accuracy (percentile_approx is implementation-
-  * specific, q91 precedent) and q113's layout property (the point of
+/** Scale-group contracts beyond the DuckDB gate: q121's sketch
+  * accuracy flag (the oracle pins within_tol TRUE; this exercises the
+  * same bound at test scale) and q113's layout property (the point of
   * z-ordering is the bound, not the numbers). */
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
   test("q121 percentile_approx stays within 1% of the exact median") {
     val rows = Scale.queries("q121_quantile_audit")(spark, "/root/testdata/sf0.01")
-      .select("l_returnflag", "exact_p50", "approx_p50")
-      .as[(String, Double, Double)].collect()
+      .select("l_returnflag", "within_tol")
+      .as[(String, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (flag, exact, approx) =>
-      val err = math.abs(approx - exact) / exact
-      assert(err <= 0.01, s"flag=$flag exact=$exact approx=$approx err=$err")
+    rows.foreach { case (flag, ok) =>
+      assert(ok, s"flag=$flag percentile_approx exceeds the 1% bound")
     }
   }
 
