@@ -283,6 +283,71 @@ object Scale extends QueryGroup {
         .groupBy("o_orderstatus")
         .agg(sum(col("n_orders")).as("n_orders"),
           round(sum(col("rev")), 2).cast("double").as("revenue"))
+    }),
+
+    // ROBUST OUTLIERS per entity: exact median/MAD per user, flag
+    // events with |value - med| > 3*MAD. Partitioned on user_id — the
+    // HIGH-cardinality key — so per-partition sort state stays tiny at
+    // any corpus size (never on event_type: a handful of groups would
+    // serialize 100 TB through a handful of sorts). Medians are R-1
+    // lower-nearest-rank picks, so every output number is an actual
+    // input double — no averaging, no cross-engine float drift.
+    "q125_mad_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def med(df: DataFrame, c: String, out: String): DataFrame = {
+        val w = Window.partitionBy("user_id").orderBy(c)
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("user_id"), col(c).as(out))
+      }
+      val m1 = med(ev.select("user_id", "value"), "value", "med")
+      val dev = ev.select("event_id", "user_id", "value")
+        .join(m1, "user_id")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val m2 = med(dev.select("user_id", "dev"), "dev", "mad")
+      dev.join(m2, "user_id")
+        .filter(col("dev") > col("mad") * 3)
+        .select("event_id", "user_id", "value", "med", "mad")
+    }),
+
+    // Lexical DIVERSITY: Gini-Simpson index 1 - sum(p^2) per doc —
+    // the collision-probability diversity measure corpus filters use
+    // where entropy would introduce a transcendental log (cross-engine
+    // ulp drift; same rule as q104's log-free lift). Numerator and
+    // denominator stay exact BIGINTs; one double division at the end.
+    "q126_token_diversity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val counts = d
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("cnt")).as("sum_cnt_sq"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_cnt_sq"),
+          round(lit(1.0) - col("sum_cnt_sq").cast("double")
+            / (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
+            6).as("gini_simpson"))
+    }),
+
+    // Per-lang QUALITY GATE: percent_rank over the q39 quality score,
+    // keep the top 70% of each language — the percentile-threshold
+    // filter of corpus curation. The exact window (partitioned on
+    // lang) is the correctness contract; at 100 TB the same filter
+    // runs as two passes — approx per-lang threshold, broadcast onto
+    // the corpus — identical output modulo sketch error, corpus never
+    // sorted. Total order (quality DESC, doc_id) makes every rank,
+    // and therefore every percent_rank, engine-deterministic.
+    "q127_quality_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = d.select(col("doc_id"), col("lang"),
+        Text.qualityScore(Text.tokens(col("text"))).as("quality"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") <= 0.7)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          round(col("pr"), 6).as("pr"))
     })
   )
 
@@ -438,6 +503,52 @@ object Scale extends QueryGroup {
     "q124_incremental_agg" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
                 round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS revenue
-         FROM orders GROUP BY 1"""
+         FROM orders GROUP BY 1""",
+
+    "q125_mad_outliers" ->
+      """WITH r1 AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+         m1 AS (SELECT user_id, value AS med FROM r1 WHERE rn = (n + 1) // 2),
+         d AS (SELECT e.event_id, e.user_id, e.value, m1.med,
+                 abs(e.value - m1.med) AS dev
+               FROM events e JOIN m1 USING (user_id)),
+         r2 AS (SELECT user_id, dev,
+             row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM d),
+         m2 AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         SELECT d.event_id, d.user_id, d.value, d.med, m2.mad
+         FROM d JOIN m2 USING (user_id)
+         WHERE d.dev > 3 * m2.mad""",
+
+    "q126_token_diversity" ->
+      s"""WITH $dTok,
+         ex AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         c AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM ex GROUP BY 1, 2)
+         SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+           sum(cnt * cnt)::BIGINT AS sum_cnt_sq,
+           round(1.0 - sum(cnt * cnt)::DOUBLE
+             / (sum(cnt)::DOUBLE * sum(cnt)::DOUBLE), 6) AS gini_simpson
+         FROM c GROUP BY doc_id""",
+
+    "q127_quality_gate" -> {
+      val stopList = graft.functions.Text.LangStopwords.toMap
+        .apply("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH $dTok,
+         q AS (SELECT d.doc_id, d.lang,
+                 round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+                   + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+                   + (1.0 - len(list_filter(toks, t -> t IN ($stopList)))::DOUBLE
+                       / len(toks)) * 0.2, 6) AS quality
+               FROM documents d JOIN tok USING (doc_id)),
+         p AS (SELECT doc_id, lang, quality,
+                 percent_rank() OVER (PARTITION BY lang
+                   ORDER BY quality DESC, doc_id) AS pr
+               FROM q)
+         SELECT doc_id, lang, quality, round(pr, 6) AS pr
+         FROM p WHERE pr <= 0.7"""
+    }
   )
 }
