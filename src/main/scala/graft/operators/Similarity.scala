@@ -103,6 +103,30 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: for each anchor,
+    * the top-k most similar corpus vectors with a DIFFERENT label —
+    * the near-misses a metric model learns most from. Same broadcast
+    * shape as bruteForceTopK (anchors << corpus, the corpus never
+    * shuffles); the different-label guard rides the join condition so
+    * same-label pairs are never scored. At 100 TB swap the exact
+    * scorer for the LSH/IVF probe with the same guard. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("query_label"))
+      .withColumn("qn", norm2(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("neighbor_label"))
+      .transform(Spread.byKey("neighbor_id"))
+      .withColumn("cn", norm2(col("cv")))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("query_label") =!= col("neighbor_label"))
+      .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, "score", k, Seq("neighbor_label"))
+  }
+
   /** Approximate top-k: candidates are corpus vectors in the query's
     * LSH bucket; ranked by exact cosine within the bucket. Trades
     * recall for a 2^bits reduction in comparisons. */

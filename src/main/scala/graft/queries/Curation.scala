@@ -93,9 +93,11 @@ object Curation extends QueryGroup {
       val nn = Similarity.bruteForceTopK(
         e.filter(col("vec_id") < AnnQueries), labeled,
         "vec_id", "embedding", k = 5)
-      val votes = nn
-        .join(labeled.select(col("vec_id").as("neighbor_id"), col("label")),
-          "neighbor_id")
+      // nn is |queries| x k rows by construction — broadcast it so the
+      // corpus-sized labeled table never shuffles for the label lookup.
+      val votes = labeled
+        .select(col("vec_id").as("neighbor_id"), col("label"))
+        .join(broadcast(nn), "neighbor_id")
         .groupBy("query_id", "label")
         .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
       val w = Window.partitionBy("query_id")
@@ -294,7 +296,17 @@ object Curation extends QueryGroup {
     // layout as an operator; BucketingSpec asserts the Exchange-free
     // join plan). The oracle checks the RESULT equals the plain join.
     "q106_bucketed_join" -> ((s, dir) =>
-      Bucketing.revenueByPriority(s, dir))
+      Bucketing.revenueByPriority(s, dir)),
+
+    // HARD-NEGATIVE mining: top-5 most-similar DIFFERENT-label
+    // vectors per anchor — the contrastive-training complement of
+    // q103's same-label vote. Anchors broadcast; corpus never
+    // shuffles; the label guard rides the join condition.
+    "q128_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e.filter(col("vec_id") < AnnQueries), e,
+        "vec_id", "embedding", "label", k = 5)
+    })
   )
 
   override val oracles: Map[String, String] = Map(
@@ -529,6 +541,25 @@ object Curation extends QueryGroup {
            round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue,
            count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "q128_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             label AS query_label,
+             ${dDot("embedding", "embedding")} AS qn
+           FROM embeddings WHERE vec_id < $AnnQueries),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             label AS neighbor_label,
+             ${dDot("embedding", "embedding")} AS cn
+           FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, neighbor_label,
+             round(${dDot("qv", "cv")} / sqrt(qn * cn), 6) AS score
+           FROM c JOIN q ON query_id != neighbor_id
+                        AND query_label != neighbor_label)
+         SELECT query_id, rank, neighbor_id, score, neighbor_label FROM (
+           SELECT query_id, neighbor_id, neighbor_label, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM scored) WHERE rank <= 5"""
   )
 }
