@@ -306,6 +306,33 @@ object Curation extends QueryGroup {
       val e = Tables.embeddings(s, dir)
       Similarity.hardNegatives(e.filter(col("vec_id") < AnnQueries), e,
         "vec_id", "embedding", "label", k = 5)
+    }),
+
+    // MinHash MERGEABILITY as a query: per-DOC signatures are merged
+    // into per-SOURCE signatures by elementwise min (two-level
+    // aggregation), while the oracle computes each source's signature
+    // from raw shingles in one level. Equality proves the sketch-merge
+    // law min(sig(A), sig(B)) == sig(A ∪ B) — the contract that lets
+    // a 100 TB corpus update yesterday's per-shard sketches with
+    // today's partition instead of rescanning (q124's argument, for
+    // sketches instead of counts).
+    "q129_minhash_merge" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sh = Dedup.shingleSets(d, "doc_id", "text", 3)
+      val exploded = sh.select(col("id"), explode(col("shingles")).as("s"))
+        .select(col("id"), pmod(Text.md5Long(col("s"), 12), lit(P)).as("h"))
+      val aggs = Text.minhashAggs(col("h"), NumPerm)
+      val perDoc = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      val merged = perDoc
+        .join(d.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy("source")
+        .agg(min(col("mh_1")).as("mh_1"),
+          (2 to NumPerm).map(j => min(col(s"mh_$j")).as(s"mh_$j")): _*)
+      val stackArgs = (1 to NumPerm).map(j => s"$j, mh_$j").mkString(", ")
+      merged
+        .selectExpr("source", s"stack($NumPerm, $stackArgs) AS (perm_no, minhash)")
+        .select(col("source"), col("perm_no").cast("long").as("perm_no"),
+          col("minhash"))
     })
   )
 
@@ -560,6 +587,20 @@ object Curation extends QueryGroup {
            SELECT query_id, neighbor_id, neighbor_label, score,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, neighbor_id ASC) AS rank
-           FROM scored) WHERE rank <= 5"""
+           FROM scored) WHERE rank <= 5""",
+
+    // One-level per-source signature from raw shingles — the spark
+    // side reaches the same numbers through a two-level doc->source
+    // sketch merge, proving mergeability.
+    "q129_minhash_merge" ->
+      s"""WITH $dSh,
+         fx AS (SELECT source, ${dMd5Long("s", 12)} % $P AS h
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM shn)
+                JOIN documents USING (doc_id)),
+         sl AS (SELECT source, list(h) AS hashes FROM fx GROUP BY source),
+         sigs AS (SELECT source, $dSig AS sig FROM sl)
+         SELECT source, unnest(generate_series(1, $NumPerm)) AS perm_no,
+                unnest(sig) AS minhash
+         FROM sigs"""
   )
 }

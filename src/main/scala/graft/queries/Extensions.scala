@@ -329,15 +329,18 @@ object Extensions extends QueryGroup {
 
     // Approx-distinct audit: HLL++ sketch next to the exact count.
     // The raw sketch value can't cross-engine hash-match, so the
-    // OUTPUT is the exact count plus a within-tolerance flag (HLL++
-    // default rsd 0.05): the oracle asserts TRUE, so a sketch that
-    // drifted past 5% breaks the hash gate — a full correctness
-    // check, not rows-only. Sketches are deterministic for fixed
-    // input, so the flag is stable across runs.
+    // OUTPUT is the exact count plus a within-5% flag: the oracle
+    // asserts TRUE, so a sketch that drifts past the bound breaks the
+    // hash gate — a full correctness check, not rows-only. rsd=0.02
+    // (not the 0.05 default): rsd is ONE standard deviation, and the
+    // default breached 5% at sf0.1 (6.7% observed); at 0.02 the
+    // observed error is <=0.5% at both test scales — the flag holds
+    // with margin, and the tighter sketch is what corpus accounting
+    // runs in production anyway. Deterministic for fixed input.
     "q91_approx_distinct" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       ev.groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double")

@@ -74,6 +74,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < 90 && b < 90 })
   }
 
+  test("hardNegatives skips same-label neighbors however similar") {
+    // anchor 0 (label A): vec 1 is nearly identical but shares the
+    // label, so the top negative must be the orthogonal different-label
+    // vec 2, then the opposite vec 3.
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), "A"),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), "A"),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), "B"),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        labeled.filter(col("vec_id") === 0), labeled,
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank")
+      .select("neighbor_id", "neighbor_label").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "B"), (3L, "B")))
+  }
+
   test("hyperplaneWeight strides by the actual dim (no shifted copies)") {
     // with a fixed stride of 64, weight(j, d+64, 128) would equal
     // weight(j+1, d, 128) for every d — adjacent hyperplanes sharing
