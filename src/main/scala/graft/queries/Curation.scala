@@ -333,6 +333,36 @@ object Curation extends QueryGroup {
         .selectExpr("source", s"stack($NumPerm, $stackArgs) AS (perm_no, minhash)")
         .select(col("source"), col("perm_no").cast("long").as("perm_no"),
           col("minhash"))
+    }),
+
+    // CURATION FUNNEL: survivor counts through the pipeline's gates —
+    // exact dedup (first doc per identical text wins), min-length
+    // (>= 10 tokens, the Gopher floor), quality (q39 score >= 0.5) —
+    // the observability report every corpus build publishes. ONE scan:
+    // per-doc flags in a single projection (the dedup flag is a window
+    // on the text hash), then conditional sums; stages are cumulative
+    // ANDs so the funnel is monotone by construction.
+    "q130_curation_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // dedup key = md5(text): a 16-byte shuffle key instead of the
+      // raw document — the q30 rule, exactness preserved
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val flagged = d
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"),
+          (col("rn") === 1).as("f_exact"),
+          (size(Text.tokens(col("text"))) >= 10).as("f_len"),
+          (Text.qualityScore(Text.tokens(col("text"))) >= 0.5).as("f_quality"))
+      val agg = flagged.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f_exact"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f_exact") && col("f_len"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f_exact") && col("f_len") && col("f_quality"), 1L)
+          .otherwise(0L)).as("n3"))
+      agg.selectExpr(
+        "stack(4, 1, 'all', n0, 2, 'exact_dedup', n1, " +
+          "3, 'min_length', n2, 4, 'quality', n3) " +
+          "AS (stage_no, stage, n_docs)")
     })
   )
 
@@ -601,6 +631,30 @@ object Curation extends QueryGroup {
          sigs AS (SELECT source, $dSig AS sig FROM sl)
          SELECT source, unnest(generate_series(1, $NumPerm)) AS perm_no,
                 unnest(sig) AS minhash
-         FROM sigs"""
+         FROM sigs""",
+
+    "q130_curation_funnel" -> {
+      val stopList = graft.functions.Text.LangStopwords.toMap
+        .apply("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH $dTok,
+         f AS (SELECT d.doc_id,
+                 row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1 AS f_exact,
+                 len(toks) >= 10 AS f_len,
+                 round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+                   + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+                   + (1.0 - len(list_filter(toks, t -> t IN ($stopList)))::DOUBLE
+                       / len(toks)) * 0.2, 6) >= 0.5 AS f_quality
+               FROM documents d JOIN tok USING (doc_id)),
+         a AS (SELECT count(*)::BIGINT AS n0,
+                 sum(CASE WHEN f_exact THEN 1 ELSE 0 END)::BIGINT AS n1,
+                 sum(CASE WHEN f_exact AND f_len THEN 1 ELSE 0 END)::BIGINT AS n2,
+                 sum(CASE WHEN f_exact AND f_len AND f_quality THEN 1 ELSE 0 END)::BIGINT AS n3
+               FROM f)
+         SELECT * FROM (
+           SELECT 1 AS stage_no, 'all' AS stage, n0 AS n_docs FROM a
+           UNION ALL SELECT 2, 'exact_dedup', n1 FROM a
+           UNION ALL SELECT 3, 'min_length', n2 FROM a
+           UNION ALL SELECT 4, 'quality', n3 FROM a)"""
+    }
   )
 }
