@@ -286,30 +286,12 @@ object Scale extends QueryGroup {
     }),
 
     // ROBUST OUTLIERS per entity: exact median/MAD per user, flag
-    // events with |value - med| > 3*MAD. Partitioned on user_id — the
-    // HIGH-cardinality key — so per-partition sort state stays tiny at
-    // any corpus size (never on event_type: a handful of groups would
-    // serialize 100 TB through a handful of sorts). Medians are R-1
-    // lower-nearest-rank picks, so every output number is an actual
-    // input double — no averaging, no cross-engine float drift.
-    "q125_mad_outliers" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      def med(df: DataFrame, c: String, out: String): DataFrame = {
-        val w = Window.partitionBy("user_id").orderBy(c)
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("user_id"), col(c).as(out))
-      }
-      val m1 = med(ev.select("user_id", "value"), "value", "med")
-      val dev = ev.select("event_id", "user_id", "value")
-        .join(m1, "user_id")
-        .withColumn("dev", abs(col("value") - col("med")))
-      val m2 = med(dev.select("user_id", "dev"), "dev", "mad")
-      dev.join(m2, "user_id")
-        .filter(col("dev") > col("mad") * 3)
-        .select("event_id", "user_id", "value", "med", "mad")
-    }),
+    // events with |value - med| > 3*MAD. See operators.Robust for the
+    // partitioning and rank-median determinism rules; golden spec in
+    // ScaleSpec pins the semantics on hand-computed data.
+    "q125_mad_outliers" -> ((s, dir) =>
+      graft.operators.Robust.madOutliers(
+        Tables.events(s, dir), "user_id", "value", "event_id", k = 3.0)),
 
     // Lexical DIVERSITY: Gini-Simpson index 1 - sum(p^2) per doc —
     // the collision-probability diversity measure corpus filters use

@@ -19,6 +19,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers flags only >k*MAD deviations, MAD=0 degenerates sanely") {
+    import org.apache.spark.sql.functions._
+    // u1: values [1,1,1,10] -> med=1, devs [0,0,0,9], MAD=0 -> only
+    // the 10 is flagged (9 > 3*0). u2: [1,2,3] -> med=2, MAD=1 ->
+    // max dev 1 <= 3 -> nothing flagged.
+    val ev = Seq((1L, "u1", 1.0), (2L, "u1", 1.0), (3L, "u1", 1.0),
+      (4L, "u1", 10.0), (5L, "u2", 1.0), (6L, "u2", 2.0), (7L, "u2", 3.0))
+      .toDF("event_id", "user_id", "value")
+    val out = graft.operators.Robust
+      .madOutliers(ev, "user_id", "value", "event_id", k = 3.0)
+      .select("event_id", "med", "mad").as[(Long, Double, Double)].collect().toSeq
+    assert(out == Seq((4L, 1.0, 0.0)))
+  }
+
   test("q113 z-blocks bound small rectangles: mean bbox area << full grid") {
     val rows = Scale.queries("q113_zorder_layout")(spark, "/root/testdata/sf0.01")
       .select("bbox_area").as[Long].collect()
