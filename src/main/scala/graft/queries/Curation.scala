@@ -335,6 +335,26 @@ object Curation extends QueryGroup {
           col("minhash"))
     }),
 
+    // SOURCE-SIMILARITY MATRIX: estimated Jaccard between every pair
+    // of sources from their merged MinHash signatures (q129) —
+    // signature agreement fraction estimates corpus overlap without
+    // any pairwise document work. The pair join runs over the
+    // REGISTRY (|sources| x numPerm rows), never the corpus: at
+    // 100 TB this query's input is kilobytes.
+    "q132_source_similarity" -> ((s, dir) => {
+      val sig = queries("q129_minhash_merge")(s, dir)
+      val a = sig.select(col("source").as("source_a"), col("perm_no"),
+        col("minhash").as("mh_a"))
+      val b = sig.select(col("source").as("source_b"), col("perm_no"),
+        col("minhash").as("mh_b"))
+      a.join(b, Seq("perm_no")).filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+          .as("n_agree"))
+        .withColumn("est_jaccard",
+          round(col("n_agree").cast("double") / NumPerm, 6))
+    }),
+
     // CURATION FUNNEL: survivor counts through the pipeline's gates —
     // exact dedup (first doc per identical text wins), min-length
     // (>= 10 tokens, the Gopher floor), quality (q39 score >= 0.5) —
@@ -632,6 +652,20 @@ object Curation extends QueryGroup {
          SELECT source, unnest(generate_series(1, $NumPerm)) AS perm_no,
                 unnest(sig) AS minhash
          FROM sigs""",
+
+    "q132_source_similarity" ->
+      s"""WITH $dSh,
+         fx AS (SELECT source, ${dMd5Long("s", 12)} % $P AS h
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM shn)
+                JOIN documents USING (doc_id)),
+         sl AS (SELECT source, list(h) AS hashes FROM fx GROUP BY source),
+         sigs AS (SELECT source, $dSig AS sig FROM sl)
+         SELECT s1.source AS source_a, s2.source AS source_b,
+           len(list_filter(generate_series(1, $NumPerm),
+             i -> s1.sig[i] = s2.sig[i]))::BIGINT AS n_agree,
+           round(len(list_filter(generate_series(1, $NumPerm),
+             i -> s1.sig[i] = s2.sig[i]))::DOUBLE / $NumPerm, 6) AS est_jaccard
+         FROM sigs s1 JOIN sigs s2 ON s1.source < s2.source""",
 
     "q130_curation_funnel" -> {
       val stopList = graft.functions.Text.LangStopwords.toMap

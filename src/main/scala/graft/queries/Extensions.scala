@@ -279,6 +279,31 @@ object Extensions extends QueryGroup {
           sqrt((nD * sx2 - sx * sx) * (nD * sy2 - sy * sy)), 6).as("corr_qty_price"))
     }),
 
+    // Per-group LINEAR REGRESSION (price on quantity) from the same
+    // decimal-exact power sums as q97 — slope AND intercept in closed
+    // form over the sums (intercept from sums directly, NOT from the
+    // rounded slope, so each output rounds exactly once). One partial
+    // aggregation; built-in regr_slope's streaming update would not
+    // be cross-engine deterministic.
+    "q131_group_regression" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val agg = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(28,8)")).as("sx"),
+        sum(y.cast("decimal(28,8)")).as("sy"),
+        sum((x * y).cast("decimal(28,8)")).as("sxy"),
+        sum((x * x).cast("decimal(28,8)")).as("sx2"))
+      val nD = col("n").cast("double")
+      val (sx, sy, sxy, sx2) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sx2").cast("double"))
+      val det = nD * sx2 - sx * sx
+      agg.select(col("l_returnflag"), col("n"),
+        round((nD * sxy - sx * sy) / det, 6).as("slope"),
+        round((sy * sx2 - sx * sxy) / det, 6).as("intercept"))
+    }),
+
     // Time-series RESAMPLING to daily OHLC bars: open/close are
     // struct-min/max over (ts, event_id, value) — one partial-agg
     // shuffle, no window over the raw stream, no sort; the total
@@ -596,6 +621,21 @@ object Extensions extends QueryGroup {
          SELECT w1, w2 AS next_tok, cnt, total,
            round(cnt::DOUBLE / total, 6) AS p
          FROM r WHERE rn = 1 AND total >= 20""",
+
+    "q131_group_regression" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(28,8))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS sy,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS sxy,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS sx2
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+           round((sy::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sxy::DOUBLE)
+             / (n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS intercept
+         FROM a""",
 
     // The oracle asserts within_tol = TRUE: the spark side computes it
     // from the live HLL++ sketch, so sketch drift fails the hash gate.
