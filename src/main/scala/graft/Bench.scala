@@ -57,10 +57,12 @@ object Bench {
     // The FINAL line is the machine contract. The harness that reads it
     // keeps only the last ~2000 chars of output (an sbt [success]
     // trailer eats ~80 more), so this line must stay well under that:
-    // keys are shortened to the qNN prefix and values to 3 decimals
-    // (~13 chars/query; 80+ queries ≈ 1100 chars).
+    // keys are shortened to the qNN prefix and values to 2 decimals
+    // (~12 chars/query; 130 queries ≈ 1560 chars — the full-precision
+    // per-query map is the first line above and target/bench-full.json).
+    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val shortQs = warm.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$shortQs,"sf":${jstr(sfDir)}}""")
     spark.stop()
