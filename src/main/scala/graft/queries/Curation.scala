@@ -355,6 +355,33 @@ object Curation extends QueryGroup {
           round(col("n_agree").cast("double") / NumPerm, 6))
     }),
 
+    // LABEL COHESION: mean pairwise dot product within each label
+    // WITHOUT a pairwise join — the identity
+    //   sum_pairs <u,v> = (||sum v||^2 - sum ||v||^2) / 2
+    // turns an O(n^2) statistic into two O(n*d) aggregations. Every
+    // intermediate is exact decimal (elements cast at 10dp, squares at
+    // (37,20)); doubles appear only in the final division, rounded at
+    // 6dp — far above the decimal->double one-ulp drift (q97's rule).
+    // At 100 TB this is the difference between "can't" and one pass.
+    "q133_label_dispersion" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ex = e.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+          col("col").cast("decimal(18,10)").as("w"))
+      val dims = ex.groupBy("label", "pos")
+        .agg(sum(col("w")).as("sd"), sum(col("w") * col("w")).as("swsq"))
+      val a = dims.groupBy("label")
+        .agg(sum(col("sd").cast("decimal(18,10)") * col("sd").cast("decimal(18,10)"))
+          .as("sum_sq"),
+          sum(col("swsq")).as("sum_norm"))
+      val n = e.groupBy("label").agg(count(lit(1)).as("n"))
+      a.join(n, "label")
+        .select(col("label"), col("n"),
+          round((col("sum_sq") - col("sum_norm")).cast("double")
+            / (col("n") * (col("n") - lit(1))).cast("double"), 6)
+            .as("mean_pair_dot"))
+    }),
+
     // CURATION FUNNEL: survivor counts through the pipeline's gates —
     // exact dedup (first doc per identical text wins), min-length
     // (>= 10 tokens, the Gopher floor), quality (q39 score >= 0.5) —
@@ -666,6 +693,23 @@ object Curation extends QueryGroup {
            round(len(list_filter(generate_series(1, $NumPerm),
              i -> s1.sig[i] = s2.sig[i]))::DOUBLE / $NumPerm, 6) AS est_jaccard
          FROM sigs s1 JOIN sigs s2 ON s1.source < s2.source""",
+
+    "q133_label_dispersion" ->
+      """WITH ex AS (SELECT label,
+             unnest(generate_series(0, len(embedding)-1)) AS dim_no,
+             unnest(list_transform(embedding, x -> x::DECIMAL(18,10))) AS w
+           FROM embeddings),
+         d AS (SELECT label, dim_no, sum(w) AS sd, sum(w*w) AS swsq
+               FROM ex GROUP BY 1, 2),
+         a AS (SELECT label,
+                 sum(sd::DECIMAL(18,10) * sd::DECIMAL(18,10)) AS sum_sq,
+                 sum(swsq) AS sum_norm
+               FROM d GROUP BY 1),
+         n AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1)
+         SELECT label, n,
+           round((sum_sq::DOUBLE - sum_norm::DOUBLE)
+             / (n * (n - 1))::DOUBLE, 6) AS mean_pair_dot
+         FROM a JOIN n USING (label)""",
 
     "q130_curation_funnel" -> {
       val stopList = graft.functions.Text.LangStopwords.toMap

@@ -101,4 +101,24 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(10L, 30L))
   }
+
+  test("q133 identity equals brute-force pairwise dots (sf0.001)") {
+    // cross-engine parity can't catch BOTH engines encoding the same
+    // wrong formula — this pins the algebra itself against O(n^2)
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.queries("q133_label_dispersion")(spark, dir)
+      .select("label", "mean_pair_dot").as[(String, Double)].collect().toMap
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("label", "embedding").as[(String, Seq[Float])].collect()
+    val brute = vecs.groupBy(_._1).map { case (lbl, vs) =>
+      val es = vs.map(_._2.map(_.toDouble))
+      val dots = for (i <- es.indices; j <- i + 1 until es.size)
+        yield es(i).zip(es(j)).map { case (a, b) => a * b }.sum
+      lbl -> dots.sum / dots.size
+    }
+    brute.foreach { case (lbl, expected) =>
+      assert(math.abs(got(lbl) - expected) < 1e-4,
+        s"label=$lbl identity=${got(lbl)} brute=$expected")
+    }
+  }
 }
