@@ -312,6 +312,23 @@ object Scale extends QueryGroup {
             6).as("gini_simpson"))
     }),
 
+    // Tokenizer FERTILITY per language: corpus-level subwords-per-word
+    // ratio — the statistic that decides whether a tokenizer's vocab
+    // serves a language well (fertility >> 1 means over-segmentation).
+    // Exact integer sums per lang; one double division at the end.
+    "q134_tokenizer_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("n_words"),
+          Text.subwordCount(col("text")).cast("long").as("n_subwords"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_subwords")).as("subwords"))
+        .withColumn("fertility",
+          round(col("subwords").cast("double") / col("words"), 6))
+    }),
+
     // Per-lang QUALITY GATE: percent_rank over the q39 quality score,
     // keep the top 70% of each language — the percentile-threshold
     // filter of corpus curation. The exact window (partitioned on
@@ -486,6 +503,16 @@ object Scale extends QueryGroup {
       """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
                 round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS revenue
          FROM orders GROUP BY 1""",
+
+    "q134_tokenizer_fertility" ->
+      s"""WITH $dTok
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(len(toks))::BIGINT AS words,
+           sum(len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ]+)', 1)))::BIGINT AS subwords,
+           round(sum(len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ]+)', 1)))::DOUBLE
+             / sum(len(toks)), 6) AS fertility
+         FROM documents JOIN tok USING (doc_id)
+         GROUP BY lang""",
 
     "q125_mad_outliers" ->
       """WITH r1 AS (SELECT user_id, value,
