@@ -355,6 +355,28 @@ object Curation extends QueryGroup {
           round(col("n_agree").cast("double") / NumPerm, 6))
     }),
 
+    // QUANTIZATION ERROR audit for the int8 ANN path (q70): per
+    // vector, the max and total reconstruction error in 1/127 steps,
+    // plus the clipped-element count. EVERY number here is exact:
+    // x*127 is an exact double (24-bit float mantissa x 7-bit 127),
+    // the rounded int is exact, their difference is exact, and the
+    // per-vector sum stays within 30 significant bits — so the
+    // doubles are bit-identical across engines with no rounding
+    // anywhere. The audit that says whether 4x memory is free or not.
+    "q135_quantization_error" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val s127 = transform(col("embedding"), x => x.cast("double") * 127)
+      val err = zip_with(col("s127"), col("q"),
+        (s, q) => abs(s - q.cast("double")))
+      e.select(col("vec_id"), s127.as("s127"),
+          Similarity.quantize8(col("embedding")).as("q"))
+        .select(col("vec_id"), err.as("err"),
+          size(filter(col("s127"), s => abs(s) >= 127.5)).as("n_clipped"))
+        .select(col("vec_id"), col("n_clipped"),
+          array_max(col("err")).as("max_err127"),
+          aggregate(col("err"), lit(0.0), (acc, x) => acc + x).as("sum_err127"))
+    }),
+
     // LABEL COHESION: mean pairwise dot product within each label
     // WITHOUT a pairwise join — the identity
     //   sum_pairs <u,v> = (||sum v||^2 - sum ||v||^2) / 2
@@ -693,6 +715,23 @@ object Curation extends QueryGroup {
            round(len(list_filter(generate_series(1, $NumPerm),
              i -> s1.sig[i] = s2.sig[i]))::DOUBLE / $NumPerm, 6) AS est_jaccard
          FROM sigs s1 JOIN sigs s2 ON s1.source < s2.source""",
+
+    "q135_quantization_error" ->
+      """WITH x AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE * 127) AS s127,
+             list_transform(embedding,
+               x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS q
+           FROM embeddings),
+         e AS (SELECT vec_id,
+             list_transform(generate_series(1, len(s127)),
+               i -> abs(s127[i] - q[i]::DOUBLE)) AS err,
+             len(list_filter(s127, s -> abs(s) >= 127.5)) AS n_clipped
+           FROM x)
+         SELECT vec_id, n_clipped::INT AS n_clipped,
+           list_max(err) AS max_err127,
+           list_reduce(list_prepend(0.0::DOUBLE, err), (acc, v) -> acc + v) AS sum_err127
+         FROM e""",
 
     "q133_label_dispersion" ->
       """WITH ex AS (SELECT label,
