@@ -276,7 +276,12 @@ object TrainingData extends QueryGroup {
     // shuffles no matter the corpus size.
     "q79_repetition" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val grams = d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      // Spread BEFORE the tokenizer+shingle HOFs: a small corpus
+      // arrives as one input split, which would run the CPU-heavy
+      // projection on one core (the shingleSets rule)
+      val grams = d.select(col("doc_id"), col("text"))
+        .transform(graft.operators.Spread.byKey("doc_id"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), Text.shinglesWithDuplicates(col("toks"), 2).as("grams"))
         .select(col("doc_id"), size(col("grams")).as("n_bigrams"),
           explode(col("grams")).as("gram"))
