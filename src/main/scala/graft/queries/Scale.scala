@@ -312,6 +312,33 @@ object Scale extends QueryGroup {
             6).as("gini_simpson"))
     }),
 
+    // Inter-arrival BURSTINESS per user: CV^2 of event gaps (variance
+    // over squared mean) from exact integer power sums of millisecond
+    // gaps — CV^2 >> 1 is bursty/bot-like, ~1 Poisson, << 1 regular.
+    // Gaps square through DECIMAL(18,0) (a month of ms squared
+    // overflows long); doubles appear only in the final ratio of
+    // exact integers, rounded at 6dp (q97's drift argument). Window
+    // partitions on user_id — high cardinality, tiny per-key state.
+    "q136_burstiness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = ev
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sum_gap"),
+          sum(col("gap").cast("decimal(18,0)") * col("gap").cast("decimal(18,0)"))
+            .as("sum_gap2"))
+        .filter(col("sum_gap") > 0)
+        .select(col("user_id"), col("n_gaps"), col("sum_gap"),
+          round((col("n_gaps").cast("double") * col("sum_gap2").cast("double")
+            - col("sum_gap").cast("double") * col("sum_gap").cast("double"))
+            / (col("sum_gap").cast("double") * col("sum_gap").cast("double")),
+            6).as("cv2"))
+    }),
+
     // Tokenizer FERTILITY per language: corpus-level subwords-per-word
     // ratio — the statistic that decides whether a tokenizer's vocab
     // serves a language well (fertility >> 1 means over-segmentation).
@@ -503,6 +530,21 @@ object Scale extends QueryGroup {
       """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
                 round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS revenue
          FROM orders GROUP BY 1""",
+
+    "q136_burstiness" ->
+      """WITH g AS (SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS gap
+           FROM events),
+         a AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+             sum(gap)::BIGINT AS sum_gap,
+             sum(gap::DECIMAL(18,0) * gap::DECIMAL(18,0)) AS sum_gap2
+           FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+         SELECT user_id, n_gaps, sum_gap,
+           round((n_gaps::DOUBLE * sum_gap2::DOUBLE
+             - sum_gap::DOUBLE * sum_gap::DOUBLE)
+             / (sum_gap::DOUBLE * sum_gap::DOUBLE), 6) AS cv2
+         FROM a WHERE sum_gap > 0""",
 
     "q134_tokenizer_fertility" ->
       s"""WITH $dTok
