@@ -355,6 +355,27 @@ object Curation extends QueryGroup {
           round(col("n_agree").cast("double") / NumPerm, 6))
     }),
 
+    // Cross-source CONTAMINATION matrix: near-dup pairs (q31's
+    // machinery) rolled up to (source_a, source_b) counts — which
+    // sources mirror which, the diagnostic that decides what gets
+    // crawled and what gets dropped. The pair graph is tiny by
+    // construction; the doc->source lookup joins onto it, the corpus
+    // never re-shuffles. Sources are ordered per PAIR so the matrix
+    // is upper-triangular regardless of doc-id assignment.
+    "q137_contamination_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      val src = d.select(col("doc_id"), col("source"))
+      val tagged = pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_1")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_2")), "id_b")
+        .select(least(col("src_1"), col("src_2")).as("source_a"),
+          greatest(col("src_1"), col("src_2")).as("source_b"))
+      tagged.groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // QUANTIZATION ERROR audit for the int8 ANN path (q70): per
     // vector, the max and total reconstruction error in 1/127 steps,
     // plus the clipped-element count. EVERY number here is exact:
@@ -715,6 +736,27 @@ object Curation extends QueryGroup {
            round(len(list_filter(generate_series(1, $NumPerm),
              i -> s1.sig[i] = s2.sig[i]))::DOUBLE / $NumPerm, 6) AS est_jaccard
          FROM sigs s1 JOIN sigs s2 ON s1.source < s2.source""",
+
+    "q137_contamination_matrix" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         nd AS (SELECT id_a, id_b
+                FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+                           JOIN sizes sb ON id_b = sb.doc_id
+                WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         t AS (SELECT least(da.source, db.source) AS source_a,
+                      greatest(da.source, db.source) AS source_b
+               FROM nd JOIN documents da ON nd.id_a = da.doc_id
+                       JOIN documents db ON nd.id_b = db.doc_id)
+         SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+         FROM t GROUP BY 1, 2""",
 
     "q135_quantization_error" ->
       """WITH x AS (
