@@ -17,25 +17,36 @@ import org.apache.spark.sql.expressions.Window
   */
 object Robust {
 
-  /** Per-entity lower-nearest-rank median of `valueCol`. */
+  /** Per-entity lower-nearest-rank median of `valueCol` over the
+    * NON-NULL values. Nulls are dropped first: Spark sorts nulls
+    * FIRST ascending while the DuckDB oracles sort NULLS LAST, and a
+    * null can never be a median — counting them in n would silently
+    * shift the rank pick. */
   def groupMedian(df: DataFrame, entityCol: String, valueCol: String,
                   out: String): DataFrame = {
     val w = Window.partitionBy(entityCol).orderBy(valueCol)
-    df.withColumn("rn", row_number().over(w))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(entityCol)))
       .filter(col("rn") === expr("(n + 1) div 2"))
       .select(col(entityCol), col(valueCol).as(out))
   }
 
   /** Rows of `df` whose value deviates from its entity's median by
-    * more than k MADs. Output: idCol, entityCol, valueCol, med, mad.
+    * more than k MADs. Null values are never flagged (and don't move
+    * the medians). Output: idCol, entityCol, valueCol, med, mad.
     */
   def madOutliers(df: DataFrame, entityCol: String, valueCol: String,
                   idCol: String, k: Double): DataFrame = {
-    val m1 = groupMedian(df.select(entityCol, valueCol), entityCol, valueCol, "med")
-    val dev = df.select(idCol, entityCol, valueCol)
+    val rows = df.select(idCol, entityCol, valueCol)
+      .filter(col(valueCol).isNotNull)
+    val m1 = groupMedian(rows.select(entityCol, valueCol), entityCol, valueCol, "med")
+    // materialized once: the MAD derivation and the final probe both
+    // consume it, and column pruning would re-run the median join per
+    // consumer (the Dedup multi-consumer rule)
+    val dev = Dedup.DefaultMaterialize(rows
       .join(m1, entityCol)
-      .withColumn("dev", abs(col(valueCol) - col("med")))
+      .withColumn("dev", abs(col(valueCol) - col("med"))))
     val m2 = groupMedian(dev.select(col(entityCol), col("dev")), entityCol, "dev", "mad")
     dev.join(m2, entityCol)
       .filter(col("dev") > col("mad") * k)

@@ -413,6 +413,10 @@ object Curation extends QueryGroup {
           col("col").cast("decimal(18,10)").as("w"))
       val dims = ex.groupBy("label", "pos")
         .agg(sum(col("w")).as("sd"), sum(col("w") * col("w")).as("swsq"))
+      // the (18,10) downcast bounds the square at decimal(37,20); it
+      // requires |sd| < 10^8, i.e. up to ~10^8 vectors per label at
+      // |element| <= 1 — beyond that, square per-PARTITION partial
+      // sums before combining (same identity, one more level)
       val a = dims.groupBy("label")
         .agg(sum(col("sd").cast("decimal(18,10)") * col("sd").cast("decimal(18,10)"))
           .as("sum_sq"),
@@ -788,21 +792,16 @@ object Curation extends QueryGroup {
                FROM d GROUP BY 1),
          n AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1)
          SELECT label, n,
-           round((sum_sq::DOUBLE - sum_norm::DOUBLE)
+           round((sum_sq - sum_norm)::DOUBLE
              / (n * (n - 1))::DOUBLE, 6) AS mean_pair_dot
          FROM a JOIN n USING (label)""",
 
     "q130_curation_funnel" -> {
-      val stopList = graft.functions.Text.LangStopwords.toMap
-        .apply("en").map(w => s"'$w'").mkString(", ")
       s"""WITH $dTok,
          f AS (SELECT d.doc_id,
                  row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1 AS f_exact,
                  len(toks) >= 10 AS f_len,
-                 round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
-                   + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
-                   + (1.0 - len(list_filter(toks, t -> t IN ($stopList)))::DOUBLE
-                       / len(toks)) * 0.2, 6) >= 0.5 AS f_quality
+                 ${TrainingData.dQuality("toks")} >= 0.5 AS f_quality
                FROM documents d JOIN tok USING (doc_id)),
          a AS (SELECT count(*)::BIGINT AS n0,
                  sum(CASE WHEN f_exact THEN 1 ELSE 0 END)::BIGINT AS n1,

@@ -585,14 +585,9 @@ object Scale extends QueryGroup {
          FROM c GROUP BY doc_id""",
 
     "q127_quality_gate" -> {
-      val stopList = graft.functions.Text.LangStopwords.toMap
-        .apply("en").map(w => s"'$w'").mkString(", ")
       s"""WITH $dTok,
          q AS (SELECT d.doc_id, d.lang,
-                 round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
-                   + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
-                   + (1.0 - len(list_filter(toks, t -> t IN ($stopList)))::DOUBLE
-                       / len(toks)) * 0.2, 6) AS quality
+                 ${TrainingData.dQuality("toks")} AS quality
                FROM documents d JOIN tok USING (doc_id)),
          p AS (SELECT doc_id, lang, quality,
                  percent_rank() OVER (PARTITION BY lang

@@ -87,6 +87,18 @@ object TrainingData extends QueryGroup {
     s"len(list_filter(toks, t -> t IN ($words)))"
   }
 
+  /** The q39 quality score (mirrors Text.qualityScore) over a toks
+    * list ref — SHARED by every oracle that gates on quality (q39,
+    * q127, q130), so a change to the score formula lands in one
+    * place instead of silently diverging per copy. */
+  private[queries] def dQuality(toks: String): String = {
+    val stopList = enStop.map(w => s"'$w'").mkString(", ")
+    s"""round(least(len($toks)::DOUBLE / 100.0, 1.0) * 0.4
+       + (len(list_distinct($toks))::DOUBLE / len($toks)) * 0.4
+       + (1.0 - len(list_filter($toks, t -> t IN ($stopList)))::DOUBLE
+           / len($toks)) * 0.2, 6)"""
+  }
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -578,17 +590,12 @@ object TrainingData extends QueryGroup {
                 ELSE 'fr' END AS lang_pred
          FROM hits""",
 
-    "q39_quality" -> {
-      val stopList = enStop.map(w => s"'$w'").mkString(", ")
+    "q39_quality" ->
       s"""WITH $dTok
          SELECT doc_id, len(toks) AS n_tokens,
            round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
-           round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
-             + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
-             + (1.0 - len(list_filter(toks, t -> t IN ($stopList)))::DOUBLE / len(toks)) * 0.2,
-             6) AS quality
-         FROM tok"""
-    },
+           ${dQuality("toks")} AS quality
+         FROM tok""",
 
     "q40_token_stats" ->
       s"""WITH $dTok

@@ -44,23 +44,14 @@ object SketchRegistry {
   def mergeIntoRegistry(path: String, sourceCol: String, textCol: String,
                         n: Int, numPerm: Int)
                        (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val sigs = batchSignatures(batch, sourceCol, textCol, n, numPerm)
-    val old =
-      try spark.read.parquet(path)
-      catch {
-        // first batch: no registry yet — empty with the same schema
-        case _: org.apache.spark.sql.AnalysisException => sigs.limit(0)
-      }
-    old.select(col("source"), col("sig").as("old_sig"))
+    val merged = ParquetState.readOrEmpty(path, sigs)
+      .select(col("source"), col("sig").as("old_sig"))
       .join(sigs.select(col("source"), col("sig").as("new_sig")),
         Seq("source"), "full_outer")
       .select(col("source"),
         coalesce(zip_with(col("old_sig"), col("new_sig"), (a, b) => least(a, b)),
           col("old_sig"), col("new_sig")).as("sig"))
-      // pin PRE-write state: this plan reads the path it overwrites
-      // (the SnapshotMerge rule)
-      .localCheckpoint(true)
-      .write.mode("overwrite").parquet(path)
+    ParquetState.pinAndOverwrite(merged, path)
   }
 }

@@ -26,21 +26,11 @@ object SnapshotMerge {
   def mergeIntoSnapshot(path: String, keys: Seq[String],
                         opCol: String = "op", deleteOp: String = "D")
                        (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val target =
-      try spark.read.parquet(path)
-      catch {
-        // first batch: no snapshot yet — empty target with the
-        // changes' value schema
-        case _: org.apache.spark.sql.AnalysisException =>
-          batch.drop(opCol).limit(0)
-      }
-    Merge.upsert(target, batch, keys, opCol, deleteOp)
-      .drop("action")
-      // pin PRE-write state: this plan reads the path it is about to
-      // overwrite (see the README plan-notes rule — a cache would be
-      // re-invalidated by the write and silently re-derive)
-      .localCheckpoint(true)
-      .write.mode("overwrite").parquet(path)
+    // first batch: no snapshot yet — empty target with the changes'
+    // value schema
+    val target = ParquetState.readOrEmpty(path, batch.drop(opCol))
+    ParquetState.pinAndOverwrite(
+      Merge.upsert(target, batch, keys, opCol, deleteOp).drop("action"),
+      path)
   }
 }

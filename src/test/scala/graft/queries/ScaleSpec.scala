@@ -23,9 +23,11 @@ class ScaleSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // u1: values [1,1,1,10] -> med=1, devs [0,0,0,9], MAD=0 -> only
     // the 10 is flagged (9 > 3*0). u2: [1,2,3] -> med=2, MAD=1 ->
-    // max dev 1 <= 3 -> nothing flagged.
-    val ev = Seq((1L, "u1", 1.0), (2L, "u1", 1.0), (3L, "u1", 1.0),
-      (4L, "u1", 10.0), (5L, "u2", 1.0), (6L, "u2", 2.0), (7L, "u2", 3.0))
+    // max dev 1 <= 3 -> nothing flagged. The null value must neither
+    // shift u1's rank-median nor be flagged itself.
+    val ev = Seq((1L, "u1", Some(1.0)), (2L, "u1", Some(1.0)),
+      (3L, "u1", Some(1.0)), (4L, "u1", Some(10.0)), (8L, "u1", None),
+      (5L, "u2", Some(1.0)), (6L, "u2", Some(2.0)), (7L, "u2", Some(3.0)))
       .toDF("event_id", "user_id", "value")
     val out = graft.operators.Robust
       .madOutliers(ev, "user_id", "value", "event_id", k = 3.0)
