@@ -28,6 +28,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(noVecs, noVecs, "vec_id", "embedding", 5).count() == 0)
     assert(Similarity.lshTopK(noVecs, noVecs, "vec_id", "embedding", 4, 4, 5).count() == 0)
     assert(Similarity.cosinePairs(noVecs, "vec_id", "embedding", 4, 0.5).count() == 0)
+    val noLabeled = Seq.empty[(Long, Array[Float], String)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(noLabeled, noLabeled,
+      "vec_id", "embedding", "label", 5).count() == 0)
+  }
+
+  test("robust outliers on empty and single-row entities") {
+    val noEvents = Seq.empty[(Long, String, Double)]
+      .toDF("event_id", "user_id", "value")
+    assert(Robust.madOutliers(noEvents, "user_id", "value", "event_id", 3.0)
+      .count() == 0)
+    // single observation: it IS the median, dev=0, MAD=0 -> no flag
+    val one = Seq((1L, "u", 5.0)).toDF("event_id", "user_id", "value")
+    assert(Robust.madOutliers(one, "user_id", "value", "event_id", 3.0)
+      .count() == 0)
   }
 
   test("pipeline on an empty grid (the failed-scrape path)") {
