@@ -355,6 +355,39 @@ object Curation extends QueryGroup {
           round(col("n_agree").cast("double") / NumPerm, 6))
     }),
 
+    // The COMPLETE curation pipeline as ONE lazy plan (q29's role for
+    // the corpus side): exact-dedup winners -> min-length + quality
+    // gates -> near-dup cluster representatives -> per-lang sequence
+    // packing of the survivors. One giant composed oracle checks the
+    // whole thing end-to-end; every stage is also oracle-checked
+    // standalone (q130/q100/q81). The stages compose as column flags
+    // and joins on the tiny cluster table — one corpus scan plus the
+    // pair-graph machinery, no driver-side staging between stages.
+    "q138_curation_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val wExact = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val toksCol = Text.tokens(col("text"))
+      val gated = d
+        .withColumn("rn", row_number().over(wExact))
+        .withColumn("n_tokens", size(toksCol))
+        .withColumn("quality", Text.qualityScore(toksCol))
+        .filter(col("rn") === 1 && col("n_tokens") >= 10 &&
+          col("quality") >= 0.5)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      val clusters = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val kept = gated.join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      val wPack = Window.partitionBy("lang").orderBy("doc_id")
+      kept
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wPack))
+        .select(col("doc_id"), col("lang"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("int")
+            .as("pack_id"))
+    }),
+
     // Cross-source CONTAMINATION matrix: near-dup pairs (q31's
     // machinery) rolled up to (source_a, source_b) counts — which
     // sources mirror which, the diagnostic that decides what gets
@@ -740,6 +773,24 @@ object Curation extends QueryGroup {
            round(len(list_filter(generate_series(1, $NumPerm),
              i -> s1.sig[i] = s2.sig[i]))::DOUBLE / $NumPerm, 6) AS est_jaccard
          FROM sigs s1 JOIN sigs s2 ON s1.source < s2.source""",
+
+    "q138_curation_pipeline" ->
+      s"""WITH RECURSIVE $ccCte,
+         cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         f AS (SELECT d.doc_id, d.lang, len(toks) AS n_tokens,
+                 row_number() OVER (PARTITION BY md5(d.text)
+                   ORDER BY d.doc_id) = 1 AS f_exact,
+                 ${TrainingData.dQuality("toks")} AS quality
+               FROM documents d JOIN tok USING (doc_id)),
+         kept AS (SELECT f.doc_id, f.lang, f.n_tokens
+                  FROM f LEFT JOIN cl ON f.doc_id = cl.doc_id
+                  WHERE f.f_exact AND f.n_tokens >= 10 AND f.quality >= 0.5
+                    AND (cl.cluster IS NULL OR cl.cluster = f.doc_id))
+         SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens,
+           CAST(FLOOR((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / 2048) AS INT) AS pack_id
+         FROM kept""",
 
     "q137_contamination_matrix" ->
       s"""WITH $dSh,
