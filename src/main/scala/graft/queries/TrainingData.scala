@@ -186,6 +186,27 @@ object TrainingData extends QueryGroup {
         "vec_id", "embedding", dim = Dim, bits = LshBits, k = 5)
     }),
 
+    // ANN RECALL@5: how many of the exact top-5 neighbors the
+    // LSH-bucketed path recovers per query — q110's measure-don't-
+    // guess rule applied to the ANN family. Queries with zero overlap
+    // still appear (left join from the query set), so the metric
+    // can't silently hide a total miss.
+    "q139_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < AnnQueries)
+      val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshTopK(qs, e, "vec_id", "embedding",
+        dim = Dim, bits = LshBits, k = 5).select("query_id", "neighbor_id")
+      val hits = exact.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_at_5",
+          round(col("n_hit").cast("double") / 5, 6))
+    }),
+
     // Language-ID heuristic: stopword-hit fractions per candidate
     // language, argmax with fixed tie-break order.
     "q38_langid" -> ((s, dir) => {
@@ -555,6 +576,32 @@ object TrainingData extends QueryGroup {
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, neighbor_id ASC) AS rank
            FROM scored) WHERE rank <= 10""",
+
+    "q139_ann_recall" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+             ${dDot("embedding", "embedding")} AS n2,
+             ${dBucket("embedding")} AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn, bucket
+               FROM n WHERE vec_id < $AnnQueries),
+         ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "c.embedding")} / sqrt(qn * c.n2), 6) DESC,
+                          c.vec_id ASC) AS rnk
+             FROM n c JOIN q ON query_id != c.vec_id) WHERE rnk <= 5),
+         ls AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "c.embedding")} / sqrt(qn * c.n2), 6) DESC,
+                          c.vec_id ASC) AS rnk
+             FROM n c JOIN q ON q.bucket = c.bucket AND query_id != c.vec_id)
+           WHERE rnk <= 5),
+         h AS (SELECT e.query_id, count(*)::BIGINT AS n_hit
+               FROM ex e JOIN ls USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(h.n_hit, 0)::DOUBLE / 5, 6) AS recall_at_5
+         FROM q LEFT JOIN h USING (query_id)""",
 
     "q37_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
