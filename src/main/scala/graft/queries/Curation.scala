@@ -355,6 +355,40 @@ object Curation extends QueryGroup {
           round(col("n_agree").cast("double") / NumPerm, 6))
     }),
 
+    // SKETCH ACCURACY matrix: exact source-level Jaccard next to the
+    // q129 MinHash estimate and its absolute error — the measurement
+    // that says how much to trust the registry's cheap similarity
+    // (q102's per-pair audit lifted to source granularity). The exact
+    // side is an inverted-index count over (source, shingle) DISTINCT
+    // pairs — |sources|^2 is tiny, the corpus passes once. Both the
+    // estimate and the exact value are engine-deterministic, so no
+    // tolerance flag is needed: the error column itself hash-checks.
+    "q140_sketch_accuracy" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val srcShingle = Dedup.shingleSets(d, "doc_id", "text", 3)
+        .join(d.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("source"), explode(col("shingles")).as("shingle"))
+        .distinct()
+      val sizes = srcShingle.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val inter = srcShingle.as("a")
+        .join(srcShingle.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      val exact = inter
+        .join(sizes.select(col("source").as("source_a"), col("n_sh").as("na")), "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("n_sh").as("nb")), "source_b")
+        .select(col("source_a"), col("source_b"),
+          round(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")), 6).as("exact_jaccard"))
+      val est = queries("q132_source_similarity")(s, dir)
+        .select(col("source_a"), col("source_b"), col("est_jaccard"))
+      exact.join(est, Seq("source_a", "source_b"))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+    }),
+
     // The COMPLETE curation pipeline as ONE lazy plan (q29's role for
     // the corpus side): exact-dedup winners -> min-length + quality
     // gates -> near-dup cluster representatives -> per-lang sequence
@@ -773,6 +807,34 @@ object Curation extends QueryGroup {
            round(len(list_filter(generate_series(1, $NumPerm),
              i -> s1.sig[i] = s2.sig[i]))::DOUBLE / $NumPerm, 6) AS est_jaccard
          FROM sigs s1 JOIN sigs s2 ON s1.source < s2.source""",
+
+    "q140_sketch_accuracy" ->
+      s"""WITH $dSh,
+         ss AS (SELECT DISTINCT source, shingle
+                FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shn)
+                JOIN documents USING (doc_id)),
+         sz AS (SELECT source, count(*)::BIGINT AS n_sh FROM ss GROUP BY 1),
+         iv AS (SELECT a.source AS source_a, b.source AS source_b,
+                  count(*)::BIGINT AS inter
+                FROM ss a JOIN ss b
+                  ON a.shingle = b.shingle AND a.source < b.source
+                GROUP BY 1, 2),
+         exact AS (SELECT source_a, source_b,
+             round(inter::DOUBLE / (za.n_sh + zb.n_sh - inter), 6) AS exact_jaccard
+           FROM iv JOIN sz za ON source_a = za.source
+                   JOIN sz zb ON source_b = zb.source),
+         fx AS (SELECT source, ${dMd5Long("s", 12)} % $P AS h
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM shn)
+                JOIN documents USING (doc_id)),
+         sl AS (SELECT source, list(h) AS hashes FROM fx GROUP BY source),
+         sigs AS (SELECT source, $dSig AS sig FROM sl),
+         est AS (SELECT s1.source AS source_a, s2.source AS source_b,
+             round(len(list_filter(generate_series(1, $NumPerm),
+               i -> s1.sig[i] = s2.sig[i]))::DOUBLE / $NumPerm, 6) AS est_jaccard
+           FROM sigs s1 JOIN sigs s2 ON s1.source < s2.source)
+         SELECT e.source_a, e.source_b, e.exact_jaccard, est.est_jaccard,
+           round(abs(est.est_jaccard - e.exact_jaccard), 6) AS abs_err
+         FROM exact e JOIN est USING (source_a, source_b)""",
 
     "q138_curation_pipeline" ->
       s"""WITH RECURSIVE $ccCte,
