@@ -87,6 +87,18 @@ object TrainingData extends QueryGroup {
     s"len(list_filter(toks, t -> t IN ($words)))"
   }
 
+  /** Shared simhash CTE: `sims(doc_id, simhash)` — the 16-bit
+    * fingerprint of q34, reused by the banded Hamming search (q141).
+    * Prepend $dTok. */
+  private[queries] lazy val dSims: String = {
+    val bitTerms = (0 until SimhashBits).map { j =>
+      s"(CASE WHEN list_sum(list_prepend(0::BIGINT, list_transform(hashes, " +
+        s"h -> ((h // ${1L << j}) % 2) * 2 - 1))) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""hs AS (SELECT doc_id, list_transform(toks, t -> ${dMd5Long("t", 4)}) AS hashes FROM tok),
+       sims AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)"""
+  }
+
   /** The q39 quality score (mirrors Text.qualityScore) over a toks
     * list ref — SHARED by every oracle that gates on quality (q39,
     * q127, q130), so a change to the score formula lands in one
@@ -164,6 +176,42 @@ object TrainingData extends QueryGroup {
     "q34_simhash" -> ((s, dir) =>
       Dedup.simhashGroups(Tables.documents(s, dir), "doc_id", "text", SimhashBits)
         .select(col("id").as("doc_id"), col("simhash"), col("bucket_size"))),
+
+    // Banded HAMMING search over simhash fingerprints: pairs within
+    // Hamming distance 2, found via 3 bands (6+5+5 bits) — by
+    // pigeonhole, d <= 2 differing bits leave at least one band
+    // untouched, so band-equality candidates are COMPLETE for the
+    // radius, never all-pairs. Verify is a single codegen'd
+    // bit_count(xor). The production simhash-dedup shape (64-bit fp,
+    // 4 bands) at test size.
+    "q141_simhash_hamming" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val fp = Dedup.simhashGroups(d, "doc_id", "text", SimhashBits)
+        .select(col("id").as("doc_id"), col("simhash").as("fp"))
+      val banded = fp.select(col("doc_id"), col("fp"),
+        explode(array(
+          struct(lit(0).as("band_no"),
+            col("fp").bitwiseAND(lit(63L)).as("band_val")),
+          struct(lit(1).as("band_no"),
+            shiftright(col("fp"), 6).bitwiseAND(lit(31L)).as("band_val")),
+          struct(lit(2).as("band_no"),
+            shiftright(col("fp"), 11).as("band_val")))).as("band"))
+        .select(col("doc_id"), col("fp"),
+          col("band.band_no").as("band_no"), col("band.band_val").as("band_val"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_no") === col("b.band_no") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.fp").as("fa"), col("b.fp").as("fb"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("fa").bitwiseXOR(col("fb"))))
+        .filter(col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    }),
 
     // Embedding near-dup pairs: cosine >= 0.35 within sign-LSH
     // buckets (approximate; 2^4 fewer comparisons than quadratic).
@@ -539,16 +587,24 @@ object TrainingData extends QueryGroup {
          SELECT id_a, id_b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
          FROM verified WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.5""",
 
-    "q34_simhash" -> {
-      val bitTerms = (0 until SimhashBits).map { j =>
-        s"(CASE WHEN list_sum(list_prepend(0::BIGINT, list_transform(hashes, " +
-          s"h -> ((h // ${1L << j}) % 2) * 2 - 1))) >= 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH $dTok,
-         hs AS (SELECT doc_id, list_transform(toks, t -> ${dMd5Long("t", 4)}) AS hashes FROM tok),
-         sims AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)
-         SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size FROM sims"""
-    },
+    "q34_simhash" ->
+      s"""WITH $dTok, $dSims
+         SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size
+         FROM sims""",
+
+    "q141_simhash_hamming" ->
+      s"""WITH $dTok, $dSims,
+         banded AS (
+           SELECT doc_id, simhash AS fp, 0 AS band_no, simhash & 63 AS band_val FROM sims
+           UNION ALL SELECT doc_id, simhash, 1, (simhash >> 6) & 31 FROM sims
+           UNION ALL SELECT doc_id, simhash, 2, simhash >> 11 FROM sims),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.fp AS fa, b.fp AS fb
+                  FROM banded a JOIN banded b
+                    ON a.band_no = b.band_no AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, bit_count(xor(fa, fb))::INT AS hamming
+         FROM cand WHERE bit_count(xor(fa, fb)) <= 2""",
 
     "q35_embedding_near_dup" ->
       s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
