@@ -117,6 +117,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** INCREMENTAL near-dup: pairs between a NEW batch (isNew rows of
+    * the shingle table) and the EXISTING corpus only — the candidate
+    * generation continuous ingestion runs per batch: new shingles
+    * probe the inverted index, old x old pairs are never recomputed.
+    * Same hot-shingle guard as jaccardPairsFromShingles, with df
+    * counted over the WHOLE corpus (a stop-shingle is a global
+    * property, not a per-batch one). Returns (id_new, id_old,
+    * jaccard) for pairs >= threshold. */
+  def jaccardPairsIncremental(sh: DataFrame, isNew: Column,
+                              threshold: Double, maxDf: Int = 100): DataFrame = {
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val inv = sh.select(col("id"), isNew.as("is_new"),
+      explode(col("shingles")).as("shingle"))
+    val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val filtered = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val pairs = filtered.filter(col("is_new"))
+      .select(col("id").as("id_new"), col("shingle"))
+      .join(filtered.filter(!col("is_new"))
+        .select(col("id").as("id_old"), col("shingle")), "shingle")
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_new"), col("n_sh").as("n_a")), "id_new")
+      .join(sizes.select(col("id").as("id_old"), col("n_sh").as("n_b")), "id_old")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_old", "jaccard")
+  }
+
   /** MinHash+LSH candidate pairs, verified with exact Jaccard.
     * numPerm = bands * rowsPerBand; docs agreeing on ALL rows of any
     * band become candidates (banded on a md5 of the band slice, so

@@ -177,6 +177,19 @@ object TrainingData extends QueryGroup {
       Dedup.simhashGroups(Tables.documents(s, dir), "doc_id", "text", SimhashBits)
         .select(col("id").as("doc_id"), col("simhash"), col("bucket_size"))),
 
+    // INCREMENTAL near-dup maintenance: the 10% "new batch"
+    // (doc_id % 10 == 9) probes the existing corpus's inverted
+    // shingle index — old x old pairs never recompute, the per-batch
+    // cost is proportional to the batch, not the corpus. The
+    // continuous-ingest form of q31 (DedupRegistry's exact-dup loop,
+    // for near-dups).
+    "q142_incremental_neardup" -> ((s, dir) => {
+      val sh = Dedup.DefaultMaterialize(
+        Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
+      Dedup.jaccardPairsIncremental(sh, pmod(col("id"), lit(10)) === 9,
+        threshold = 0.5, maxDf = 100)
+    }),
+
     // Banded HAMMING search over simhash fingerprints: pairs within
     // Hamming distance 2, found via 3 bands (6+5+5 bits) — by
     // pigeonhole, d <= 2 differing bits leave at least one band
@@ -591,6 +604,23 @@ object TrainingData extends QueryGroup {
       s"""WITH $dTok, $dSims
          SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size
          FROM sims""",
+
+    "q142_incremental_neardup" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         nw AS (SELECT doc_id AS id_new, shingle FROM filt WHERE doc_id % 10 = 9),
+         od AS (SELECT doc_id AS id_old, shingle FROM filt WHERE doc_id % 10 != 9),
+         pairs AS (SELECT id_new, id_old, count(*) AS inter
+                   FROM nw JOIN od USING (shingle) GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn)
+         SELECT id_new, id_old,
+           round(inter::DOUBLE / (sn.n_sh + so.n_sh - inter), 6) AS jaccard
+         FROM pairs JOIN sizes sn ON id_new = sn.doc_id
+                    JOIN sizes so ON id_old = so.doc_id
+         WHERE round(inter::DOUBLE / (sn.n_sh + so.n_sh - inter), 6) >= 0.5""",
 
     "q141_simhash_hamming" ->
       s"""WITH $dTok, $dSims,
