@@ -35,7 +35,11 @@ object Bench {
     // (ContextCleaner is async; the hint keeps pass 2 comparable)
     System.gc(); Thread.sleep(500)
     val pass2 = pass()
-    val warm = pass2.map { case (k, v) =>
+    // Headline per-query time = MIN of the two passes, labeled
+    // "min2" so cross-round consumers never mistake it for a single
+    // measured pass; the true second-pass total rides alongside as
+    // warm_total (ADVICE r3: value/pass semantics must be explicit).
+    val best = pass2.map { case (k, v) =>
       val c = cold.getOrElse(k, -1.0)
       // a failed pass (-1) never masks the other pass's success
       k -> (if (v < 0) c else if (c < 0) v else math.min(c, v))
@@ -51,13 +55,18 @@ object Bench {
       case c => c.toString
     } + "\""
     // totals sum only the successful queries (failures are -1)
-    val total = warm.values.filter(_ >= 0).sum
+    val total = best.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
+    val warmTotal = pass2.values.filter(_ >= 0).sum
+    def header(qs: String) =
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","pass":"min2",""" +
+        s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},""" +
+        s""""queries":$qs,"sf":${jstr(sfDir)}"""
     // Full-name per-query map: printed first (and written to a file)
     // for humans/tools reading the whole log.
-    val fullQs = warm.toSeq.sortBy(_._1)
+    val fullQs = best.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$fullQs,"sf":${jstr(sfDir)}}"""
+    val full = "{" + header(fullQs) + "}"
     println(full)
     try {
       val w = new java.io.PrintWriter("target/bench-full.json")
@@ -65,15 +74,22 @@ object Bench {
     } catch { case _: Throwable => () }
     // The FINAL line is the machine contract. The harness that reads it
     // keeps only the last ~2000 chars of output (an sbt [success]
-    // trailer eats ~80 more), so this line must stay well under that:
+    // trailer eats ~80 more), so this line must stay well under ~1900:
     // keys are shortened to the qNN prefix and values to 2 decimals
-    // (~12 chars/query; 130 queries ≈ 1560 chars — the full-precision
-    // per-query map is the first line above and target/bench-full.json).
-    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val shortQs = warm.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","pass":"warm","cold_total":${fmt(coldTotal)},"queries":$shortQs,"sf":${jstr(sfDir)}}""")
+    // (~12 chars/query); if the catalog grows past that, degrade the
+    // per-query precision to 1 decimal rather than overflow the window
+    // (full precision is always on the first line + target/bench-full
+    // .json).
+    def shortLine(decimals: Int): String = {
+      val f = s"%.${decimals}f"
+      val qs = best.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + k.takeWhile(_ != '_') + "\":" + f.formatLocal(java.util.Locale.ROOT, v) }
+        .mkString("{", ",", "}")
+      "{" + header(qs) + "}"
+    }
+    val short2 = shortLine(2)
+    println(if (short2.length <= 1850) short2 else shortLine(1))
     spark.stop()
   }
 }

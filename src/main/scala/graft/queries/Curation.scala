@@ -27,6 +27,45 @@ object Curation extends QueryGroup {
 
   import TrainingData.{ccCte, dMd5Long, dSh, dSig, dDot, dTok, P, NumPerm, AnnQueries}
 
+  /** q129's merged per-source signatures over an ALREADY-built
+    * (id, shingles) frame — shared by q129/q132/q140 so a caller that
+    * already holds the shingle table (q140) doesn't rebuild the
+    * tokenize+shingle pass per branch (ADVICE r3). */
+  private def sourceSignatures(d: DataFrame, sh: DataFrame): DataFrame = {
+    val exploded = sh.select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), pmod(Text.md5Long(col("s"), 12), lit(P)).as("h"))
+    val aggs = Text.minhashAggs(col("h"), NumPerm)
+    val perDoc = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val merged = perDoc
+      .join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source")
+      .agg(min(col("mh_1")).as("mh_1"),
+        (2 to NumPerm).map(j => min(col(s"mh_$j")).as(s"mh_$j")): _*)
+    val stackArgs = (1 to NumPerm).map(j => s"$j, mh_$j").mkString(", ")
+    merged
+      .selectExpr("source", s"stack($NumPerm, $stackArgs) AS (perm_no, minhash)")
+      .select(col("source"), col("perm_no").cast("long").as("perm_no"),
+        col("minhash"))
+  }
+
+  /** q132's pairwise agreement matrix over a signature registry. The
+    * registry feeds BOTH sides of the pair self-join, so it is
+    * materialized here (|sources| x numPerm rows — kilobytes) and the
+    * corpus-sized signature pipeline behind it runs exactly once. */
+  private def sourceSimilarity(sig: DataFrame): DataFrame = {
+    val reg = Dedup.DefaultMaterialize(sig)
+    val a = reg.select(col("source").as("source_a"), col("perm_no"),
+      col("minhash").as("mh_a"))
+    val b = reg.select(col("source").as("source_b"), col("perm_no"),
+      col("minhash").as("mh_b"))
+    a.join(b, Seq("perm_no")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .withColumn("est_jaccard",
+        round(col("n_agree").cast("double") / NumPerm, 6))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Dedup MATERIALIZATION: near-dup clusters -> the deduplicated
@@ -114,16 +153,21 @@ object Curation extends QueryGroup {
     // All three count tables are keyed shuffles with map-side partial
     // aggregation; N rides in on a one-row broadcast.
     "q104_bigram_lift" -> ((s, dir) => {
-      // ONE tokenize pass feeds both count tables (the q102 shared-
-      // consumer convention); the bigram total derives from bgc, so
-      // no third scan exists at all.
-      val toks = Dedup.DefaultMaterialize(Tables.documents(s, dir)
-        .select(Text.tokens(col("text")).as("toks")))
+      // Materialize the AGGREGATED count tables, not the raw token
+      // arrays: tokenizing twice is cheaper than writing/reading
+      // array<string> blocks, and bgc/ug are the relations with
+      // multiple consumers (bgc feeds the filter AND the total; ug
+      // feeds the w1 AND w2 joins — column pruning would re-run each
+      // agg per consumer otherwise).
+      val toks = Tables.documents(s, dir)
+        .select(Text.tokens(col("text")).as("toks"))
       val bg = toks.select(
         explode(Text.shinglesWithDuplicates(col("toks"), 2)).as("bigram"))
-      val bgc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-      val ug = toks.select(explode(col("toks")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c"))
+      val bgc = Dedup.DefaultMaterialize(
+        bg.groupBy("bigram").agg(count(lit(1)).as("c_ab")))
+      val ug = Dedup.DefaultMaterialize(
+        toks.select(explode(col("toks")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c")))
       val tot = bgc.agg(sum(col("c_ab")).as("n_bigrams"))
       bgc.filter(col("c_ab") >= 5)
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -228,10 +272,16 @@ object Curation extends QueryGroup {
     "q110_lsh_recall" -> ((s, dir) => {
       val sh = Dedup.DefaultMaterialize(
         Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
-      val exact = Dedup.jaccardPairsFromShingles(sh, threshold = 0.5, maxDf = 100)
-        .select("id_a", "id_b")
-      val lsh = Dedup.minhashLshPairsFromShingles(sh,
-        bands = 8, rowsPerBand = 4, threshold = 0.5).select("id_a", "id_b")
+      // Each pair table feeds TWO consumers (its own count + the
+      // semi-join): materialize both, or column pruning re-runs the
+      // full pair pipeline per consumer (the Dedup.scala:189 rule;
+      // the tables are threshold-pruned, ~tens of rows).
+      val exact = Dedup.DefaultMaterialize(
+        Dedup.jaccardPairsFromShingles(sh, threshold = 0.5, maxDf = 100)
+          .select("id_a", "id_b"))
+      val lsh = Dedup.DefaultMaterialize(
+        Dedup.minhashLshPairsFromShingles(sh,
+          bands = 8, rowsPerBand = 4, threshold = 0.5).select("id_a", "id_b"))
       val both = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
@@ -318,21 +368,7 @@ object Curation extends QueryGroup {
     // sketches instead of counts).
     "q129_minhash_merge" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val sh = Dedup.shingleSets(d, "doc_id", "text", 3)
-      val exploded = sh.select(col("id"), explode(col("shingles")).as("s"))
-        .select(col("id"), pmod(Text.md5Long(col("s"), 12), lit(P)).as("h"))
-      val aggs = Text.minhashAggs(col("h"), NumPerm)
-      val perDoc = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      val merged = perDoc
-        .join(d.select(col("doc_id").as("id"), col("source")), "id")
-        .groupBy("source")
-        .agg(min(col("mh_1")).as("mh_1"),
-          (2 to NumPerm).map(j => min(col(s"mh_$j")).as(s"mh_$j")): _*)
-      val stackArgs = (1 to NumPerm).map(j => s"$j, mh_$j").mkString(", ")
-      merged
-        .selectExpr("source", s"stack($NumPerm, $stackArgs) AS (perm_no, minhash)")
-        .select(col("source"), col("perm_no").cast("long").as("perm_no"),
-          col("minhash"))
+      sourceSignatures(d, Dedup.shingleSets(d, "doc_id", "text", 3))
     }),
 
     // SOURCE-SIMILARITY MATRIX: estimated Jaccard between every pair
@@ -341,19 +377,8 @@ object Curation extends QueryGroup {
     // any pairwise document work. The pair join runs over the
     // REGISTRY (|sources| x numPerm rows), never the corpus: at
     // 100 TB this query's input is kilobytes.
-    "q132_source_similarity" -> ((s, dir) => {
-      val sig = queries("q129_minhash_merge")(s, dir)
-      val a = sig.select(col("source").as("source_a"), col("perm_no"),
-        col("minhash").as("mh_a"))
-      val b = sig.select(col("source").as("source_b"), col("perm_no"),
-        col("minhash").as("mh_b"))
-      a.join(b, Seq("perm_no")).filter(col("source_a") < col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
-          .as("n_agree"))
-        .withColumn("est_jaccard",
-          round(col("n_agree").cast("double") / NumPerm, 6))
-    }),
+    "q132_source_similarity" -> ((s, dir) =>
+      sourceSimilarity(queries("q129_minhash_merge")(s, dir))),
 
     // SKETCH ACCURACY matrix: exact source-level Jaccard next to the
     // q129 MinHash estimate and its absolute error — the measurement
@@ -365,10 +390,16 @@ object Curation extends QueryGroup {
     // tolerance flag is needed: the error column itself hash-checks.
     "q140_sketch_accuracy" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val srcShingle = Dedup.shingleSets(d, "doc_id", "text", 3)
+      // ONE tokenize+shingle pass feeds BOTH the exact-Jaccard side
+      // and the signature/estimate side (ADVICE r3: this query used
+      // to re-shingle the corpus per branch). srcShingle likewise
+      // feeds three consumers (sizes + both sides of the self-join).
+      val sh = Dedup.DefaultMaterialize(
+        Dedup.shingleSets(d, "doc_id", "text", 3))
+      val srcShingle = Dedup.DefaultMaterialize(sh
         .join(d.select(col("doc_id").as("id"), col("source")), "id")
         .select(col("source"), explode(col("shingles")).as("shingle"))
-        .distinct()
+        .distinct())
       val sizes = srcShingle.groupBy("source").agg(count(lit(1)).as("n_sh"))
       val inter = srcShingle.as("a")
         .join(srcShingle.as("b"),
@@ -382,7 +413,7 @@ object Curation extends QueryGroup {
         .select(col("source_a"), col("source_b"),
           round(col("inter").cast("double")
             / (col("na") + col("nb") - col("inter")), 6).as("exact_jaccard"))
-      val est = queries("q132_source_similarity")(s, dir)
+      val est = sourceSimilarity(sourceSignatures(d, sh))
         .select(col("source_a"), col("source_b"), col("est_jaccard"))
       exact.join(est, Seq("source_a", "source_b"))
         .withColumn("abs_err",
@@ -411,8 +442,18 @@ object Curation extends QueryGroup {
         n = 3, threshold = 0.5, maxDf = 100)
       val clusters = Dedup.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
+      // The near-dup representative is chosen among GATED survivors
+      // (min gated doc_id per cluster), not over the raw cluster — if
+      // the cluster's min doc_id fails the quality gates, the cluster
+      // still contributes its best gated member instead of silently
+      // dropping acceptable content (ADVICE r3). The window partitions
+      // on the cluster key (high cardinality — groups are near-dup
+      // cluster sized), never globally.
+      val wRep = Window.partitionBy("grp")
       val kept = gated.join(clusters, Seq("doc_id"), "left")
-        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("rep", min(col("doc_id")).over(wRep))
+        .filter(col("doc_id") === col("rep"))
       val wPack = Window.partitionBy("lang").orderBy("doc_id")
       kept
         .withColumn("cum_tokens", sum(col("n_tokens")).over(wPack))
@@ -844,10 +885,14 @@ object Curation extends QueryGroup {
                    ORDER BY d.doc_id) = 1 AS f_exact,
                  ${TrainingData.dQuality("toks")} AS quality
                FROM documents d JOIN tok USING (doc_id)),
-         kept AS (SELECT f.doc_id, f.lang, f.n_tokens
-                  FROM f LEFT JOIN cl ON f.doc_id = cl.doc_id
-                  WHERE f.f_exact AND f.n_tokens >= 10 AND f.quality >= 0.5
-                    AND (cl.cluster IS NULL OR cl.cluster = f.doc_id))
+         gated AS (SELECT f.doc_id, f.lang, f.n_tokens,
+                     coalesce(cl.cluster, f.doc_id) AS grp
+                   FROM f LEFT JOIN cl ON f.doc_id = cl.doc_id
+                   WHERE f.f_exact AND f.n_tokens >= 10 AND f.quality >= 0.5),
+         kept AS (SELECT doc_id, lang, n_tokens FROM (
+                    SELECT gated.*, min(doc_id) OVER (PARTITION BY grp) AS rep
+                    FROM gated)
+                  WHERE doc_id = rep)
          SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens,
            CAST(FLOOR((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)

@@ -560,11 +560,12 @@ object Scale extends QueryGroup {
       """WITH r1 AS (SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
              count(*) OVER (PARTITION BY user_id) AS n
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
          m1 AS (SELECT user_id, value AS med FROM r1 WHERE rn = (n + 1) // 2),
          d AS (SELECT e.event_id, e.user_id, e.value, m1.med,
                  abs(e.value - m1.med) AS dev
-               FROM events e JOIN m1 USING (user_id)),
+               FROM events e JOIN m1 USING (user_id)
+               WHERE e.value IS NOT NULL),
          r2 AS (SELECT user_id, dev,
              row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn,
              count(*) OVER (PARTITION BY user_id) AS n

@@ -45,13 +45,23 @@ object SketchRegistry {
                         n: Int, numPerm: Int)
                        (batch: DataFrame, batchId: Long): Unit = {
     val sigs = batchSignatures(batch, sourceCol, textCol, n, numPerm)
+    // Guard: a registry written with a DIFFERENT numPerm must be
+    // rejected, not silently merged — zip_with pads the shorter array
+    // with nulls and least() would ignore them, yielding a
+    // mixed-permutation signature that estimates nothing.
+    val lenOk = (col("old_sig").isNull || size(col("old_sig")) === numPerm) &&
+      (col("new_sig").isNull || size(col("new_sig")) === numPerm)
     val merged = ParquetState.readOrEmpty(path, sigs)
       .select(col("source"), col("sig").as("old_sig"))
       .join(sigs.select(col("source"), col("sig").as("new_sig")),
         Seq("source"), "full_outer")
       .select(col("source"),
-        coalesce(zip_with(col("old_sig"), col("new_sig"), (a, b) => least(a, b)),
-          col("old_sig"), col("new_sig")).as("sig"))
+        when(lenOk,
+          coalesce(zip_with(col("old_sig"), col("new_sig"), (a, b) => least(a, b)),
+            col("old_sig"), col("new_sig")))
+          .otherwise(raise_error(concat(
+            lit(s"SketchRegistry: signature length != numPerm=$numPerm for source "),
+            col("source")))).as("sig"))
     ParquetState.pinAndOverwrite(merged, path)
   }
 }
