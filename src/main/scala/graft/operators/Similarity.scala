@@ -155,31 +155,48 @@ object Similarity {
     *   corpus (a single input split would assign every cell on one
     *   core), wasteful for a tiny query set that is immediately
     *   broadcast afterwards. */
-  def assignCells(vecs: DataFrame, centroids: DataFrame,
-                  idCol: String, vecCol: String,
-                  spread: Boolean = true): DataFrame = {
+  /** Per-vector centroid ranking: every (vector, centroid) pair is
+    * scored and ranked per vector — rnk 1 is the home cell, rnk <= p
+    * are the p closest cells (the probe set). Shared by assignCells
+    * (corpus side, rnk = 1) and ivfTopK's query side (rnk <= nprobe). */
+  private def rankedCells(vecs: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String,
+                          spread: Boolean): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val v = (if (spread) base.transform(Spread.byKey("id")) else base)
       .withColumn("n2", norm2(col("v")))
     val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .withColumn("cn2", norm2(col("cv")))
-    val scored = v.join(broadcast(c))
-      .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
     val w = Window.partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
+    v.join(broadcast(c))
+      .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
+      .withColumn("rnk", row_number().over(w))
   }
 
-  /** IVF top-k: both sides are assigned to their nearest centroid's
-    * cell; a query only scans candidates in its own cell (nprobe=1),
-    * ranked by exact cosine. Recall trades against a |centroids|-fold
-    * reduction in scanned vectors. */
+  def assignCells(vecs: DataFrame, centroids: DataFrame,
+                  idCol: String, vecCol: String,
+                  spread: Boolean = true): DataFrame =
+    rankedCells(vecs, centroids, idCol, vecCol, spread)
+      .filter(col("rnk") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
+
+  /** IVF top-k: every corpus vector lives in its nearest centroid's
+    * cell; a query scans the candidates in its `nprobe` closest cells
+    * (nprobe=1: own cell only), ranked by exact cosine over the union.
+    * Recall trades against a |centroids|/nprobe-fold reduction in
+    * scanned vectors — nprobe is the knob that buys back the vectors
+    * a single-cell probe loses at cell borders (measured by
+    * q143_ivf_recall, which reports recall@5 at nprobe 1 vs 2).
+    * Candidate pairs stay unique across probes because each corpus
+    * vector has exactly ONE home cell. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = assignCells(queries, centroids, idCol, vecCol, spread = false)
+              idCol: String, vecCol: String, k: Int,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "ivfTopK: nprobe must be >= 1")
+    val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
+      .filter(col("rnk") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"),
-        col("n2").as("qn"), col("cell"))
+        col("n2").as("qn"), col("cid").as("cell"))
     val c = assignCells(corpus, centroids, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("v").as("cv"),
         col("n2").as("cn"), col("cell"))

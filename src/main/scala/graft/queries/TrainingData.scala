@@ -510,6 +510,34 @@ object TrainingData extends QueryGroup {
         e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
         e, e.filter(col("vec_id") < 12),
         "vec_id", "embedding", k = 5)
+    }),
+
+    // IVF RECALL@5 at nprobe 1 vs 2: the measured recall lift of also
+    // probing the second-closest cell — queries near a cell border
+    // lose true neighbors at nprobe=1 (q139's measure-don't-guess
+    // rule applied to the IVF knob; same query/centroid split as
+    // q45). The exact top-5 table feeds both hit counts, so it is
+    // materialized once (the q110 multi-consumer rule).
+    "q143_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val cents = e.filter(col("vec_id") < 12)
+      val exact = Dedup.DefaultMaterialize(
+        Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id"))
+      def hits(p: Int) = exact.join(
+          Similarity.ivfTopK(qs, e, cents, "vec_id", "embedding",
+            k = 5, nprobe = p).select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(s"n_hit_p$p"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits(1), Seq("query_id"), "left")
+        .join(hits(2), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_p1"), lit(0L)).as("n_hit_p1"),
+          coalesce(col("n_hit_p2"), lit(0L)).as("n_hit_p2"))
+        .withColumn("recall_p1", round(col("n_hit_p1").cast("double") / 5, 6))
+        .withColumn("recall_p2", round(col("n_hit_p2").cast("double") / 5, 6))
     })
   )
 
@@ -934,6 +962,53 @@ object TrainingData extends QueryGroup {
          SELECT query_id, rank, neighbor_id, score, cell FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY score DESC, neighbor_id ASC) AS rank FROM sc2)
-         WHERE rank <= 5"""
+         WHERE rank <= 5""",
+
+    "q143_ivf_recall" ->
+      s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+         cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 12),
+         sc AS (SELECT vec_id, v, n2, cid,
+             round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+           FROM n CROSS JOIN cent),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM sc),
+         asg AS (SELECT vec_id AS neighbor_id, v AS cv2, n2 AS cn, cid AS cell
+                 FROM rk WHERE rnk = 1),
+         qp AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn, cid AS cell,
+                  rnk AS prnk
+                FROM rk WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
+         q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn
+               FROM n WHERE vec_id >= 12 AND vec_id < 20),
+         ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, c2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "c2.v")} / sqrt(qn * c2.n2), 6) DESC,
+                          c2.vec_id ASC) AS rnk
+             FROM n c2 JOIN q ON query_id != c2.vec_id) WHERE rnk <= 5),
+         iv1 AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "cv2")} / sqrt(qn * cn), 6) DESC,
+                          neighbor_id ASC) AS rnk
+             FROM asg JOIN qp USING (cell)
+             WHERE query_id != neighbor_id AND prnk = 1) WHERE rnk <= 5),
+         iv2 AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "cv2")} / sqrt(qn * cn), 6) DESC,
+                          neighbor_id ASC) AS rnk
+             FROM asg JOIN qp USING (cell)
+             WHERE query_id != neighbor_id) WHERE rnk <= 5),
+         h1 AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_p1
+                FROM ex e JOIN iv1 USING (query_id, neighbor_id) GROUP BY 1),
+         h2 AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_p2
+                FROM ex e JOIN iv2 USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT q.query_id,
+           coalesce(h1.n_hit_p1, 0)::BIGINT AS n_hit_p1,
+           coalesce(h2.n_hit_p2, 0)::BIGINT AS n_hit_p2,
+           round(coalesce(h1.n_hit_p1, 0)::DOUBLE / 5, 6) AS recall_p1,
+           round(coalesce(h2.n_hit_p2, 0)::DOUBLE / 5, 6) AS recall_p2
+         FROM q LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)"""
   )
 }

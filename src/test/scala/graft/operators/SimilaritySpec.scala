@@ -92,6 +92,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((2L, "B"), (3L, "B")))
   }
 
+  test("ivfTopK nprobe=2 recovers the cell-border neighbor nprobe=1 misses") {
+    // query 0's home cell is c100's (x-leaning), but its TRUE nearest
+    // neighbor 1 lives just over the border in c101's cell (y-leaning);
+    // neighbor 2 is the best same-cell candidate. nprobe=1 must return
+    // 2 (never sees 1); nprobe=2 unions both cells and finds 1.
+    val corpus = Seq(
+      (0L, Array(0.75f, 0.70f, 0.0f, 0.0f)), // query: home cell c100
+      (1L, Array(0.65f, 0.76f, 0.0f, 0.0f)), // true NN, home cell c101
+      (2L, Array(0.90f, 0.10f, 0.0f, 0.0f)) // same-cell decoy
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0)
+    def top1(p: Int): Seq[Long] =
+      Similarity.ivfTopK(q, corpus, cents, "vec_id", "embedding",
+        k = 1, nprobe = p).select("neighbor_id").as[Long].collect().toSeq
+    assert(top1(1) == Seq(2L))
+    assert(top1(2) == Seq(1L))
+  }
+
   test("hyperplaneWeight strides by the actual dim (no shifted copies)") {
     // with a fixed stride of 64, weight(j, d+64, 128) would equal
     // weight(j+1, d, 128) for every d — adjacent hyperplanes sharing
