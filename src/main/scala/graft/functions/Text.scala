@@ -25,12 +25,20 @@ object Text {
   def tokens(c: Column): Column =
     regexp_extract_all(c, lit("([a-z0-9]+)"), lit(1))
 
+  /** Hex chars [pos, pos+k) of md5 as a non-negative long (k <= 15,
+    * window inside the 32 hex chars) — md5Long generalized to an
+    * offset, so one digest seeds several INDEPENDENT hash streams
+    * (simhash64 draws bits 0-31 and 32-63 from disjoint substrings
+    * of the same md5 instead of hashing twice). */
+  def md5LongAt(c: Column, pos: Int, k: Int): Column = {
+    require(k >= 1 && k <= 15 && pos >= 1 && pos + k <= 33,
+      "md5LongAt: need k in [1,15] and [pos, pos+k) inside the 32 hex chars")
+    conv(substring(md5(c), pos, k), 16, 10).cast("long")
+  }
+
   /** First `k` hex chars of md5 as a non-negative long (k <= 15).
     * The shared cross-engine hash primitive. */
-  def md5Long(c: Column, k: Int): Column = {
-    require(k >= 1 && k <= 15, "md5Long: k must be in [1,15]")
-    conv(substring(md5(c), 1, k), 16, 10).cast("long")
-  }
+  def md5Long(c: Column, k: Int): Column = md5LongAt(c, 1, k)
 
   /** Distinct word n-grams ("shingles") of a token array, joined by
     * single spaces. Empty when there are fewer than n tokens

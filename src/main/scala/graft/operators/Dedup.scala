@@ -405,4 +405,40 @@ object Dedup {
         transform(col("toks"), t => Text.md5Long(t, 4)).as("hashes"))
       .select(col("id"), Text.simhashFromHashes(col("hashes"), bits).as("simhash"))
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("simhash")))
+
+  /** 64-bit SimHash per document — the production fingerprint width —
+    * as EXPLODED aggregation: one md5 per token row, then 64
+    * codegen'd conditional-sum aggregates with map-side partial
+    * aggregation, so only |docs| x 64 counters ever shuffle. (The
+    * array-fold simhashFromHashes makes `bits` interpreted passes
+    * over every token array; at 64 bits that trade flips — this is
+    * one pass at codegen speed.) Bits 0-31 draw from md5 hex chars
+    * 1-8 of each token, bits 32-63 from chars 9-16; a tie (sum 0)
+    * sets the bit. Token MULTIPLICITY counts, as in simhashGroups.
+    * Documents with zero tokens have no rows after the explode and
+    * get no fingerprint — an empty document has no content to
+    * fingerprint. Returns (id, fp: long); bit 63 makes fp negative
+    * for half the space, which is fine: banding uses arithmetic
+    * shift + mask and verification uses bit_count(xor), both
+    * sign-agnostic. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokh = df.select(col(idCol).as("id"), col(textCol).as("doc_text"))
+      .transform(Spread.byKey("id"))
+      .select(col("id"), explode(Text.tokens(col("doc_text"))).as("t"))
+      .select(col("id"),
+        Text.md5LongAt(col("t"), 1, 8).as("h_lo"),
+        Text.md5LongAt(col("t"), 9, 8).as("h_hi"))
+    val sums = (0 until 64).map { j =>
+      val h = if (j < 32) col("h_lo") else col("h_hi")
+      sum(shiftright(h, j % 32).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$j")
+    }
+    // ascending j keeps the (negative) bit-63 term LAST, so every
+    // left-to-right partial sum stays in long range — the identical
+    // fold order the DuckDB oracle uses (dSims64).
+    val fp = (0 until 64)
+      .map(j => when(col(s"s_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokh.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"), fp.as("fp"))
+  }
 }

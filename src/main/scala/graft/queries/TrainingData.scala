@@ -99,6 +99,30 @@ object TrainingData extends QueryGroup {
        sims AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)"""
   }
 
+  /** Shared 64-bit simhash CTEs: `sims64(doc_id, fp)` (prepend
+    * $dTok) — mirrors Dedup.simhash64 exactly: per-token 32-bit
+    * hashes from disjoint md5 substrings, 64 conditional sums, bit
+    * set iff sum >= 0. The bit-63 term is the min-long LITERAL
+    * (DuckDB rejects 1::BIGINT << 63 as shift overflow) and comes
+    * LAST in the + chain so every left-to-right partial sum stays in
+    * BIGINT range — the same fold order as the Spark plan. */
+  private[queries] lazy val dSims64: String = {
+    val sums = (0 until 64).map { j =>
+      val h = if (j < 32) "h_lo" else "h_hi"
+      s"sum(CASE WHEN ($h >> ${j % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j"
+    }.mkString(", ")
+    val fpTerms = (0 until 64).map { j =>
+      val term = if (j == 63) "(-9223372036854775807 - 1)" else s"${1L << j}"
+      s"(CASE WHEN s_$j >= 0 THEN $term ELSE 0 END)"
+    }.mkString(" + ")
+    s"""tokh AS (SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_lo,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_hi
+       FROM (SELECT doc_id, unnest(toks) AS t FROM tok)),
+       bs AS (SELECT doc_id, $sums FROM tokh GROUP BY doc_id),
+       sims64 AS (SELECT doc_id, ($fpTerms)::BIGINT AS fp FROM bs)"""
+  }
+
   /** The q39 quality score (mirrors Text.qualityScore) over a toks
     * list ref — SHARED by every oracle that gates on quality (q39,
     * q127, q130), so a change to the score formula lands in one
@@ -538,6 +562,39 @@ object TrainingData extends QueryGroup {
           coalesce(col("n_hit_p2"), lit(0L)).as("n_hit_p2"))
         .withColumn("recall_p1", round(col("n_hit_p1").cast("double") / 5, 6))
         .withColumn("recall_p2", round(col("n_hit_p2").cast("double") / 5, 6))
+    }),
+
+    // 64-bit SimHash + 4-band Hamming search, radius d <= 3 — the
+    // PRODUCTION simhash-dedup shape q141 demos at 16 bits. By
+    // pigeonhole, <= 3 differing bits leave at least one of the four
+    // 16-bit bands untouched, so band-equality candidates are
+    // COMPLETE for the radius — and the oracle PROVES it: DuckDB
+    // computes the answer as brute-force all-pairs bit_count(xor),
+    // so hash parity certifies the banded path found every pair.
+    "q144_simhash64" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // fp feeds both sides of the band self-join (multi-consumer)
+      val fp = Dedup.DefaultMaterialize(
+        Dedup.simhash64(d, "doc_id", "text"))
+      val banded = fp.select(col("id").as("doc_id"), col("fp"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_no"),
+            shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL))
+              .as("band_val"))): _*)).as("band"))
+        .select(col("doc_id"), col("fp"),
+          col("band.band_no").as("band_no"), col("band.band_val").as("band_val"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_no") === col("b.band_no") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.fp").as("fa"), col("b.fp").as("fb"))
+        .distinct()
+      cand
+        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
     })
   )
 
@@ -1009,6 +1066,15 @@ object TrainingData extends QueryGroup {
            coalesce(h2.n_hit_p2, 0)::BIGINT AS n_hit_p2,
            round(coalesce(h1.n_hit_p1, 0)::DOUBLE / 5, 6) AS recall_p1,
            round(coalesce(h2.n_hit_p2, 0)::DOUBLE / 5, 6) AS recall_p2
-         FROM q LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)"""
+         FROM q LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)""",
+
+    // Brute-force all-pairs on purpose: equality with the Spark plan
+    // certifies the banded candidate set is complete for d <= 3.
+    "q144_simhash64" ->
+      s"""WITH $dTok, $dSims64
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp))::INT AS hamming
+         FROM sims64 a JOIN sims64 b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
   )
 }

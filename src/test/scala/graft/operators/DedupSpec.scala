@@ -104,4 +104,17 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._2 >= 2)
     assert(out(1L)._1 != out(4L)._1)
   }
+
+  test("simhash64: exact dups collide, unrelated text is far, empty doc has no fp") {
+    val withEmpty = corpus.union(Seq((5L, "   ")).toDF("doc_id", "text"))
+    val fp = Dedup.simhash64(withEmpty, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(!fp.contains(5L)) // zero tokens -> no fingerprint
+    assert(fp(1L) == fp(2L)) // identical text -> identical 64-bit fp
+    // near-dup (1 of 13 tokens changed) is closer than unrelated text
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+    // fingerprints use the full width: some doc sets a high bit
+    assert(fp.values.exists(v => (v >>> 48) != 0))
+  }
 }
