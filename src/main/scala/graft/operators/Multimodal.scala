@@ -14,18 +14,79 @@ case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                          feature: Array[Float])
 
+/** The injectable decode/featurize seam: productionizing means
+  * SUPPLYING one of these (real header parse, real embedding model),
+  * never editing the operators — `withMeta` and `extractFeatures`
+  * take a kernel and default to the sandbox stub.
+  *
+  * `features` is iterator-in/iterator-out on purpose (the
+  * mapInPandas shape): a real implementation loads its decoder/model
+  * once per PARTITION before mapping rows, so per-object cost is
+  * amortized across the batch. Must be Serializable — it ships to
+  * executors inside the mapPartitions closure. */
+trait MediaKernel extends Serializable {
+
+  /** Image metadata (width/height/channels) as Column expressions
+    * over the payload. A production kernel backs these with a real
+    * header parse (custom Expression or a join against `features`
+    * output); the stub derives them from the payload hash. */
+  def imageMeta(payload: Column): Seq[(String, Column)]
+
+  /** Per-partition feature extraction: decode + embed each payload. */
+  def features(rows: Iterator[MediaRow], dim: Int): Iterator[MediaFeatures]
+}
+
+/** >>> THE DECODE ITSELF IS A STUB <<< — this container has no
+  * imaging/audio libraries, so metadata and features derive
+  * deterministically from the payload bytes (hash-based dims,
+  * bucketed byte-mean "embedding"). The Spark-side contracts —
+  * schema, binary transport, partitioning, batch iteration shape —
+  * are real and oracle-tested; swap this object for a real kernel
+  * (e.g. JNI/javacv) to productionize. */
+object StubMediaKernel extends MediaKernel {
+
+  /** Metadata from the payload hash/length instead of a real header
+    * parse. Pure Column exprs: codegen'd, no UDF. */
+  override def imageMeta(payload: Column): Seq[(String, Column)] = {
+    val h = Text.md5Long(payload, 4) // md5 of the bytes, 16 bits
+    Seq(
+      "width" -> (lit(64) + pmod(h, lit(8)) * 32).cast("int"),
+      "height" -> (lit(64) + pmod(floor(h / 8).cast("long"), lit(8)) * 32).cast("int"),
+      "channels" -> when(pmod(h, lit(4)) === 0, 1).otherwise(3).cast("int"))
+  }
+
+  /** STUB kernel: `dim` bucketed byte-mean statistics standing in for
+    * a real embedding model. Deterministic. */
+  override def features(rows: Iterator[MediaRow], dim: Int): Iterator[MediaFeatures] = {
+    // per-partition setup would load the decoder/model ONCE here
+    rows.map { r =>
+      val bytes = r.payload
+      val n = bytes.length
+      val chunk = math.max(1, n / dim)
+      val feat = Array.tabulate(dim) { i =>
+        val lo = i * chunk
+        val hi = math.min(lo + chunk, n)
+        if (lo >= hi) 0f
+        else {
+          var s = 0; var j = lo
+          while (j < hi) { s += bytes(j) & 0xff; j += 1 }
+          // mean in double, then narrow: matches any engine that
+          // computes the correctly-rounded double and casts to
+          // float (bit-exact reproducibility across engines).
+          (s.toDouble / (hi - lo)).toFloat
+        }
+      }
+      MediaFeatures(r.media_id, r.kind, n, feat)
+    }
+  }
+}
+
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
   * columns with typed metadata, decode/feature kernels as
   * mapPartitions over typed Datasets (the Scala-native analogue of
   * mapInPandas: one iterator per partition, kernel amortized across
-  * the batch).
-  *
-  * >>> The DECODE ITSELF IS A STUB <<< — this container has no
-  * imaging/audio libraries, so `imageMetaStub` / `extractFeatures`
-  * derive deterministic pseudo-metadata from the payload bytes. The
-  * Spark-side contracts (schema, binary transport, partitioning,
-  * batch iteration shape) are real and tested; swap the marked
-  * kernels for real decoders (e.g. JNI/javacv) to productionize.
+  * the batch). Decode/featurize go through the MediaKernel seam
+  * above; every operator here is kernel-agnostic.
   */
 object Multimodal {
 
@@ -39,22 +100,18 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB image decode — metadata derived deterministically from the
-    * payload hash/length instead of a real header parse. Pure Column
-    * exprs: codegen'd, no UDF. */
-  def imageMetaStub(payload: Column): Seq[(String, Column)] = {
-    val h = Text.md5Long(payload, 4) // md5 of the bytes, 16 bits
-    Seq(
-      "width" -> (lit(64) + pmod(h, lit(8)) * 32).cast("int"),
-      "height" -> (lit(64) + pmod(floor(h / 8).cast("long"), lit(8)) * 32).cast("int"),
-      "channels" -> when(pmod(h, lit(4)) === 0, 1).otherwise(3).cast("int"))
-  }
+  /** The sandbox default kernel's image metadata (kept as a named
+    * entry point for the oracle queries; equals
+    * StubMediaKernel.imageMeta). */
+  def imageMetaStub(payload: Column): Seq[(String, Column)] =
+    StubMediaKernel.imageMeta(payload)
 
-  /** Typed per-media metadata: byte size for all kinds, stub
-    * image dims for images, stub duration for audio/video
-    * (duration_ms = 8 * n_bytes — a fake constant "bitrate"). */
-  def withMeta(media: DataFrame): DataFrame = {
-    val img = imageMetaStub(col("payload"))
+  /** Typed per-media metadata: byte size for all kinds, kernel image
+    * dims for images, stub duration for audio/video (duration_ms =
+    * 8 * n_bytes — a fake constant "bitrate"). */
+  def withMeta(media: DataFrame,
+               kernel: MediaKernel = StubMediaKernel): DataFrame = {
+    val img = kernel.imageMeta(col("payload"))
     media
       .withColumn("n_bytes", length(col("payload")))
       .withColumn("width", when(col("kind") === "image", img(0)._2))
@@ -75,34 +132,13 @@ object Multimodal {
       .select(col("media_id"), col("pos").cast("long").as("frame_no"),
         col("col").as("frame_ts_ms"))
 
-  /** Feature extraction kernel over typed partitions (mapInPandas
-    * shape: iterator in, iterator out, per-partition setup amortized).
-    * STUB kernel: `dim` bucketed byte-mean statistics standing in for
-    * a real embedding model. Deterministic. */
-  def extractFeatures(media: DataFrame, dim: Int): Dataset[MediaFeatures] = {
+  /** Feature extraction over typed partitions: the kernel sees one
+    * iterator per partition (setup amortized), the operator only owns
+    * transport and typing. */
+  def extractFeatures(media: DataFrame, dim: Int,
+                      kernel: MediaKernel = StubMediaKernel): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select("media_id", "kind", "payload").as[MediaRow]
-      .mapPartitions { rows =>
-        // per-partition setup would load the decoder/model ONCE here
-        rows.map { r =>
-          val bytes = r.payload
-          val n = bytes.length
-          val chunk = math.max(1, n / dim)
-          val feat = Array.tabulate(dim) { i =>
-            val lo = i * chunk
-            val hi = math.min(lo + chunk, n)
-            if (lo >= hi) 0f
-            else {
-              var s = 0; var j = lo
-              while (j < hi) { s += bytes(j) & 0xff; j += 1 }
-              // mean in double, then narrow: matches any engine that
-              // computes the correctly-rounded double and casts to
-              // float (bit-exact reproducibility across engines).
-              (s.toDouble / (hi - lo)).toFloat
-            }
-          }
-          MediaFeatures(r.media_id, r.kind, n, feat)
-        }
-      }
+      .mapPartitions(rows => kernel.features(rows, dim))
   }
 }

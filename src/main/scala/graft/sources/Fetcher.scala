@@ -40,3 +40,38 @@ final class RetryPolicy(
     None // unreachable
   }
 }
+
+/** Fetch -> snapshot glue closing the S1/S3 loop: a payload that
+  * passes the retry policy lands as a timestamped `.html` snapshot in
+  * the directory `spark.read.format("odds-html")` scans — fetch and
+  * scan compose without a manual step between. Hadoop FileSystem API,
+  * so `dir` works for local paths and object storage alike.
+  *
+  * Concurrent-reader safety: the payload is written to a `.tmp` name
+  * (invisible to the source, which lists `*.html` only) and RENAMED
+  * into place, so a scan never sees a partial snapshot. */
+object SnapshotWriter {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.Path
+
+  /** Run the policy; on success write `snapshot_<millis>.html` into
+    * `dir` and return its path, None when the fetch gave up. The
+    * clock is injectable like RetryPolicy's (tests pin filenames). */
+  def fetchToSnapshot(fetcher: Fetcher, policy: RetryPolicy, dir: String,
+                      conf: Configuration = new Configuration(),
+                      clock: () => Long = () => System.currentTimeMillis())
+      : Option[String] =
+    policy.run(fetcher).map { html =>
+      val d = new Path(dir)
+      val fs = d.getFileSystem(conf)
+      fs.mkdirs(d)
+      val ts = clock()
+      val tmp = new Path(d, s".snapshot_$ts.html.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(html.getBytes("UTF-8")) finally out.close()
+      val dst = new Path(d, s"snapshot_$ts.html")
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"SnapshotWriter: rename to $dst failed")
+      dst.toString
+    }
+}

@@ -116,9 +116,16 @@ class HtmlTable(path: String, tableIndex: Int) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      // Column pruning: a projection that reads only (row_no, cells)
+      // never materializes the file-path string per row (wide
+      // snapshot dirs repeat it thousands of times), and a bare
+      // count(*) materializes nothing at all.
+      private var required: StructType = HtmlTableSource.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = HtmlTableSource.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def description(): String = name()
 
@@ -145,13 +152,14 @@ class HtmlTable(path: String, tableIndex: Int) extends Table with SupportsRead {
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new HtmlPartitionReaderFactory(hadoopConfMap)
+        new HtmlPartitionReaderFactory(hadoopConfMap, required.fieldNames)
     }
 }
 
 case class HtmlFilePartition(path: String, tableIndex: Int) extends InputPartition
 
-class HtmlPartitionReaderFactory(hadoopConf: Map[String, String])
+class HtmlPartitionReaderFactory(hadoopConf: Map[String, String],
+                                 requiredFields: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HtmlFilePartition]
@@ -165,10 +173,16 @@ class HtmlPartitionReaderFactory(hadoopConf: Map[String, String])
           finally in.close()
         val tables = HtmlTableSource.parseTables(html)
         val table = if (p.tableIndex < tables.size) tables(p.tableIndex) else Seq.empty
+        // one path UTF8String per FILE, not per row
+        val pathStr = UTF8String.fromString(p.path)
         table.iterator.zipWithIndex.map { case (cells, i) =>
-          InternalRow(
-            UTF8String.fromString(p.path), i,
-            new GenericArrayData(cells.map(UTF8String.fromString).toArray))
+          // emit exactly the pruned schema, in its field order
+          InternalRow(requiredFields.map {
+            case "file" => pathStr
+            case "row_no" => i
+            case "cells" =>
+              new GenericArrayData(cells.map(UTF8String.fromString).toArray)
+          }.toIndexedSeq: _*)
         }
       }
       private var current: InternalRow = _

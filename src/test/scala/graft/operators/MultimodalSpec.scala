@@ -53,4 +53,29 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.values.forall(_.feature.length == 2))
     assert(feats(0L).n_bytes == 4)
   }
+
+  test("a custom MediaKernel flows through withMeta/extractFeatures unchanged") {
+    // the production seam: supply a kernel, never edit the operators.
+    // This one reports fixed 640x480x3 images and a constant-42
+    // "embedding" — values the stub can never produce (stub widths
+    // are 64..288), so passing proves the injected kernel ran.
+    object FixedKernel extends MediaKernel {
+      override def imageMeta(payload: org.apache.spark.sql.Column) = Seq(
+        "width" -> lit(640), "height" -> lit(480), "channels" -> lit(3))
+      override def features(rows: Iterator[MediaRow], dim: Int) =
+        rows.map(r => MediaFeatures(r.media_id, r.kind, r.payload.length,
+          Array.fill(dim)(42f)))
+    }
+    val media = Multimodal.mediaFromDocuments(docs)
+    val meta = Multimodal.withMeta(media, FixedKernel)
+      .filter(col("kind") === "image")
+      .select("width", "height", "channels").as[(Int, Int, Int)].collect().toSeq
+    assert(meta.nonEmpty && meta.forall(_ == ((640, 480, 3))))
+    val feats = Multimodal.extractFeatures(media, dim = 3, FixedKernel).collect()
+    assert(feats.nonEmpty && feats.forall(_.feature.toSeq == Seq(42f, 42f, 42f)))
+    // and the default path still uses the stub
+    val stubW = Multimodal.withMeta(media).filter(col("kind") === "image")
+      .select("width").as[Int].collect().head
+    assert(stubW >= 64 && stubW <= 64 + 7 * 32)
+  }
 }

@@ -104,6 +104,36 @@ class HtmlTableSourceSpec extends SparkSpec {
     assert(byTeam == Map("Chiefs" -> "DraftKings", "Bills" -> "Caesars"))
   }
 
+  test("required-column pushdown prunes the scan's read schema") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("htmlsrc6")
+    write(dir, "nfl.html", oddsPage)
+    val df = spark.read.format("odds-html").load(dir.toString)
+
+    def scanSchema(q: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+      }.head
+    }
+
+    // projection reaches the source: the per-row file path and the
+    // cell arrays are never materialized for a row_no-only read
+    assert(scanSchema(df.select("row_no")) == Seq("row_no"))
+    assert(scanSchema(df.select("cells", "row_no")).sorted == Seq("cells", "row_no"))
+    // a bare count materializes no columns at all
+    assert(scanSchema(df.groupBy().count()).isEmpty)
+    // and the pruned reads still return correct values
+    assert(df.select("row_no").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    assert(df.count() == 3)
+    val teams = df.select(col("cells").getItem(1)).as[String].collect().toSet
+    assert(teams == Set("Team", "Chiefs & co", "Bills"))
+  }
+
   test("promoteHeader de-duplicates repeated header labels") {
     val page = "<table><tr><th>A</th><th>A</th></tr>" +
       "<tr><td>1</td><td>2</td></tr></table>"
