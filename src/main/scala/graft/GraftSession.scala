@@ -57,7 +57,14 @@ object GraftSession {
   )
 
   def build(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    // Experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" lets bench
+    // A/B runs try conf variants without a recompile. Applied LAST,
+    // so it can override any default below.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(';').filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+      }
+    val spark = extra.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -72,6 +79,7 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    )((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

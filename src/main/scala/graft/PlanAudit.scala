@@ -32,6 +32,7 @@ object PlanAudit {
     "q103_knn_classify" -> "exact kNN baseline; 8-query side broadcast (q36 shape)",
     "q128_hard_negatives" -> "exact hard-negative baseline; 8-anchor side broadcast (q36 shape)",
     "q139_ann_recall" -> "recall eval needs the exact top-5 baseline; 8-query side broadcast (q36 shape)",
+    "q143_ivf_recall" -> "recall eval: exact top-5 baseline (8-query broadcast, q36 shape) + 12 broadcast centroids for cell ranking (q45 shape)",
     "q104_bigram_lift" -> "1-row total-bigram-count broadcast cross join (q53 shape)",
     "q108_vocab_coverage" -> "4-row threshold table + 1-row total broadcast; non-equi coverage test",
     "q110_lsh_recall" -> "three 1-row count aggregates cross-joined (bounded by construction)",

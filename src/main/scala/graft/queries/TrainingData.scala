@@ -219,8 +219,8 @@ object TrainingData extends QueryGroup {
     // pigeonhole, d <= 2 differing bits leave at least one band
     // untouched, so band-equality candidates are COMPLETE for the
     // radius, never all-pairs. Verify is a single codegen'd
-    // bit_count(xor). The production simhash-dedup shape (64-bit fp,
-    // 4 bands) at test size.
+    // bit_count(xor). The production shape (64-bit fp, 4 bands,
+    // d <= 3) is q144_simhash64.
     "q141_simhash_hamming" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val fp = Dedup.simhashGroups(d, "doc_id", "text", SimhashBits)
