@@ -206,6 +206,50 @@ object Similarity {
     topK(scored, "score", k, Seq("cell"))
   }
 
+  /** Write-time IVF layout: the corpus, cell-assigned and written
+    * PARTITIONED BY cell (with its squared norm precomputed), so
+    * probes become directory-pruned scans that never touch the other
+    * |centroids|-1 cells — the storage half of the ivfTopK story at
+    * 100 TB. One pass over the corpus at ingest; every query after
+    * that reads only its nprobe cells. */
+  def writeCellPartitioned(corpus: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String,
+                           path: String): Unit =
+    assignCells(corpus, centroids, idCol, vecCol)
+      .select(col("id"), col("v"), col("n2"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF top-k over a cell-partitioned corpus written by
+    * writeCellPartitioned: the probe cells become a LITERAL partition
+    * filter, so the scan prunes to nprobe directories per query set
+    * (asserted by spec against the physical plan), and the corpus
+    * norms come off disk instead of being recomputed. Ranking
+    * semantics are identical to ivfTopK.
+    *
+    * The probe-cell collect() is driver-side ON PURPOSE: it is
+    * bounded by |queries| x nprobe (the query side is the small side
+    * by contract — same bounded-by-construction argument as the
+    * Normalize header read), and a literal IN list prunes partitions
+    * at PLANNING time, with no reliance on runtime DPP heuristics. */
+  def ivfTopKPartitioned(queries: DataFrame, corpusPath: String,
+                         centroids: DataFrame, idCol: String, vecCol: String,
+                         k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "ivfTopKPartitioned: nprobe must be >= 1")
+    val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
+      .filter(col("rnk") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn"), col("cid").as("cell"))
+    val probeCells = q.select("cell").distinct().collect().map(_.getLong(0))
+    val c = queries.sparkSession.read.parquet(corpusPath)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("n2").as("cn"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, "score", k, Seq("cell"))
+  }
+
   /** int8 scalar quantization: clip(round(x * 127)) per element — 4x
     * memory/bandwidth reduction for corpus-scale ANN; scoring becomes
     * exact integer arithmetic (engine-deterministic by construction). */

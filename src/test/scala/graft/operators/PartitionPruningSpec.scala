@@ -35,4 +35,35 @@ class PartitionPruningSpec extends SparkSpec {
     assert(q.count() > 0 && q.count() < ev.count())
     assert(days > 1) // pruning was actually selective
   }
+
+  test("IVF cell-partitioned corpus: probe prunes to nprobe cells, ranking unchanged") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") < 12)
+    val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    Similarity.writeCellPartitioned(e, cents, "vec_id", "embedding", dir)
+
+    val probed = Similarity.ivfTopKPartitioned(
+      qs, dir, cents, "vec_id", "embedding", k = 5, nprobe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    // probe cells ride as a LITERAL partition filter: directory
+    // pruning at planning time, not a post-scan filter
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not in partition filters:\n$plan")
+
+    // ranking semantics identical to the in-memory ivfTopK
+    val inMem = Similarity.ivfTopK(
+        qs, e, cents, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val fromDisk = probed.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fromDisk == inMem && fromDisk.nonEmpty)
+
+    // and the pruning is selective: fewer cells scanned than exist
+    val allCells = spark.read.parquet(dir).select("cell").distinct().count()
+    val probeCells = probed.select("cell").distinct().count()
+    assert(probeCells < allCells)
+  }
 }
