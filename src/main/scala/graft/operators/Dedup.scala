@@ -394,6 +394,55 @@ object Dedup {
       .select(col("id"), coalesce(col("parent"), col("id")).as("cluster"))
   }
 
+  /** Incremental LSH near-dup maintenance — the banded counterpart
+    * of jaccardPairsIncremental, i.e. the shape a continuous-ingest
+    * pipeline actually runs at 100 TB: the new batch's signatures
+    * probe the corpus's band index (at scale, a table bucketed by
+    * (band, band_key) maintained across ingests), so candidates are
+    * new x old ONLY — old x old pairs never recompute and the
+    * per-batch cost is proportional to the batch. Verification is
+    * exact Jaccard over the exploded inverted index restricted to
+    * candidate ids (the minhashLshPairsFromShingles verify shape),
+    * each side semi-joined to ITS candidate role so the per-shingle
+    * join never forms new x new or old x old rows.
+    * Pass a MATERIALIZED sh — this op reads it four times. */
+  def minhashLshPairsIncremental(sh: DataFrame, isNew: Column, bands: Int,
+                                 rowsPerBand: Int,
+                                 threshold: Double): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val sigs = minhashSigTable(sh, numPerm)
+    val bandKeys = (1 to bands).map { b =>
+      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
+        .map(j => col(s"mh_$j").cast("string"))
+      md5(concat_ws(",", cols: _*))
+    }
+    val bandRows = sigs.select(col("id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .withColumn("is_new", isNew)
+    val cand = bandRows.filter(col("is_new")).as("a")
+      .join(bandRows.filter(!col("is_new")).as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_old"))
+      .distinct()
+    val invNew = sh.join(cand.select(col("id_new").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("id").as("id_new"), explode(col("shingles")).as("shingle"))
+    val invOld = sh.join(cand.select(col("id_old").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("id").as("id_old"), explode(col("shingles")).as("shingle"))
+    val inter = invNew.join(invOld, "shingle")
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("id_new", "id_old"), "left_semi")
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    inter
+      .join(sizes.select(col("id").as("id_new"), col("n_sh").as("n_a")), "id_new")
+      .join(sizes.select(col("id").as("id_old"), col("n_sh").as("n_b")), "id_old")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_old", "jaccard")
+  }
+
   /** SimHash fingerprint per document plus its near-dup bucket size
     * (documents sharing the exact fingerprint). */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String,

@@ -214,6 +214,18 @@ object TrainingData extends QueryGroup {
         threshold = 0.5, maxDf = 100)
     }),
 
+    // q142's banding sibling: incremental near-dup through the LSH
+    // index — new-batch signatures probe the corpus band index, so
+    // the probe cost scales with the BATCH even when a shingle is
+    // corpus-hot (the q33 scale path, made incremental). new x old
+    // candidates only; verification is exact Jaccard on candidates.
+    "q145_incremental_lsh" -> ((s, dir) => {
+      val sh = Dedup.DefaultMaterialize(
+        Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
+      Dedup.minhashLshPairsIncremental(sh, pmod(col("id"), lit(10)) === 9,
+        bands = Bands, rowsPerBand = RowsPerBand, threshold = 0.5)
+    }),
+
     // Banded HAMMING search over simhash fingerprints: pairs within
     // Hamming distance 2, found via 3 bands (6+5+5 bits) — by
     // pigeonhole, d <= 2 differing bits leave at least one band
@@ -706,6 +718,26 @@ object TrainingData extends QueryGroup {
          FROM pairs JOIN sizes sn ON id_new = sn.doc_id
                     JOIN sizes so ON id_old = so.doc_id
          WHERE round(inter::DOUBLE / (sn.n_sh + so.n_sh - inter), 6) >= 0.5""",
+
+    "q145_incremental_lsh" ->
+      s"""WITH $dSh,
+         hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hashes FROM shn),
+         sigs AS (SELECT doc_id, shingles, $dSig AS sig FROM hs),
+         bandrows AS (SELECT doc_id,
+             unnest(generate_series(1, $Bands)) AS band,
+             unnest(list_transform(generate_series(1, $Bands),
+               b -> md5(array_to_string(sig[((b-1)*$RowsPerBand+1):(b*$RowsPerBand)], ',')))) AS band_key
+           FROM sigs),
+         cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+                  FROM bandrows a JOIN bandrows b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id % 10 = 9 AND b.doc_id % 10 != 9),
+         verified AS (SELECT id_new, id_old,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+           FROM cand JOIN shn sa ON id_new = sa.doc_id JOIN shn sb ON id_old = sb.doc_id)
+         SELECT id_new, id_old, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+         FROM verified WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.5""",
 
     "q141_simhash_hamming" ->
       s"""WITH $dTok, $dSims,

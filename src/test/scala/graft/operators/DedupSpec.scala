@@ -105,6 +105,21 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._1 != out(4L)._1)
   }
 
+  test("minhashLshPairsIncremental: new batch probes old corpus, old x old never reported") {
+    // doc 3 (the near-dup of 1/2) is the "new batch"; 1, 2, 4 are the
+    // corpus. The exact-dup pair (1,2) is old x old and must NOT
+    // appear even though its Jaccard is 1.0 — incremental maintenance
+    // only pays for the batch.
+    val sh = Dedup.DefaultMaterialize(
+      Dedup.shingleSets(corpus, "doc_id", "text", 3))
+    val out = Dedup.minhashLshPairsIncremental(sh, col("id") === 3,
+        bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(out.forall(_._1 == 3L))
+    assert(out.map(_._2).subsetOf(Set(1L, 2L)))
+    assert(out.nonEmpty) // the near-dup was found through the band index
+  }
+
   test("simhash64: exact dups collide, unrelated text is far, empty doc has no fp") {
     val withEmpty = corpus.union(Seq((5L, "   ")).toDF("doc_id", "text"))
     val fp = Dedup.simhash64(withEmpty, "doc_id", "text")
