@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
@@ -285,6 +285,35 @@ object Scale extends QueryGroup {
           round(sum(col("rev")), 2).cast("double").as("revenue"))
     }),
 
+    // MERGEABLE HLL count-distinct (DataSketches): per-event_type
+    // sketches of user_id UNION into the global sketch — the
+    // sketch-merge law that lets per-shard distinct counts answer the
+    // global question without rescanning (q124's incremental argument
+    // and q129's MinHash merge, applied to count-distinct; register
+    // maxes are order- and partition-independent, so every estimate
+    // here is deterministic). Sketch estimates can't cross-engine
+    // match, so the output ships the EXACT count plus three audit
+    // flags the oracle pins TRUE (the q91/q121 convention): each
+    // estimate within 5% of exact, and merged-vs-direct within 2%
+    // (same registers; the union path may use a different estimator).
+    "q146_hll_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def rel(a: Column, b: Column): Column =
+        abs(a.cast("double") - b.cast("double")) / b.cast("double")
+      val perType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val merged = perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est_direct"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.crossJoin(broadcast(direct)).crossJoin(broadcast(exact))
+        .select(col("n_exact"),
+          (rel(col("est_merged"), col("n_exact")) <= 0.05).as("merged_ok"),
+          (rel(col("est_direct"), col("n_exact")) <= 0.05).as("direct_ok"),
+          (rel(col("est_merged"), col("est_direct")) <= 0.02).as("merge_consistent"))
+    }),
+
     // ROBUST OUTLIERS per entity: exact median/MAD per user, flag
     // events with |value - med| > 3*MAD. See operators.Robust for the
     // partitioning and rank-median determinism rules; golden spec in
@@ -530,6 +559,13 @@ object Scale extends QueryGroup {
       """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
                 round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS revenue
          FROM orders GROUP BY 1""",
+
+    // the oracle PINS the audit flags: sketch drift beyond tolerance
+    // or a merged/direct estimator divergence breaks the hash
+    "q146_hll_merge" ->
+      """SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS merged_ok, TRUE AS direct_ok, TRUE AS merge_consistent
+         FROM events""",
 
     "q136_burstiness" ->
       """WITH g AS (SELECT user_id,
