@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-run NEAR-dup gating through the signature registry: batch 2
+  * must drop a near-duplicate of a batch-1 doc without ever seeing
+  * batch 1's text, in-batch near-dups resolve to one representative,
+  * and a replayed batch self-matches its own registered signatures
+  * (at-least-once replays converge instead of duplicating). */
+class NearDupRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a = "spark query engine scans parquet files with vectorized readers and pushes filters down"
+  private val aNear = a.replace("vectorized", "columnar")
+  private val aNear2 = a.replace("parquet", "orc")
+  private val b = "completely different text about cooking pasta with garlic butter and fresh basil leaves"
+  private val c = "yet another unrelated document describing mountain hiking trails and alpine weather patterns"
+
+  private def reg(dir: String) =
+    new NearDupRegistry(dir, numPerm = 32, bands = 8, rowsPerBand = 4,
+      simThreshold = 0.5)
+
+  test("in-batch reps, cross-run near-dup drop, replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_reg").toString + "/reg"
+    val r = reg(dir)
+
+    // batch 1: a + its exact dup (in-batch cluster -> rep 1) + b
+    var persisted = Seq.empty[Long]
+    val out1 = r.dedupAppend(
+      Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text"),
+      "doc_id", "text",
+      persist = d => persisted = d.select("doc_id").as[Long].collect().toSeq.sorted)
+    assert(out1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(persisted == Seq(1L, 3L)) // sink saw the survivors first
+
+    // batch 2: a near-dup of the REGISTERED doc 1 (never re-read) is
+    // dropped; the genuinely new doc survives
+    val out2 = r.dedupAppend(
+      Seq((4L, aNear), (5L, c)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(out2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
+
+    // replay of batch 2 (at-least-once): its survivor's signature is
+    // registered now, so the replay self-matches and returns empty
+    val replay = r.dedupAppend(
+      Seq((4L, aNear), (5L, c)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(replay.isEmpty)
+
+    // registry contents: exactly the three accepted signatures
+    assert(r.read(spark).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 5L))
+  }
+
+  test("in-batch near-dup CHAIN keeps one representative (components, not greedy)") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_reg2").toString + "/reg"
+    // a ~ aNear and a ~ aNear2: a chain that a pairwise greedy drop
+    // could mangle; components keep exactly min-id
+    val out = reg(dir).dedupAppend(
+      Seq((10L, a), (11L, aNear), (12L, aNear2), (13L, b)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(10L, 13L))
+  }
+
+  test("a registry written with a different numPerm fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_reg3").toString + "/reg"
+    reg(dir).dedupAppend(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
+    val other = new NearDupRegistry(dir, numPerm = 16, bands = 4,
+      rowsPerBand = 4, simThreshold = 0.5)
+    val ex = intercept[Exception] {
+      other.dedupAppend(Seq((2L, b)).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("numPerm") ||
+      Option(ex.getCause).exists(_.getMessage.contains("numPerm")))
+  }
+}
