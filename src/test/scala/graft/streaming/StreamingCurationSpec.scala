@@ -51,4 +51,39 @@ class StreamingCurationSpec extends SparkSpec {
         s"expected gate+dedup survivors {1,4}, got $kept")
     } finally q.stop()
   }
+
+  test("NEAR-dup gate across micro-batches: an edited re-post never lands") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cur2_").toString
+    val corpus = s"$dir/corpus"
+    // the signature registry gates batch N+1 against batch N's docs
+    // WITHOUT re-reading the corpus — exact dedup (above) can't catch
+    // a one-token edit; this does
+    val reg = new graft.operators.NearDupRegistry(s"$dir/registry",
+      numPerm = 32, bands = 8, rowsPerBand = 4, simThreshold = 0.5)
+    val in = MemoryStream[(Long, String)]
+    val a = "spark query engine scans parquet files with vectorized readers and pushes filters down"
+    val q = MicroBatchPipeline.start(
+      in.toDF().toDF("doc_id", "text"),
+      identity,
+      (batch, _) => {
+        reg.dedupAppend(batch, "doc_id", "text",
+          persist = out => out.write.mode("append").parquet(corpus))
+        ()
+      },
+      intervalMs = 100)
+    try {
+      in.addData((1L, a),
+        (2L, "completely different text about cooking pasta with garlic butter and fresh basil leaves"))
+      q.processAllAvailable()
+      in.addData(
+        (3L, a.replace("vectorized", "columnar")), // edited re-post of 1
+        (4L, "yet another unrelated document describing mountain hiking trails and alpine weather patterns"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpus)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L),
+        s"expected near-dup gate to drop 3, got $kept")
+    } finally q.stop()
+  }
 }
