@@ -281,6 +281,31 @@ object Similarity {
     topK(scored, "qdot", k)
   }
 
+  /** The production ANN composition: IVF cell pruning x int8
+    * scoring — probe the query's nprobe closest cells (coarse
+    * quantizer stays full-precision, as usual), rank candidates by
+    * the exact integer quantized dot product (q70's memory-bound
+    * path). At 100 TB: corpus cell-partitioned at write time
+    * (writeCellPartitioned) with the int8 vectors stored, queries
+    * broadcast — scans touch nprobe directories of 1/4-width
+    * vectors. */
+  def ivfQuantizedTopK(queries: DataFrame, corpus: DataFrame,
+                       centroids: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "ivfQuantizedTopK: nprobe must be >= 1")
+    val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
+      .filter(col("rnk") <= nprobe)
+      .select(col("id").as("query_id"), quantize8(col("v")).as("qq"),
+        col("cid").as("cell"))
+    val c = assignCells(corpus, centroids, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), quantize8(col("v")).as("cq"),
+        col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", dotQ8(col("qq"), col("cq")))
+    topK(scored, "qdot", k, Seq("cell"))
+  }
+
   /** One k-means (Lloyd) iteration over an embedding corpus: assign
     * each vector to its nearest seed centroid by cosine (6-dp score,
     * ties -> smaller seed id), then recompute element-wise centroids

@@ -576,6 +576,19 @@ object TrainingData extends QueryGroup {
         .withColumn("recall_p2", round(col("n_hit_p2").cast("double") / 5, 6))
     }),
 
+    // The production ANN stack in one query: IVF cell pruning (q45)
+    // x nprobe=2 border recovery (q143) x int8 integer scoring (q70)
+    // — coarse quantizer full-precision, candidate scoring quantized.
+    // Every number is exact integer arithmetic, so parity needs no
+    // tolerance flags.
+    "q147_ivf_int8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfQuantizedTopK(
+        e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
+        e, e.filter(col("vec_id") < 12),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    }),
+
     // 64-bit SimHash + 4-band Hamming search, radius d <= 3 — the
     // PRODUCTION simhash-dedup shape q141 demos at 16 bits. By
     // pigeonhole, <= 3 differing bits leave at least one of the four
@@ -1099,6 +1112,32 @@ object TrainingData extends QueryGroup {
            round(coalesce(h1.n_hit_p1, 0)::DOUBLE / 5, 6) AS recall_p1,
            round(coalesce(h2.n_hit_p2, 0)::DOUBLE / 5, 6) AS recall_p2
          FROM q LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)""",
+
+    "q147_ivf_int8" ->
+      s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+         cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 12),
+         sc AS (SELECT vec_id, v, n2, cid,
+             round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+           FROM n CROSS JOIN cent),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM sc),
+         asg AS (SELECT vec_id AS neighbor_id,
+             list_transform(v, x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS cq,
+             cid AS cell
+           FROM rk WHERE rnk = 1),
+         qp AS (SELECT vec_id AS query_id,
+             list_transform(v, x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS qq,
+             cid AS cell
+           FROM rk WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
+         scored AS (SELECT query_id, neighbor_id, cell,
+             list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim),
+               i -> qq[i]::BIGINT * cq[i])), (acc, x) -> acc + x) AS qdot
+           FROM asg JOIN qp USING (cell) WHERE query_id != neighbor_id)
+         SELECT query_id, rank, neighbor_id, qdot, cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY qdot DESC, neighbor_id ASC) AS rank FROM scored)
+         WHERE rank <= 5""",
 
     // Brute-force all-pairs on purpose: equality with the Spark plan
     // certifies the banded candidate set is complete for d <= 3.
