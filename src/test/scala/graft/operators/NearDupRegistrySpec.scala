@@ -61,6 +61,16 @@ class NearDupRegistrySpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(10L, 13L))
   }
 
+  test("an empty micro-batch is a no-op: empty result, registry unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_reg4").toString + "/reg"
+    val r = reg(dir)
+    r.dedupAppend(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
+    val out = r.dedupAppend(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(out.isEmpty)
+    assert(r.read(spark).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("a registry written with a different numPerm fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("neardup_reg3").toString + "/reg"
     reg(dir).dedupAppend(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
