@@ -38,7 +38,8 @@ object PlanAudit {
     "q110_lsh_recall" -> "three 1-row count aggregates cross-joined (bounded by construction)",
     "q116_token_waterfill" -> "1-row total/cap aggregates broadcast onto the per-source table (q53 shape)",
     "q146_hll_merge" -> "three 1-row sketch/count aggregates cross-joined (q110 shape, bounded by construction)",
-    "q147_ivf_int8" -> "12 broadcast centroids for cell ranking (q45 shape); candidate scoring is an equi-join on cell"
+    "q147_ivf_int8" -> "12 broadcast centroids for cell ranking (q45 shape); candidate scoring is an equi-join on cell",
+    "q148_simhash_recall" -> "three 1-row count aggregates cross-joined (q110 shape, bounded by construction)"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

@@ -262,6 +262,31 @@ object TrainingData extends QueryGroup {
         .select("id_a", "id_b", "hamming")
     }),
 
+    // SIMHASH RECALL vs exact-Jaccard ground truth: of the
+    // Jaccard>=0.5 near-dup pairs, how many does the 64-bit/d<=3
+    // banded path (q144) recover, and how many of ITS pairs are true
+    // near-dups — the q110 "measure, don't guess" rule applied
+    // ACROSS dedup families, i.e. the measurement that decides
+    // whether a corpus runs the cheap fingerprint path or the
+    // shingle-index path. Both pair tables feed two consumers each
+    // (their count + the intersection): materialized, q110's rule.
+    "q148_simhash_recall" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val exact = Dedup.DefaultMaterialize(
+        Dedup.jaccardPairs(d, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = 100).select("id_a", "id_b"))
+      val sim = Dedup.DefaultMaterialize(
+        queries("q144_simhash64")(s, dir).select("id_a", "id_b"))
+      val both = exact.join(sim, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_jaccard"))
+        .crossJoin(broadcast(sim.agg(count(lit(1)).as("n_simhash"))))
+        .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+        .withColumn("recall", when(col("n_jaccard") === 0, lit(null))
+          .otherwise(round(col("n_both").cast("double") / col("n_jaccard"), 6)))
+        .withColumn("sim_precision", when(col("n_simhash") === 0, lit(null))
+          .otherwise(round(col("n_both").cast("double") / col("n_simhash"), 6)))
+    }),
+
     // Embedding near-dup pairs: cosine >= 0.35 within sign-LSH
     // buckets (approximate; 2^4 fewer comparisons than quadratic).
     "q35_embedding_near_dup" -> ((s, dir) =>
@@ -1138,6 +1163,35 @@ object TrainingData extends QueryGroup {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY qdot DESC, neighbor_id ASC) AS rank FROM scored)
          WHERE rank <= 5""",
+
+    "q148_simhash_recall" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         jp AS (SELECT id_a, id_b
+                FROM prs JOIN sizes sa ON id_a = sa.doc_id
+                         JOIN sizes sb ON id_b = sb.doc_id
+                WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         $dSims64,
+         sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sims64 a JOIN sims64 b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         bt AS (SELECT id_a, id_b FROM jp INTERSECT SELECT id_a, id_b FROM sp)
+         SELECT (SELECT count(*) FROM jp)::BIGINT AS n_jaccard,
+           (SELECT count(*) FROM sp)::BIGINT AS n_simhash,
+           (SELECT count(*) FROM bt)::BIGINT AS n_both,
+           CASE WHEN (SELECT count(*) FROM jp) = 0 THEN NULL
+             ELSE round((SELECT count(*) FROM bt)::DOUBLE
+               / (SELECT count(*) FROM jp), 6) END AS recall,
+           CASE WHEN (SELECT count(*) FROM sp) = 0 THEN NULL
+             ELSE round((SELECT count(*) FROM bt)::DOUBLE
+               / (SELECT count(*) FROM sp), 6) END AS sim_precision""",
 
     // Brute-force all-pairs on purpose: equality with the Spark plan
     // certifies the banded candidate set is complete for d <= 3.
