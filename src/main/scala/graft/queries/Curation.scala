@@ -544,6 +544,46 @@ object Curation extends QueryGroup {
     // per-doc flags in a single projection (the dedup flag is a window
     // on the text hash), then conditional sums; stages are cumulative
     // ANDs so the funnel is monotone by construction.
+    // SOURCE REPUTATION: the domain-level crawl-prioritization
+    // signal — per source: doc count, mean quality, near-dup
+    // involvement rate, mean lexical diversity, and their linear
+    // composite (the score that decides which domains get crawled
+    // deeper and which get demoted). Determinism: per-doc quality/ttr
+    // are 6dp-rounded (the q39/q101 values, parity-proven) and
+    // summed in DECIMAL (exact, order-free); the dup rate is an
+    // exact integer ratio; the means and the composite are raw
+    // double expressions over those deterministic inputs with NO
+    // final round (identical operands + operation order ==
+    // bit-identical cross-engine, and no midpoint hazard).
+    "q149_source_reputation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      val inDup = Dedup.DefaultMaterialize(
+        pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct())
+      val toksCol = Text.tokens(col("text"))
+      val scored = d.select(col("doc_id"), col("source"),
+          // qualityScore is already 6dp-rounded; ttr rounds here —
+          // both the q39/q101 parity-proven values
+          Text.qualityScore(toksCol).cast("decimal(18,6)").as("q"),
+          round(Text.typeTokenRatio(toksCol), 6).cast("decimal(18,6)").as("t"))
+        .join(inDup.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      scored.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("q")).as("sq"),
+          sum(col("t")).as("st"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+        .select(col("source"), col("n_docs"),
+          (col("sq").cast("double") / col("n_docs")).as("mean_quality"),
+          (col("st").cast("double") / col("n_docs")).as("mean_ttr"),
+          (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"))
+        .withColumn("reputation",
+          lit(0.5) * col("mean_quality")
+            + lit(0.3) * (lit(1.0) - col("dup_rate"))
+            + lit(0.2) * col("mean_ttr"))
+    }),
+
     "q130_curation_funnel" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       // dedup key = md5(text): a 16-byte shuffle key instead of the
@@ -953,6 +993,38 @@ object Curation extends QueryGroup {
            round((sum_sq - sum_norm)::DOUBLE
              / (n * (n - 1))::DOUBLE, 6) AS mean_pair_dot
          FROM a JOIN n USING (label)""",
+
+    "q149_source_reputation" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         nd AS (SELECT id_a, id_b
+                FROM prs JOIN sizes sa ON id_a = sa.doc_id
+                         JOIN sizes sb ON id_b = sb.doc_id
+                WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         dup AS (SELECT id_a AS doc_id FROM nd UNION SELECT id_b FROM nd),
+         sc AS (SELECT d.doc_id, d.source,
+                  ${TrainingData.dQuality("toks")}::DECIMAL(18,6) AS q,
+                  round(len(list_distinct(toks))::DOUBLE / len(toks), 6)::DECIMAL(18,6) AS t,
+                  CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+                FROM documents d JOIN tok USING (doc_id)
+                LEFT JOIN dup ON d.doc_id = dup.doc_id),
+         a AS (SELECT source, count(*)::BIGINT AS n_docs, sum(q) AS sq,
+                 sum(t) AS st, sum(is_dup)::BIGINT AS n_dup
+               FROM sc GROUP BY source)
+         SELECT source, n_docs,
+           sq::DOUBLE / n_docs AS mean_quality,
+           st::DOUBLE / n_docs AS mean_ttr,
+           n_dup::DOUBLE / n_docs AS dup_rate,
+           0.5 * (sq::DOUBLE / n_docs) + 0.3 * (1.0 - n_dup::DOUBLE / n_docs)
+             + 0.2 * (st::DOUBLE / n_docs) AS reputation
+         FROM a""",
 
     "q130_curation_funnel" -> {
       s"""WITH $dTok,
