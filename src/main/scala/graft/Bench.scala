@@ -58,8 +58,13 @@ object Bench {
     val total = best.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val warmTotal = pass2.values.filter(_ >= 0).sum
+    // "value" has meant min-of-two since r4; min2_total spells the
+    // same number under its own name so a cross-round consumer that
+    // ignores the pass label still can't mistake it for a single
+    // measured pass (ADVICE r4).
     def header(qs: String) =
       s""""metric":"total","value":${fmt(total)},"unit":"sec","pass":"min2",""" +
+        s""""min2_total":${fmt(total)},""" +
         s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(warmTotal)},""" +
         s""""queries":$qs,"sf":${jstr(sfDir)}"""
     // Full-name per-query map: printed first (and written to a file)

@@ -111,12 +111,18 @@ object Multimodal {
     * 8 * n_bytes — a fake constant "bitrate"). */
   def withMeta(media: DataFrame,
                kernel: MediaKernel = StubMediaKernel): DataFrame = {
-    val img = kernel.imageMeta(col("payload"))
+    // Columns are looked up BY NAME (ADVICE r4): a kernel returning
+    // the pairs in any order works, and a missing key fails loudly
+    // instead of silently swapping width/height.
+    val img = kernel.imageMeta(col("payload")).toMap
+    val missing = Seq("width", "height", "channels").filterNot(img.contains)
+    require(missing.isEmpty,
+      s"MediaKernel.imageMeta must provide width/height/channels; missing: ${missing.mkString(", ")}")
     media
       .withColumn("n_bytes", length(col("payload")))
-      .withColumn("width", when(col("kind") === "image", img(0)._2))
-      .withColumn("height", when(col("kind") === "image", img(1)._2))
-      .withColumn("channels", when(col("kind") === "image", img(2)._2))
+      .withColumn("width", when(col("kind") === "image", img("width")))
+      .withColumn("height", when(col("kind") === "image", img("height")))
+      .withColumn("channels", when(col("kind") === "image", img("channels")))
       .withColumn("duration_ms",
         when(col("kind") =!= "image", col("n_bytes").cast("long") * 8))
   }

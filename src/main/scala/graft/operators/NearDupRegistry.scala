@@ -43,18 +43,21 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, sig ARRAY<BIGINT>"))
-    try {
-      val d = spark.read.parquet(path)
-      if (d.columns.isEmpty) empty
-      else d.select(col("id"),
-        // a registry written with a different numPerm must fail
-        // loudly, not silently estimate with mixed permutations
-        // (the SketchRegistry merge-guard rule)
-        when(size(col("sig")) === numPerm, col("sig"))
-          .otherwise(raise_error(concat(
-            lit(s"NearDupRegistry: signature length != numPerm=$numPerm for id "),
-            col("id")))).as("sig"))
-    } catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    // Path-not-found is the ONLY silent-empty case (first run); a
+    // registry that EXISTS with a wrong/missing column must fail
+    // loudly, not forget the whole dedup history (ADVICE r4) — so
+    // schema errors from the select below propagate.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) empty
+    else spark.read.parquet(path).select(col("id"),
+      // a registry written with a different numPerm must fail
+      // loudly, not silently estimate with mixed permutations
+      // (the SketchRegistry merge-guard rule)
+      when(size(col("sig")) === numPerm, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"NearDupRegistry: signature length != numPerm=$numPerm for id "),
+          col("id")))).as("sig"))
   }
 
   /** LSH band keys of a signature column: band b (0-based) hashes

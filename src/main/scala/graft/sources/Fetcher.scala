@@ -54,9 +54,17 @@ object SnapshotWriter {
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.Path
 
+  /** JVM-wide sequence making tmp names unique even when two writers
+    * share a clock millisecond (ADVICE r4: a millis-only tmp name let
+    * concurrent fetches clobber each other mid-write). */
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Run the policy; on success write `snapshot_<millis>.html` into
     * `dir` and return its path, None when the fetch gave up. The
-    * clock is injectable like RetryPolicy's (tests pin filenames). */
+    * clock is injectable like RetryPolicy's (tests pin filenames).
+    * Same-millisecond snapshots land as `snapshot_<millis>_<n>.html`
+    * rather than silently replacing the earlier one (local-FS rename
+    * onto an existing path does not raise). */
   def fetchToSnapshot(fetcher: Fetcher, policy: RetryPolicy, dir: String,
                       conf: Configuration = new Configuration(),
                       clock: () => Long = () => System.currentTimeMillis())
@@ -66,10 +74,17 @@ object SnapshotWriter {
       val fs = d.getFileSystem(conf)
       fs.mkdirs(d)
       val ts = clock()
-      val tmp = new Path(d, s".snapshot_$ts.html.tmp")
-      val out = fs.create(tmp, true)
+      val tmp = new Path(d, s".snapshot_$ts.${seq.incrementAndGet()}.html.tmp")
+      // overwrite = false: the sequence makes collisions a bug, and a
+      // silent overwrite would hide it
+      val out = fs.create(tmp, false)
       try out.write(html.getBytes("UTF-8")) finally out.close()
-      val dst = new Path(d, s"snapshot_$ts.html")
+      var dst = new Path(d, s"snapshot_$ts.html")
+      var n = 0
+      while (fs.exists(dst)) {
+        n += 1
+        dst = new Path(d, s"snapshot_${ts}_$n.html")
+      }
       if (!fs.rename(tmp, dst))
         throw new java.io.IOException(s"SnapshotWriter: rename to $dst failed")
       dst.toString

@@ -78,4 +78,31 @@ class MultimodalSpec extends SparkSpec {
       .select("width").as[Int].collect().head
     assert(stubW >= 64 && stubW <= 64 + 7 * 32)
   }
+
+  test("imageMeta pairs are matched by NAME: order-free, missing key fails loudly") {
+    // ADVICE r4: positional indexing silently swapped width/height for
+    // a kernel returning a different order. Reversed order must work...
+    object ReversedKernel extends MediaKernel {
+      override def imageMeta(payload: org.apache.spark.sql.Column) = Seq(
+        "channels" -> lit(4), "height" -> lit(111), "width" -> lit(222))
+      override def features(rows: Iterator[MediaRow], dim: Int) =
+        rows.map(r => MediaFeatures(r.media_id, r.kind, r.payload.length,
+          Array.empty[Float]))
+    }
+    val media = Multimodal.mediaFromDocuments(docs)
+    val m = Multimodal.withMeta(media, ReversedKernel)
+      .filter(col("kind") === "image")
+      .select("width", "height", "channels").as[(Int, Int, Int)].collect().toSeq
+    assert(m.nonEmpty && m.forall(_ == ((222, 111, 4))))
+    // ...and a kernel that forgets a key must throw, not emit nulls
+    object Incomplete extends MediaKernel {
+      override def imageMeta(payload: org.apache.spark.sql.Column) = Seq(
+        "width" -> lit(1), "height" -> lit(2))
+      override def features(rows: Iterator[MediaRow], dim: Int) = Iterator.empty
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.withMeta(media, Incomplete)
+    }
+    assert(ex.getMessage.contains("channels"))
+  }
 }

@@ -71,6 +71,20 @@ class NearDupRegistrySpec extends SparkSpec {
     assert(r.read(spark).select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("an existing registry with a broken schema fails loudly, not as empty") {
+    // ADVICE r4: a catch-all around read() treated a corrupt registry
+    // as first-run-empty, silently forgetting the whole dedup history.
+    val dir = java.nio.file.Files.createTempDirectory("neardup_reg5").toString + "/reg"
+    Seq((1L, "not a signature")).toDF("id", "wrong_col")
+      .write.parquet(dir)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      reg(dir).read(spark).collect()
+    }
+    // while a genuinely missing path is still the empty first run
+    val fresh = java.nio.file.Files.createTempDirectory("neardup_reg6").toString + "/nope"
+    assert(reg(fresh).read(spark).isEmpty)
+  }
+
   test("a registry written with a different numPerm fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("neardup_reg3").toString + "/reg"
     reg(dir).dedupAppend(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")

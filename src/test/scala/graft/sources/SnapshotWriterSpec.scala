@@ -61,6 +61,26 @@ class SnapshotWriterSpec extends SparkSpec {
     assert(rows == Seq((1L, "Chiefs", "+150"), (2L, "Bills", "-170")))
   }
 
+  test("same-millisecond snapshots never replace each other") {
+    // ADVICE r4: millis-only names let a second writer clobber the
+    // first (local-FS rename onto an existing path does not raise).
+    val dir = Files.createTempDirectory("fetchsnap2").toString
+    val clock = new FakeClock
+    val policy = new RetryPolicy(clock = clock.apply _, sleep = clock.sleep)
+    def fetch(body: String) = SnapshotWriter.fetchToSnapshot(
+      new Fetcher { override def fetchOnce(): String = body + page },
+      policy, dir, clock = () => 99L)
+    val first = fetch("FIRST")
+    val second = fetch("SECOND")
+    assert(first.exists(_.endsWith("snapshot_99.html")))
+    assert(second.exists(_.endsWith("snapshot_99_1.html")))
+    // both payloads intact — nothing was overwritten
+    assert(new String(Files.readAllBytes(
+      Paths.get(dir, "snapshot_99.html")), "UTF-8").startsWith("FIRST"))
+    assert(new String(Files.readAllBytes(
+      Paths.get(dir, "snapshot_99_1.html")), "UTF-8").startsWith("SECOND"))
+  }
+
   test("a fetch that gives up writes nothing") {
     val dir = Files.createTempDirectory("fetchsnap0").toString
     val clock = new FakeClock
