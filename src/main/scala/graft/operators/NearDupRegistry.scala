@@ -11,25 +11,35 @@ import org.apache.spark.sql.functions._
   * (n_agree / numPerm, the q102/q132 estimator) stands in for exact
   * Jaccard.
   *
-  * Probe plan shape (the q145 discipline, cross-run): batch
-  * signatures band into LSH keys; band keys join the registry's band
-  * index (derived here; at scale persist it bucketed by
-  * (band, band_key) and this probe becomes a co-located join); only
-  * band-key matches are verified, by an exact integer agreement
-  * count over the two signatures. In-batch near-dups resolve FIRST
-  * via connected components over the in-batch pair graph (keep the
-  * min-id representative per cluster — near-dup similarity is not
-  * transitive, so a pairwise greedy drop could orphan a chain).
+  * Probe plan shape (the q145 discipline, cross-run): the registry's
+  * LSH band index is PERSISTED — a bucketed-by-(band, band_key)
+  * external table at `<path>_band_idx`, appended in the same call
+  * that registers signatures — so a probe is a join of the (small,
+  * broadcast) batch bands against a precomputed index scan: the
+  * registry side is never re-banded and never shuffled, and per-batch
+  * probe cost is proportional to the BATCH, not to history (VERDICT
+  * r4 #1; the Bucketing.scala write-once-join-forever discipline).
+  * When a batch is too big to broadcast, the bucketed layout still
+  * holds: a sort-merge probe shuffles only the batch side, into the
+  * index's bucketing. Only band-key matches are verified, by an exact
+  * integer agreement count over the two signatures. In-batch
+  * near-dups resolve FIRST via connected components over the in-batch
+  * pair graph (keep the min-id representative per cluster — near-dup
+  * similarity is not transitive, so a pairwise greedy drop could
+  * orphan a chain).
   *
   * WRITE ORDER is the delivery guarantee, exactly as DedupRegistry:
   * survivors flow to the corpus sink BEFORE their signatures are
-  * registered, so a crash between the two replays the batch as
-  * at-least-once — and the replay self-matches its own registered
-  * signatures, returning empty instead of duplicating (asserted by
-  * spec).
+  * registered, and the band index — the table probes gate on — is
+  * written LAST, so a crash anywhere in between replays the batch as
+  * at-least-once: whatever the index saw self-matches and returns
+  * empty (asserted by spec), whatever it missed is re-processed and
+  * re-registered. A legacy or crash-windowed EMPTY index heals itself
+  * from the signature registry (one re-band, paid once).
   */
 class NearDupRegistry(path: String, numPerm: Int, bands: Int,
-                      rowsPerBand: Int, simThreshold: Double) {
+                      rowsPerBand: Int, simThreshold: Double,
+                      nBuckets: Int = 8) {
   require(bands * rowsPerBand == numPerm,
     s"NearDupRegistry: bands($bands) * rowsPerBand($rowsPerBand) != numPerm($numPerm)")
   require(simThreshold > 0 && simThreshold <= 1,
@@ -38,6 +48,47 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
   /** Minimum agreeing permutations for a near-dup verdict (exact
     * integer compare — no double division in the hot predicate). */
   private val minAgree: Int = math.ceil(simThreshold * numPerm).toInt
+
+  /** Catalog name for the persisted band index: derived from the
+    * registry path (the catalog is global — two registries must not
+    * collide on one table; the Bucketing.scala tag discipline).
+    * nBuckets is NOT part of the identity: an existing index keeps
+    * its layout; size it for the target cluster up front. */
+  private val indexTable: String = "graft_neardup_idx_" +
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  /** Where the bucketed band-index files live (sibling of the
+    * signature registry, public so operability specs/tools can assert
+    * the index is really persisted). */
+  val indexLocation: String = path + "_band_idx"
+  private def indexPath: String = indexLocation
+
+  /** One-time-per-instance index bootstrap: re-register the external
+    * table (an in-memory catalog forgets bucket metadata across JVMs;
+    * the files keep it), then heal an empty index from the signature
+    * registry — covers both a legacy registry written before the
+    * index existed and a crash between the sig and index appends on
+    * the FIRST batch (later crash windows converge via replay). */
+  private var indexReady = false
+  private def ensureIndex(spark: SparkSession): Unit = {
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $indexTable
+         |(id BIGINT, sig ARRAY<BIGINT>, band INT, band_key STRING)
+         |USING PARQUET
+         |CLUSTERED BY (band, band_key) INTO $nBuckets BUCKETS
+         |LOCATION '$indexPath'""".stripMargin)
+    if (!indexReady) {
+      if (spark.table(indexTable).isEmpty) {
+        val sigs = read(spark)
+        if (!sigs.isEmpty) appendToIndex(sigs)
+      }
+      indexReady = true
+    }
+  }
+
+  private def appendToIndex(sigs: DataFrame): Unit =
+    bandRows(sigs).select("id", "sig", "band", "band_key")
+      .write.mode("append").insertInto(indexTable)
 
   def read(spark: SparkSession): DataFrame = {
     val empty = spark.createDataFrame(
@@ -50,15 +101,17 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) empty
-    else spark.read.parquet(path).select(col("id"),
-      // a registry written with a different numPerm must fail
-      // loudly, not silently estimate with mixed permutations
-      // (the SketchRegistry merge-guard rule)
-      when(size(col("sig")) === numPerm, col("sig"))
-        .otherwise(raise_error(concat(
-          lit(s"NearDupRegistry: signature length != numPerm=$numPerm for id "),
-          col("id")))).as("sig"))
+    else spark.read.parquet(path).select(col("id"), guardedSig(col("sig")))
   }
+
+  /** A registry/index written with a different numPerm must fail
+    * loudly, not silently estimate with mixed permutations (the
+    * SketchRegistry merge-guard rule). */
+  private def guardedSig(sig: Column): Column =
+    when(size(sig) === numPerm, sig)
+      .otherwise(raise_error(concat(
+        lit(s"NearDupRegistry: signature length != numPerm=$numPerm for id "),
+        col("id")))).as("sig")
 
   /** LSH band keys of a signature column: band b (0-based) hashes
     * elements b*rowsPerBand+1 .. (b+1)*rowsPerBand (1-based). */
@@ -76,9 +129,33 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
   private def agreement(a: Column, b: Column): Column =
     size(filter(zip_with(a, b, (x, y) => x === y), p => p))
 
+  /** ids among `sigs` (id, sig) that near-match ANY registered
+    * signature: batch bands BROADCAST (the batch is the small side by
+    * contract) against the persisted index scan — zero Exchange and
+    * zero banding work on the registry side. */
+  private def matchedIds(spark: SparkSession, sigs: DataFrame): DataFrame = {
+    ensureIndex(spark)
+    val reg = spark.table(indexTable).select(
+      col("band"), col("band_key"), guardedSig(col("sig")).as("reg_sig"))
+    reg.join(broadcast(bandRows(sigs)), Seq("band", "band_key"))
+      .filter(agreement(col("sig"), col("reg_sig")) >= minAgree)
+      .select("id").distinct()
+  }
+
+  /** Near-dup check WITHOUT admission: the ids in `batch` whose text
+    * near-matches anything ever registered. Read-only — the probe a
+    * serving layer runs before deciding anything. */
+  def probe(batch: DataFrame, idCol: String, textCol: String,
+            n: Int = 3): DataFrame = {
+    val sigs = Dedup.minhashSignaturesFromShingles(
+      Dedup.shingleSets(batch, idCol, textCol, n), numPerm)
+    matchedIds(batch.sparkSession, sigs).select(col("id").as(idCol))
+  }
+
   /** Near-dup-gate `batch` against the registry AND within itself,
     * hand the surviving rows (original schema) to `persist`, THEN
-    * register their signatures, and return the survivors. */
+    * register their signatures and extend the band index, and return
+    * the survivors. */
   def dedupAppend(batch: DataFrame, idCol: String, textCol: String,
                   n: Int = 3,
                   persist: DataFrame => Unit = _ => ()): DataFrame = {
@@ -108,20 +185,16 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
 
     // registry probe: representatives matching ANY registered
     // signature on a band key with enough agreement are dropped
-    val regBands = bandRows(read(spark))
-      .select(col("id").as("reg_id"), col("band"), col("band_key"),
-        col("sig").as("reg_sig"))
-    val matched = bandRows(reps).join(regBands, Seq("band", "band_key"))
-      .filter(agreement(col("sig"), col("reg_sig")) >= minAgree)
-      .select("id").distinct()
-    // pin BEFORE the append below: the survivors plan reads the
-    // registry it is about to extend (the DedupRegistry recache rule)
+    val matched = matchedIds(spark, reps)
+    // pin BEFORE the appends below: the survivors plan reads the
+    // index it is about to extend (the DedupRegistry recache rule)
     val fresh = reps.join(matched, Seq("id"), "left_anti")
       .localCheckpoint(true)
 
     val out = batch.join(fresh.select(col("id").as(idCol)), Seq(idCol), "left_semi")
     persist(out)
     fresh.write.mode("append").parquet(path)
+    appendToIndex(fresh)
     out
   }
 }
