@@ -39,6 +39,7 @@ object PlanAudit {
     "q116_token_waterfill" -> "1-row total/cap aggregates broadcast onto the per-source table (q53 shape)",
     "q146_hll_merge" -> "three 1-row sketch/count aggregates cross-joined (q110 shape, bounded by construction)",
     "q147_ivf_int8" -> "12 broadcast centroids for cell ranking (q45 shape); candidate scoring is an equi-join on cell",
+    "q150_ivf_int8_disk" -> "12 broadcast centroids for query-cell ranking (q45 shape); candidate scoring is an equi-join on cell over the partition-pruned layout",
     "q148_simhash_recall" -> "three 1-row count aggregates cross-joined (q110 shape, bounded by construction)"
   )
 

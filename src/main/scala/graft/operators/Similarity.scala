@@ -207,16 +207,19 @@ object Similarity {
   }
 
   /** Write-time IVF layout: the corpus, cell-assigned and written
-    * PARTITIONED BY cell (with its squared norm precomputed), so
-    * probes become directory-pruned scans that never touch the other
-    * |centroids|-1 cells — the storage half of the ivfTopK story at
-    * 100 TB. One pass over the corpus at ingest; every query after
-    * that reads only its nprobe cells. */
+    * PARTITIONED BY cell (with its squared norm AND int8 quantization
+    * precomputed), so probes become directory-pruned scans that never
+    * touch the other |centroids|-1 cells — the storage half of the
+    * ivfTopK story at 100 TB. One pass over the corpus at ingest;
+    * every query after that reads only its nprobe cells, and a
+    * quantized probe reads ONLY the 1/4-width `vq` column (parquet
+    * column pruning — the float vectors stay on disk untouched). */
   def writeCellPartitioned(corpus: DataFrame, centroids: DataFrame,
                            idCol: String, vecCol: String,
                            path: String): Unit =
     assignCells(corpus, centroids, idCol, vecCol)
-      .select(col("id"), col("v"), col("n2"), col("cell"))
+      .select(col("id"), col("v"), col("n2"),
+        quantize8(col("v")).as("vq"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** IVF top-k over a cell-partitioned corpus written by
@@ -248,6 +251,39 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
     topK(scored, "score", k, Seq("cell"))
+  }
+
+  /** The full disk-backed production ANN stack: IVF directory pruning
+    * x int8 scoring, both OFF DISK — probe cells become a literal
+    * partition filter (the ivfTopKPartitioned contract) and the
+    * candidate scan reads only the quantized `vq` column written by
+    * writeCellPartitioned, so the dominant scan moves 1/4 the bytes
+    * of the float layout on top of touching 1/|cells|*nprobe of the
+    * directories. Ranking semantics are identical to the in-memory
+    * ivfQuantizedTopK: quantize8 at write time is the same function
+    * as quantize8 at query time (spec-asserted parity). */
+  def ivfQuantizedTopKPartitioned(queries: DataFrame, corpusPath: String,
+                                  centroids: DataFrame, idCol: String,
+                                  vecCol: String, k: Int,
+                                  nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "ivfQuantizedTopKPartitioned: nprobe must be >= 1")
+    val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
+      .filter(col("rnk") <= nprobe)
+      .select(col("id").as("query_id"), quantize8(col("v")).as("qq"),
+        col("cid").as("cell"))
+    // bounded-by-contract driver-side cell list, exactly as
+    // ivfTopKPartitioned (|queries| x nprobe literals)
+    val probeCells = q.select("cell").distinct().collect().map(_.getLong(0))
+    val c = queries.sparkSession.read.parquet(corpusPath)
+      .filter(col("cell").isin(probeCells: _*))
+      // partition-column read-back infers INT for small cell ids;
+      // cast restores the long the in-memory stack (and oracle) emits
+      .select(col("id").as("neighbor_id"), col("vq").as("cq"),
+        col("cell").cast("long").as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", dotQ8(col("qq"), col("cq")))
+    topK(scored, "qdot", k, Seq("cell"))
   }
 
   /** int8 scalar quantization: clip(round(x * 127)) per element — 4x

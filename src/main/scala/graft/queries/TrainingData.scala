@@ -70,6 +70,35 @@ object TrainingData extends QueryGroup {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
 
+  /** IVF x int8 ANN stack (nprobe=2): shared by q147 (in-memory) and
+    * q150 (cell-partitioned disk layout) — the storage layout must
+    * not change the ranking, so they share one oracle. */
+  private lazy val ivfInt8Sql: String =
+    s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+       n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+       cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 12),
+       sc AS (SELECT vec_id, v, n2, cid,
+           round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+         FROM n CROSS JOIN cent),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cs DESC, cid ASC) AS rnk FROM sc),
+       asg AS (SELECT vec_id AS neighbor_id,
+           list_transform(v, x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS cq,
+           cid AS cell
+         FROM rk WHERE rnk = 1),
+       qp AS (SELECT vec_id AS query_id,
+           list_transform(v, x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS qq,
+           cid AS cell
+         FROM rk WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
+       scored AS (SELECT query_id, neighbor_id, cell,
+           list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim),
+             i -> qq[i]::BIGINT * cq[i])), (acc, x) -> acc + x) AS qdot
+         FROM asg JOIN qp USING (cell) WHERE query_id != neighbor_id)
+       SELECT query_id, rank, neighbor_id, qdot, cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY qdot DESC, neighbor_id ASC) AS rank FROM scored)
+       WHERE rank <= 5"""
+
   /** LSH bucket id from a vector list column (mirrors Similarity.lshBucket). */
   private def dBucket(v: String): String = {
     val bitTerms = (0 until LshBits).map { j =>
@@ -614,6 +643,24 @@ object TrainingData extends QueryGroup {
         "vec_id", "embedding", k = 5, nprobe = 2)
     }),
 
+    // q147's stack OFF DISK: the corpus is written cell-partitioned
+    // with its int8 quantization (one ingest pass), then probed with
+    // directory pruning AND a vq-only read schema — the layout the
+    // 100 TB story actually serves from (spec asserts the pruned
+    // plan; THIS entry hash-proves the disk roundtrip changes no
+    // ranking). Same oracle as q147: quantize-at-write is the same
+    // function as quantize-at-query.
+    "q150_ivf_int8_disk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 12)
+      val layout = java.nio.file.Files
+        .createTempDirectory("graft_ivf_q150").toString
+      Similarity.writeCellPartitioned(e, cents, "vec_id", "embedding", layout)
+      Similarity.ivfQuantizedTopKPartitioned(
+        e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
+        layout, cents, "vec_id", "embedding", k = 5, nprobe = 2)
+    }),
+
     // 64-bit SimHash + 4-band Hamming search, radius d <= 3 — the
     // PRODUCTION simhash-dedup shape q141 demos at 16 bits. By
     // pigeonhole, <= 3 differing bits leave at least one of the four
@@ -1138,31 +1185,12 @@ object TrainingData extends QueryGroup {
            round(coalesce(h2.n_hit_p2, 0)::DOUBLE / 5, 6) AS recall_p2
          FROM q LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)""",
 
-    "q147_ivf_int8" ->
-      s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
-         n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
-         cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 12),
-         sc AS (SELECT vec_id, v, n2, cid,
-             round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
-           FROM n CROSS JOIN cent),
-         rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-             ORDER BY cs DESC, cid ASC) AS rnk FROM sc),
-         asg AS (SELECT vec_id AS neighbor_id,
-             list_transform(v, x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS cq,
-             cid AS cell
-           FROM rk WHERE rnk = 1),
-         qp AS (SELECT vec_id AS query_id,
-             list_transform(v, x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS qq,
-             cid AS cell
-           FROM rk WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
-         scored AS (SELECT query_id, neighbor_id, cell,
-             list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim),
-               i -> qq[i]::BIGINT * cq[i])), (acc, x) -> acc + x) AS qdot
-           FROM asg JOIN qp USING (cell) WHERE query_id != neighbor_id)
-         SELECT query_id, rank, neighbor_id, qdot, cell FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY qdot DESC, neighbor_id ASC) AS rank FROM scored)
-         WHERE rank <= 5""",
+    "q147_ivf_int8" -> ivfInt8Sql,
+
+    // the disk layout changes bytes moved, not rankings: one oracle
+    // answers both the in-memory (q147) and the cell-partitioned
+    // (q150) stack — that equality is the point of the entry.
+    "q150_ivf_int8_disk" -> ivfInt8Sql,
 
     "q148_simhash_recall" ->
       s"""WITH $dSh,

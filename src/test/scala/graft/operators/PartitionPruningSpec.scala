@@ -66,4 +66,36 @@ class PartitionPruningSpec extends SparkSpec {
     val probeCells = probed.select("cell").distinct().count()
     assert(probeCells < allCells)
   }
+
+  test("IVF int8-on-disk probe: cell pruning + vq-only read schema, ranking parity") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") < 12)
+    val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells_q8").toString
+    Similarity.writeCellPartitioned(e, cents, "vec_id", "embedding", dir)
+
+    val probed = Similarity.ivfQuantizedTopKPartitioned(
+      qs, dir, cents, "vec_id", "embedding", k = 5, nprobe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    // directory pruning: probe cells are a literal partition filter
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not in partition filters:\n$plan")
+    // column pruning: the corpus scan reads ONLY (id, vq) — the
+    // full-precision vectors and norms written beside them move zero
+    // bytes (the 4x-less-I/O half of VERDICT r4 #2)
+    val corpusSchema = "ReadSchema: struct<[^>]*>".r.findAllIn(plan)
+      .find(_.contains("vq")).getOrElse(fail(s"no scan reads vq:\n$plan"))
+    assert(!corpusSchema.contains("v:") && !corpusSchema.contains("n2"),
+      s"corpus scan not pruned to int8: $corpusSchema")
+
+    // ranking semantics identical to the in-memory quantized stack
+    val inMem = Similarity.ivfQuantizedTopK(
+        qs, e, cents, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val fromDisk = probed.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fromDisk == inMem && fromDisk.nonEmpty)
+  }
 }
