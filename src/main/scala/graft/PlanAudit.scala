@@ -40,6 +40,7 @@ object PlanAudit {
     "q146_hll_merge" -> "three 1-row sketch/count aggregates cross-joined (q110 shape, bounded by construction)",
     "q147_ivf_int8" -> "12 broadcast centroids for cell ranking (q45 shape); candidate scoring is an equi-join on cell",
     "q150_ivf_int8_disk" -> "12 broadcast centroids for query-cell ranking (q45 shape); candidate scoring is an equi-join on cell over the partition-pruned layout",
+    "q151_ivf_fitted" -> "recall eval: exact top-5 baseline (8-query broadcast, q36 shape) + 12 broadcast centroids (seed and Lloyd-fitted) for cell ranking (q143 shape)",
     "q148_simhash_recall" -> "three 1-row count aggregates cross-joined (q110 shape, bounded by construction)"
   )
 

@@ -378,6 +378,61 @@ object Similarity {
         round(col("ssum").cast("double") / col("n"), 6).as("centroid"))
   }
 
+  /** Lloyd's algorithm to CONVERGENCE: iterate kmeansIteration until
+    * the recomputed centroids reach a fixpoint (assignments stable =>
+    * centroids bit-stable on their 6-dp rounding) or maxIter rounds,
+    * whichever first. One Spark job per round — the round's bounded
+    * (k x dim) stats collect IS the job (this operator owes the next
+    * round a broadcast seed set anyway), and the convergence signal
+    * is computed driver-side from the same rows: no second action per
+    * round (the Dedup.scala star-loop discipline).
+    *
+    * Early stop is an OPTIMIZATION only: Lloyd is idempotent at a
+    * fixpoint, so a run that stops at round m < maxIter returns
+    * exactly what running all maxIter rounds would — which is what
+    * lets a fixed-round unrolled SQL oracle certify a
+    * convergence-stopped fit (q151). Empty clusters carry their
+    * previous centroid forward. Returns (idCol, vecCol) float
+    * vectors — k rows, broadcast-sized by contract. */
+  def kmeansFit(corpus: DataFrame, seeds: DataFrame,
+                idCol: String, vecCol: String, maxIter: Int): DataFrame =
+    kmeansFitWithRounds(corpus, seeds, idCol, vecCol, maxIter)._1
+
+  /** kmeansFit + the number of rounds actually run (maxIter when the
+    * cap hit first; < maxIter means round `n` confirmed round n-1's
+    * fixpoint) — the operability number a scheduled re-fit monitors. */
+  def kmeansFitWithRounds(corpus: DataFrame, seeds: DataFrame,
+                          idCol: String, vecCol: String,
+                          maxIter: Int): (DataFrame, Int) = {
+    require(maxIter >= 1, "kmeansFit: maxIter must be >= 1")
+    val spark = corpus.sparkSession
+    def toDf(cs: Seq[(Long, Seq[Float])]): DataFrame = {
+      import spark.implicits._
+      cs.toDF(idCol, vecCol)
+    }
+    // seed centroids: one bounded collect (k rows by contract)
+    var cents: Seq[(Long, Seq[Float])] = seeds
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    var round = 0
+    var converged = false
+    while (round < maxIter && !converged) {
+      val stats = kmeansIteration(corpus, toDf(cents), idCol, vecCol)
+        .select(col("cluster_id").cast("long"), col("dim_no"), col("centroid"))
+        .collect()
+      val computed = stats.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        // float narrowing matches the oracle's ::REAL — the next
+        // round's seeds are identical in both engines
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+      }
+      val next = cents.map { case (cid, v) => (cid, computed.getOrElse(cid, v)) }
+      converged = next == cents
+      cents = next
+      round += 1
+    }
+    (toDf(cents), round)
+  }
+
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding
     * near-dup detection. Blocked by LSH bucket when `bits` > 0 (pairs
     * in different buckets are skipped: approximate but scalable);

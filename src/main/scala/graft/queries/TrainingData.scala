@@ -34,6 +34,7 @@ object TrainingData extends QueryGroup {
   private val SimhashBits = 16
   private[queries] val AnnQueries = 8 // vec_id < 8 are the query vectors
   private[queries] val Dim = 64
+  private val KmFitIter = 5 // Lloyd rounds the q151 oracle unrolls
   private val LshBits = 4
 
   // ---- DuckDB SQL fragment generators (mirror graft.functions.Text) ----
@@ -98,6 +99,81 @@ object TrainingData extends QueryGroup {
          SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY qdot DESC, neighbor_id ASC) AS rank FROM scored)
        WHERE rank <= 5"""
+
+  /** q151 oracle: KmFitIter UNROLLED Lloyd rounds (each mirroring
+    * kmeansIteration exactly — NaN-filtered argmax with the
+    * (score DESC, cid ASC) tie-break, decimal(28,10)-exact per-dim
+    * sums rounded to 6 dp, REAL-narrowed for the next round's seeds,
+    * empty clusters carrying their previous centroid), then the q143
+    * recall shape at nprobe=1 under the seed vs the fitted centroid
+    * sets. A fixed unroll count certifies a convergence-stopped fit
+    * because Lloyd is idempotent at a fixpoint: rounds after
+    * convergence recompute the same centroids. */
+  private lazy val ivfFittedSql: String = {
+    // one Lloyd round: kmeansIteration filters non-finite scores
+    // BEFORE the argmax (unlike rankedCells below, which does not)
+    def lloydRound(i: Int): String =
+      s"""sck$i AS (SELECT n.vec_id, n.v, c.cid,
+           round(${dDot("c.cv", "n.v")} / sqrt(${dDot("c.cv", "c.cv")} * n.n2), 6) AS cs
+         FROM n CROSS JOIN cent${i - 1} c),
+       asg$i AS (SELECT cid AS cluster_id, v FROM (
+           SELECT cid, v, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rn
+           FROM sck$i WHERE cs IS NOT NULL AND NOT isnan(cs)) WHERE rn = 1),
+       agg$i AS (SELECT cluster_id, dim_no,
+           round(sum(vv::DECIMAL(28,10))::DOUBLE / count(*), 6) AS centroid
+         FROM (SELECT cluster_id, unnest(generate_series(0, len(v) - 1)) AS dim_no,
+                 unnest(v) AS vv FROM asg$i)
+         GROUP BY cluster_id, dim_no),
+       cent$i AS (SELECT p.cid, coalesce(nc.cvn, p.cv) AS cv
+         FROM cent${i - 1} p LEFT JOIN (
+           SELECT cluster_id AS cid, list(centroid::REAL ORDER BY dim_no) AS cvn
+           FROM agg$i GROUP BY cluster_id) nc USING (cid)),"""
+    // IVF@nprobe=1 hit counts vs the exact top-5 under one centroid set
+    // (the q143 iv1/h1 shape; rankedCells has no NaN filter)
+    def ivfHits(cent: String, tag: String): String =
+      s"""sc_$tag AS (SELECT n.vec_id, n.v, n.n2, c.cid,
+           round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+         FROM n CROSS JOIN $cent c),
+       rk_$tag AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cs DESC, cid ASC) AS rnk FROM sc_$tag),
+       asg_$tag AS (SELECT vec_id AS neighbor_id, v AS cv2, n2 AS cn, cid AS cell
+         FROM rk_$tag WHERE rnk = 1),
+       qp_$tag AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn, cid AS cell
+         FROM rk_$tag WHERE vec_id >= 12 AND vec_id < 20 AND rnk = 1),
+       iv_$tag AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(${dDot("qv", "cv2")} / sqrt(qn * cn), 6) DESC,
+                        neighbor_id ASC) AS rnk
+           FROM asg_$tag JOIN qp_$tag USING (cell)
+           WHERE query_id != neighbor_id) WHERE rnk <= 5),
+       h_$tag AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_$tag
+         FROM ex e JOIN iv_$tag USING (query_id, neighbor_id) GROUP BY 1),"""
+    s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+       n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+       cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 12),
+       ${(1 to KmFitIter).map(lloydRound).mkString("\n")}
+       q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn
+             FROM n WHERE vec_id >= 12 AND vec_id < 20),
+       ex AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, c2.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(${dDot("qv", "c2.v")} / sqrt(qn * c2.n2), 6) DESC,
+                        c2.vec_id ASC) AS rnk
+           FROM n c2 JOIN q ON query_id != c2.vec_id) WHERE rnk <= 5),
+       ${ivfHits("cent0", "seed")}
+       ${ivfHits(s"cent$KmFitIter", "fit")}
+       sel AS (SELECT q.query_id,
+           coalesce(hs.n_hit_seed, 0)::BIGINT AS n_hit_seed,
+           coalesce(hf.n_hit_fit, 0)::BIGINT AS n_hit_fit
+         FROM q LEFT JOIN h_seed hs USING (query_id)
+                LEFT JOIN h_fit hf USING (query_id))
+       SELECT query_id, n_hit_seed, n_hit_fit,
+         round(n_hit_seed::DOUBLE / 5, 6) AS recall_seed,
+         round(n_hit_fit::DOUBLE / 5, 6) AS recall_fit
+       FROM sel"""
+  }
 
   /** LSH bucket id from a vector list column (mirrors Similarity.lshBucket). */
   private def dBucket(v: String): String = {
@@ -641,6 +717,38 @@ object TrainingData extends QueryGroup {
         e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
         e, e.filter(col("vec_id") < 12),
         "vec_id", "embedding", k = 5, nprobe = 2)
+    }),
+
+    // FITTED coarse quantizer: Lloyd (kmeansFit, 5 rounds max) from
+    // the q45 seed centroids, then recall@5 at nprobe=1 for seeded vs
+    // fitted cells against the exact top-5 — the measured answer to
+    // "does fitting the centroids buy recall at equal probe cost?"
+    // (VERDICT r4 #3). The oracle unrolls exactly KmFitIter Lloyd
+    // rounds: Lloyd is idempotent at a fixpoint, so Spark's
+    // convergence early-stop returns the same centroids the unrolled
+    // SQL computes.
+    "q151_ivf_fitted" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val seeds = e.filter(col("vec_id") < 12)
+      val fitted = Similarity.kmeansFit(e, seeds, "vec_id", "embedding",
+        maxIter = KmFitIter)
+      val exact = Dedup.DefaultMaterialize(
+        Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id"))
+      def hits(cents: DataFrame, tag: String) = exact.join(
+          Similarity.ivfTopK(qs, e, cents, "vec_id", "embedding",
+            k = 5, nprobe = 1).select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(s"n_hit_$tag"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits(seeds, "seed"), Seq("query_id"), "left")
+        .join(hits(fitted, "fit"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_seed"), lit(0L)).as("n_hit_seed"),
+          coalesce(col("n_hit_fit"), lit(0L)).as("n_hit_fit"))
+        .withColumn("recall_seed", round(col("n_hit_seed").cast("double") / 5, 6))
+        .withColumn("recall_fit", round(col("n_hit_fit").cast("double") / 5, 6))
     }),
 
     // q147's stack OFF DISK: the corpus is written cell-partitioned
@@ -1191,6 +1299,8 @@ object TrainingData extends QueryGroup {
     // answers both the in-memory (q147) and the cell-partitioned
     // (q150) stack — that equality is the point of the entry.
     "q150_ivf_int8_disk" -> ivfInt8Sql,
+
+    "q151_ivf_fitted" -> ivfFittedSql,
 
     "q148_simhash_recall" ->
       s"""WITH $dSh,

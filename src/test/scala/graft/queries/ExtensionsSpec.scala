@@ -55,6 +55,40 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 0, 2L, 0.0), (1L, 1, 2L, 1.5)))
   }
 
+  test("kmeansFit: converges to the cluster means, early-stops, and carries empty clusters") {
+    import org.apache.spark.sql.functions.col
+    // two tight clusters around the axes + one far-off seed that
+    // captures nothing (an axis seed wins every vector by cosine)
+    val data = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f)), // the empty-cluster seed
+      (10L, Array(4f, 1f, 0f)), (11L, Array(2f, 0.5f, 0f)),
+      (12L, Array(1f, 4f, 0f)), (13L, Array(0.5f, 2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = data.filter(col("vec_id") >= 10)
+    val seeds = data.filter(col("vec_id") < 3)
+    val (fitted, rounds) = graft.operators.Similarity.kmeansFitWithRounds(
+      corpus, seeds, "vec_id", "embedding", maxIter = 10)
+    // converged before the cap: the final round only CONFIRMED the
+    // fixpoint (assignments by cosine stabilize after round 1 here)
+    assert(rounds < 10, s"did not converge in 10 rounds")
+    val cents = fitted.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    // cluster 0: vecs (4,1,0),(2,0.5,0) -> mean (3, 0.75, 0)
+    // cluster 1: vecs (1,4,0),(0.5,2,0) -> mean (0.75, 3, 0)
+    // cluster 2 captured nothing -> carries its seed vector
+    assert(cents(0L) == Seq(3f, 0.75f, 0f))
+    assert(cents(1L) == Seq(0.75f, 3f, 0f))
+    assert(cents(2L) == Seq(0f, 0f, 1f))
+    // idempotence at the fixpoint: one more Lloyd round recomputes
+    // the same centroids (what lets a fixed-round oracle certify a
+    // convergence-stopped fit)
+    val again = graft.operators.Similarity.kmeansFit(
+        corpus, fitted, "vec_id", "embedding", maxIter = 1)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(again == cents)
+  }
+
   test("q91 approx_count_distinct stays within 5% of the exact count") {
     val rows = Extensions.queries("q91_approx_distinct")(spark, "/root/testdata/sf0.01")
       .select("event_type", "within_tol").as[(String, Boolean)].collect()
