@@ -36,13 +36,15 @@ trait MediaKernel extends Serializable {
   def features(rows: Iterator[MediaRow], dim: Int): Iterator[MediaFeatures]
 }
 
-/** >>> THE DECODE ITSELF IS A STUB <<< — this container has no
-  * imaging/audio libraries, so metadata and features derive
+/** The NO-DECODE kernel — metadata and features derive
   * deterministically from the payload bytes (hash-based dims,
-  * bucketed byte-mean "embedding"). The Spark-side contracts —
+  * bucketed byte-mean "embedding"), so the oracle queries stay
+  * engine-checkable on arbitrary payloads. The Spark-side contracts —
   * schema, binary transport, partitioning, batch iteration shape —
-  * are real and oracle-tested; swap this object for a real kernel
-  * (e.g. JNI/javacv) to productionize. */
+  * are real and oracle-tested. For REAL image decode see
+  * ImageIoKernel (JDK-only PNG/JPEG header parse + javax.imageio
+  * pixel features); heavier codecs (video/audio) plug in the same
+  * way. */
 object StubMediaKernel extends MediaKernel {
 
   /** Metadata from the payload hash/length instead of a real header

@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The REAL kernel (VERDICT r4 #4): JDK-generated PNG/JPEG fixtures
+  * flow through withMeta / extractFeatures UNCHANGED — only the
+  * injected kernel differs from the stub path the oracle queries
+  * exercise. */
+class ImageIoKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic test image: a horizontal gradient with a row tint
+    * so strips differ and decode mistakes show up in the features. */
+  private def testImage(w: Int, h: Int, imgType: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, imgType)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = (x * 255) / math.max(1, w - 1)
+      val g = (y * 255) / math.max(1, h - 1)
+      img.setRGB(x, y, (0xff << 24) | (v << 16) | (g << 8) | ((v + g) / 2))
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("media_id", "payload").withColumn("kind", lit("image"))
+
+  test("imageMeta: PNG IHDR parse — width/height/channels per color type") {
+    val rgb = encode(testImage(80, 50, BufferedImage.TYPE_INT_RGB), "png")
+    val gray = encode(testImage(33, 20, BufferedImage.TYPE_BYTE_GRAY), "png")
+    val argb = encode(testImage(17, 9, BufferedImage.TYPE_INT_ARGB), "png")
+    val out = Multimodal.withMeta(
+        mediaDf(Seq((0L, rgb), (1L, gray), (2L, argb))), ImageIoKernel)
+      .select("media_id", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(out == Set((0L, 80, 50, 3), (1L, 33, 20, 1), (2L, 17, 9, 4)))
+  }
+
+  test("imageMeta: JPEG SOF segment walk finds dims past variable-length segments") {
+    val jpg = encode(testImage(64, 48, BufferedImage.TYPE_INT_RGB), "jpg")
+    val out = Multimodal.withMeta(mediaDf(Seq((0L, jpg))), ImageIoKernel)
+      .select("width", "height", "channels")
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(out == Seq((64, 48, 3)))
+  }
+
+  test("imageMeta: unknown format yields null metadata, not garbage") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val r = Multimodal.withMeta(mediaDf(Seq((0L, junk))), ImageIoKernel)
+      .select("width", "height", "channels").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("features: real decode — strip luminance profile matches pixel math") {
+    val w = 40; val h = 10; val dim = 8
+    val img = testImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val png = encode(img, "png")
+    // expected: per-strip mean of (r+g+b) / (3 * pixels), from the
+    // SAME pixel math the kernel documents
+    val expected = Array.tabulate(dim) { i =>
+      val lo = i * w / dim; val hi = (i + 1) * w / dim
+      var s = 0L
+      for (x <- lo until hi; y <- 0 until h) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      (s.toDouble / (3.0 * (hi - lo) * h)).toFloat
+    }.toSeq
+    val feats = Multimodal.extractFeatures(
+        mediaDf(Seq((7L, png))), dim, ImageIoKernel)
+      .collect()
+    assert(feats.length == 1)
+    assert(feats(0).media_id == 7L && feats(0).n_bytes == png.length)
+    assert(feats(0).feature.toSeq == expected)
+    // the gradient makes strips strictly increase — a transposed or
+    // misdecoded image cannot produce this
+    assert(feats(0).feature.toSeq == feats(0).feature.toSeq.sorted)
+    assert(feats(0).feature.distinct.length == dim)
+  }
+
+  test("features: undecodable payload falls back to the stub's byte stats") {
+    val junk = "corrupt payload".getBytes("UTF-8")
+    val out = Multimodal.extractFeatures(
+      mediaDf(Seq((3L, junk))), 4, ImageIoKernel).collect()(0)
+    val stub = StubMediaKernel.features(
+      Iterator(MediaRow(3L, "image", junk)), 4).next()
+    assert(out.feature.toSeq == stub.feature.toSeq && out.n_bytes == junk.length)
+  }
+}
