@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check (VERDICT r4 #5): measure the dedup stack at
+  * 1x vs 10x corpus size and commit the table (SCALE.md) — the 100 TB
+  * stance measured instead of argued.
+  *
+  * The 10x corpus is sf0.1 documents unioned with 9 id-offset copies
+  * whose every token is prefixed with the copy number: shingle sets
+  * are DISJOINT across copies, so 10x the rows means 10x distinct
+  * content (the full-pipeline cost must scale ~linearly in input, not
+  * in answer size — near-dup answer size is a property of the data,
+  * not the engine). Expectations, by construction of the plans:
+  *
+  *  - q31/q33/q100 (whole-corpus pair finding / clustering /
+  *    materialization): ~linear in corpus size — every pairwise stage
+  *    is blocked (shingle / band bucket) with hot keys bounded.
+  *  - q145 (incremental probe, batch = 10% of corpus): ~linear too —
+  *    the BATCH grows with the corpus here.
+  *  - NearDupRegistry.dedupAppend of a FIXED 500-doc batch against a
+  *    1x vs 10x registry: ~flat — the probe is a broadcast of the
+  *    batch bands against the persisted band index; history size only
+  *    enters through the (columnar, pruned) index scan.
+  *
+  * runMain graft.ScaleCheck [sfDir] — prints a markdown table.
+  */
+object ScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = GraftSession.fromEnv()
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+    val base = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    /** Copy c of the corpus: ids offset, every token prefixed "c<c>"
+      * so shingles are disjoint from every other copy. */
+    def copy(c: Int): DataFrame =
+      if (c == 0) base
+      else base
+        .withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "([a-z0-9]+)", s"c$c$$1"))
+
+    def synth(mult: Int): String = {
+      val dir = s"$root/x$mult"
+      (0 until mult).map(copy).reduce(_ unionAll _)
+        .coalesce(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    /** min-of-two, the Bench noise-floor discipline. */
+    def time2(f: => Unit): Double = math.min(time(f), time(f))
+
+    val dirs = Map(1 -> synth(1), 10 -> synth(10))
+    val queryNames = Seq("q31_jaccard_pairs", "q33_minhash_lsh_pairs",
+      "q100_dedup_materialize", "q145_incremental_lsh")
+
+    println("| component | 1x (s) | 10x (s) | ratio |")
+    println("|---|---|---|---|")
+    val qtimes = queryNames.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = time2(fn(spark, dirs(1)).count())
+      val t10 = time2(fn(spark, dirs(10)).count())
+      println(f"| $name | $t1%.2f | $t10%.2f | ${t10 / t1}%.1fx |")
+      (name, t1, t10)
+    }
+
+    // fixed 500-doc probe batch (disjoint content and ids: copy 99)
+    val batch = copy(99).filter(pmod(col("doc_id"), lit(10)) === 3)
+      .limit(500).localCheckpoint(true)
+    val regTimes = Seq(1, 10).map { mult =>
+      val reg = new operators.NearDupRegistry(s"$root/reg$mult/r",
+        numPerm = 32, bands = 8, rowsPerBand = 4, simThreshold = 0.5)
+      val seedSecs = time(
+        reg.dedupAppend(Tables.documents(spark, dirs(mult)), "doc_id", "text").count())
+      val probeSecs = time(reg.dedupAppend(batch, "doc_id", "text").count())
+      (mult, seedSecs, probeSecs)
+    }
+    val Seq((_, seed1, probe1), (_, seed10, probe10)) = regTimes
+    println(f"| registry seed (full corpus) | $seed1%.2f | $seed10%.2f | ${seed10 / seed1}%.1fx |")
+    println(f"| registry dedupAppend (fixed 500-doc batch) | $probe1%.2f | $probe10%.2f | ${probe10 / probe1}%.1fx |")
+
+    // machine-readable line for the round artifact
+    val qjson = qtimes.map { case (n, a, b) =>
+      s""""$n":[${f"$a%.3f"},${f"$b%.3f"}]""" }.mkString(",")
+    println(s"""{"scalecheck":{$qjson,"registry_seed":[${f"$seed1%.3f"},${f"$seed10%.3f"}],""" +
+      s""""registry_probe":[${f"$probe1%.3f"},${f"$probe10%.3f"}],"sf":"$sf"}}""")
+    spark.stop()
+  }
+}
