@@ -6,8 +6,15 @@ import org.apache.spark.sql.SparkSession
   * point (Verify, Bench, Explain, tests) runs the same profile.
   *
   * Notable settings:
-  *  - shuffle.partitions = cores (not 200): right-sized for local[N];
-  *    on a real cluster this scales with executor count / AQE.
+  *  - shuffle.partitions = cores/2 (not 200, not cores): the third
+  *    measured overhead A/B (r5). At bench SF most exchanges move
+  *    KBs, so halving the task count cuts scheduling overhead on the
+  *    ~150-query catalog without costing parallelism: paired
+  *    back-to-back runs in both orders, min-of-two — 32 parts 68.3 /
+  *    65.9 s vs 16 parts 61.0 / 64.2 s (the win concentrates in
+  *    multi-stage dedup/recall queries, 0.2-0.7 s each; worst single
+  *    regression 0.13 s). On a real cluster AQE coalescing owns this
+  *    knob (clusterConf) and sizes partitions by bytes, not count.
   *  - legacy.parquet.nanosAsLong: events.parquet carries
   *    TIMESTAMP(NANOS) which vanilla Spark refuses; Tables.events
   *    rebuilds a microsecond timestamp from the long.
@@ -66,7 +73,8 @@ object GraftSession {
       }
     val spark = extra.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        scala.util.Try((cpus.toInt / 2).max(1).toString).getOrElse(cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
