@@ -27,6 +27,11 @@ object Scale extends QueryGroup {
   private val dToks = "regexp_extract_all(text, '([a-z0-9]+)', 1)"
   private val dTok = s"tok AS (SELECT doc_id, $dToks AS toks FROM documents)"
 
+  /** q152 KMV sketch size and the pinned estimate tolerance (worst
+    * deterministic draw measured 24.6% across both SFs at k=64). */
+  private val KmvK = 64
+  private val KmvTol = 0.35
+
   /** Morton-interleave bit i of c at output position 2*i+off. */
   private def mortonBit(c: org.apache.spark.sql.Column, i: Int, off: Int) =
     shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off)
@@ -314,6 +319,53 @@ object Scale extends QueryGroup {
           (rel(col("est_merged"), col("est_direct")) <= 0.02).as("merge_consistent"))
     }),
 
+    // KMV BOTTOM-K DISTINCT sketch (k-minimum-values): per-source
+    // distinct-content counts from a bounded, MERGEABLE sketch —
+    // unlike q146's opaque HLL registers, every value here is
+    // deterministic, so the oracle checks the sketch itself (kth
+    // minimum hash) EXACTLY, not just tolerance flags. The aggregator
+    // (functions.BottomKDistinct) dedupes in-buffer and shuffles at
+    // most k values per source after map-side partial aggregation —
+    // the 100 TB shape for "how many distinct contents per shard"
+    // where exact countDistinct would shuffle every distinct value
+    // (carried here only as the audit target). merge_law_ok pins the
+    // exact KMV merge law in-plan: bottom-k of the union of
+    // per-source sketches == bottom-k computed directly. est_ok is
+    // tolerance-pinned (q91/q121 convention): expected error is
+    // ~1/sqrt(k-2) ~= 13% at k=64; the worst deterministic draw
+    // measured across both SFs is 24.6%, flagged at 35%.
+    "q152_kmv_bottomk" -> ((s, dir) => {
+      val K = KmvK
+      val kmv = udaf(new graft.functions.BottomKDistinctAggregator(K),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val h = Tables.documents(s, dir)
+        .select(col("source"), Text.md5Long(col("text"), 12).as("h"))
+      val per = h.groupBy("source")
+        .agg(kmv(col("h")).as("sk"), countDistinct(col("h")).as("n_exact"))
+      val direct = h.agg(kmv(col("h")).as("sk"),
+        countDistinct(col("h")).as("n_exact"))
+      // exact merge law: re-sketch the union of the per-source sketch
+      // values; must equal the directly-computed global sketch
+      val merged = per.select(explode(col("sk.vals")).as("h"))
+        .agg(kmv(col("h")).as("mvals"))
+      def kth(sk: Column) = when(size(sk("vals")) === K, element_at(sk("vals"), K))
+      def est(sk: Column) = when(size(sk("vals")) < K,
+          size(sk("vals")).cast("double"))
+        .otherwise(round(lit((K - 1) * 281474976710656.0) / kth(sk), 6))
+      def row(df: DataFrame, src: Column, lawOk: Column) = df.select(
+        src.as("source"),
+        size(col("sk.vals")).cast("long").as("sketch_size"),
+        kth(col("sk")).as("kth_hash"),
+        est(col("sk")).as("est_distinct"),
+        col("n_exact"),
+        (abs(est(col("sk")) - col("n_exact").cast("double"))
+          / col("n_exact").cast("double") <= KmvTol).as("est_ok"),
+        lawOk.as("merge_law_ok"))
+      row(per, col("source"), lit(true)).unionByName(
+        row(direct.crossJoin(broadcast(merged)), lit("__ALL__"),
+          col("sk.vals") === col("mvals.vals")))
+    }),
+
     // ROBUST OUTLIERS per entity: exact median/MAD per user, flag
     // events with |value - med| > 3*MAD. See operators.Robust for the
     // partitioning and rank-median determinism rules; golden spec in
@@ -566,6 +618,33 @@ object Scale extends QueryGroup {
       """SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
            TRUE AS merged_ok, TRUE AS direct_ok, TRUE AS merge_consistent
          FROM events""",
+
+    // the sketch itself (kth minimum) is deterministic, so the oracle
+    // recomputes it exactly; est_ok is tolerance-pinned TRUE and
+    // merge_law_ok is pinned TRUE (the KMV merge law is exact)
+    "q152_kmv_bottomk" ->
+      s"""WITH h AS (SELECT source, ${TrainingData.dMd5Long("text", 12)} AS h FROM documents),
+         d AS (SELECT DISTINCT source, h FROM h),
+         r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+         sk AS (SELECT source, count(*)::BIGINT AS sketch_size,
+             CASE WHEN count(*) = $KmvK THEN max(h) END AS kth_hash
+           FROM r WHERE rn <= $KmvK GROUP BY source),
+         ex AS (SELECT source, count(*)::BIGINT AS n_exact FROM d GROUP BY source),
+         gd AS (SELECT DISTINCT h FROM h),
+         gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gd),
+         g AS (SELECT '__ALL__' AS source, count(*)::BIGINT AS sketch_size,
+             CASE WHEN count(*) = $KmvK THEN max(h) END AS kth_hash
+           FROM gr WHERE rn <= $KmvK),
+         gex AS (SELECT '__ALL__' AS source, count(*)::BIGINT AS n_exact FROM gd),
+         u AS (SELECT * FROM sk JOIN ex USING (source)
+               UNION ALL SELECT * FROM g JOIN gex USING (source)),
+         e AS (SELECT *, CASE WHEN sketch_size < $KmvK THEN sketch_size::DOUBLE
+             ELSE round(${(KmvK - 1) * 281474976710656.0} / kth_hash, 6) END AS est_distinct
+           FROM u)
+         SELECT source, sketch_size, kth_hash, est_distinct, n_exact,
+           abs(est_distinct - n_exact::DOUBLE) / n_exact::DOUBLE <= $KmvTol AS est_ok,
+           TRUE AS merge_law_ok
+         FROM e""",
 
     "q136_burstiness" ->
       """WITH g AS (SELECT user_id,
