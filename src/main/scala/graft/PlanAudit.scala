@@ -51,7 +51,9 @@ object PlanAudit {
     "q108_vocab_coverage" ->
       "rank/cumsum over the AGGREGATED vocab relation (|distinct terms|, Heaps-law bounded) — the corpus never passes through the single partition",
     "q116_token_waterfill" ->
-      "prefix-sum over the AGGREGATED per-source relation (|domains|, not |documents|) — at larger source cardinality this becomes a range-partitioned two-pass prefix sum"
+      "prefix-sum over the AGGREGATED per-source relation (|domains|, not |documents|) — at larger source cardinality this becomes a range-partitioned two-pass prefix sum",
+    "q154_systematic_pps" ->
+      "offset/total windows over the 8-row BUCKET-TOTALS aggregate only — the corpus prefix sum itself is bucket-partitioned (this query IS the two-pass prefix sum q116's note promises)"
   )
 
   private def globalWindow(root: SparkPlan): Boolean =

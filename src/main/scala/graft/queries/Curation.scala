@@ -605,6 +605,66 @@ object Curation extends QueryGroup {
         "stack(4, 1, 'all', n0, 2, 'exact_dedup', n1, " +
           "3, 'min_length', n2, 4, 'quality', n3) " +
           "AS (stage_no, stage, n_docs)")
+    }),
+
+    // EXACT-SIZE STRATIFIED SAMPLE with a floor: per stratum (lang),
+    // take exactly least(greatest(ceil(f*n_s), m), n_s) docs — the
+    // eval-set builder where q92's Bernoulli mixing is wrong (q92
+    // hits a size in EXPECTATION; an eval set needs the exact count
+    // and small strata need a minimum). rand()-free: within-stratum
+    // order is a salted md5 rank, so the sample is reproducible at
+    // any parallelism. The sort is per-stratum (parallel across
+    // strata); take_n is data-dependent so a bounded top-k buffer
+    // can't replace the window, but only the sampled prefix survives
+    // the filter.
+    "q153_stratified_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      val takeN = least(greatest(ceil(col("n_stratum") * 0.2), lit(10L)),
+        col("n_stratum"))
+      d.select(col("doc_id"), col("lang"),
+          Text.md5Long(concat_ws(":", col("lang"), col("doc_id")), 12).as("hk"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("take_n", takeN)
+        .filter(col("rn") <= col("take_n"))
+    }),
+
+    // SYSTEMATIC PPS SAMPLE (probability proportional to size):
+    // exactly N draws at equally-spaced points along the cumulative
+    // weight line — the weighted mixture sampler that needs no
+    // transcendentals and no rand(): a doc with weight w is drawn
+    // floor-or-ceil of N*w/W times, all in exact BIGINT arithmetic
+    // (n_hits = the count of odd multiples of W in [2N*lo, 2N*hi),
+    // two floordivs per doc). The prefix sum is the SCALABLE two-pass
+    // shape q116's note promises: within-bucket window cumsums
+    // (parallel, partitioned by doc_id % 8) + a bounded 8-row bucket
+    // offset table — no global window ever touches the corpus.
+    "q154_systematic_pps" -> ((s, dir) => {
+      val NDraws = 100
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("bucket"),
+          col("n_chars").as("w"))
+      val inBucket = d.withColumn("cum_in",
+        sum(col("w")).over(Window.partitionBy("bucket")
+          .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)))
+      val offsets = d.groupBy("bucket").agg(sum(col("w")).as("bw"))
+        .withColumn("off", coalesce(sum(col("bw")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bucket"), col("off"),
+          sum(col("bw")).over().as("total_w"))
+      val line = inBucket.join(broadcast(offsets), Seq("bucket"))
+        .select(col("doc_id"), col("w"),
+          (col("off") + col("cum_in") - col("w")).as("lo"),
+          (col("off") + col("cum_in")).as("hi"), col("total_w"))
+      // ceil((2N*x - W) / (2W)) for x in [0, W]: nonneg dividend, so
+      // truncating `div` == floor == DuckDB `//`
+      def hits(x: String) =
+        expr(s"($x * ${2 * NDraws} + total_w - 1) div (total_w * 2)")
+      line.select(col("doc_id"), col("w"), col("lo"),
+          (hits("hi") - hits("lo")).as("n_hits"))
+        .filter(col("n_hits") > 0)
     })
   )
 
@@ -1043,6 +1103,35 @@ object Curation extends QueryGroup {
            UNION ALL SELECT 2, 'exact_dedup', n1 FROM a
            UNION ALL SELECT 3, 'min_length', n2 FROM a
            UNION ALL SELECT 4, 'quality', n3 FROM a)"""
-    }
+    },
+
+    "q153_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(lang || ':' || doc_id), 1, 12))::BIGINT AS hk
+           FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n_stratum FROM b)
+         SELECT doc_id, lang, hk, rn, n_stratum,
+           least(greatest(ceil(n_stratum * 0.2)::BIGINT, 10), n_stratum) AS take_n
+         FROM r
+         WHERE rn <= least(greatest(ceil(n_stratum * 0.2)::BIGINT, 10), n_stratum)""",
+
+    "q154_systematic_pps" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS bucket, n_chars AS w FROM documents),
+         ib AS (SELECT *, sum(w) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_in FROM d),
+         bo AS (SELECT bucket, sum(w)::BIGINT AS bw FROM d GROUP BY bucket),
+         oo AS (SELECT bucket,
+                  coalesce(sum(bw) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off,
+                  sum(bw) OVER ()::BIGINT AS total_w FROM bo),
+         line AS (SELECT doc_id, w, off + cum_in - w AS lo, off + cum_in AS hi, total_w
+                  FROM ib JOIN oo USING (bucket))
+         SELECT doc_id, w, lo,
+           (hi * 200 + total_w - 1) // (total_w * 2)
+           - (lo * 200 + total_w - 1) // (total_w * 2) AS n_hits
+         FROM line
+         WHERE (hi * 200 + total_w - 1) // (total_w * 2)
+             - (lo * 200 + total_w - 1) // (total_w * 2) > 0"""
   )
 }
