@@ -42,7 +42,8 @@ object PlanAudit {
     "q150_ivf_int8_disk" -> "12 broadcast centroids for query-cell ranking (q45 shape); candidate scoring is an equi-join on cell over the partition-pruned layout",
     "q151_ivf_fitted" -> "recall eval: exact top-5 baseline (8-query broadcast, q36 shape) + 12 broadcast centroids (seed and Lloyd-fitted) for cell ranking (q143 shape)",
     "q148_simhash_recall" -> "three 1-row count aggregates cross-joined (q110 shape, bounded by construction)",
-    "q152_kmv_bottomk" -> "1-row merged-sketch aggregate broadcast onto the 1-row direct-sketch row for the merge-law equality (q146 shape, bounded by construction)"
+    "q152_kmv_bottomk" -> "1-row merged-sketch aggregate broadcast onto the 1-row direct-sketch row for the merge-law equality (q146 shape, bounded by construction)",
+    "q155_jl_projection" -> "recall+distortion eval: exact and projected brute-force baselines (8-query broadcast, q36 shape)"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

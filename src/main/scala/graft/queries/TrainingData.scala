@@ -36,6 +36,17 @@ object TrainingData extends QueryGroup {
   private[queries] val Dim = 64
   private val KmFitIter = 5 // Lloyd rounds the q151 oracle unrolls
   private val LshBits = 4
+  private val JlDim = 32 // q155 Johnson-Lindenstrauss target dim
+
+  /** q155's ±1 projection matrix entry: a pure function of (i, j) via
+    * md5 parity, computed ONCE in Scala and embedded as literals in
+    * BOTH the Spark plan and the generated oracle SQL — the two
+    * engines share the matrix by construction, not by re-derivation. */
+  private def jlSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$i:$j".getBytes("UTF-8"))
+    if ((d(0) & 1) == 0) 1 else -1
+  }
 
   // ---- DuckDB SQL fragment generators (mirror graft.functions.Text) ----
 
@@ -751,6 +762,72 @@ object TrainingData extends QueryGroup {
         .withColumn("recall_fit", round(col("n_hit_fit").cast("double") / 5, 6))
     }),
 
+    // JOHNSON-LINDENSTRAUSS random projection: 64-dim floats -> 32
+    // dims via a literal ±1 sign matrix (md5-derived, shared with the
+    // oracle by construction) — 2x less vector I/O and 2x cheaper
+    // dots for every downstream consumer. The eval measures BOTH
+    // halves of the compression tradeoff, per query: (a) top-5 recall
+    // of projected brute-force vs full-dim exact (q139's shape), and
+    // (b) the JL lemma's actual guarantee — the mean squared-distance
+    // ratio |Pa-Pb|^2 / (k*|a-b|^2) over the query's exact top-5
+    // pairs, which concentrates near 1. Measured at sf0.1: ratios ~1
+    // while recall is ~0.1 — on isotropic synthetic vectors distances
+    // survive 2x compression but top-5 identity does not, which is
+    // exactly why the eval ships with the operator ("measure, don't
+    // guess"; real embeddings have margin, this corpus doesn't).
+    // Projected values are REAL-narrowed (the q151 centroid rule) so
+    // both engines rank the identical floats.
+    "q155_jl_projection" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      def proj(v: String): org.apache.spark.sql.Column =
+        array((0 until JlDim).map { j =>
+        (0 until Dim).map { i =>
+          val t = element_at(col(v), i + 1).cast("double")
+          if (jlSign(i, j) > 0) t else -t
+        }.reduceLeft(_ + _).cast("float")
+      }: _*)
+      val p = Dedup.DefaultMaterialize(
+        e.select(col("vec_id"), proj("embedding").as("pv"),
+          col("embedding").as("v")))
+      val jl = Similarity.bruteForceTopK(p.filter(col("vec_id") < AnnQueries),
+        p, "vec_id", "pv", k = 5).select("query_id", "neighbor_id")
+      val qs = e.filter(col("vec_id") < AnnQueries)
+      val exact = Dedup.DefaultMaterialize(
+        Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id"))
+      val hits = exact.join(jl, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      // JL distortion over the exact top-5 pairs: squared distances
+      // from the dot folds (|a|^2 + |b|^2 - 2ab), projected over
+      // k * full; exact-duplicate pairs (d=0) are excluded in both
+      // engines before the ratio
+      def side(tag: String) = p.select(col("vec_id").as(s"${tag}_id"),
+        col("v").as(s"${tag}_v"), col("pv").as(s"${tag}_pv"),
+        Similarity.norm2(col("v")).as(s"${tag}_n2"),
+        Similarity.norm2(col("pv")).as(s"${tag}_pn2"))
+      val d2full = col("q_n2") + col("n_n2") -
+        lit(2d) * Similarity.dot(col("q_v"), col("n_v"))
+      val d2proj = col("q_pn2") + col("n_pn2") -
+        lit(2d) * Similarity.dot(col("q_pv"), col("n_pv"))
+      val ratios = exact
+        .join(side("q"), col("query_id") === col("q_id"))
+        .join(side("n"), col("neighbor_id") === col("n_id"))
+        .select(col("query_id"),
+          round(d2proj / (lit(JlDim.toDouble) * d2full), 6).as("ratio"),
+          d2full.as("d2full"))
+        .filter(col("d2full") > 0d)
+        .groupBy("query_id")
+        .agg(round(sum(col("ratio").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("dist_ratio"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(ratios, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5, 6)
+            .as("recall_at_5"),
+          col("dist_ratio"))
+    }),
+
     // q147's stack OFF DISK: the corpus is written cell-partitioned
     // with its int8 quantization (one ingest pass), then probed with
     // directory pruning AND a vq-only read schema — the layout the
@@ -998,6 +1075,60 @@ object TrainingData extends QueryGroup {
          SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
            round(coalesce(h.n_hit, 0)::DOUBLE / 5, 6) AS recall_at_5
          FROM q LEFT JOIN h USING (query_id)""",
+
+    // the ±1 matrix is emitted as literals by the same jlSign() that
+    // built the Spark plan; projected values are ::REAL-narrowed so
+    // both engines rank the identical floats
+    "q155_jl_projection" -> {
+      def term(i: Int, j: Int) =
+        if (jlSign(i, j) > 0) s"(embedding[${i + 1}]::DOUBLE)"
+        else s"(-(embedding[${i + 1}]::DOUBLE))"
+      val projList = (0 until JlDim).map { j =>
+        "CAST(" + (0 until Dim).map(i => term(i, j))
+          .reduceLeft((a, b) => s"($a + $b)") + " AS REAL)"
+      }.mkString("[", ", ", "]")
+      def dotJ(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $JlDim), " +
+          s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+      s"""WITH n AS (SELECT vec_id, embedding, ${dDot("embedding", "embedding")} AS n2
+             FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn
+               FROM n WHERE vec_id < $AnnQueries),
+         ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "c.embedding")} / sqrt(qn * c.n2), 6) DESC,
+                          c.vec_id ASC) AS rnk
+             FROM n c JOIN q ON query_id != c.vec_id) WHERE rnk <= 5),
+         pv AS (SELECT vec_id, $projList AS pv FROM embeddings),
+         pn AS (SELECT vec_id, pv, ${dotJ("pv", "pv")} AS pn2 FROM pv),
+         pq AS (SELECT vec_id AS query_id, pv AS qpv, pn2 AS qpn
+                FROM pn WHERE vec_id < $AnnQueries),
+         jl AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dotJ("qpv", "c.pv")} / sqrt(qpn * c.pn2), 6) DESC,
+                          c.vec_id ASC) AS rnk
+             FROM pn c JOIN pq ON query_id != c.vec_id) WHERE rnk <= 5),
+         h AS (SELECT e.query_id, count(*)::BIGINT AS n_hit
+               FROM ex e JOIN jl USING (query_id, neighbor_id) GROUP BY 1),
+         pr AS (SELECT e.query_id,
+             round((pq.pn2 + pc.pn2 - 2 * ${dotJ("pq.pv", "pc.pv")})
+               / ($JlDim.0 * (nq.n2 + nc.n2 - 2 * ${dDot("nq.embedding", "nc.embedding")})), 6) AS ratio
+           FROM ex e
+           JOIN n nq ON e.query_id = nq.vec_id
+           JOIN n nc ON e.neighbor_id = nc.vec_id
+           JOIN pn pq ON e.query_id = pq.vec_id
+           JOIN pn pc ON e.neighbor_id = pc.vec_id
+           WHERE (nq.n2 + nc.n2 - 2 * ${dDot("nq.embedding", "nc.embedding")}) > 0),
+         rr AS (SELECT query_id,
+             round(sum(ratio::DECIMAL(18,6))::DOUBLE / count(*), 6) AS dist_ratio
+           FROM pr GROUP BY 1)
+         SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(h.n_hit, 0)::DOUBLE / 5, 6) AS recall_at_5,
+           rr.dist_ratio
+         FROM q LEFT JOIN h USING (query_id) LEFT JOIN rr USING (query_id)"""
+    },
 
     "q37_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
