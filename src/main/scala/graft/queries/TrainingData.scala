@@ -37,6 +37,8 @@ object TrainingData extends QueryGroup {
   private val KmFitIter = 5 // Lloyd rounds the q151 oracle unrolls
   private val LshBits = 4
   private val JlDim = 32 // q155 Johnson-Lindenstrauss target dim
+  private val MmrPool = 20 // q156 bounded candidate pool
+  private val MmrK = 5 // q156 greedy picks (oracle unrolls exactly these)
 
   /** q155's ±1 projection matrix entry: a pure function of (i, j) via
     * md5 parity, computed ONCE in Scala and embedded as literals in
@@ -828,6 +830,53 @@ object TrainingData extends QueryGroup {
           col("dist_ratio"))
     }),
 
+    // MMR DIVERSE TOP-K (maximal marginal relevance): greedy
+    // re-ranking that trades relevance against redundancy — the
+    // diverse-sampling step (few-shot selection, dedup-aware
+    // retrieval) that pure top-k can't express. Scale shape: the
+    // greedy loop runs over a BOUNDED candidate pool (exact top-20 by
+    // relevance, the recall stage's output), so the quadratic
+    // pairwise-sim table is 20x20 and every round is relational over
+    // broadcast-sized relations; the corpus is touched once, by the
+    // pool scan. 5 unrolled rounds, score = round(0.5*rel -
+    // 0.5*max_sim_to_selected, 6) with an id tie-break; the oracle
+    // unrolls the same 5 rounds as CTEs (the q151 discipline).
+    "q156_mmr_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val pool = Dedup.DefaultMaterialize(
+        Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+            "vec_id", "embedding", k = MmrPool)
+          .select(col("neighbor_id").as("vec_id"), col("score").as("rel")))
+      val pe = pool.join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val sims = Dedup.DefaultMaterialize(
+        pe.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+          .join(pe.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+            col("id_a") =!= col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")))
+      var sel: DataFrame = null
+      for (r <- 1 to MmrK) {
+        val scored = if (r == 1) pool.withColumn("mx", lit(0.0))
+        else {
+          val mx = sims
+            .join(broadcast(sel.select(col("vec_id").as("id_b"))), Seq("id_b"))
+            .groupBy("id_a").agg(max(col("sim")).as("mx"))
+            .withColumnRenamed("id_a", "vec_id")
+          pool.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+            .join(mx, Seq("vec_id"), "left")
+        }
+        val pick = scored
+          .withColumn("score",
+            round(lit(0.5) * col("rel") - lit(0.5) * coalesce(col("mx"), lit(0.0)), 6))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(1)
+          .select(lit(r).as("pick_no"), col("vec_id"), col("score"))
+        sel = if (r == 1) pick else sel.unionByName(pick)
+      }
+      sel
+    }),
+
     // q147's stack OFF DISK: the corpus is written cell-partitioned
     // with its int8 quantization (one ingest pass), then probed with
     // directory pruning AND a vq-only read schema — the layout the
@@ -1128,6 +1177,43 @@ object TrainingData extends QueryGroup {
            round(coalesce(h.n_hit, 0)::DOUBLE / 5, 6) AS recall_at_5,
            rr.dist_ratio
          FROM q LEFT JOIN h USING (query_id) LEFT JOIN rr USING (query_id)"""
+    },
+
+    // 5 greedy rounds unrolled as CTEs, each mirroring the Spark
+    // round exactly: score = round(0.5*rel - 0.5*max_sim_to_selected,
+    // 6), pick by (score DESC, vec_id ASC) LIMIT 1
+    "q156_mmr_topk" -> {
+      def mmrRound(r: Int): String =
+        s"""sc$r AS (SELECT p.vec_id,
+             round(0.5 * p.rel - 0.5 * coalesce(m.mx, 0.0), 6) AS score
+           FROM pool p LEFT JOIN (SELECT s.id_a AS vec_id, max(s.sim) AS mx
+               FROM sims s JOIN sel${r - 1} t ON s.id_b = t.vec_id
+               GROUP BY 1) m USING (vec_id)
+           WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})),
+         p$r AS (SELECT $r AS pick_no, vec_id, score FROM sc$r
+                 ORDER BY score DESC, vec_id LIMIT 1),
+         sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r),"""
+      s"""WITH n AS (SELECT vec_id, embedding, ${dDot("embedding", "embedding")} AS n2
+             FROM embeddings),
+         q AS (SELECT embedding AS qv, n2 AS qn FROM n WHERE vec_id = 0),
+         pool AS (SELECT vec_id, rel FROM (
+             SELECT c.vec_id,
+               round(${dDot("qv", "c.embedding")} / sqrt(qn * c.n2), 6) AS rel,
+               row_number() OVER (
+                 ORDER BY round(${dDot("qv", "c.embedding")} / sqrt(qn * c.n2), 6) DESC,
+                          c.vec_id ASC) AS rnk
+             FROM n c CROSS JOIN q WHERE c.vec_id != 0) WHERE rnk <= $MmrPool),
+         pe AS (SELECT p.vec_id, n.embedding, n.n2 FROM pool p JOIN n USING (vec_id)),
+         sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(${dDot("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) AS sim
+           FROM pe a JOIN pe b ON a.vec_id != b.vec_id),
+         sc1 AS (SELECT vec_id, round(0.5 * rel - 0.5 * 0.0, 6) AS score FROM pool),
+         p1 AS (SELECT 1 AS pick_no, vec_id, score FROM sc1
+                ORDER BY score DESC, vec_id LIMIT 1),
+         sel1 AS (SELECT * FROM p1),
+         ${(2 to MmrK).map(mmrRound).mkString("\n")}
+         final_sel AS (SELECT * FROM sel$MmrK)
+         SELECT pick_no, vec_id, score FROM final_sel"""
     },
 
     "q37_ann_lsh" ->
