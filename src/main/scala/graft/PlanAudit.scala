@@ -55,7 +55,9 @@ object PlanAudit {
     "q116_token_waterfill" ->
       "prefix-sum over the AGGREGATED per-source relation (|domains|, not |documents|) — at larger source cardinality this becomes a range-partitioned two-pass prefix sum",
     "q154_systematic_pps" ->
-      "offset/total windows over the 8-row BUCKET-TOTALS aggregate only — the corpus prefix sum itself is bucket-partitioned (this query IS the two-pass prefix sum q116's note promises)"
+      "offset/total windows over the 8-row BUCKET-TOTALS aggregate only — the corpus prefix sum itself is bucket-partitioned (this query IS the two-pass prefix sum q116's note promises)",
+    "q159_epoch_interleave" ->
+      "src_rank/n_sources windows over the per-source AGGREGATE (|sources| rows) — the corpus itself only sees the per-source window and a narrow map"
   )
 
   private def globalWindow(root: SparkPlan): Boolean =

@@ -665,6 +665,32 @@ object Curation extends QueryGroup {
       line.select(col("doc_id"), col("w"), col("lo"),
           (hits("hi") - hits("lo")).as("n_hits"))
         .filter(col("n_hits") > 0)
+    }),
+
+    // DETERMINISTIC EPOCH INTERLEAVE: a reproducible "global shuffle"
+    // for training order WITHOUT a global sort. Within-source rank on
+    // an epoch-salted hash, times a bounded source-rank dim:
+    // position = (rn-1)*n_sources + src_rank — consecutive positions
+    // cycle sources round-robin (no same-source runs), a new epoch
+    // constant yields a fresh permutation, and the corpus only ever
+    // sees a per-source window + a narrow map (the global windows run
+    // over the 20-row source dim). Ragged strata leave position gaps;
+    // a sequential trainer reader skips them harmlessly.
+    "q159_epoch_interleave" -> ((s, dir) => {
+      val epoch = 3
+      val d = Tables.documents(s, dir)
+      val srcRank = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+        .withColumn("src_rank", row_number().over(Window.orderBy("source")))
+        .withColumn("n_sources", count(lit(1)).over())
+        .select("source", "src_rank", "n_sources")
+      val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      d.select(col("doc_id"), col("source"),
+          Text.md5Long(concat_ws(":", lit(epoch), col("source"), col("doc_id")),
+            12).as("hk"))
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(srcRank), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          ((col("rn") - 1) * col("n_sources") + col("src_rank")).as("position"))
     })
   )
 
@@ -1132,6 +1158,20 @@ object Curation extends QueryGroup {
            - (lo * 200 + total_w - 1) // (total_w * 2) AS n_hits
          FROM line
          WHERE (hi * 200 + total_w - 1) // (total_w * 2)
-             - (lo * 200 + total_w - 1) // (total_w * 2) > 0"""
+             - (lo * 200 + total_w - 1) // (total_w * 2) > 0""",
+
+    "q159_epoch_interleave" ->
+      """WITH b AS (SELECT doc_id, source,
+             ('0x' || substr(md5('3:' || source || ':' || doc_id), 1, 12))::BIGINT AS hk
+           FROM documents),
+         r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+           FROM b),
+         s AS (SELECT source, row_number() OVER (ORDER BY source) AS src_rank,
+             count(*) OVER () AS n_sources
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT doc_id, source,
+           (rn - 1) * n_sources + src_rank AS position
+         FROM r JOIN s USING (source)"""
   )
 }

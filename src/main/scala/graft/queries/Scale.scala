@@ -366,6 +366,51 @@ object Scale extends QueryGroup {
           col("sk.vals") === col("mvals.vals")))
     }),
 
+    // BUCKETIZED RANGE JOIN (temporal-proximity attribution): which
+    // non-error events fall within 5 minutes AFTER an error — the
+    // pure interval join with NO selective equi key, done the way it
+    // survives 100 TB: both sides key to 300-second time buckets (an
+    // interval spans at most 2, by construction, so each error
+    // explodes to exactly 2 bucket rows), the join is a plain
+    // EQUI-join on bucket with the exact containment predicate as a
+    // post-filter — never a broadcast-nested-loop over the raw
+    // tables. A (point, interval) pair shares exactly one bucket, so
+    // no dedup pass is needed. Both sides already shuffle on the time
+    // bucket a time-partitioned layout co-locates for free.
+    "q157_bucketized_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("ets"),
+          floor(unix_timestamp(col("ts")) / 300).as("b0"))
+        .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+      val pts = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("ts"),
+          floor(unix_timestamp(col("ts")) / 300).as("bucket"))
+      pts.join(err, Seq("bucket"))
+        .filter(col("ets") <= col("ts") &&
+          col("ts") < col("ets") + expr("INTERVAL 5 MINUTES"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_err"), min(col("err_id")).as("min_err_id"))
+    }),
+
+    // SCD2 HISTORY (slowly-changing-dimension type 2): turn a
+    // purchase event stream into versioned validity intervals per
+    // user — valid_from = the event, valid_to = the NEXT event's ts
+    // (open for the current row). One lead() window per user (the
+    // entity-partitioned discipline); timestamps ship as epoch
+    // millis (BIGINT) on both engines. This is the temporal layer
+    // q114's MERGE and q105's CDC compaction assume exists.
+    "q158_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+        .withColumn("valid_from_ms", unix_millis(col("ts")))
+        .withColumn("valid_to_ms", unix_millis(lead(col("ts"), 1).over(w)))
+        .withColumn("is_current", col("valid_to_ms").isNull)
+        .drop("ts")
+    }),
+
     // ROBUST OUTLIERS per entity: exact median/MAD per user, flag
     // events with |value - med| > 3*MAD. See operators.Robust for the
     // partitioning and rank-median determinism rules; golden spec in
@@ -645,6 +690,27 @@ object Scale extends QueryGroup {
            abs(est_distinct - n_exact::DOUBLE) / n_exact::DOUBLE <= $KmvTol AS est_ok,
            TRUE AS merge_law_ok
          FROM e""",
+
+    // the oracle does the range join the naive way (non-equi join) —
+    // hash parity proves the bucketized path found every pair exactly
+    // once
+    "q157_bucketized_range_join" ->
+      """WITH err AS (SELECT event_id AS err_id, ts AS ets FROM events
+           WHERE event_type = 'error'),
+         pts AS (SELECT event_id, ts FROM events WHERE event_type != 'error'),
+         j AS (SELECT p.event_id, e.err_id FROM pts p JOIN err e
+               ON e.ets <= p.ts AND p.ts < e.ets + INTERVAL 5 MINUTE)
+         SELECT event_id, count(*)::BIGINT AS n_err, min(err_id) AS min_err_id
+         FROM j GROUP BY 1""",
+
+    "q158_scd2_history" ->
+      """SELECT user_id, event_id, value,
+           epoch_ms(ts)::BIGINT AS valid_from_ms,
+           epoch_ms(lead(ts, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id))::BIGINT AS valid_to_ms,
+           lead(ts, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) IS NULL AS is_current
+         FROM events WHERE event_type = 'purchase'""",
 
     "q136_burstiness" ->
       """WITH g AS (SELECT user_id,
