@@ -44,7 +44,8 @@ object PlanAudit {
     "q148_simhash_recall" -> "three 1-row count aggregates cross-joined (q110 shape, bounded by construction)",
     "q152_kmv_bottomk" -> "1-row merged-sketch aggregate broadcast onto the 1-row direct-sketch row for the merge-law equality (q146 shape, bounded by construction)",
     "q155_jl_projection" -> "recall+distortion eval: exact and projected brute-force baselines (8-query broadcast, q36 shape)",
-    "q156_mmr_topk" -> "1-query broadcast pool scan (q36 shape) + the 20-row materialized pool's pairwise self-join — bounded by the pool contract"
+    "q156_mmr_topk" -> "1-query broadcast pool scan (q36 shape) + the 20-row materialized pool's pairwise self-join — bounded by the pool contract",
+    "q160_triangle_count" -> "three 1-row count aggregates cross-joined (q110 shape, bounded by construction)"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

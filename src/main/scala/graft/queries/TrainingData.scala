@@ -271,6 +271,51 @@ object TrainingData extends QueryGroup {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 100)),
 
+    // TRIANGLE COUNT + global clustering coefficient of the near-dup
+    // graph (q31's edges) — "how clique-like are dup clusters", the
+    // graph-cohesion audit CC (q69/q73) can't see: components tell
+    // you WHO clusters, triangle density tells you how tightly. The
+    // scale trick is DEGREE-ORDERED ORIENTATION: each undirected edge
+    // points from its lower-(degree, id) endpoint to the higher, so
+    // out-degrees are O(sqrt(m))-bounded and the wedge self-join
+    // never explodes on a hub node (a star's center gets out-degree
+    // ~0, not n). Each triangle is counted exactly once — at its
+    // lowest-ordered vertex. The oracle counts triangles the naive
+    // orientation-free way (s1<s2 triple join), so hash parity proves
+    // the oriented path finds every triangle.
+    "q160_triangle_count" -> ((s, dir) => {
+      val e = Dedup.DefaultMaterialize(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.5, maxDf = 100)
+          .select(col("id_a").as("s1"), col("id_b").as("s2")))
+      val deg = e.select(explode(array(col("s1"), col("s2"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select(col("node").as("s1"), col("deg").as("d1")), Seq("s1"))
+        .join(deg.select(col("node").as("s2"), col("deg").as("d2")), Seq("s2"))
+      def lower = struct(col("d1"), col("s1")) < struct(col("d2"), col("s2"))
+      val o = Dedup.DefaultMaterialize(withDeg.select(
+        when(lower, col("s1")).otherwise(col("s2")).as("u"),
+        when(lower, col("s2")).otherwise(col("s1")).as("v"),
+        when(lower, col("d2")).otherwise(col("d1")).as("dv")))
+      val wedges = o.as("a").join(o.as("b"),
+          col("a.u") === col("b.u") &&
+            struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v")))
+        .select(col("a.v").as("x"), col("b.v").as("y"))
+      val nTri = wedges
+        .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
+        expr("sum((deg * (deg - 1)) div 2)").as("n_wedges"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") > 0,
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+            .as("clustering"))
+    }),
+
     // MinHash signatures, long form (doc_id, perm_no, minhash) — the
     // explode + codegen'd min-aggregate scale path (one md5 per
     // shingle, partial aggregation map-side).
@@ -989,6 +1034,35 @@ object TrainingData extends QueryGroup {
 
     "q69_dedup_clusters" -> ccClusterOracle,
     "q73_dedup_clusters_star" -> ccClusterOracle,
+
+    // naive orientation-free triangle join over the q31 edge set;
+    // parity proves the degree-oriented Spark path complete
+    "q160_triangle_count" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         e AS (SELECT id_a AS s1, id_b AS s2
+               FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+                          JOIN sizes sb ON id_b = sb.doc_id
+               WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+             SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) GROUP BY 1),
+         nn AS (SELECT count(*)::BIGINT AS n_nodes,
+             sum((deg * (deg - 1)) // 2)::BIGINT AS n_wedges FROM deg),
+         ne AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+         tri AS (SELECT count(*)::BIGINT AS n_triangles
+                 FROM e a JOIN e b ON a.s2 = b.s1
+                          JOIN e c ON c.s1 = a.s1 AND c.s2 = b.s2)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+             THEN round(3.0 * n_triangles / n_wedges, 6) END AS clustering
+         FROM nn CROSS JOIN ne CROSS JOIN tri""",
 
     "q32_minhash_sig" ->
       s"""WITH $dSh,
