@@ -32,6 +32,13 @@ object Scale extends QueryGroup {
   private val KmvK = 64
   private val KmvTol = 0.35
 
+  /** q161 count-min sketch shape: d hash rows x w buckets. */
+  private val CmsD = 4
+  private val CmsW = 256
+
+  /** q162 weighted-reservoir sample size. */
+  private val WrK = 20
+
   /** Morton-interleave bit i of c at output position 2*i+off. */
   private def mortonBit(c: org.apache.spark.sql.Column, i: Int, off: Int) =
     shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off)
@@ -500,6 +507,84 @@ object Scale extends QueryGroup {
         .filter(col("pr") <= 0.7)
         .select(col("doc_id"), col("lang"), col("quality"),
           round(col("pr"), 6).as("pr"))
+    }),
+
+    // RELATIONAL COUNT-MIN SKETCH (heavy hitters): the frequency
+    // counterpart of q152's KMV distinct sketch. The sketch IS a
+    // relation — d=4 rows x w=256 buckets, cell(i,b) = sum of counts
+    // of terms whose row-i hash lands in bucket b — so cross-shard
+    // merge is just groupBy(i,bucket).sum: merge_law_ok pins that
+    // per-source sketches cell-summed equal the sketch built
+    // directly. Estimation probes min over rows of the probed cell;
+    // the CMS guarantee est >= exact holds DETERMINISTICALLY given
+    // fixed hashes, so `overcount` is an exact BIGINT both engines
+    // agree on (no tolerance band, unlike the opaque-register HLL of
+    // q146). At 100 TB only d*w cells ship per shard and the probe
+    // join is a broadcast against the tiny cell table — exact
+    // per-term counts would shuffle the whole vocabulary.
+    "q161_cms_heavy_hitters" -> ((s, dir) => {
+      def bucket(i: Column, term: Column): Column =
+        pmod(Text.md5Long(
+          concat_ws("|", i.cast("string"), term), 12), lit(CmsW.toLong))
+      val tf = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val cells = tf
+        .select(col("term"), col("cnt"),
+          explode(sequence(lit(0), lit(CmsD - 1))).as("i"))
+        .withColumn("bucket", bucket(col("i"), col("term")))
+        .groupBy("i", "bucket").agg(sum("cnt").as("cell"))
+      val merged = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .select(col("source"), col("cnt"),
+          explode(sequence(lit(0), lit(CmsD - 1))).as("i"),
+          col("term"))
+        .withColumn("bucket", bucket(col("i"), col("term")))
+        .groupBy("source", "i", "bucket").agg(sum("cnt").as("cell"))
+        .groupBy("i", "bucket").agg(sum("cell").as("mcell"))
+      val law = cells.join(merged, Seq("i", "bucket"), "full_outer")
+        .agg(min(when(col("cell") === col("mcell"), 1).otherwise(0)).as("law"))
+        .select((col("law") === 1).as("merge_law_ok"))
+      val top = tf.orderBy(col("cnt").desc, col("term")).limit(10)
+      top
+        .select(col("term"), col("cnt"),
+          explode(sequence(lit(0), lit(CmsD - 1))).as("i"))
+        .withColumn("bucket", bucket(col("i"), col("term")))
+        .join(cells, Seq("i", "bucket"))
+        .groupBy("term", "cnt").agg(min("cell").as("est"))
+        .select(col("term"), col("cnt").as("n_exact"), col("est"),
+          (col("est") - col("cnt")).as("overcount"))
+        .crossJoin(broadcast(law))
+    }),
+
+    // WEIGHTED RESERVOIR SAMPLE (Efraimidis-Spirakis A-ES): top-k by
+    // key u^(1/w) — the one-pass, MERGEABLE weighted sample (per-
+    // partition top-k then global top-k is exactly Spark's
+    // TakeOrderedAndProject, so the sample never shuffles the
+    // corpus). Weights are powers of two (document-length tiers), so
+    // u^(1/w) is an ITERATED SQRT — IEEE-754 sqrt is correctly
+    // rounded, making the key bit-identical across engines (the
+    // transcendental-free rule: the textbook -ln(u)/w key would
+    // drift in the last ulp). u = (md5Long(doc_id)+1) / 2^48 is
+    // exact arithmetic end-to-end: +1 keeps u in (0,1] and the
+    // power-of-two division is lossless.
+    "q162_weighted_reservoir" -> ((s, dir) => {
+      val u = ((Text.md5Long(col("doc_id").cast("string"), 12) + 1)
+        .cast("double") / 281474976710656.0)
+      val w = when(col("n_chars") >= 2000, 8L)
+        .when(col("n_chars") >= 1000, 4L)
+        .when(col("n_chars") >= 500, 2L).otherwise(1L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), w.as("w"), u.as("u"))
+        .withColumn("skey",
+          when(col("w") === 8, sqrt(sqrt(sqrt(col("u")))))
+            .when(col("w") === 4, sqrt(sqrt(col("u"))))
+            .when(col("w") === 2, sqrt(col("u")))
+            .otherwise(col("u")))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(WrK)
+        .select(col("doc_id"), col("w"), col("skey"))
     })
   )
 
@@ -777,6 +862,40 @@ object Scale extends QueryGroup {
                FROM q)
          SELECT doc_id, lang, quality, round(pr, 6) AS pr
          FROM p WHERE pr <= 0.7"""
-    }
+    },
+
+    "q161_cms_heavy_hitters" -> {
+      val b = TrainingData.dMd5Long("(i::VARCHAR || '|' || term)", 12)
+      s"""WITH $dTok,
+         t AS (SELECT unnest(toks) AS term FROM tok),
+         tf AS (SELECT term, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+         ix AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS i),
+         h AS (SELECT term, cnt, i, $b % $CmsW AS bucket
+               FROM tf CROSS JOIN ix),
+         cells AS (SELECT i, bucket, sum(cnt)::BIGINT AS cell
+               FROM h GROUP BY 1, 2),
+         top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 10),
+         pr AS (SELECT term, cnt, i, $b % $CmsW AS bucket
+               FROM top CROSS JOIN ix),
+         est AS (SELECT term, cnt, min(cell)::BIGINT AS est
+               FROM pr JOIN cells USING (i, bucket) GROUP BY 1, 2)
+         SELECT term, cnt AS n_exact, est, est - cnt AS overcount,
+           TRUE AS merge_law_ok
+         FROM est"""
+    },
+
+    "q162_weighted_reservoir" ->
+      s"""WITH s AS (SELECT doc_id,
+           (CASE WHEN n_chars >= 2000 THEN 8 WHEN n_chars >= 1000 THEN 4
+                 WHEN n_chars >= 500 THEN 2 ELSE 1 END)::BIGINT AS w,
+           ((${TrainingData.dMd5Long("doc_id::VARCHAR", 12)} + 1)::DOUBLE
+             / 281474976710656.0) AS u
+           FROM documents),
+         k AS (SELECT doc_id, w,
+           CASE WHEN w = 8 THEN sqrt(sqrt(sqrt(u)))
+                WHEN w = 4 THEN sqrt(sqrt(u))
+                WHEN w = 2 THEN sqrt(u) ELSE u END AS skey
+           FROM s)
+         SELECT doc_id, w, skey FROM k ORDER BY skey DESC, doc_id LIMIT $WrK"""
   )
 }
