@@ -557,6 +557,34 @@ object Relational extends QueryGroup {
         .otherwise(col("event_type"))
       ev.select(col("event_id"), status.as("status"))
         .filter(col("status").isNull || col("status") =!= "error")
+    }),
+
+    // ORDERED EVENT FUNNEL view -> click -> purchase: each stage is
+    // the min timestamp STRICTLY AFTER the previous stage's, so
+    // out-of-order users drop out (the semantics product funnels
+    // need, not mere per-type existence). Three aggregations and two
+    // joins, every one partitioned on user_id — at 100 TB one
+    // user_id shuffle feeds the whole cascade, and stage relations
+    // only shrink. Dwell times ship as exact BIGINT epoch-ms sums
+    // (double avgs would drift with partition order); the three
+    // 1-row stage summaries meet in broadcast crossJoins.
+    "q164_event_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ms").as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("ms") > col("t1"))
+        .groupBy("user_id").agg(min("t1").as("t1"), min("ms").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("ms") > col("t2"))
+        .groupBy("user_id").agg(min("t2").as("t2"), min("ms").as("t3"))
+      val s1 = t1.agg(count(lit(1)).as("n_view"))
+      val s2 = t2.agg(count(lit(1)).as("n_click_after"),
+        sum(col("t2") - col("t1")).as("ms_view_to_click"))
+      val s3 = t3.agg(count(lit(1)).as("n_purchase_after"),
+        sum(col("t3") - col("t2")).as("ms_click_to_purchase"))
+      s1.crossJoin(broadcast(s2)).crossJoin(broadcast(s3))
     })
   )
 
@@ -846,6 +874,24 @@ object Relational extends QueryGroup {
            SELECT event_id,
              CASE WHEN event_type='purchase' THEN NULL ELSE event_type END AS status
            FROM events)
-         WHERE status IS NULL OR status != 'error'"""
+         WHERE status IS NULL OR status != 'error'""",
+
+    "q164_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_ms(ts)::BIGINT AS ms FROM events),
+         t1 AS (SELECT user_id, min(ms) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(t1) AS t1, min(ms) AS t2
+             FROM e JOIN t1 USING (user_id)
+             WHERE event_type = 'click' AND ms > t1 GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(t2) AS t2, min(ms) AS t3
+             FROM e JOIN t2 USING (user_id)
+             WHERE event_type = 'purchase' AND ms > t2 GROUP BY 1),
+         s1 AS (SELECT count(*)::BIGINT AS n_view FROM t1),
+         s2 AS (SELECT count(*)::BIGINT AS n_click_after,
+             sum(t2 - t1)::BIGINT AS ms_view_to_click FROM t2),
+         s3 AS (SELECT count(*)::BIGINT AS n_purchase_after,
+             sum(t3 - t2)::BIGINT AS ms_click_to_purchase FROM t3)
+         SELECT * FROM s1 CROSS JOIN s2 CROSS JOIN s3"""
   )
 }
