@@ -585,6 +585,32 @@ object Scale extends QueryGroup {
         .orderBy(col("skey").desc, col("doc_id"))
         .limit(WrK)
         .select(col("doc_id"), col("w"), col("skey"))
+    }),
+
+    // BLOOM-PREFILTERED SEMI JOIN: revenue of lineitems whose order
+    // is in a ~2% selective set. The key set is folded into an 8 KB
+    // bitmap (operators.Bloom) that broadcasts and filters the fact
+    // table MAP-SIDE — only candidates (members + rare false
+    // positives) reach the exact semi join, so the join shuffles the
+    // ~2% that can match instead of the full table. This is Spark's
+    // runtime bloom filter made explicit and plan-visible; the
+    // oracle is the plain semi join (the prefilter never drops a
+    // true member, and the exact join removes false positives —
+    // BloomSpec plants one and proves both properties).
+    "q163_bloom_semi_join" -> ((s, dir) => {
+      val sel = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey"))
+      val bm = graft.operators.Bloom.bitmap(sel, col("o_orderkey"))
+      val li = Tables.lineitem(s, dir)
+      val candidates =
+        graft.operators.Bloom.prefilter(li, col("l_orderkey"), bm)
+      candidates
+        .join(sel, candidates("l_orderkey") === sel("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
     })
   )
 
@@ -896,6 +922,14 @@ object Scale extends QueryGroup {
                 WHEN w = 4 THEN sqrt(sqrt(u))
                 WHEN w = 2 THEN sqrt(u) ELSE u END AS skey
            FROM s)
-         SELECT doc_id, w, skey FROM k ORDER BY skey DESC, doc_id LIMIT $WrK"""
+         SELECT doc_id, w, skey FROM k ORDER BY skey DESC, doc_id LIMIT $WrK""",
+
+    "q163_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 480000.0)
+         GROUP BY 1"""
   )
 }
