@@ -91,7 +91,34 @@ object Dedup {
     * (e.g. pairs + minhash signatures) materialize it once and pass
     * it here, saving a full tokenize+shingle pass per consumer. */
   def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
-                               maxDf: Int = 100): DataFrame = {
+                               maxDf: Int = 100): DataFrame =
+    interPairs(sh, maxDf)
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Doc-in-doc CONTAINMENT pairs (Broder's asymmetric measure):
+    * containment of A in B is |A∩B| / |A| — it catches quote
+    * inclusion and partial copies that resemblance (Jaccard) misses:
+    * a 50-shingle doc pasted whole into a 5000-shingle doc scores
+    * jaccard ~0.01 but containment 1.0. Same inverted-index blocking
+    * + hot-shingle guard as jaccardPairsFromShingles; the threshold
+    * (permille, e.g. 900 = 0.9) compares by integer cross-multiply
+    * against min(|A|,|B|) — the better-contained direction — so the
+    * output is exact BIGINTs end-to-end, no double division. */
+  def containmentPairs(sh: DataFrame, permille: Int,
+                       maxDf: Int = 100): DataFrame =
+    interPairs(sh, maxDf)
+      .filter(col("inter") * 1000 >= lit(permille.toLong) * least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+
+  /** Shared candidate machinery of the pairwise set measures: the
+    * inverted shingle index, hot-shingle guard, per-shingle self-join
+    * and intersection count, with both set sizes joined back.
+    * Returns (id_a < id_b, inter, n_a, n_b). */
+  private def interPairs(sh: DataFrame, maxDf: Int): DataFrame = {
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     // Hot-shingle guard as partial-agg + broadcast anti-join, NOT a
@@ -111,10 +138,6 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** INCREMENTAL near-dup: pairs between a NEW batch (isNew rows of

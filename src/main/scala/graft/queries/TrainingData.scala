@@ -271,6 +271,17 @@ object TrainingData extends QueryGroup {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 100)),
 
+    // DOC-IN-DOC CONTAINMENT (Broder's asymmetric measure) over the
+    // q31 shingle sets: inter/min(|A|,|B|) >= 0.9 — partial copies
+    // and quote inclusion that resemblance misses. Same inverted-
+    // index blocking; exact BIGINT outputs (integer cross-multiply,
+    // no division anywhere).
+    "q166_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        Dedup.DefaultMaterialize(
+          Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)),
+        permille = 900, maxDf = 100)),
+
     // TRIANGLE COUNT + global clustering coefficient of the near-dup
     // graph (q31's edges) — "how clique-like are dup clusters", the
     // graph-cohesion audit CC (q69/q73) can't see: components tell
@@ -1031,6 +1042,21 @@ object TrainingData extends QueryGroup {
            round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
          FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+
+    "q166_containment_pairs" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn)
+         SELECT id_a, id_b, inter::BIGINT AS inter,
+           sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b
+         FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE inter * 1000 >= 900 * least(sa.n_sh, sb.n_sh)""",
 
     "q69_dedup_clusters" -> ccClusterOracle,
     "q73_dedup_clusters_star" -> ccClusterOracle,

@@ -33,6 +33,29 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0)
   }
 
+  test("containmentPairs catches a partial copy that jaccard misses") {
+    // doc 6 pastes doc 5 whole into a much longer unrelated tail:
+    // containment(5 in 6) = 1.0 but jaccard is ~|A|/|B| — far below
+    // any resemblance threshold. Asymmetry is the whole point.
+    val small = "alpha beta gamma delta epsilon"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((5L, small), (6L, s"$small $filler"), (7L, filler))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val cont = Dedup.containmentPairs(sh, permille = 900)
+      .select("id_a", "id_b", "inter", "n_a", "n_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // (5,6): all 3 of doc 5's shingles appear in doc 6
+    assert(cont.exists(p => p._1 == 5L && p._2 == 6L && p._3 == 3L && p._4 == 3L))
+    val jac = Dedup.jaccardPairsFromShingles(sh, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((5L, 6L)), "jaccard should miss the partial copy")
+    // (6,7): doc 7 is contained in doc 6 too (the filler tail)
+    assert(cont.exists(p => p._1 == 6L && p._2 == 7L))
+    // (5,7): nothing shared
+    assert(!cont.exists(p => p._1 == 5L && p._2 == 7L))
+  }
+
   test("minhashLshPairs recovers the same pairs as exact jaccard at this threshold") {
     val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
