@@ -271,6 +271,40 @@ object TrainingData extends QueryGroup {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 100)),
 
+    // TOKEN-DISTRIBUTION DRIFT per source: total-variation distance
+    // between each source's token distribution and the REST of the
+    // corpus — the drift monitor a training pipeline runs when a new
+    // feed lands (TV, not KL: no transcendental log, and defined when
+    // a term is absent on one side). The numerator stays an exact
+    // BIGINT via the absent-terms decomposition
+    //   TV_num(s) = sum_{t in s} |o_s*N_r - (g-o_s)*N_s|
+    //             + N_s * (N_r - sum_{t in s} (g - o_s))
+    // so only (source, term-present-in-source) rows ever materialize
+    // — never vocab x sources. One double division at the end.
+    "q167_token_drift" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      val os = tok.groupBy("source", "term").agg(count(lit(1)).as("o"))
+      val g = os.groupBy("term").agg(sum("o").as("g"))
+      val ns = os.groupBy("source").agg(sum("o").as("n_s"))
+      val n = ns.agg(sum("n_s").as("n"))
+      os.join(g, "term")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("n_r", col("n") - col("n_s"))
+        .groupBy("source", "n_s", "n_r")
+        .agg(sum(abs(col("o") * col("n_r") - (col("g") - col("o")) * col("n_s")))
+            .as("present"),
+          sum(col("g") - col("o")).as("rest_present"))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          (col("present") + col("n_s") * (col("n_r") - col("rest_present")))
+            .as("tv_num"),
+          round((col("present") + col("n_s") * (col("n_r") - col("rest_present")))
+            .cast("double")
+            / (lit(2.0) * col("n_s").cast("double") * col("n_r").cast("double")), 6)
+            .as("tv"))
+    }),
+
     // DOC-IN-DOC CONTAINMENT (Broder's asymmetric measure) over the
     // q31 shingle sets: inter/min(|A|,|B|) >= 0.9 — partial copies
     // and quote inclusion that resemblance misses. Same inverted-
@@ -1042,6 +1076,26 @@ object TrainingData extends QueryGroup {
            round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
          FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+
+    "q167_token_drift" ->
+      """WITH tok AS (SELECT source,
+             unnest(regexp_extract_all(text, '([a-z0-9]+)', 1)) AS term
+           FROM documents),
+         os AS (SELECT source, term, count(*)::BIGINT AS o FROM tok GROUP BY 1, 2),
+         g AS (SELECT term, sum(o)::BIGINT AS g FROM os GROUP BY 1),
+         ns AS (SELECT source, sum(o)::BIGINT AS n_s FROM os GROUP BY 1),
+         n AS (SELECT sum(n_s)::BIGINT AS n FROM ns),
+         j AS (SELECT os.source, os.o, g.g, ns.n_s, (n.n - ns.n_s) AS n_r
+               FROM os JOIN g USING (term) JOIN ns USING (source) CROSS JOIN n),
+         a AS (SELECT source, n_s, n_r,
+               sum(abs(o * n_r - (g - o) * n_s))::BIGINT AS present,
+               sum(g - o)::BIGINT AS rest_present
+               FROM j GROUP BY 1, 2, 3)
+         SELECT source, n_s AS n_tokens,
+           (present + n_s * (n_r - rest_present))::BIGINT AS tv_num,
+           round((present + n_s * (n_r - rest_present))::DOUBLE
+             / (2.0 * n_s * n_r), 6) AS tv
+         FROM a""",
 
     "q166_containment_pairs" ->
       s"""WITH $dSh,
