@@ -271,6 +271,31 @@ object TrainingData extends QueryGroup {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 100)),
 
+    // BLOCKED FUZZY LINKAGE (record-linkage shape): candidate pairs
+    // share a blocking key (the first two tokens), then a bounded
+    // edit distance over a fixed-length prefix confirms the match —
+    // the classic blocking+comparison decomposition that keeps fuzzy
+    // matching from going corpus x corpus: candidates are bounded by
+    // the block sizes, never n^2. Spark's 3-arg levenshtein
+    // early-exits past the threshold (returns -1), so the comparator
+    // does bounded work even on dissimilar strings; at 100 TB the
+    // block key is also the shuffle key, so each comparison group is
+    // co-located. The oracle recomputes with an unbounded
+    // levenshtein — parity proves the threshold variant exact.
+    "q165_fuzzy_linkage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+          regexp_extract(col("text"), "^([a-z0-9]+ [a-z0-9]+)", 1).as("blk"),
+          substring(col("text"), 1, 60).as("pre"))
+        .filter(col("blk") =!= "")
+      val a = d.select(col("blk"), col("doc_id").as("id_a"), col("pre").as("pre_a"))
+      val b = d.select(col("blk"), col("doc_id").as("id_b"), col("pre").as("pre_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("pre_a"), col("pre_b"), 10))
+        .filter(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    }),
+
     // TOKEN-DISTRIBUTION DRIFT per source: total-variation distance
     // between each source's token distribution and the REST of the
     // corpus — the drift monitor a training pipeline runs when a new
@@ -1076,6 +1101,17 @@ object TrainingData extends QueryGroup {
            round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
          FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+
+    "q165_fuzzy_linkage" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_extract(text, '^([a-z0-9]+ [a-z0-9]+)', 1) AS blk,
+             substr(text, 1, 60) AS pre
+           FROM documents),
+         f AS (SELECT * FROM d WHERE blk != '')
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.pre, b.pre)::BIGINT AS dist
+         FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.pre, b.pre) <= 10""",
 
     "q167_token_drift" ->
       """WITH tok AS (SELECT source,
