@@ -524,8 +524,7 @@ object Scale extends QueryGroup {
     // per-term counts would shuffle the whole vocabulary.
     "q161_cms_heavy_hitters" -> ((s, dir) => {
       def bucket(i: Column, term: Column): Column =
-        pmod(Text.md5Long(
-          concat_ws("|", i.cast("string"), term), 12), lit(CmsW.toLong))
+        Text.cmsBucket(i, term, CmsW)
       val tf = Tables.documents(s, dir)
         .select(explode(Text.tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))

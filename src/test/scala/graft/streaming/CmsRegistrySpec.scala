@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The streaming CMS registry folds by addition — NOT idempotent —
+  * so replay safety must come from the batch_id partition layout:
+  * the folded sketch must equal the single-pass sketch of the full
+  * corpus, a replayed batch must overwrite its own partition (not
+  * double-count), and estimates must dominate true counts. */
+class CmsRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 64
+
+  private val b1 = Seq(
+    "spark spark spark engine",
+    "engine scans parquet").map(Tuple1(_))
+  private val b2 = Seq(
+    "spark pushes filters down",
+    "parquet files parquet").map(Tuple1(_))
+
+  test("fold equals one pass; replay overwrites instead of double-counting") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cms_").toString
+    val reg = s"$dir/registry"
+    val in = MemoryStream[Tuple1[String]]
+    val q = in.toDF().toDF("text").writeStream
+      .foreachBatch(CmsRegistry.appendBatch(reg, "text", D, W) _)
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+
+      def cellMap(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Int, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      val folded = cellMap(CmsRegistry.sketch(spark, reg))
+      val onePass = cellMap(CmsRegistry.batchCells(
+        (b1 ++ b2).map(_._1).toDF("text"), "text", D, W))
+      assert(folded == onePass,
+        "folded registry must equal the single-pass sketch")
+
+      // at-least-once replay of batch 1: same batchId, same data —
+      // the partition is overwritten byte-identically, sums unchanged
+      CmsRegistry.appendBatch(reg, "text", D, W)(
+        b1.map(_._1).toDF("text"), 0L)
+      assert(cellMap(CmsRegistry.sketch(spark, reg)) == onePass,
+        "replaying a batch must not double-count")
+
+      // estimates dominate true counts; a planted heavy term is seen
+      val est = CmsRegistry.estimate(
+          Seq("spark", "parquet", "absent").toDF("term"), "term",
+          CmsRegistry.sketch(spark, reg), D, W)
+        .as[(String, Long)].collect().toMap
+      assert(est("spark") >= 4L)
+      assert(est("parquet") >= 3L)
+      assert(est("absent") <= est("spark"))
+    } finally q.stop()
+  }
+}
