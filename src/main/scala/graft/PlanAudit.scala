@@ -45,7 +45,11 @@ object PlanAudit {
     "q152_kmv_bottomk" -> "1-row merged-sketch aggregate broadcast onto the 1-row direct-sketch row for the merge-law equality (q146 shape, bounded by construction)",
     "q155_jl_projection" -> "recall+distortion eval: exact and projected brute-force baselines (8-query broadcast, q36 shape)",
     "q156_mmr_topk" -> "1-query broadcast pool scan (q36 shape) + the 20-row materialized pool's pairwise self-join — bounded by the pool contract",
-    "q160_triangle_count" -> "three 1-row count aggregates cross-joined (q110 shape, bounded by construction)"
+    "q160_triangle_count" -> "three 1-row count aggregates cross-joined (q110 shape, bounded by construction)",
+    "q161_cms_heavy_hitters" -> "1-row merge-law aggregate broadcast onto the 10-row probe result (q152 shape, bounded by construction)",
+    "q163_bloom_semi_join" -> "1-row 8 KB bloom bitmap broadcast cross join - the operator's whole point (map-side prefilter before the exact semi join)",
+    "q164_event_funnel" -> "three 1-row stage-summary aggregates cross-joined (q110 shape, bounded by construction)",
+    "q167_token_drift" -> "1-row corpus-total aggregate broadcast cross join (q53 shape)"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by
