@@ -114,6 +114,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
 
+  /** PREFIX-FILTERED similarity self-join (the PPJoin family): a
+    * candidate-generation alternative to the full inverted index.
+    * Order every doc's shingles by a GLOBAL canonical order (document
+    * frequency ascending, rarest first), keep only the first
+    * |A| - ceil(t*|A|) + 1 of each — two sets with jaccard >= t MUST
+    * share a prefix element, so indexing just the prefixes preserves
+    * completeness while the index shrinks toward (1-t)·Σ|A| (at
+    * t=0.9 it's ~10% of the full index — the high-threshold scale
+    * path). Candidates verify with an exact array_intersect. The
+    * threshold is permille so the prefix length stays pure-integer:
+    * ceil(p*n/1000) = (p*n + 999) div 1000.
+    *
+    * No maxDf guard — prefix filtering is COMPLETE by the theorem,
+    * and q169's oracle is the BRUTE-FORCE jaccard join, so parity
+    * proves no pair is lost. (The hot-prefix safety valve at scale
+    * is raising t, which shrinks every prefix, not dropping
+    * shingles.) */
+  def prefixFilterPairs(sh: DataFrame, permille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val pref = inv.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .join(sh.select(col("id"), size(col("shingles")).as("n_sh")), "id")
+      .filter(col("rn") <=
+        col("n_sh") - floor((col("n_sh") * permille + 999) / 1000) + 1)
+      .select("id", "shingle")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= permille / 1000.0)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Shared candidate machinery of the pairwise set measures: the
     * inverted shingle index, hot-shingle guard, per-shingle self-join
     * and intersection count, with both set sizes joined back.

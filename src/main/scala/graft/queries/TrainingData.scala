@@ -271,6 +271,37 @@ object TrainingData extends QueryGroup {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 100)),
 
+    // BOILERPLATE SCRUB (CCNet's within-domain repetition rule):
+    // a shingle appearing in >= 3 documents of the SAME source is
+    // template/boilerplate, not content — headers, footers, nav
+    // text. Per-doc boilerplate counts with an exact integer
+    // heaviness flag (5*n_boiler >= n_sh, i.e. >= 20%). Unlike the
+    // corpus-global maxDf stop-shingle guard, the df here is
+    // per-source — a phrase common across sources is language, the
+    // same phrase repeated within one source is a template. The
+    // (source, shingle) groupBy and the probe join share their
+    // shuffle key, so at 100 TB the df table and the probe are
+    // co-partitioned; the shingle table materializes once for its
+    // two consumers (the multi-consumer rule).
+    "q168_boilerplate_scrub" -> ((s, dir) => {
+      val sh = Dedup.DefaultMaterialize(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            Text.shingles(Text.tokens(col("text")), 3).as("shingles"))
+          .filter(size(col("shingles")) > 0))
+      val inv = Dedup.DefaultMaterialize(
+        sh.select(col("source"), col("doc_id"),
+          explode(col("shingles")).as("shingle")))
+      val bp = inv.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select("source", "shingle")
+      val sizes = sh.select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_sh"))
+      inv.join(bp, Seq("source", "shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        .join(sizes, "doc_id")
+        .select(col("doc_id"), col("n_boiler"), col("n_sh"),
+          (col("n_boiler") * 5 >= col("n_sh")).as("heavy"))
+    }),
+
     // BLOCKED FUZZY LINKAGE (record-linkage shape): candidate pairs
     // share a blocking key (the first two tokens), then a bounded
     // edit distance over a fixed-length prefix confirms the match —
@@ -329,6 +360,18 @@ object TrainingData extends QueryGroup {
             / (lit(2.0) * col("n_s").cast("double") * col("n_r").cast("double")), 6)
             .as("tv"))
     }),
+
+    // PREFIX-FILTERED similarity join (PPJoin candidate generation):
+    // index only each doc's rarest |A|-ceil(t|A|)+1 shingles — sets
+    // with jaccard >= t must share a prefix element, so the index
+    // shrinks toward (1-t) of the full inverted index while staying
+    // complete. The oracle is the BRUTE-FORCE jaccard join (no
+    // guards): hash parity proves the prefix path loses no pair.
+    "q169_prefix_filter_pairs" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(
+        Dedup.DefaultMaterialize(
+          Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)),
+        permille = 500)),
 
     // DOC-IN-DOC CONTAINMENT (Broder's asymmetric measure) over the
     // q31 shingle sets: inter/min(|A|,|B|) >= 0.9 — partial copies
@@ -1101,6 +1144,37 @@ object TrainingData extends QueryGroup {
            round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
          FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+
+    // brute force: every co-shingled pair, exact jaccard, no guards —
+    // the completeness bar for the prefix-filtered path
+    "q169_prefix_filter_pairs" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn)
+         SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+         FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+
+    "q168_boilerplate_scrub" ->
+      s"""WITH $dTok,
+         shx AS (SELECT t.doc_id, d.source,
+                 ${dShingles("toks", 3)} AS shingles
+               FROM tok t JOIN documents d ON t.doc_id = d.doc_id),
+         sh AS (SELECT doc_id, source, shingles FROM shx
+               WHERE len(shingles) > 0),
+         inv AS (SELECT source, doc_id, unnest(shingles) AS shingle FROM sh),
+         bp AS (SELECT source, shingle FROM (
+               SELECT source, shingle, count(*) AS df FROM inv GROUP BY 1, 2)
+               WHERE df >= 3),
+         pd AS (SELECT i.doc_id, count(*)::BIGINT AS n_boiler
+               FROM inv i JOIN bp USING (source, shingle) GROUP BY 1),
+         sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n_sh FROM sh)
+         SELECT doc_id, n_boiler, n_sh, n_boiler * 5 >= n_sh AS heavy
+         FROM pd JOIN sizes USING (doc_id)""",
 
     "q165_fuzzy_linkage" ->
       """WITH d AS (SELECT doc_id,
