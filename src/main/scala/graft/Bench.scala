@@ -85,16 +85,28 @@ object Bench {
     // per-query precision to 1 decimal rather than overflow the window
     // (full precision is always on the first line + target/bench-full
     // .json).
-    def shortLine(decimals: Int): String = {
+    // minShow omits sub-threshold queries from the short map when the
+    // catalog outgrows even 1-decimal keys — failures (-1) always
+    // stay visible, and the omission is announced in-line so a reader
+    // can't mistake the shorter map for a shrunken catalog. Full
+    // precision for every query is always on the first line and in
+    // target/bench-full.json.
+    def shortLine(decimals: Int, minShow: Double): String = {
       val f = s"%.${decimals}f"
-      val qs = best.toSeq.sortBy(_._1)
+      val kept = best.toSeq.sortBy(_._1)
+        .filter { case (_, v) => v < 0 || v >= minShow }
+      val qs = kept
         .map { case (k, v) =>
           "\"" + k.takeWhile(_ != '_') + "\":" + f.formatLocal(java.util.Locale.ROOT, v) }
         .mkString("{", ",", "}")
-      "{" + header(qs) + "}"
+      val omitted =
+        if (kept.size == best.size) ""
+        else s""","queries_omitted_below_sec":$minShow,"queries_omitted":${best.size - kept.size}"""
+      "{" + header(qs) + omitted + "}"
     }
-    val short2 = shortLine(2)
-    println(if (short2.length <= 1850) short2 else shortLine(1))
+    val tiers = Seq(shortLine(2, 0), shortLine(1, 0),
+      shortLine(1, 0.05), shortLine(1, 0.25))
+    println(tiers.find(_.length <= 1850).getOrElse(tiers.last))
     spark.stop()
   }
 }

@@ -49,6 +49,34 @@ object CmsRegistry {
     spark.read.parquet(path)
       .groupBy("i", "bucket").agg(sum("cell").as("cell"))
 
+  /** The reserved batch_id of the compacted base partition — a value
+    * foreachBatch can never produce, so a replayed batch can never
+    * overwrite the base. */
+  val CompactedBase: Long = -1L
+
+  /** Compact every partition with batch_id <= upToBatchId into ONE
+    * base partition (batch_id = -1), leaving newer partitions
+    * untouched — the q123 maintenance shape applied to the registry,
+    * bounding the partition count between checkpoints.
+    *
+    * SAFETY CONTRACT: only compact batch ids the stream's checkpoint
+    * has committed. A replay of an absorbed batch would recreate its
+    * partition NEXT TO the base that already contains it and
+    * double-count; committed offsets are exactly the ids Structured
+    * Streaming can no longer replay. */
+  def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit = {
+    val all = spark.read.parquet(path)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val pinned = all.filter(col("batch_id") <= upToBatchId)
+      .groupBy("i", "bucket").agg(sum("cell").as("cell"))
+      .withColumn("batch_id", lit(CompactedBase))
+      .unionByName(all.filter(col("batch_id") > upToBatchId))
+      // pin BEFORE overwriting the path the plan reads (the
+      // ParquetState rule); static overwrite replaces the whole tree
+      .localCheckpoint(true)
+    pinned.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+  }
+
   /** Point estimates for probe terms against a folded sketch:
     * min over hash rows of the probed cell; a never-touched cell is
     * an exact zero. Estimates >= true count, deterministically. */

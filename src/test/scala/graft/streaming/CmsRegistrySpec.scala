@@ -60,6 +60,25 @@ class CmsRegistrySpec extends SparkSpec {
       assert(est("spark") >= 4L)
       assert(est("parquet") >= 3L)
       assert(est("absent") <= est("spark"))
+
+      // compaction: absorb both committed batches into the base
+      // partition — folded sums unchanged, partition count bounded
+      CmsRegistry.compact(spark, reg, upToBatchId = 1L)
+      assert(cellMap(CmsRegistry.sketch(spark, reg)) == onePass,
+        "compaction must preserve the folded sums")
+      val parts = new java.io.File(reg).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName)
+      assert(parts.toSeq == Seq("batch_id=-1"),
+        s"expected only the compacted base, got ${parts.mkString(",")}")
+
+      // a later batch appends beside the base and keeps folding
+      CmsRegistry.appendBatch(reg, "text", D, W)(
+        Seq("spark again").toDF("text"), 2L)
+      val withB3 = cellMap(CmsRegistry.sketch(spark, reg))
+      val onePass3 = cellMap(CmsRegistry.batchCells(
+        ((b1 ++ b2).map(_._1) ++ Seq("spark again")).toDF("text"), "text", D, W))
+      assert(withB3 == onePass3,
+        "post-compaction appends must keep the fold exact")
     } finally q.stop()
   }
 }
