@@ -610,6 +610,34 @@ object Scale extends QueryGroup {
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
             .cast("double").as("revenue"))
+    }),
+
+    // RENDEZVOUS (highest-random-weight) SHARDING: assign each doc to
+    // argmax over shards of hash(doc, shard) — the stable-bucketing
+    // scheme where growing 8 -> 9 shards moves ONLY the docs whose
+    // new shard wins (expected 1/9 ≈ 11.1%), vs mod-hashing where
+    // 8/9 of all keys move. That's the difference between re-reading
+    // 11% and 89% of 100 TB on a reshard. The argmax is a pure-
+    // integer max of w*16+shard (w < 2^48, so the packed key fits a
+    // long and ties are impossible by construction); the churn audit
+    // rides as an integer-band flag the oracle pins TRUE.
+    "q170_rendezvous_sharding" -> ((s, dir) => {
+      val e = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(8))).as("shard"))
+        .withColumn("ws", Text.md5Long(concat_ws("|",
+          col("doc_id").cast("string"), col("shard").cast("string")), 12)
+          * 16 + col("shard"))
+      val asg = e.groupBy("doc_id").agg(
+        (max(when(col("shard") < 8, col("ws"))) % 16).as("a8"),
+        (max(col("ws")) % 16).as("a9"))
+      val m = asg.groupBy("a8", "a9").agg(count(lit(1)).as("n"))
+      val audit = m.agg(
+        sum(when(col("a8") =!= col("a9"), col("n")).otherwise(0L)).as("moved"),
+        sum("n").as("total"))
+      m.crossJoin(broadcast(audit))
+        .select(col("a8"), col("a9"), col("n"),
+          (col("moved") * 100 >= col("total") * 6 &&
+            col("moved") * 100 <= col("total") * 18).as("churn_ok"))
     })
   )
 
@@ -929,6 +957,24 @@ object Scale extends QueryGroup {
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_totalprice > 480000.0)
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "q170_rendezvous_sharding" -> {
+      val ws = TrainingData.dMd5Long("(doc_id::VARCHAR || '|' || i::VARCHAR)", 12)
+      s"""WITH e AS (SELECT doc_id, i AS shard, $ws * 16 + i AS ws
+           FROM documents CROSS JOIN
+             (SELECT unnest(generate_series(0, 8)) AS i)),
+         asg AS (SELECT doc_id,
+             max(CASE WHEN shard < 8 THEN ws END) % 16 AS a8,
+             max(ws) % 16 AS a9
+           FROM e GROUP BY 1),
+         m AS (SELECT a8, a9, count(*)::BIGINT AS n FROM asg GROUP BY 1, 2),
+         audit AS (SELECT
+             sum(CASE WHEN a8 != a9 THEN n ELSE 0 END)::BIGINT AS moved,
+             sum(n)::BIGINT AS total FROM m)
+         SELECT a8, a9, n,
+           (moved * 100 >= total * 6 AND moved * 100 <= total * 18) AS churn_ok
+         FROM m CROSS JOIN audit"""
+    }
   )
 }
