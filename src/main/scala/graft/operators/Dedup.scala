@@ -136,12 +136,15 @@ object Dedup {
     val inv = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
-    val pref = inv.join(dfreq, "shingle")
+    // materialized: the prefix table feeds BOTH sides of the
+    // candidate self-join — without this the df-join + window
+    // upstream computes twice (the q110 multi-consumer rule)
+    val pref = DefaultMaterialize(inv.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
       .join(sh.select(col("id"), size(col("shingles")).as("n_sh")), "id")
       .filter(col("rn") <=
         col("n_sh") - floor((col("n_sh") * permille + 999) / 1000) + 1)
-      .select("id", "shingle")
+      .select("id", "shingle"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()

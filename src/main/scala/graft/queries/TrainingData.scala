@@ -285,7 +285,11 @@ object TrainingData extends QueryGroup {
     // two consumers (the multi-consumer rule).
     "q168_boilerplate_scrub" -> ((s, dir) => {
       val sh = Dedup.DefaultMaterialize(
-        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+          // one parquet split would run the shingle regexes on one
+          // core — spread the CPU-bound projection first (Spread doc)
+          .transform(graft.operators.Spread.byKey("doc_id"))
+          .select(col("doc_id"), col("source"),
             Text.shingles(Text.tokens(col("text")), 3).as("shingles"))
           .filter(size(col("shingles")) > 0))
       val inv = Dedup.DefaultMaterialize(
