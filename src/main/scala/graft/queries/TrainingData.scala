@@ -71,6 +71,24 @@ object TrainingData extends QueryGroup {
        sh AS (SELECT doc_id, ${dShingles("toks", 3)} AS shingles FROM tok),
        shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)"""
 
+  /** Winnowing fingerprint CTE (q171/q172): positioned 3-gram hashes
+    * packed as h<<15|pos, frame-min over w=4 windows, distinct
+    * selections. Bit ops only — packed reaches 2^63, where double
+    * division would round. */
+  private val dWinnowFp =
+    s"""$dTok,
+       g0 AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> {'pos': i, 'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]})) AS u
+           FROM tok WHERE len(toks) >= 3),
+       g AS (SELECT doc_id, u.pos AS pos,
+             ${dMd5Long("u.gram", 12)} * 32768 + u.pos AS packed FROM g0),
+       sw AS (SELECT doc_id, pos, min(packed) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+           FROM g),
+       fp AS (SELECT DISTINCT doc_id, sel >> 15 AS h, sel & 32767 AS pos
+           FROM sw WHERE pos >= 4)"""
+
   /** MinHash signature list literal from a `hashes` list column. */
   private[queries] val dSig: String = {
     val mins = (1 to NumPerm).map { j =>
@@ -364,6 +382,28 @@ object TrainingData extends QueryGroup {
             / (lit(2.0) * col("n_s").cast("double") * col("n_r").cast("double")), 6)
             .as("tv"))
     }),
+
+    // WINNOWING fingerprint profile (MOSS): keep the min-hash of
+    // every sliding window of 4 consecutive 3-grams — any >= 6-token
+    // match shares a selected fingerprint while the index stays
+    // ~2/w of the grams. Density bounds pinned per doc: >= 1
+    // selection per w windows (lb_ok), <= 1 per window (ub_ok).
+    "q171_winnowing_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.Winnow.profile(
+        graft.operators.Winnow.fingerprints(d, "doc_id", "text", n = 3, w = 4),
+        d, "doc_id", "text", n = 3, w = 4)
+    }),
+
+    // Cross-doc partial-overlap candidates off the winnowed index:
+    // pairs sharing >= 3 selected fingerprints. The index the pairs
+    // run on is a w-th of q31's inverted index — detection above the
+    // w+k-1 length floor is guaranteed, not sampled.
+    "q172_winnowing_pairs" -> ((s, dir) =>
+      graft.operators.Winnow.sharedPairs(
+        graft.operators.Winnow.fingerprints(
+          Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4),
+        minShared = 3)),
 
     // PREFIX-FILTERED similarity join (PPJoin candidate generation):
     // index only each doc's rarest |A|-ceil(t|A|)+1 shingles — sets
@@ -1148,6 +1188,27 @@ object TrainingData extends QueryGroup {
            round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
          FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5""",
+
+    "q171_winnowing_profile" ->
+      s"""WITH $dWinnowFp,
+         m AS (SELECT doc_id, (len(toks) - 2)::BIGINT AS n_grams FROM tok
+             WHERE len(toks) - 2 >= 4),
+         fpc AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM fp GROUP BY 1)
+         SELECT m.doc_id AS id, n_grams, n_fp,
+           n_fp * 4 >= n_grams - 3 AS lb_ok,
+           n_fp <= n_grams - 3 AS ub_ok
+         FROM m JOIN fpc USING (doc_id)""",
+
+    "q172_winnowing_pairs" ->
+      s"""WITH $dWinnowFp,
+         byh AS (SELECT DISTINCT doc_id, h FROM fp),
+         hot AS (SELECT h FROM (
+             SELECT h, count(*) AS df FROM byh GROUP BY 1) WHERE df > 100),
+         filt AS (SELECT doc_id, h FROM byh
+             WHERE h NOT IN (SELECT h FROM hot))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+         FROM filt a JOIN filt b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
 
     // brute force: every co-shingled pair, exact jaccard, no guards —
     // the completeness bar for the prefix-filtered path
