@@ -32,8 +32,13 @@ object Winnow {
     val grams = docs
       .select(col(idCol).as("id"), col(textCol).as("doc_text"))
       .transform(Spread.byKey("id"))
-      .select(col("id"), posexplode(
-        Text.shinglesWithDuplicates(Text.tokens(col("doc_text")), n)))
+      // STEP-WISE selects: the tokens regex must land in its own
+      // projection so CollapseProject keeps it single-evaluation —
+      // inlined into the shingle lambda it would re-run per
+      // element_at reference (the elementHashes rule)
+      .select(col("id"), Text.tokens(col("doc_text")).as("toks"))
+      .select(col("id"),
+        posexplode(Text.shinglesWithDuplicates(col("toks"), n)))
       .select(col("id"), (col("pos") + 1).as("pos"),
         Text.md5Long(col("col"), 12).as("h"))
       .withColumn("packed", col("h") * 32768L + col("pos"))
@@ -56,8 +61,15 @@ object Winnow {
   def profile(fps: DataFrame, docs: DataFrame, idCol: String,
               textCol: String, n: Int, w: Int): DataFrame = {
     val m = docs
-      .select(col(idCol).as("id"),
-        size(Text.shinglesWithDuplicates(Text.tokens(col(textCol)), n))
+      .select(col(idCol).as("id"), col(textCol).as("doc_text"))
+      // spread the CPU-bound re-tokenize off the single input split
+      .transform(Spread.byKey("id"))
+      // gram COUNT is arithmetic on the token count — never build
+      // the gram array here, and keep the regex single-evaluation
+      // (own projection, the CollapseProject rule above)
+      .select(col("id"), size(Text.tokens(col("doc_text"))).as("n_toks"))
+      .select(col("id"),
+        when(col("n_toks") >= n, col("n_toks") - (n - 1)).otherwise(0)
           .cast("long").as("n_grams"))
       .filter(col("n_grams") >= w)
     m.join(fps.groupBy("id").agg(count(lit(1)).as("n_fp")), "id")
