@@ -305,10 +305,14 @@ object TrainingData extends QueryGroup {
       val sh = Dedup.DefaultMaterialize(
         Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
           // one parquet split would run the shingle regexes on one
-          // core — spread the CPU-bound projection first (Spread doc)
+          // core — spread the CPU-bound projection first (Spread doc);
+          // tokens in its OWN projection so CollapseProject keeps the
+          // regex single-evaluation (the Winnow.scala rule)
           .transform(graft.operators.Spread.byKey("doc_id"))
           .select(col("doc_id"), col("source"),
-            Text.shingles(Text.tokens(col("text")), 3).as("shingles"))
+            Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            Text.shingles(col("toks"), 3).as("shingles"))
           .filter(size(col("shingles")) > 0))
       val inv = Dedup.DefaultMaterialize(
         sh.select(col("source"), col("doc_id"),
