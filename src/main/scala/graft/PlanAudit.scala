@@ -50,7 +50,8 @@ object PlanAudit {
     "q163_bloom_semi_join" -> "1-row 8 KB bloom bitmap broadcast cross join - the operator's whole point (map-side prefilter before the exact semi join)",
     "q164_event_funnel" -> "three 1-row stage-summary aggregates cross-joined (q110 shape, bounded by construction)",
     "q167_token_drift" -> "1-row corpus-total aggregate broadcast cross join (q53 shape)",
-    "q170_rendezvous_sharding" -> "1-row churn-audit aggregate broadcast onto the <=72-row shard matrix (q53 shape, bounded by construction)"
+    "q170_rendezvous_sharding" -> "1-row churn-audit aggregate broadcast onto the <=72-row shard matrix (q53 shape, bounded by construction)",
+    "q173_decayed_engagement" -> "1-row as-of-timestamp aggregate broadcast cross join (q86 shape)"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

@@ -612,6 +612,32 @@ object Scale extends QueryGroup {
             .cast("double").as("revenue"))
     }),
 
+    // EXP-DECAYED ENGAGEMENT (recency weighting): per-user activity
+    // score sum(2^-age_days) with a 1-day half-life — the freshness
+    // prior ranking and curation pipelines apply. The decay base is
+    // 2, so every term is a dyadic rational: the score ships as an
+    // EXACT BIGINT numerator sum(2^(CAP - min(age, CAP))) over the
+    // common denominator 2^CAP — no transcendental exp(), no float
+    // summation order, bit-identical in any engine; the double
+    // materializes once at the end. Ages clamp at CAP=40 (a 2^-40
+    // term is below any ranking noise floor; the clamp also bounds
+    // the numerator at 2^40 per event, overflow-safe for millions of
+    // events per user).
+    "q173_decayed_engagement" -> ((s, dir) => {
+      val CAP = 40
+      val ev = Tables.events(s, dir)
+      val asOf = ev.agg(max(unix_millis(col("ts"))).as("as_of"))
+      ev.select(col("user_id"), unix_millis(col("ts")).as("ms"))
+        .crossJoin(broadcast(asOf))
+        .withColumn("age_d",
+          least(floor((col("as_of") - col("ms")) / 86400000L), lit(CAP.toLong)))
+        .withColumn("w", expr(s"shiftleft(1L, $CAP - cast(age_d as int))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("w").as("score_num"))
+        .withColumn("score",
+          round(col("score_num").cast("double") / math.pow(2.0, CAP), 6))
+    }),
+
     // RENDEZVOUS (highest-random-weight) SHARDING: assign each doc to
     // argmax over shards of hash(doc, shard) — the stable-bucketing
     // scheme where growing 8 -> 9 shards moves ONLY the docs whose
@@ -958,6 +984,17 @@ object Scale extends QueryGroup {
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_totalprice > 480000.0)
          GROUP BY 1""",
+
+    "q173_decayed_engagement" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts)::BIGINT AS ms FROM events),
+         a AS (SELECT max(ms) AS as_of FROM e),
+         w AS (SELECT user_id,
+             (1::BIGINT << (40 - least((as_of - ms) // 86400000, 40)::INT)) AS w
+           FROM e CROSS JOIN a)
+         SELECT user_id, count(*)::BIGINT AS n_events,
+           sum(w)::BIGINT AS score_num,
+           round(sum(w)::DOUBLE / 1099511627776.0, 6) AS score
+         FROM w GROUP BY 1""",
 
     "q170_rendezvous_sharding" -> {
       val ws = TrainingData.dMd5Long("(doc_id::VARCHAR || '|' || i::VARCHAR)", 12)
