@@ -55,15 +55,16 @@ object Bloom {
   /** Map-side candidate filter: keep rows of `df` whose key MIGHT be
     * in the set `bm` summarizes (both bloom bits set). No shuffle; the
     * broadcast is the 8 KB bitmap row. Follow with an exact semi join
-    * to remove false positives. */
+    * to remove false positives. Working columns are __bloom_-reserved
+    * so a caller's own `words` column survives the round trip. */
   def prefilter(df: DataFrame, key: Column, bm: DataFrame): DataFrame = {
-    val test = "(element_at(words, cast((%s div 64) as int) + 1) & " +
+    val test = "(element_at(__bloom_words, cast((%s div 64) as int) + 1) & " +
       "shiftleft(1L, cast(%s %% 64 as int))) <> 0"
-    df.crossJoin(broadcast(bm))
-      .withColumn("__h1", h1(key))
-      .withColumn("__h2", h2(key))
-      .filter(expr(test.format("__h1", "__h1")) &&
-        expr(test.format("__h2", "__h2")))
-      .drop("__h1", "__h2", "words")
+    df.crossJoin(broadcast(bm.select(col("words").as("__bloom_words"))))
+      .withColumn("__bloom_h1", h1(key))
+      .withColumn("__bloom_h2", h2(key))
+      .filter(expr(test.format("__bloom_h1", "__bloom_h1")) &&
+        expr(test.format("__bloom_h2", "__bloom_h2")))
+      .drop("__bloom_h1", "__bloom_h2", "__bloom_words")
   }
 }

@@ -17,10 +17,14 @@ import graft.functions.Text
   * inverted index, with detection still guaranteed above the length
   * floor.
   *
-  * Determinism: the frame-min runs over h*32768+pos packed longs
-  * (48-bit md5 hash, position < 2^15), so "which gram wins a tied
+  * Determinism: the frame-min runs over (h << 23) + pos packed longs
+  * (40-bit md5 hash, 23-bit position), so "which gram wins a tied
   * window" is decided by the packing, identically in any engine —
-  * no arg_min tie ambiguity.
+  * no arg_min tie ambiguity. The packing is overflow-proof by
+  * construction: (2^40-1)*2^23 + pos < 2^63. Documents beyond 2^23
+  * (~8.4M) grams have their tail grams dropped from fingerprinting
+  * (a guard filter, loud in the code) — at that length the doc is
+  * concatenation junk a length gate should have caught upstream.
   */
 object Winnow {
 
@@ -40,8 +44,11 @@ object Winnow {
       .select(col("id"),
         posexplode(Text.shinglesWithDuplicates(col("toks"), n)))
       .select(col("id"), (col("pos") + 1).as("pos"),
-        Text.md5Long(col("col"), 12).as("h"))
-      .withColumn("packed", col("h") * 32768L + col("pos"))
+        Text.md5Long(col("col"), 10).as("h"))
+      // position guard: the 23-bit pos field caps addressable grams;
+      // beyond it the packing would corrupt (see object doc)
+      .filter(col("pos") < (1L << 23))
+      .withColumn("packed", shiftleft(col("h"), 23) + col("pos"))
     val frame = Window.partitionBy("id").orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
     grams
@@ -50,8 +57,8 @@ object Winnow {
       .filter(col("pos") >= w)
       // unpack with BIT ops: packed reaches 2^63, where a double
       // division would round — shiftright/AND stay exact
-      .select(col("id"), shiftright(col("sel"), 15).as("h"),
-        col("sel").bitwiseAND(lit(32767L)).as("pos"))
+      .select(col("id"), shiftright(col("sel"), 23).as("h"),
+        col("sel").bitwiseAND(lit((1L << 23) - 1)).as("pos"))
       .distinct()
   }
 

@@ -525,14 +525,18 @@ object Scale extends QueryGroup {
     "q161_cms_heavy_hitters" -> ((s, dir) => {
       def bucket(i: Column, term: Column): Column =
         Text.cmsBucket(i, term, CmsW)
-      val tf = Tables.documents(s, dir)
-        .select(explode(Text.tokens(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-      val cells = tf
+      // both materialized: tf feeds cells + the top-10 probe, cells
+      // feeds the merge-law join + the probe join (multi-consumer
+      // rule — without it the corpus tokenize reruns per consumer)
+      val tf = graft.operators.Dedup.DefaultMaterialize(
+        Tables.documents(s, dir)
+          .select(explode(Text.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt")))
+      val cells = graft.operators.Dedup.DefaultMaterialize(tf
         .select(col("term"), col("cnt"),
           explode(sequence(lit(0), lit(CmsD - 1))).as("i"))
         .withColumn("bucket", bucket(col("i"), col("term")))
-        .groupBy("i", "bucket").agg(sum("cnt").as("cell"))
+        .groupBy("i", "bucket").agg(sum("cnt").as("cell")))
       val merged = Tables.documents(s, dir)
         .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
         .groupBy("source", "term").agg(count(lit(1)).as("cnt"))

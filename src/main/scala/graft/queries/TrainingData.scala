@@ -72,9 +72,10 @@ object TrainingData extends QueryGroup {
        shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)"""
 
   /** Winnowing fingerprint CTE (q171/q172): positioned 3-gram hashes
-    * packed as h<<15|pos, frame-min over w=4 windows, distinct
-    * selections. Bit ops only — packed reaches 2^63, where double
-    * division would round. */
+    * packed as (h << 23) | pos (40-bit hash, 23-bit position —
+    * overflow-proof, mirrors Winnow.scala), frame-min over w=4
+    * windows, distinct selections. Bit ops only — packed reaches
+    * 2^63, where double division would round. */
   private val dWinnowFp =
     s"""$dTok,
        g0 AS (SELECT doc_id, unnest(list_transform(
@@ -82,11 +83,12 @@ object TrainingData extends QueryGroup {
              i -> {'pos': i, 'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]})) AS u
            FROM tok WHERE len(toks) >= 3),
        g AS (SELECT doc_id, u.pos AS pos,
-             ${dMd5Long("u.gram", 12)} * 32768 + u.pos AS packed FROM g0),
+             (${dMd5Long("u.gram", 10)} << 23) + u.pos AS packed
+           FROM g0 WHERE u.pos < (1 << 23)),
        sw AS (SELECT doc_id, pos, min(packed) OVER (PARTITION BY doc_id
              ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
            FROM g),
-       fp AS (SELECT DISTINCT doc_id, sel >> 15 AS h, sel & 32767 AS pos
+       fp AS (SELECT DISTINCT doc_id, sel >> 23 AS h, sel & 8388607 AS pos
            FROM sw WHERE pos >= 4)"""
 
   /** MinHash signature list literal from a `hashes` list column. */
@@ -340,10 +342,16 @@ object TrainingData extends QueryGroup {
     // co-located. The oracle recomputes with an unbounded
     // levenshtein — parity proves the threshold variant exact.
     "q165_fuzzy_linkage" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"),
+      val d0 = Tables.documents(s, dir).select(col("doc_id"),
           regexp_extract(col("text"), "^([a-z0-9]+ [a-z0-9]+)", 1).as("blk"),
           substring(col("text"), 1, 60).as("pre"))
         .filter(col("blk") =!= "")
+      // hot-block guard (the maxDf discipline of every pair op): a
+      // boilerplate opening shared by k docs would emit k^2/2
+      // candidates through one shuffle key — cap block size at 200
+      val hot = d0.groupBy("blk").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 200).select("blk")
+      val d = d0.join(broadcast(hot), Seq("blk"), "left_anti")
       val a = d.select(col("blk"), col("doc_id").as("id_a"), col("pre").as("pre_a"))
       val b = d.select(col("blk"), col("doc_id").as("id_b"), col("pre").as("pre_b"))
       a.join(b, Seq("blk"))
@@ -366,7 +374,10 @@ object TrainingData extends QueryGroup {
     "q167_token_drift" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
-      val os = tok.groupBy("source", "term").agg(count(lit(1)).as("o"))
+      // materialized: os feeds four consumers (g, ns, n and the main
+      // join) — the multi-consumer rule
+      val os = Dedup.DefaultMaterialize(
+        tok.groupBy("source", "term").agg(count(lit(1)).as("o")))
       val g = os.groupBy("term").agg(sum("o").as("g"))
       val ns = os.groupBy("source").agg(sum("o").as("n_s"))
       val n = ns.agg(sum("n_s").as("n"))
@@ -1250,7 +1261,9 @@ object TrainingData extends QueryGroup {
              regexp_extract(text, '^([a-z0-9]+ [a-z0-9]+)', 1) AS blk,
              substr(text, 1, 60) AS pre
            FROM documents),
-         f AS (SELECT * FROM d WHERE blk != '')
+         f0 AS (SELECT * FROM d WHERE blk != ''),
+         f AS (SELECT * FROM f0 WHERE blk NOT IN (SELECT blk FROM (
+             SELECT blk, count(*) AS n FROM f0 GROUP BY 1) WHERE n > 200))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(a.pre, b.pre)::BIGINT AS dist
          FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id

@@ -43,38 +43,81 @@ object CmsRegistry {
     IdempotentSink.parquetByBatch(path)(
       batchCells(batch, textCol, d, w), batchId)
 
-  /** The folded sketch: cell-wise sum across every batch partition
-    * (the CMS merge law, same as q161's merge_law_ok). */
-  def sketch(spark: SparkSession, path: String): DataFrame =
+  /** A base partition encodes WHICH batches it absorbs in its id:
+    * compact(upTo = K) writes batch_id = -(K+2), so -2 absorbs batch
+    * 0, -3 absorbs 0..1, ... Readers take the NEWEST base and ignore
+    * both older bases and every live partition at or below its
+    * horizon. That makes post-compaction cleanup garbage collection,
+    * never a correctness step: a crash between base write and
+    * cleanup double-counts nothing, a replay of an absorbed batch
+    * recreates a partition readers already ignore, and appends
+    * running CONCURRENTLY with compact land above the horizon and
+    * survive untouched (the write is a dynamic overwrite of the
+    * single new base partition, never the whole tree). */
+  private def baseId(upTo: Long): Long = -(upTo + 2)
+
+  /** The absorbed horizon encoded by the newest base partition, or
+    * -1 when no compaction has run. 1-value driver read — registry
+    * maintenance metadata, bounded by contract. */
+  private def horizon(all: DataFrame): Long = {
+    val h = all.agg(max(when(col("batch_id") <= -2L, -col("batch_id") - 2L)))
+      .head().get(0)
+    if (h == null) -1L else h.asInstanceOf[Long]
+  }
+
+  private def readAll(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
-      .groupBy("i", "bucket").agg(sum("cell").as("cell"))
-
-  /** The reserved batch_id of the compacted base partition — a value
-    * foreachBatch can never produce, so a replayed batch can never
-    * overwrite the base. */
-  val CompactedBase: Long = -1L
-
-  /** Compact every partition with batch_id <= upToBatchId into ONE
-    * base partition (batch_id = -1), leaving newer partitions
-    * untouched — the q123 maintenance shape applied to the registry,
-    * bounding the partition count between checkpoints.
-    *
-    * SAFETY CONTRACT: only compact batch ids the stream's checkpoint
-    * has committed. A replay of an absorbed batch would recreate its
-    * partition NEXT TO the base that already contains it and
-    * double-count; committed offsets are exactly the ids Structured
-    * Streaming can no longer replay. */
-  def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit = {
-    val all = spark.read.parquet(path)
       .withColumn("batch_id", col("batch_id").cast("long"))
-    val pinned = all.filter(col("batch_id") <= upToBatchId)
+
+  /** Valid cells under horizon h: the base encoding h plus every
+    * live partition above h. (With no base, h = -1 keeps exactly the
+    * live partitions.) */
+  private def valid(all: DataFrame, h: Long): DataFrame =
+    all.filter(col("batch_id") === baseId(h) || col("batch_id") > h)
+
+  /** The folded sketch: cell-wise sum of the newest base plus every
+    * live partition above its horizon (the CMS merge law, same as
+    * q161's merge_law_ok). */
+  def sketch(spark: SparkSession, path: String): DataFrame = {
+    val all = readAll(spark, path)
+    valid(all, horizon(all))
       .groupBy("i", "bucket").agg(sum("cell").as("cell"))
-      .withColumn("batch_id", lit(CompactedBase))
-      .unionByName(all.filter(col("batch_id") > upToBatchId))
-      // pin BEFORE overwriting the path the plan reads (the
-      // ParquetState rule); static overwrite replaces the whole tree
+  }
+
+  /** Compact the current base and every live partition with
+    * batch_id <= upToBatchId into ONE new base — the q123
+    * maintenance shape applied to the registry, bounding partition
+    * count. Absorbed partitions are then deleted as garbage;
+    * correctness never depends on the deletion (see baseId doc). */
+  def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit = {
+    val all = readAll(spark, path)
+    val h = horizon(all)
+    require(upToBatchId > h,
+      s"CmsRegistry.compact: upToBatchId=$upToBatchId must exceed the " +
+        s"current horizon $h (older batches are already absorbed)")
+    val base = valid(all, h).filter(col("batch_id") <= upToBatchId)
+      .groupBy("i", "bucket").agg(sum("cell").as("cell"))
+      .withColumn("batch_id", lit(baseId(upToBatchId)))
+      // pin BEFORE writing into the tree the plan reads (the
+      // ParquetState rule)
       .localCheckpoint(true)
-    pinned.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    base.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+    // GC: drop absorbed live partitions and superseded bases — pure
+    // cleanup, readers already ignore them
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        val b = name.stripPrefix("batch_id=").toLong
+        val absorbedLive = b >= 0 && b <= upToBatchId
+        val oldBase = b <= -2 && b != baseId(upToBatchId)
+        if (absorbedLive || oldBase) fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Point estimates for probe terms against a folded sketch:

@@ -62,14 +62,23 @@ class CmsRegistrySpec extends SparkSpec {
       assert(est("absent") <= est("spark"))
 
       // compaction: absorb both committed batches into the base
-      // partition — folded sums unchanged, partition count bounded
+      // partition (batch_id = -(upTo+2) = -3) — folded sums
+      // unchanged, absorbed partitions GC'd
       CmsRegistry.compact(spark, reg, upToBatchId = 1L)
       assert(cellMap(CmsRegistry.sketch(spark, reg)) == onePass,
         "compaction must preserve the folded sums")
-      val parts = new java.io.File(reg).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName)
-      assert(parts.toSeq == Seq("batch_id=-1"),
-        s"expected only the compacted base, got ${parts.mkString(",")}")
+      def parts() = new java.io.File(reg).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+      assert(parts() == Seq("batch_id=-3"),
+        s"expected only the compacted base, got ${parts().mkString(",")}")
+
+      // a replay of an ABSORBED batch recreates a partition below the
+      // horizon — readers must ignore it (correctness never depended
+      // on the GC)
+      CmsRegistry.appendBatch(reg, "text", D, W)(
+        b2.map(_._1).toDF("text"), 1L)
+      assert(cellMap(CmsRegistry.sketch(spark, reg)) == onePass,
+        "a replayed absorbed batch must be invisible to readers")
 
       // a later batch appends beside the base and keeps folding
       CmsRegistry.appendBatch(reg, "text", D, W)(
