@@ -316,9 +316,12 @@ object TrainingData extends QueryGroup {
           .select(col("doc_id"), col("source"),
             Text.shingles(col("toks"), 3).as("shingles"))
           .filter(size(col("shingles")) > 0))
-      val inv = Dedup.DefaultMaterialize(
-        sh.select(col("source"), col("doc_id"),
-          explode(col("shingles")).as("shingle")))
+      // NOT materialized: both consumers re-explode the materialized
+      // sh table — the explode is cheaper than checkpointing the
+      // 1M-row exploded relation (measured: the checkpoint block was
+      // the in-bench memory-pressure hotspot)
+      val inv = sh.select(col("source"), col("doc_id"),
+        explode(col("shingles")).as("shingle"))
       val bp = inv.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3).select("source", "shingle")
       val sizes = sh.select(col("doc_id"),
