@@ -304,31 +304,34 @@ object TrainingData extends QueryGroup {
     // co-partitioned; the shingle table materializes once for its
     // two consumers (the multi-consumer rule).
     "q168_boilerplate_scrub" -> ((s, dir) => {
-      val sh = Dedup.DefaultMaterialize(
-        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
-          // one parquet split would run the shingle regexes on one
-          // core — spread the CPU-bound projection first (Spread doc);
-          // tokens in its OWN projection so CollapseProject keeps the
-          // regex single-evaluation (the Winnow.scala rule)
-          .transform(graft.operators.Spread.byKey("doc_id"))
-          .select(col("doc_id"), col("source"),
-            Text.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("source"),
-            Text.shingles(col("toks"), 3).as("shingles"))
-          .filter(size(col("shingles")) > 0))
-      // NOT materialized: both consumers re-explode the materialized
-      // sh table — the explode is cheaper than checkpointing the
-      // 1M-row exploded relation (measured: the checkpoint block was
-      // the in-bench memory-pressure hotspot)
-      val inv = sh.select(col("source"), col("doc_id"),
-        explode(col("shingles")).as("shingle"))
+      // No materialization at all: the inverted relation is consumed
+      // twice (df table + main join) and simply recomputes — two
+      // tokenize passes cost ~1.6 s flat, while a BlockManager-backed
+      // checkpoint of the 1M-row exploded relation measured 4x worse
+      // under the 171-query shared JVM's memory pressure. n_sh rides
+      // the SAME aggregation as n_boiler (count(*) vs count(flag)
+      // after the left join), so the old sizes join is gone too.
+      val inv = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        // one parquet split would run the shingle regexes on one
+        // core — spread the CPU-bound projection first (Spread doc);
+        // tokens in its OWN projection so CollapseProject keeps the
+        // regex single-evaluation (the Winnow.scala rule)
+        .transform(graft.operators.Spread.byKey("doc_id"))
+        .select(col("doc_id"), col("source"),
+          Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          Text.shingles(col("toks"), 3).as("shingles"))
+        .select(col("doc_id"), col("source"),
+          explode(col("shingles")).as("shingle"))
       val bp = inv.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 3).select("source", "shingle")
-      val sizes = sh.select(col("doc_id"),
-        size(col("shingles")).cast("long").as("n_sh"))
-      inv.join(bp, Seq("source", "shingle"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-        .join(sizes, "doc_id")
+        .filter(col("df") >= 3)
+        .select(col("source"), col("shingle"), lit(1).as("b"))
+      inv.join(bp, Seq("source", "shingle"), "left")
+        .groupBy("doc_id").agg(
+          count(col("b")).as("n_boiler"),
+          count(lit(1)).as("n_sh"))
+        .filter(col("n_boiler") > 0)
         .select(col("doc_id"), col("n_boiler"), col("n_sh"),
           (col("n_boiler") * 5 >= col("n_sh")).as("heavy"))
     }),
