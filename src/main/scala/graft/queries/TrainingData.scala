@@ -71,17 +71,18 @@ object TrainingData extends QueryGroup {
        sh AS (SELECT doc_id, ${dShingles("toks", 3)} AS shingles FROM tok),
        shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)"""
 
-  /** Winnowing fingerprint CTE (q171/q172): positioned 3-gram hashes
-    * packed as (h << 23) | pos (40-bit hash, 23-bit position —
-    * overflow-proof, mirrors Winnow.scala), frame-min over w=4
-    * windows, distinct selections. Bit ops only — packed reaches
-    * 2^63, where double division would round. */
-  private val dWinnowFp =
+  /** Winnowing fingerprint CTE (q171/q172 at n=3, q174 at n=5):
+    * positioned n-gram hashes packed as (h << 23) | pos (40-bit
+    * hash, 23-bit position — overflow-proof, mirrors Winnow.scala),
+    * frame-min over w=4 windows, distinct selections. Bit ops only —
+    * packed reaches 2^63, where double division would round. */
+  private def dWinnowFpN(n: Int): String = {
+    val gram = (0 until n).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
     s"""$dTok,
        g0 AS (SELECT doc_id, unnest(list_transform(
-             generate_series(1, len(toks) - 2),
-             i -> {'pos': i, 'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]})) AS u
-           FROM tok WHERE len(toks) >= 3),
+             generate_series(1, len(toks) - ${n - 1}),
+             i -> {'pos': i, 'gram': $gram})) AS u
+           FROM tok WHERE len(toks) >= $n),
        g AS (SELECT doc_id, u.pos AS pos,
              (${dMd5Long("u.gram", 10)} << 23) + u.pos AS packed
            FROM g0 WHERE u.pos < (1 << 23)),
@@ -90,6 +91,9 @@ object TrainingData extends QueryGroup {
            FROM g),
        fp AS (SELECT DISTINCT doc_id, sel >> 23 AS h, sel & 8388607 AS pos
            FROM sw WHERE pos >= 4)"""
+  }
+
+  private val dWinnowFp = dWinnowFpN(3)
 
   /** MinHash signature list literal from a `hashes` list column. */
   private[queries] val dSig: String = {
@@ -425,6 +429,36 @@ object TrainingData extends QueryGroup {
         graft.operators.Winnow.fingerprints(
           Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4),
         minShared = 3)),
+
+    // Cross-corpus decontamination over the FULL winnowed fingerprint
+    // set — the upgrade path from q93's one-minimal-fingerprint-per-
+    // doc: selective winnowing keeps ~2/w of the grams per doc, so a
+    // web doc sharing any >= w+k-1-token passage with the curated
+    // corpus is caught even when the whole-doc minimum differs
+    // (prefix edits, partial copies). Requiring n_shared >= 2 means
+    // two independent selected windows agree — a longer or repeated
+    // overlap, not one lucky gram. Curated side collapses to one row
+    // per fingerprint before the join, so a boilerplate fingerprint
+    // can't fan out; both sides partition on the fingerprint hash.
+    "q174_winnow_decontamination" -> ((s, dir) => {
+      val curated = Seq("src0", "src1", "src2", "src3", "src4")
+      val d = Tables.documents(s, dir)
+      // n=5 grams (8-token guarantee floor, q93's window width):
+      // 3-grams collide generically in a small vocabulary — measured
+      // 3725/3750 web docs flagged at n=3 vs 108 REAL passage
+      // matches at n=5. The gram width is the precision knob.
+      val byHash = graft.operators.Winnow
+        .fingerprints(d, "doc_id", "text", n = 5, w = 4)
+        .select(col("id"), col("h")).distinct()
+        .join(d.select(col("doc_id").as("id"), col("source")), "id")
+      val cur = byHash.filter(col("source").isin(curated: _*))
+        .groupBy("h").agg(min(col("id")).as("matched_id"))
+      byHash.filter(!col("source").isin(curated: _*))
+        .join(cur, "h")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_shared"), min(col("matched_id")).as("matched_id"))
+        .filter(col("n_shared") >= 2)
+    }),
 
     // PREFIX-FILTERED similarity join (PPJoin candidate generation):
     // index only each doc's rarest |A|-ceil(t|A|)+1 shingles — sets
@@ -1219,6 +1253,20 @@ object TrainingData extends QueryGroup {
            n_fp * 4 >= n_grams - 3 AS lb_ok,
            n_fp <= n_grams - 3 AS ub_ok
          FROM m JOIN fpc USING (doc_id)""",
+
+    "q174_winnow_decontamination" ->
+      s"""WITH ${dWinnowFpN(5)},
+         byh AS (SELECT DISTINCT f.doc_id, f.h, d.source
+             FROM fp f JOIN documents d USING (doc_id)),
+         cur AS (SELECT h, min(doc_id) AS matched_id FROM byh
+             WHERE source IN ('src0','src1','src2','src3','src4')
+             GROUP BY 1),
+         web AS (SELECT doc_id, h FROM byh
+             WHERE source NOT IN ('src0','src1','src2','src3','src4'))
+         SELECT doc_id, count(*)::BIGINT AS n_shared,
+           min(matched_id) AS matched_id
+         FROM web JOIN cur USING (h)
+         GROUP BY 1 HAVING count(*) >= 2""",
 
     "q172_winnowing_pairs" ->
       s"""WITH $dWinnowFp,
