@@ -59,7 +59,11 @@ object ScaleCheck {
 
     val dirs = Map(1 -> synth(1), 10 -> synth(10))
     val queryNames = Seq("q31_jaccard_pairs", "q33_minhash_lsh_pairs",
-      "q100_dedup_materialize", "q145_incremental_lsh")
+      "q100_dedup_materialize", "q145_incremental_lsh",
+      // round-5 session additions: the prefix-filtered join and the
+      // winnowed-fingerprint pair mining — both blocked pair finders
+      // whose 10x behavior should match q31's ~linear shape
+      "q169_prefix_filter_pairs", "q172_winnowing_pairs")
 
     println("| component | 1x (s) | 10x (s) | ratio |")
     println("|---|---|---|---|")
