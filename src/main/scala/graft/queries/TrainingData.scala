@@ -561,6 +561,32 @@ object TrainingData extends QueryGroup {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // CLUSTER MEDOID selection: the most-central member of each
+    // near-dup cluster (argmax of total similarity to co-members)
+    // instead of the arbitrary min-id representative — the curation
+    // upgrade for "keep the best copy": the medoid is the member
+    // closest to everything it represents. Scores are exact BIGINT
+    // micro-jaccards (round(j*1e6) per edge — integer summation, no
+    // float-order drift); the argmax is the struct-max discipline
+    // (score, -id) so ties break to the smallest id.
+    "q175_cluster_medoid" -> ((s, dir) => {
+      val pairs = Dedup.DefaultMaterialize(
+        Dedup.jaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", n = 3, threshold = 0.5, maxDf = 100))
+      val clusters = Dedup.connectedComponents(pairs)
+      val sym = pairs.select(col("id_a").as("id"), col("jaccard"))
+        .unionByName(pairs.select(col("id_b").as("id"), col("jaccard")))
+      val score = sym.groupBy("id").agg(
+        sum(round(col("jaccard") * 1000000).cast("long")).as("s_micro"))
+      clusters.join(score, "id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("s_micro"), (-col("id")).as("nid"))).as("m"))
+        .select(col("cluster"), col("n_members"),
+          (-col("m.nid")).as("medoid_id"),
+          col("m.s_micro").as("score_micro"))
+    }),
+
     // Same clustering via alternating large-star/small-star — the
     // O(log n)-round variant for adversarial component diameters at
     // 100 TB — checked against the SAME recursive-CTE oracle.
@@ -1359,6 +1385,27 @@ object TrainingData extends QueryGroup {
          WHERE inter * 1000 >= 900 * least(sa.n_sh, sb.n_sh)""",
 
     "q69_dedup_clusters" -> ccClusterOracle,
+
+    "q175_cluster_medoid" ->
+      s"""WITH RECURSIVE $ccCte,
+         cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         jp AS (SELECT id_a, id_b,
+               round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS j
+             FROM prs JOIN sizes sa ON id_a = sa.doc_id
+                      JOIN sizes sb ON id_b = sb.doc_id
+             WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         sym AS (SELECT id_a AS id, j FROM jp
+                 UNION ALL SELECT id_b, j FROM jp),
+         sc AS (SELECT id, sum(CAST(round(j * 1000000) AS BIGINT))::BIGINT AS s_micro
+             FROM sym GROUP BY 1),
+         j2 AS (SELECT cl.cluster, cl.doc_id AS id, sc.s_micro
+             FROM cl JOIN sc ON cl.doc_id = sc.id)
+         SELECT cluster, n_members, id AS medoid_id, s_micro AS score_micro
+         FROM (SELECT cluster, id, s_micro,
+             count(*) OVER (PARTITION BY cluster)::BIGINT AS n_members,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY s_micro DESC, id) AS rn
+           FROM j2) WHERE rn = 1""",
     "q73_dedup_clusters_star" -> ccClusterOracle,
 
     // naive orientation-free triangle join over the q31 edge set;
