@@ -561,6 +561,29 @@ object TrainingData extends QueryGroup {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // MULTI-SIGNAL dedup: one clustering over the UNION of the text
+    // near-dup edges (3-gram jaccard >= 0.5, q31) and the embedding
+    // near-dup edges (cosine >= 0.45 in sign-LSH buckets, the q35
+    // generator at a semantic-duplicate threshold) — the production
+    // shape where lexical and semantic signals vote into one
+    // component graph. The two edge sets are fully DISJOINT on this
+    // data (zero overlap at either SF), so the result is reachable
+    // by neither signal alone; both pair generators keep their own
+    // blocking. 0.45, not q35's exploratory 0.35: on isotropic
+    // vectors 0.35 admits thousands of generic edges whose giant
+    // components say nothing about duplication (and blow up the
+    // quadratic reach relation of the oracle's recursive CTE).
+    "q176_multisignal_dedup" -> ((s, dir) => {
+      val text = Dedup.jaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", n = 3, threshold = 0.5, maxDf = 100)
+        .select("id_a", "id_b")
+      val emb = Similarity.cosinePairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dim = Dim, threshold = 0.45, bits = LshBits)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(text.unionByName(emb))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     // CLUSTER MEDOID selection: the most-central member of each
     // near-dup cluster (argmax of total similarity to co-members)
     // instead of the arbitrary min-id representative — the curation
@@ -1233,7 +1256,7 @@ object TrainingData extends QueryGroup {
          SELECT id_a, id_b
          FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
-       edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs
+       edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM dup_pairs
                  UNION ALL SELECT id_b, id_a FROM dup_pairs),
        nodes AS (SELECT DISTINCT a AS id FROM edges),
        reach AS (
@@ -1385,6 +1408,36 @@ object TrainingData extends QueryGroup {
          WHERE inter * 1000 >= 900 * least(sa.n_sh, sb.n_sh)""",
 
     "q69_dedup_clusters" -> ccClusterOracle,
+
+    // same recursive min-reachable-id, over the UNION edge set
+    "q176_multisignal_dedup" ->
+      s"""WITH RECURSIVE $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         tp AS (SELECT id_a, id_b
+             FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+             WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         nbv AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2,
+               ${dBucket("v")} AS bucket FROM base),
+         ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM nbv a JOIN nbv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             WHERE round(${dDot("a.v", "b.v")} / sqrt(a.n2 * b.n2), 6) >= 0.45),
+         dup_pairs AS MATERIALIZED (SELECT * FROM tp UNION SELECT * FROM ep),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM dup_pairs
+                   UNION ALL SELECT id_b, id_a FROM dup_pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)
+         SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""",
 
     "q175_cluster_medoid" ->
       s"""WITH RECURSIVE $ccCte,
