@@ -105,4 +105,20 @@ class WinnowRegistry(path: String, n: Int, w: Int, minShared: Int,
       .write.mode("append").insertInto(indexTable)
     batch.join(keptIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
   }
+
+  /** Right-to-be-forgotten: remove the given doc ids' fingerprints
+    * from the index, so content equal or near-equal to a forgotten
+    * doc is admissible again. The rewrite is a full anti-join pass
+    * over the index — the honest cost of deletion in an append-
+    * optimized layout (same INSERT OVERWRITE shape as q123's
+    * compaction); ids are read pre-overwrite through an eager
+    * checkpoint (the ParquetState pin rule). */
+  def forget(spark: SparkSession, ids: Seq[Long]): Unit = {
+    checkParams(spark)
+    ensureIndex(spark)
+    val keep = spark.table(indexTable)
+      .filter(!col("id").isin(ids: _*))
+      .localCheckpoint(true)
+    keep.write.mode("overwrite").insertInto(indexTable)
+  }
 }

@@ -43,6 +43,15 @@ class WinnowRegistrySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(replay.isEmpty, s"replay must self-match to empty, got $replay")
 
+    // right-to-be-forgotten: after forgetting doc 1, a copy of its
+    // passage is admissible again
+    reg.forget(spark, Seq(1L))
+    val b3 = Seq((9L, s"re post $passage of the forgotten content"))
+      .toDF("doc_id", "text")
+    val kept3 = reg.dedupAppend(b3, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept3 == Set(9L), "forgotten content must be admissible again")
+
     // a registry is pinned to its (n, w)
     val bad = new WinnowRegistry(s"$dir/reg", n = 5, w = 4, minShared = 2)
     intercept[IllegalArgumentException] {
