@@ -51,7 +51,9 @@ object PlanAudit {
     "q164_event_funnel" -> "three 1-row stage-summary aggregates cross-joined (q110 shape, bounded by construction)",
     "q167_token_drift" -> "1-row corpus-total aggregate broadcast cross join (q53 shape)",
     "q170_rendezvous_sharding" -> "1-row churn-audit aggregate broadcast onto the <=72-row shard matrix (q53 shape, bounded by construction)",
-    "q173_decayed_engagement" -> "1-row as-of-timestamp aggregate broadcast cross join (q86 shape)"
+    "q173_decayed_engagement" -> "1-row as-of-timestamp aggregate broadcast cross join (q86 shape)",
+    "q177_bm25_topk" -> "1-row corpus-stats (N, total_dl) broadcast cross join (q53 shape); query-term table is a bounded broadcast equi-join",
+    "q181_histogram_quantile" -> "two 1-row aggregates (total count, merge-law mismatch count) broadcast cross-joined (q110 shape, bounded by construction)"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by
@@ -64,7 +66,11 @@ object PlanAudit {
     "q154_systematic_pps" ->
       "offset/total windows over the 8-row BUCKET-TOTALS aggregate only — the corpus prefix sum itself is bucket-partitioned (this query IS the two-pass prefix sum q116's note promises)",
     "q159_epoch_interleave" ->
-      "src_rank/n_sources windows over the per-source AGGREGATE (|sources| rows) — the corpus itself only sees the per-source window and a narrow map"
+      "src_rank/n_sources windows over the per-source AGGREGATE (|sources| rows) — the corpus itself only sees the per-source window and a narrow map",
+    "q178_alpha_allocation" ->
+      "weight-total/leftover/remainder-rank windows over the per-source AGGREGATE (|sources| rows, q116 shape) — the corpus only pays the one groupBy(source)",
+    "q181_histogram_quantile" ->
+      "cumsum windows over the AGGREGATED histogram relations — bounded by value range / bucket width (<= 1M cells), never by |events|"
   )
 
   private def globalWindow(root: SparkPlan): Boolean =

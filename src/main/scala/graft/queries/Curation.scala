@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
@@ -691,6 +691,62 @@ object Curation extends QueryGroup {
         .join(broadcast(srcRank), Seq("source"))
         .select(col("doc_id"), col("source"),
           ((col("rn") - 1) * col("n_sources") + col("src_rank")).as("position"))
+    }),
+
+    // TEMPERATURE-SCALED MIXTURE ALLOCATION (alpha = 0.5): the
+    // multilingual-corpus sampling rule — source i draws tokens
+    // proportionally to t_i^alpha, flattening the head so small
+    // sources are not drowned (the knob between uniform alpha=0 and
+    // proportional alpha=1). Exact end-to-end: weights are
+    // floor(1e6*sqrt(t)) (IEEE sqrt is correctly rounded, so both
+    // engines agree bitwise), quotas are integer floor-division
+    // against the weight total, and the largest-remainder step hands
+    // out the leftover so sum(alloc) == budget EXACTLY — the
+    // apportionment property the spec pins. Every window here runs
+    // over the per-source AGGREGATE (|sources| rows, allow-listed),
+    // never the corpus: at 100 TB the only corpus-sized job is the
+    // one partial-agg'd groupBy(source).
+    "q178_alpha_allocation" -> ((s, dir) => {
+      val budget = 1000000L
+      val wAll = Window.partitionBy()
+      Tables.documents(s, dir)
+        .groupBy("source").agg(sum("n_chars").as("t"))
+        .withColumn("w", floor(sqrt(col("t").cast("double")) * 1000000.0))
+        .withColumn("tw", sum(col("w")).over(wAll))
+        .withColumn("quota", expr(s"($budget * w) div tw"))
+        .withColumn("rem", expr(s"$budget * w - (($budget * w) div tw) * tw"))
+        .withColumn("leftover", lit(budget) - sum(col("quota")).over(wAll))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("t"), col("w"),
+          expr("(w * 1000000) div tw").as("p_ppm"),
+          (col("quota")
+            + when(col("rnk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+    }),
+
+    // K-ANONYMITY AUDIT with a generalization ladder: how many docs
+    // sit in quasi-identifier groups smaller than k=5 (re-identifiable
+    // by linkage on the QI columns), and how much a coarser
+    // generalization recovers. Level 0 buckets (lang, source,
+    // n_chars div 100); level 1 drops source and widens the length
+    // bucket to 500 — the classic suppress-vs-generalize trade
+    // reported as one table. Pure integer counts; the suppression
+    // rate ships as exact ppm (integer floor-division), so parity is
+    // bitwise. At 100 TB each level is one partial-agg'd shuffle on
+    // its QI key and the second aggregate is |groups|-bounded.
+    "q179_k_anonymity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def audit(level: Int, qi: Seq[Column]): DataFrame =
+        d.groupBy(qi: _*).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n") < 5, 1L).otherwise(0L)).as("risky_groups"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L)).as("risky_rows"),
+            sum(col("n")).as("total_rows"))
+          .select(lit(level).as("level"), col("n_groups"),
+            col("risky_groups"), col("risky_rows"),
+            expr("(risky_rows * 1000000) div total_rows").as("suppress_ppm"))
+      audit(0, Seq(col("lang"), col("source"), expr("n_chars div 100")))
+        .unionByName(audit(1, Seq(col("lang"), expr("n_chars div 500"))))
     })
   )
 
@@ -1172,6 +1228,39 @@ object Curation extends QueryGroup {
            FROM (SELECT DISTINCT source FROM documents))
          SELECT doc_id, source,
            (rn - 1) * n_sources + src_rank AS position
-         FROM r JOIN s USING (source)"""
+         FROM r JOIN s USING (source)""",
+
+    "q178_alpha_allocation" ->
+      """WITH src AS (SELECT source, sum(n_chars)::BIGINT AS t
+                      FROM documents GROUP BY 1),
+         w AS (SELECT source, t,
+               floor(sqrt(t::DOUBLE) * 1000000.0)::BIGINT AS w FROM src),
+         tw AS (SELECT *, (sum(w) OVER ())::BIGINT AS tw FROM w),
+         q AS (SELECT *, (1000000 * w) // tw AS quota,
+               1000000 * w - ((1000000 * w) // tw) * tw AS rem FROM tw),
+         r AS (SELECT *,
+               1000000 - (sum(quota) OVER ())::BIGINT AS leftover,
+               row_number() OVER (ORDER BY rem DESC, source) AS rnk FROM q)
+         SELECT source, t, w, (w * 1000000) // tw AS p_ppm,
+           (quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+         FROM r""",
+
+    "q179_k_anonymity" ->
+      """WITH g0 AS (SELECT lang, source, n_chars // 100 AS b,
+                     count(*)::BIGINT AS n FROM documents GROUP BY 1, 2, 3),
+         g1 AS (SELECT lang, n_chars // 500 AS b,
+                count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+         a0 AS (SELECT 0 AS level, count(*)::BIGINT AS n_groups,
+             sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS risky_groups,
+             sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS risky_rows,
+             sum(n)::BIGINT AS total_rows FROM g0),
+         a1 AS (SELECT 1 AS level, count(*)::BIGINT AS n_groups,
+             sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS risky_groups,
+             sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS risky_rows,
+             sum(n)::BIGINT AS total_rows FROM g1),
+         u AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1)
+         SELECT level, n_groups, risky_groups, risky_rows,
+           (risky_rows * 1000000) // total_rows AS suppress_ppm
+         FROM u"""
   )
 }

@@ -39,6 +39,27 @@ object Scale extends QueryGroup {
   /** q162 weighted-reservoir sample size. */
   private val WrK = 20
 
+  /** q177's per-(query-term, doc) BM25 partial score in exact integer
+    * micro-units. ONE string parsed by BOTH engines (Spark `expr` and
+    * the DuckDB oracle), so the IEEE operation tree — and therefore
+    * every double — is identical by construction; floor + cast makes
+    * the per-term score an exact BIGINT, and the per-doc score an
+    * order-free integer sum. k1 = 1.2, b = 0.75 (2.2 = k1+1,
+    * 0.25 = 1-b); idf is the Robertson odds ratio (N-df+0.5)/(df+0.5)
+    * kept log-free, the same transcendental-avoidance rule as q104's
+    * lift. */
+  private val bm25Score =
+    "cast(floor((((n_docs - df) + 0.5) / (df + 0.5)) * " +
+      "((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / " +
+      "(cast(total_dl as double) / cast(n_docs as double))))) * " +
+      "1000000.0) as bigint)"
+
+  /** q181's micro-unit quantization and bucket width: value -> exact
+    * integer micro (floor(v*1000)), histogram bucket = floor(micro/500).
+    * Shared strings, same single-parse rule as bm25Score. */
+  private val microExpr = "cast(floor(value * 1000.0) as bigint)"
+  private val bucketExpr = "cast(floor(micro / 500.0) as bigint)"
+
   /** Morton-interleave bit i of c at output position 2*i+off. */
   private def mortonBit(c: org.apache.spark.sql.Column, i: Int, off: Int) =
     shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off)
@@ -668,6 +689,104 @@ object Scale extends QueryGroup {
         .select(col("a8"), col("a9"), col("n"),
           (col("moved") * 100 >= col("total") * 6 &&
             col("moved") * 100 <= col("total") * 18).as("churn_ok"))
+    }),
+
+    // BM25 TOP-K RETRIEVAL: the ranked-search operator over the
+    // corpus inverted index (q115 built the index; this one ANSWERS
+    // queries with it). The query workload derives from held-out
+    // docs 0-2 — each query is that doc's first 4 distinct tokens —
+    // so it exists at every SF with zero hand-pinned literals.
+    // Scoring is exact: the per-term BM25 partial (bm25Score above)
+    // is floor'd to integer micro-units per (term, doc), so the
+    // per-doc sum is an order-free BIGINT and ranking ties break on
+    // doc_id. Shape at 100 TB: tf/df are the same two partial-agg'd
+    // shuffles the index build pays; the 12-row query-term table
+    // broadcasts INTO the tf relation (candidates = postings of the
+    // query terms only, never the corpus); the top-k window is
+    // per-query. A production engine would add block-max pruning
+    // (WAND) inside each posting scan — that changes the constant,
+    // not the shape.
+    "q177_bm25_topk" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Spread.byKey("doc_id"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val t = toks.select(col("doc_id"), posexplode(col("toks")))
+        .toDF("doc_id", "pos", "term")
+      val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      val qt = t.filter(col("doc_id") < 3)
+        .groupBy(col("doc_id").as("query_id"), col("term"))
+        .agg(min(col("pos")).as("fp"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("fp"), col("term"))))
+        .filter(col("rn") <= 4).select("query_id", "term")
+      tf.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(df, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("s_micro", expr(bm25Score))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("s_micro").as("score_micro"), count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select("query_id", "doc_id", "score_micro", "n_terms", "rank")
+    }),
+
+    // MERGEABLE HISTOGRAM QUANTILE SKETCH: per-shard integer
+    // histograms (fixed 0.5-unit buckets over micro-quantized
+    // values) merge by pure integer addition — the deterministic,
+    // exactly-mergeable alternative to randomized KLL/t-digest. The
+    // merged sketch alone answers p50/p95/p99 to within half a
+    // bucket, and every guarantee ships as a column the oracle pins:
+    // contained (the exact rank statistic falls inside the estimated
+    // bucket), mid_err_ok (|midpoint - exact| <= 250 micro), and
+    // merge_exact (merged == direct global histogram, bucket for
+    // bucket). At 100 TB each executor emits O(range/width) cells no
+    // matter how many rows it scanned; the exact-rank audit columns
+    // ride value-bounded relations (<= 1M distinct micros), so the
+    // cumsum windows are bucket-bounded, never row-bounded
+    // (allow-listed).
+    "q181_histogram_quantile" -> ((s, dir) => {
+      val cumW = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = Tables.events(s, dir)
+        .select(col("event_type"), expr(microExpr).as("micro"))
+        .withColumn("bucket", expr(bucketExpr))
+      val shard = m.groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      val merged = shard.groupBy("bucket").agg(sum("n").as("n"))
+      val direct = m.groupBy("bucket").agg(count(lit(1)).as("n"))
+      val bad = merged.as("a").join(direct.as("b"), Seq("bucket"), "full_outer")
+        .filter(!(col("a.n") <=> col("b.n")))
+        .agg(count(lit(1)).as("n_bad"))
+      val tot = merged.agg(sum("n").as("n_total"))
+      val pcts = explode(array(lit(50), lit(95), lit(99))).as("pct")
+      val est = merged.withColumn("cum", sum(col("n")).over(cumW))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("cum"), col("n_total"), pcts)
+        .withColumn("target", expr("(n_total * pct + 99) div 100"))
+        .filter(col("cum") >= col("target"))
+        .groupBy("pct", "target").agg(min("bucket").as("est_bucket"))
+      val ex = m.groupBy("micro").agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(Window.orderBy("micro")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("micro"), col("cum"), col("n_total"), pcts)
+        .filter(col("cum") >= expr("(n_total * pct + 99) div 100"))
+        .groupBy("pct").agg(min("micro").as("exact_micro"))
+      est.join(ex, Seq("pct"))
+        .crossJoin(broadcast(bad))
+        .select(col("pct"), col("target"),
+          (col("est_bucket") * 500).as("bucket_lo"), col("exact_micro"),
+          (col("exact_micro") >= col("est_bucket") * 500 &&
+            col("exact_micro") < col("est_bucket") * 500 + 500).as("contained"),
+          (abs(col("exact_micro") - (col("est_bucket") * 500 + 250)) <= 250)
+            .as("mid_err_ok"),
+          (col("n_bad") === 0).as("merge_exact"))
     })
   )
 
@@ -1016,6 +1135,66 @@ object Scale extends QueryGroup {
          SELECT a8, a9, n,
            (moved * 100 >= total * 6 AND moved * 100 <= total * 18) AS churn_ok
          FROM m CROSS JOIN audit"""
-    }
+    },
+
+    "q177_bm25_topk" ->
+      s"""WITH $dTok,
+         t AS (SELECT doc_id, unnest(toks) AS term,
+                 unnest(generate_series(0, len(toks) - 1)) AS pos FROM tok),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM t GROUP BY 1, 2),
+         df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+         stats AS (SELECT count(*)::BIGINT AS n_docs,
+                   sum(dl)::BIGINT AS total_dl FROM dl),
+         qt0 AS (SELECT doc_id AS query_id, term, min(pos) AS fp
+                 FROM t WHERE doc_id < 3 GROUP BY 1, 2),
+         qt AS (SELECT query_id, term FROM (SELECT *, row_number()
+                  OVER (PARTITION BY query_id ORDER BY fp, term) AS rn
+                FROM qt0) WHERE rn <= 4),
+         sc AS (SELECT q.query_id, f.doc_id, $bm25Score AS s_micro
+                FROM tf f JOIN qt q USING (term) JOIN df USING (term)
+                  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN stats
+                WHERE f.doc_id != q.query_id),
+         g AS (SELECT query_id, doc_id, sum(s_micro)::BIGINT AS score_micro,
+                 count(*)::BIGINT AS n_terms FROM sc GROUP BY 1, 2)
+         SELECT query_id, doc_id, score_micro, n_terms, rank FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id) AS rank FROM g)
+         WHERE rank <= 5""",
+
+    "q181_histogram_quantile" ->
+      s"""WITH m AS (SELECT event_type, $microExpr AS micro FROM events),
+         mb AS (SELECT event_type, micro, $bucketExpr AS bucket FROM m),
+         shard AS (SELECT event_type, bucket, count(*)::BIGINT AS n
+                   FROM mb GROUP BY 1, 2),
+         merged AS (SELECT bucket, sum(n)::BIGINT AS n FROM shard GROUP BY 1),
+         direct AS (SELECT bucket, count(*)::BIGINT AS n FROM mb GROUP BY 1),
+         bad AS (SELECT count(*)::BIGINT AS n_bad
+                 FROM merged FULL JOIN direct USING (bucket)
+                 WHERE merged.n IS DISTINCT FROM direct.n),
+         tot AS (SELECT sum(n)::BIGINT AS n_total FROM merged),
+         cum AS (SELECT bucket, (sum(n) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                   AS cum FROM merged),
+         pcts AS (SELECT unnest([50, 95, 99]) AS pct),
+         est AS (SELECT pct, (n_total * pct + 99) // 100 AS target,
+                   min(bucket) AS est_bucket
+                 FROM cum CROSS JOIN tot CROSS JOIN pcts
+                 WHERE cum >= (n_total * pct + 99) // 100 GROUP BY 1, 2),
+         vh AS (SELECT micro, count(*)::BIGINT AS n FROM m GROUP BY 1),
+         vcum AS (SELECT micro, (sum(n) OVER (ORDER BY micro
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                    AS cum FROM vh),
+         ex AS (SELECT pct, min(micro) AS exact_micro
+                FROM vcum CROSS JOIN tot CROSS JOIN pcts
+                WHERE cum >= (n_total * pct + 99) // 100 GROUP BY 1)
+         SELECT e.pct AS pct, e.target AS target,
+           e.est_bucket * 500 AS bucket_lo, x.exact_micro AS exact_micro,
+           (x.exact_micro >= e.est_bucket * 500 AND
+            x.exact_micro < e.est_bucket * 500 + 500) AS contained,
+           (abs(x.exact_micro - (e.est_bucket * 500 + 250)) <= 250) AS mid_err_ok,
+           (b.n_bad = 0) AS merge_exact
+         FROM est e JOIN ex x USING (pct) CROSS JOIN bad b"""
   )
 }

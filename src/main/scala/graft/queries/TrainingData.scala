@@ -1232,6 +1232,44 @@ object TrainingData extends QueryGroup {
         .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
         .filter(col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
+    }),
+
+    // INTRA-DOCUMENT SELF-REPETITION SCRUB: dedup each document's OWN
+    // 4-token chunks, keeping the FIRST occurrence in reading order,
+    // and reassemble the cleaned text — the within-page complement of
+    // cross-doc dedup (q122 finds passages shared ACROSS docs, q168
+    // strips per-source boilerplate; generated/spammy pages repeat
+    // THEMSELVES). Strings only, so parity is bitwise; the repetition
+    // rate ships as exact ppm. Both shuffles (first-occurrence
+    // groupBy, reassembly groupBy) are keyed by doc_id — nothing
+    // global, and a chunk's dedup scope is its own document, so at
+    // 100 TB the whole scrub is embarrassingly parallel over docs.
+    "q180_selfrep_scrub" -> ((s, dir) => {
+      // tokens in their own projection (Winnow single-evaluation
+      // rule); Spread first so one parquet split doesn't tokenize on
+      // one core.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .transform(graft.operators.Spread.byKey("doc_id"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val ch = toks
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          expr("(size(toks) + 3) div 4").as("n_chunks"),
+          posexplode(expr(
+            "transform(sequence(0, (size(toks) + 3) div 4 - 1), " +
+              "i -> array_join(slice(toks, i * 4 + 1, 4), ' '))")))
+        .toDF("doc_id", "n_chunks", "pos", "chunk")
+      ch.groupBy("doc_id", "n_chunks", "chunk")
+        .agg(min(col("pos")).as("pos"))
+        .groupBy("doc_id", "n_chunks")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("cleaned"))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          expr("((n_chunks - n_kept) * 1000000) div n_chunks").as("rep_ppm"),
+          col("cleaned"))
     })
   )
 
@@ -2055,6 +2093,21 @@ object TrainingData extends QueryGroup {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.fp, b.fp))::INT AS hamming
          FROM sims64 a JOIN sims64 b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+
+    "q180_selfrep_scrub" ->
+      s"""WITH $dTok,
+         w AS (SELECT doc_id, toks, (len(toks) + 3) // 4 AS n_chunks,
+                 unnest(generate_series(0, (len(toks) + 3) // 4 - 1)) AS pos
+               FROM tok WHERE len(toks) > 0),
+         ch AS (SELECT doc_id, n_chunks, pos,
+                 array_to_string(toks[(pos * 4 + 1):(pos * 4 + 4)], ' ') AS chunk
+               FROM w),
+         f AS (SELECT doc_id, n_chunks, chunk, min(pos) AS pos
+               FROM ch GROUP BY 1, 2, 3)
+         SELECT doc_id, n_chunks, count(*)::BIGINT AS n_kept,
+           ((n_chunks - count(*)) * 1000000) // n_chunks AS rep_ppm,
+           string_agg(chunk, ' ' ORDER BY pos) AS cleaned
+         FROM f GROUP BY doc_id, n_chunks"""
   )
 }
