@@ -54,11 +54,11 @@ object Scale extends QueryGroup {
       "(cast(total_dl as double) / cast(n_docs as double))))) * " +
       "1000000.0) as bigint)"
 
-  /** q181's micro-unit quantization and bucket width: value -> exact
-    * integer micro (floor(v*1000)), histogram bucket = floor(micro/500).
-    * Shared strings, same single-parse rule as bm25Score. */
-  private val microExpr = "cast(floor(value * 1000.0) as bigint)"
-  private val bucketExpr = "cast(floor(micro / 500.0) as bigint)"
+  /** q181's micro-unit quantization and bucketing — the shared
+    * operators.Hist definitions (also the streaming HistRegistry's
+    * cells), same single-parse rule as bm25Score. */
+  private val microExpr = graft.operators.Hist.MicroSql
+  private val bucketExpr = graft.operators.Hist.BucketSql
 
   /** Morton-interleave bit i of c at output position 2*i+off. */
   private def mortonBit(c: org.apache.spark.sql.Column, i: Int, off: Int) =

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The batch-partitioned ADDITIVE-registry discipline shared by
+  * CmsRegistry (term-frequency cells) and HistRegistry (quantile
+  * histogram buckets): the fold is a SUM over key columns —
+  * commutative and associative but NOT idempotent — so replay safety
+  * cannot come from the algebra (the SketchRegistry/KmvRegistry
+  * route). It comes from the layout: each batch's deltas land in
+  * their own batch_id partition (IdempotentSink), an at-least-once
+  * replay overwrites its own partition byte-identically, and the
+  * folded sum is exactly-once.
+  *
+  * Compaction encodes the absorbed horizon in the base partition's
+  * id: compact(upTo = K) writes batch_id = -(K+2), so -2 absorbs
+  * batch 0, -3 absorbs 0..1, ... Readers take the NEWEST base and
+  * ignore both older bases and every live partition at or below its
+  * horizon. Post-compaction cleanup is therefore garbage collection,
+  * never a correctness step: a crash between base write and cleanup
+  * double-counts nothing, a replay of an absorbed batch recreates a
+  * partition readers already ignore, and appends running
+  * CONCURRENTLY with compact land above the horizon and survive
+  * untouched (the write is a dynamic overwrite of the single new
+  * base partition, never the whole tree).
+  */
+object AdditiveRegistry {
+
+  private def baseId(upTo: Long): Long = -(upTo + 2)
+
+  /** The absorbed horizon encoded by the newest base partition, or
+    * -1 when no compaction has run. 1-value driver read — registry
+    * maintenance metadata, bounded by contract. */
+  private def horizon(all: DataFrame): Long = {
+    val h = all.agg(max(when(col("batch_id") <= -2L, -col("batch_id") - 2L)))
+      .head().get(0)
+    if (h == null) -1L else h.asInstanceOf[Long]
+  }
+
+  private def readAll(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** Valid cells under horizon h: the base encoding h plus every
+    * live partition above h. (With no base, h = -1 keeps exactly the
+    * live partitions.) */
+  private def valid(all: DataFrame, h: Long): DataFrame =
+    all.filter(col("batch_id") === baseId(h) || col("batch_id") > h)
+
+  /** The folded registry: key-wise sum of the newest base plus every
+    * live partition above its horizon (the merge law of whatever
+    * sketch the cells encode). */
+  def fold(spark: SparkSession, path: String, keys: Seq[String],
+           valueCol: String): DataFrame = {
+    val all = readAll(spark, path)
+    valid(all, horizon(all))
+      .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
+  }
+
+  /** Compact the current base and every live partition with
+    * batch_id <= upToBatchId into ONE new base — the q123
+    * maintenance shape applied to the registry, bounding partition
+    * count. Absorbed partitions are then deleted as garbage;
+    * correctness never depends on the deletion (see the object doc). */
+  def compact(spark: SparkSession, path: String, keys: Seq[String],
+              valueCol: String, upToBatchId: Long): Unit = {
+    val all = readAll(spark, path)
+    val h = horizon(all)
+    require(upToBatchId > h,
+      s"AdditiveRegistry.compact: upToBatchId=$upToBatchId must exceed " +
+        s"the current horizon $h (older batches are already absorbed)")
+    val base = valid(all, h).filter(col("batch_id") <= upToBatchId)
+      .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
+      .withColumn("batch_id", lit(baseId(upToBatchId)))
+      // pin BEFORE writing into the tree the plan reads (the
+      // ParquetState rule)
+      .localCheckpoint(true)
+    base.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+    // GC: drop absorbed live partitions and superseded bases — pure
+    // cleanup, readers already ignore them
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        val b = name.stripPrefix("batch_id=").toLong
+        val absorbedLive = b >= 0 && b <= upToBatchId
+        val oldBase = b <= -2 && b != baseId(upToBatchId)
+        if (absorbedLive || oldBase) fs.delete(st.getPath, true)
+      }
+    }
+  }
+}

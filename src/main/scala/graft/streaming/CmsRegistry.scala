@@ -9,14 +9,11 @@ import graft.functions.Text
   * micro-batches so "how often has this term appeared EVER" is
   * answerable without rescanning history.
   *
-  * The fold is cell-wise ADDITION — commutative and associative but
-  * NOT idempotent, so unlike the sketch-union registries
-  * (SketchRegistry, KmvRegistry) replay safety cannot come from the
-  * algebra. It comes from the layout instead: each batch's cell
-  * deltas land in their own batch_id partition with dynamic
-  * partition overwrite (the IdempotentSink discipline), so an
-  * at-least-once replay overwrites its own partition byte-identically
-  * and the folded sum is exactly-once.
+  * The fold is cell-wise ADDITION — replay safety and compaction are
+  * the AdditiveRegistry discipline (batch_id partition layout +
+  * horizon-encoding base partitions); this object contributes only
+  * the CMS shape: what a batch's cells ARE and how probes read the
+  * folded sketch.
   *
   * Scale: a batch ships at most d*w cells (the partial-agg bound);
   * the registry grows one d*w-cell partition per batch and compacts
@@ -25,6 +22,8 @@ import graft.functions.Text
   * the folded d*w-cell table.
   */
 object CmsRegistry {
+
+  private val Keys = Seq("i", "bucket")
 
   /** One batch's cell deltas: (i, bucket, cell) summed over the
     * batch's term occurrences — d*w rows max, map-side combined. */
@@ -43,82 +42,16 @@ object CmsRegistry {
     IdempotentSink.parquetByBatch(path)(
       batchCells(batch, textCol, d, w), batchId)
 
-  /** A base partition encodes WHICH batches it absorbs in its id:
-    * compact(upTo = K) writes batch_id = -(K+2), so -2 absorbs batch
-    * 0, -3 absorbs 0..1, ... Readers take the NEWEST base and ignore
-    * both older bases and every live partition at or below its
-    * horizon. That makes post-compaction cleanup garbage collection,
-    * never a correctness step: a crash between base write and
-    * cleanup double-counts nothing, a replay of an absorbed batch
-    * recreates a partition readers already ignore, and appends
-    * running CONCURRENTLY with compact land above the horizon and
-    * survive untouched (the write is a dynamic overwrite of the
-    * single new base partition, never the whole tree). */
-  private def baseId(upTo: Long): Long = -(upTo + 2)
-
-  /** The absorbed horizon encoded by the newest base partition, or
-    * -1 when no compaction has run. 1-value driver read — registry
-    * maintenance metadata, bounded by contract. */
-  private def horizon(all: DataFrame): Long = {
-    val h = all.agg(max(when(col("batch_id") <= -2L, -col("batch_id") - 2L)))
-      .head().get(0)
-    if (h == null) -1L else h.asInstanceOf[Long]
-  }
-
-  private def readAll(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .withColumn("batch_id", col("batch_id").cast("long"))
-
-  /** Valid cells under horizon h: the base encoding h plus every
-    * live partition above h. (With no base, h = -1 keeps exactly the
-    * live partitions.) */
-  private def valid(all: DataFrame, h: Long): DataFrame =
-    all.filter(col("batch_id") === baseId(h) || col("batch_id") > h)
-
   /** The folded sketch: cell-wise sum of the newest base plus every
     * live partition above its horizon (the CMS merge law, same as
     * q161's merge_law_ok). */
-  def sketch(spark: SparkSession, path: String): DataFrame = {
-    val all = readAll(spark, path)
-    valid(all, horizon(all))
-      .groupBy("i", "bucket").agg(sum("cell").as("cell"))
-  }
+  def sketch(spark: SparkSession, path: String): DataFrame =
+    AdditiveRegistry.fold(spark, path, Keys, "cell")
 
-  /** Compact the current base and every live partition with
-    * batch_id <= upToBatchId into ONE new base — the q123
-    * maintenance shape applied to the registry, bounding partition
-    * count. Absorbed partitions are then deleted as garbage;
-    * correctness never depends on the deletion (see baseId doc). */
-  def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit = {
-    val all = readAll(spark, path)
-    val h = horizon(all)
-    require(upToBatchId > h,
-      s"CmsRegistry.compact: upToBatchId=$upToBatchId must exceed the " +
-        s"current horizon $h (older batches are already absorbed)")
-    val base = valid(all, h).filter(col("batch_id") <= upToBatchId)
-      .groupBy("i", "bucket").agg(sum("cell").as("cell"))
-      .withColumn("batch_id", lit(baseId(upToBatchId)))
-      // pin BEFORE writing into the tree the plan reads (the
-      // ParquetState rule)
-      .localCheckpoint(true)
-    base.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(path)
-    // GC: drop absorbed live partitions and superseded bases — pure
-    // cleanup, readers already ignore them
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(path)
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch_id=")) {
-        val b = name.stripPrefix("batch_id=").toLong
-        val absorbedLive = b >= 0 && b <= upToBatchId
-        val oldBase = b <= -2 && b != baseId(upToBatchId)
-        if (absorbedLive || oldBase) fs.delete(st.getPath, true)
-      }
-    }
-  }
+  /** Compact batches <= upToBatchId into one base partition
+    * (AdditiveRegistry.compact with the CMS cell keys). */
+  def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit =
+    AdditiveRegistry.compact(spark, path, Keys, "cell", upToBatchId)
 
   /** Point estimates for probe terms against a folded sketch:
     * min over hash rows of the probed cell; a never-touched cell is

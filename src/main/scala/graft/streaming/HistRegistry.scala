@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Hist
+
+/** Streaming histogram registry: the quantile counterpart of
+  * CmsRegistry, folding q181's mergeable integer histograms across
+  * event micro-batches so "where is p95 over EVERYTHING we have ever
+  * ingested" is answerable without rescanning history — continuous
+  * quantile monitoring as a registry read.
+  *
+  * The fold is bucket-wise ADDITION (AdditiveRegistry: batch_id
+  * partition layout for replay safety, horizon-encoding bases for
+  * compaction). The sketch is deterministic — unlike KLL/t-digest
+  * there is no randomized compaction, so the folded registry equals
+  * the single-pass histogram of the full history EXACTLY, and the
+  * q181 guarantee carries over: any rank statistic is located to
+  * within one 500-micro bucket.
+  *
+  * Scale: a batch ships O(range/width) cells no matter how many rows
+  * it scanned (map-side combined); the registry grows one bounded
+  * partition per batch and compacts by re-summing; the quantile read
+  * is a cumsum window over the bucket-bounded folded table.
+  */
+object HistRegistry {
+
+  /** One batch's histogram deltas: (bucket, n) over the batch's
+    * values — micro/bucket are the shared Hist definitions, so the
+    * streaming cells land in exactly q181's cells. */
+  def batchHist(events: DataFrame, valueCol: String): DataFrame =
+    events.select(col(valueCol).as("value"))
+      .select(expr(Hist.MicroSql).as("micro"))
+      .select(expr(Hist.BucketSql).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** foreachBatch handler: write this batch's deltas under
+    * batch_id=<id>, replacing that partition on replay. */
+  def appendBatch(path: String, valueCol: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    IdempotentSink.parquetByBatch(path)(batchHist(batch, valueCol), batchId)
+
+  /** The folded histogram of everything ever ingested. */
+  def histogram(spark: SparkSession, path: String): DataFrame =
+    AdditiveRegistry.fold(spark, path, Seq("bucket"), "n")
+
+  /** Compact batches <= upToBatchId into one base partition. */
+  def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit =
+    AdditiveRegistry.compact(spark, path, Seq("bucket"), "n", upToBatchId)
+
+  /** Quantile estimates off a folded histogram: for each percentile,
+    * the first bucket whose cumulative count reaches the ceil-rank
+    * target — the exact rank statistic is GUARANTEED inside
+    * [bucket_lo, bucket_lo + 500) micro (q181's contained/mid_err_ok
+    * columns, proven there against exact ranks). The cumsum window
+    * rides the bucket-bounded folded table, never the event stream. */
+  def quantileEstimates(hist: DataFrame, pcts: Seq[Int]): DataFrame = {
+    val cumW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum("n").as("n_total"))
+    hist.withColumn("cum", sum(col("n")).over(cumW))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cum"), col("n_total"),
+        explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .withColumn("target", expr("(n_total * pct + 99) div 100"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("pct", "target")
+      .agg(min(col("bucket") * Hist.BucketMicro).as("bucket_lo"))
+  }
+}

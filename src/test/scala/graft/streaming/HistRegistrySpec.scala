@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The streaming histogram registry folds by addition — NOT
+  * idempotent — so replay safety must come from the batch_id layout
+  * (AdditiveRegistry): the folded histogram must equal the
+  * single-pass histogram of the full history, a replayed batch must
+  * overwrite instead of double-count, compaction must preserve the
+  * fold, and quantile reads off the registry must bracket the exact
+  * rank statistic to within one bucket. */
+class HistRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  // batch 1: values 1..60; batch 2: values 61..100 — p50 of the
+  // union is 50.0 (micro 50000), p99 is 99.0 (micro 99000)
+  private val b1 = (1 to 60).map(i => Tuple1(i.toDouble))
+  private val b2 = (61 to 100).map(i => Tuple1(i.toDouble))
+
+  test("fold equals one pass; replay-safe; compaction preserves; quantiles bracket") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_hist_").toString
+    val reg = s"$dir/registry"
+    val in = MemoryStream[Tuple1[Double]]
+    val q = in.toDF().toDF("value").writeStream
+      .foreachBatch(HistRegistry.appendBatch(reg, "value") _)
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+
+      def histMap(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long)].collect().toMap
+      val folded = histMap(HistRegistry.histogram(spark, reg))
+      val onePass = histMap(HistRegistry.batchHist(
+        (b1 ++ b2).map(_._1).toDF("value"), "value"))
+      assert(folded == onePass,
+        "folded registry must equal the single-pass histogram")
+
+      // at-least-once replay of batch 0: same batchId, same data
+      HistRegistry.appendBatch(reg, "value")(
+        b1.map(_._1).toDF("value"), 0L)
+      assert(histMap(HistRegistry.histogram(spark, reg)) == onePass,
+        "replaying a batch must not double-count")
+
+      // quantiles straight off the registry: exact micro rank
+      // statistic is value*1000, guaranteed inside the bucket
+      val est = HistRegistry.quantileEstimates(
+          HistRegistry.histogram(spark, reg), Seq(50, 95, 99))
+        .select("pct", "bucket_lo")
+        .as[(Int, Long)].collect().toMap
+      for ((pct, exact) <- Seq(50 -> 50000L, 95 -> 95000L, 99 -> 99000L))
+        assert(est(pct) <= exact && exact < est(pct) + 500,
+          s"p$pct bucket ${est(pct)} must bracket exact micro $exact")
+
+      // compaction absorbs both batches; fold and quantiles unchanged
+      HistRegistry.compact(spark, reg, upToBatchId = 1L)
+      assert(histMap(HistRegistry.histogram(spark, reg)) == onePass,
+        "compaction must preserve the folded histogram")
+
+      // a replay of an ABSORBED batch is invisible below the horizon
+      HistRegistry.appendBatch(reg, "value")(
+        b2.map(_._1).toDF("value"), 1L)
+      assert(histMap(HistRegistry.histogram(spark, reg)) == onePass,
+        "a replayed absorbed batch must be invisible to readers")
+
+      // post-compaction appends keep folding: add values 101..110,
+      // p99 of the 110-value history moves to 109.0
+      HistRegistry.appendBatch(reg, "value")(
+        (101 to 110).map(_.toDouble).toDF("value"), 2L)
+      val est2 = HistRegistry.quantileEstimates(
+          HistRegistry.histogram(spark, reg), Seq(99))
+        .select("pct", "bucket_lo").as[(Int, Long)].collect().toMap
+      assert(est2(99) <= 109000L && 109000L < est2(99) + 500,
+        "post-compaction appends must shift the registry quantile")
+    } finally q.stop()
+  }
+}
