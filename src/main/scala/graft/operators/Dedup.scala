@@ -359,6 +359,57 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components: fold a batch of NEW edges into
+    * an EXISTING min-id labeling without re-clustering the corpus —
+    * the continuous-ingest completion of the dedup loop (q142/q145
+    * discover the batch's pairs batch-proportionally; this folds them
+    * into the standing clusters the same way).
+    *
+    * Algorithm: contract every new edge to the endpoints' current
+    * cluster reps (an unseen id is its own rep), drop the edges that
+    * land inside one cluster, and run the ITERATIVE fixpoint on the
+    * contracted graph only — its node set is bounded by 2x|newEdges|,
+    * never the corpus. Because reps are min-ids, the contracted
+    * min-label fixpoint yields exactly the min-id of each merged
+    * component, so the result is IDENTICAL to re-running
+    * connectedComponents over the full edge set (the q182 oracle
+    * pins this). The corpus-sized work is two equi-joins (rep lookup)
+    * and one remap join — single-pass, no iteration; on a cluster the
+    * remap can also be deferred by keeping the (old rep -> new rep)
+    * mapping as a lookup table.
+    *
+    * assign: (id, cluster) as produced by connectedComponents;
+    * newEdges: (aCol, bCol). Returns the complete updated
+    * (id, cluster) covering assign's ids plus the batch's. */
+  def connectedComponentsIncremental(assign: DataFrame, newEdges: DataFrame,
+                                     aCol: String = "id_a",
+                                     bCol: String = "id_b"): DataFrame = {
+    val a = assign.select(col("id"), col("cluster"))
+    // one materialization: endpoints feed the rep lookup AND the
+    // new-id discovery below
+    val e = DefaultMaterialize(
+      newEdges.select(col(aCol).as("ea"), col(bCol).as("eb")))
+    val contracted = e
+      .join(a.select(col("id").as("ea"), col("cluster").as("ca")), Seq("ea"), "left")
+      .join(a.select(col("id").as("eb"), col("cluster").as("cb")), Seq("eb"), "left")
+      .select(coalesce(col("ca"), col("ea")).as("id_a"),
+        coalesce(col("cb"), col("eb")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // fixpoint on the contracted graph only (bounded by the batch)
+    val merged = connectedComponents(contracted)
+      .select(col("id").as("cluster"), col("cluster").as("newc"))
+    // batch ids the standing assignment has never seen join as their
+    // own singleton clusters, then everything remaps through merged
+    val newIds = e.select(col("ea").as("id"))
+      .unionByName(e.select(col("eb").as("id")))
+      .distinct()
+      .join(a, Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    a.unionByName(newIds)
+      .join(merged, Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("newc"), col("cluster")).as("cluster"))
+  }
+
   /** Read an Observation metric row after its action completed.
     * Metric delivery via the listener bus is asynchronous, so wait
     * (bounded); None if it never arrives. */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
@@ -1270,6 +1270,26 @@ object TrainingData extends QueryGroup {
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
           expr("((n_chunks - n_kept) * 1000000) div n_chunks").as("rep_ppm"),
           col("cleaned"))
+    }),
+
+    // INCREMENTAL cluster maintenance: the standing corpus (90%, the
+    // q142 convention) is clustered once; the 10% "new batch"'s edges
+    // then fold in WITHOUT re-clustering — the iterative fixpoint
+    // runs on the contracted rep graph only (bounded by the batch),
+    // the corpus pays two rep-lookup joins and one remap join,
+    // single-pass. The oracle is q69's recursive CTE over ALL edges:
+    // hash parity proves incremental == full recompute, label for
+    // label.
+    "q182_incremental_cc" -> ((s, dir) => {
+      val pairs = Dedup.DefaultMaterialize(
+        Dedup.jaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", n = 3, threshold = 0.5, maxDf = 100))
+      def isNew(c: Column) = pmod(c, lit(10)) === 9
+      val standing = Dedup.connectedComponents(
+        pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b"))))
+      val batch = pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))
+      Dedup.connectedComponentsIncremental(standing, batch)
+        .select(col("id").as("doc_id"), col("cluster"))
     })
   )
 
@@ -2108,6 +2128,10 @@ object TrainingData extends QueryGroup {
          SELECT doc_id, n_chunks, count(*)::BIGINT AS n_kept,
            ((n_chunks - count(*)) * 1000000) // n_chunks AS rep_ppm,
            string_agg(chunk, ' ' ORDER BY pos) AS cleaned
-         FROM f GROUP BY doc_id, n_chunks"""
+         FROM f GROUP BY doc_id, n_chunks""",
+
+    // Full recompute over ALL edges — parity proves the incremental
+    // fold reproduces the from-scratch clustering exactly.
+    "q182_incremental_cc" -> ccClusterOracle
   )
 }

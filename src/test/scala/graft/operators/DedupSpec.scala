@@ -155,4 +155,31 @@ class DedupSpec extends SparkSpec {
     // fingerprints use the full width: some doc sets a high bit
     assert(fp.values.exists(v => (v >>> 48) != 0))
   }
+
+  test("incremental CC: batch edges fold into a standing labeling == full recompute") {
+    // standing clusters {1,2}, {3,4}, {6,7}
+    val oldEdges = Seq((1L, 2L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val standing = Dedup.connectedComponents(oldEdges)
+    // batch: bridge {1,2}<->{3,4} via (2,3); attach NEW node 9 to 7;
+    // and a brand-new pair (10,11) touching nothing standing
+    val batch = Seq((2L, 3L), (9L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(standing, batch)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+        oldEdges.union(batch))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"incremental $inc must equal full recompute $full")
+    // and the labels are the min ids: merged component -> 1, 9 -> 6
+    assert(inc(4L) == 1L && inc(9L) == 6L && inc(11L) == 10L)
+  }
+
+  test("incremental CC: intra-cluster batch edges are a no-op") {
+    val oldEdges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val standing = Dedup.connectedComponents(oldEdges)
+    val before = standing.as[(Long, Long)].collect().toMap
+    val inc = Dedup.connectedComponentsIncremental(standing,
+        Seq((1L, 3L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == before, "an edge inside one cluster must change nothing")
+  }
 }
