@@ -707,13 +707,20 @@ object Scale extends QueryGroup {
     // (WAND) inside each posting scan — that changes the constant,
     // not the shape.
     "q177_bm25_topk" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .transform(graft.operators.Spread.byKey("doc_id"))
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      // tokenize ONCE: toks has four consumers (tf, dl, stats, query
+      // terms) and tf two more — without the materializations the
+      // tokenizer chain re-runs per consumer (5 corpus scans; the
+      // multi-consumer rule, q110/q104). Both tables are small: toks
+      // is |docs| rows, tf is bounded by total tokens.
+      val toks = graft.operators.Dedup.DefaultMaterialize(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .transform(graft.operators.Spread.byKey("doc_id"))
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks")))
       val t = toks.select(col("doc_id"), posexplode(col("toks")))
         .toDF("doc_id", "pos", "term")
-      val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tf = graft.operators.Dedup.DefaultMaterialize(
+        t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
