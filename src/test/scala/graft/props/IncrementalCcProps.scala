@@ -1,0 +1,68 @@
+package graft.props
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.TestSpark
+import graft.operators.Dedup
+
+/** The incremental-CC contract on RANDOM graphs: for ANY edge set and
+  * ANY split into standing/batch, clustering the standing edges and
+  * folding the batch in must equal clustering everything at once —
+  * the q182 oracle property, here exercised across arbitrary graph
+  * shapes (chains, stars, bridges, isolated merges) instead of one
+  * corpus. */
+object IncrementalCcProps extends Properties("incrementalCC") {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  /** Random edges over a small id space (dense enough to force merges). */
+  private val edges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 18)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 11L)
+      b <- Gen.choose(0L, 11L) if a != b
+    } yield (a, b))
+  } yield es
+
+  private def cc(es: Seq[(Long, Long)]): Map[Long, Long] =
+    if (es.isEmpty) Map.empty
+    else Dedup.connectedComponents(es.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  property("fold(standing, batch) == full recompute, for any split") =
+    forAll(edges, Gen.choose(0, 100)) { (es, splitPct) =>
+      val k = es.length * splitPct / 100
+      val (standing, batch) = es.splitAt(k)
+      val full = cc(es)
+      val incremental =
+        if (batch.isEmpty) cc(standing)
+        else Dedup.connectedComponentsIncremental(
+            if (standing.isEmpty)
+              Seq.empty[(Long, Long)].toDF("id", "cluster")
+            else Dedup.connectedComponents(standing.toDF("id_a", "id_b")),
+            batch.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+      incremental == full
+    }
+
+  property("folding a batch twice equals folding it once (idempotent)") =
+    forAll(edges) { es =>
+      val (standing, batch) = es.splitAt(es.length / 2)
+      if (batch.isEmpty) true
+      else {
+        val base =
+          if (standing.isEmpty) Seq.empty[(Long, Long)].toDF("id", "cluster")
+          else Dedup.connectedComponents(standing.toDF("id_a", "id_b"))
+        val once = Dedup.connectedComponentsIncremental(
+          base, batch.toDF("id_a", "id_b"))
+        val twice = Dedup.connectedComponentsIncremental(
+            once, batch.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        twice == once.as[(Long, Long)].collect().toMap
+      }
+    }
+}
