@@ -90,11 +90,34 @@ object ScaleCheck {
     println(f"| registry seed (full corpus) | $seed1%.2f | $seed10%.2f | ${seed10 / seed1}%.1fx |")
     println(f"| registry dedupAppend (fixed 500-doc batch) | $probe1%.2f | $probe10%.2f | ${probe10 / probe1}%.1fx |")
 
+    // incremental CC: fold a FIXED 300-edge batch into the standing
+    // labeling of the 1x vs 10x corpus — the contracted fixpoint is
+    // bounded by the batch, so history size enters only through the
+    // rep-lookup/remap equi-joins (expected ~flat, like the registry
+    // probe). Standing labelings are seeded untimed.
+    val ccBatch = {
+      import spark.implicits._
+      (0 until 300).map { i =>
+        (i.toLong * 7 % 5000, 900000000L + i) // existing id <- new id
+      }.toDF("id_a", "id_b").localCheckpoint(true)
+    }
+    val ccTimes = Seq(1, 10).map { mult =>
+      val standing = operators.Dedup.connectedComponents(
+        operators.Dedup.jaccardPairs(Tables.documents(spark, dirs(mult)),
+          "doc_id", "text", n = 3, threshold = 0.5, maxDf = 100))
+        .localCheckpoint(true)
+      (mult, time2(operators.Dedup
+        .connectedComponentsIncremental(standing, ccBatch).count()))
+    }
+    val Seq((_, ccf1), (_, ccf10)) = ccTimes
+    println(f"| incremental CC fold (fixed 300-edge batch) | $ccf1%.2f | $ccf10%.2f | ${ccf10 / ccf1}%.1fx |")
+
     // machine-readable line for the round artifact
     val qjson = qtimes.map { case (n, a, b) =>
       s""""$n":[${f"$a%.3f"},${f"$b%.3f"}]""" }.mkString(",")
     println(s"""{"scalecheck":{$qjson,"registry_seed":[${f"$seed1%.3f"},${f"$seed10%.3f"}],""" +
-      s""""registry_probe":[${f"$probe1%.3f"},${f"$probe10%.3f"}],"sf":"$sf"}}""")
+      s""""registry_probe":[${f"$probe1%.3f"},${f"$probe10%.3f"}],""" +
+      s""""incremental_cc_fold":[${f"$ccf1%.3f"},${f"$ccf10%.3f"}],"sf":"$sf"}}""")
     spark.stop()
   }
 }
