@@ -22,12 +22,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true, so ts arrives as a
-    * nanos long; normalize to a microsecond TimestampType here
-    * (matching DuckDB's read of the same file).
-    */
+  /** events.parquet's ts arrives differently depending on how the
+    * driver generated it: TIMESTAMP(NANOS) (rejected by Spark's
+    * reader unless spark.sql.legacy.parquet.nanosAsLong=true, which
+    * sessions set — ts is then a nanos long) or TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ, which time
+    * functions like unix_millis reject). Normalize BOTH to a
+    * microsecond TimestampType here; sessions run in UTC, so the
+    * NTZ->LTZ cast is value-preserving and matches DuckDB's read of
+    * the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
@@ -35,6 +38,8 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -24,10 +24,23 @@ class DedupRegistry(path: String) {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
-    try {
+    // Path-not-found means a registry that has never been written —
+    // that is the ONLY case treated as empty. A registry that exists
+    // but cannot be read as (fp STRING) is corruption: forgetting the
+    // whole dedup history and silently re-admitting duplicates is the
+    // worst possible failure mode, so schema errors propagate
+    // (ADVICE r4, same rule as NearDupRegistry.read).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) empty
+    else {
       val d = spark.read.parquet(path)
-      if (d.columns.isEmpty) empty else d
-    } catch { case _: org.apache.spark.sql.AnalysisException => empty }
+      require(d.columns.contains("fp"),
+        s"DedupRegistry at $path exists but has no 'fp' column " +
+          s"(found: ${d.columns.mkString(", ")}) — refusing to treat " +
+          "a corrupt registry as empty")
+      d.select("fp")
+    }
   }
 
   /** Dedup `batch` against the registry AND within itself, persist

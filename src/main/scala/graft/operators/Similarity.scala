@@ -460,4 +460,60 @@ object Similarity {
     // vector) already fails the comparison.
     joined.filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic dedup at
+    * CLUSTER-BLOCKED cost. Every vector joins its nearest-centroid
+    * cell (assignCells' ranking), candidate pairs generate WITHIN a
+    * cell only — O(Σ n_c²) comparisons instead of O(n²), which is
+    * the whole reason the paper runs k-means first — and duplicate
+    * groups are the connected components of the ≥eps cosine graph.
+    * The keep rule is the paper's: within each group keep the member
+    * with the LOWEST similarity to its own centroid (the most
+    * atypical copy preserves the most diversity), ties to the
+    * smallest id.
+    *
+    * Returns one row per input id: (id, cell, centroid_sim,
+    * sem_cluster, kept) — sem_cluster NULL when the vector has no
+    * eps-duplicate (always kept). Cross-cell near-dups are invisible
+    * by construction (the paper's documented approximation; better
+    * centroids — kmeansFit — tighten it, never the join shape).
+    *
+    * 100 TB: the only all-to-all stages are the cell equi-join
+    * (blocked, centroids broadcast) and the CC rounds over the dup
+    * graph, which is sparse by the eps threshold; the keeper argmin
+    * windows over components, whose size near-dup structure bounds. */
+  def semDedup(corpus: DataFrame, centroids: DataFrame,
+               idCol: String, vecCol: String, eps: Double): DataFrame = {
+    val asg = rankedCells(corpus, centroids, idCol, vecCol, spread = true)
+      .filter(col("rnk") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
+    val pairs = asg.select(col("id").as("id_a"), col("v").as("va"),
+        col("n2").as("na"), col("cell"))
+      .join(asg.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n2").as("nb"), col("cell")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineScore(col("va"), col("vb"), col("na"), col("nb")))
+      // NaN guard as in cosinePairs; NULL (zero-norm) fails >= on its own
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= eps)
+      .select("id_a", "id_b")
+    val member = asg.select(col("id"), col("cell"), col("cs"))
+      .join(Dedup.connectedComponents(pairs), Seq("id"), "left")
+    // keeper per component: explicit (cs ASC NULLS LAST, id ASC)
+    // row_number — NOT min(struct): Spark sorts a NULL struct field
+    // first while the DuckDB oracle's ASC default is NULLS LAST, so
+    // a zero-norm member would silently become the keeper in one
+    // engine only. Window partitions are single components (bounded
+    // by dup-cluster size, never corpus size).
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("cs").asc_nulls_last, col("id").asc)
+    val keeper = member.filter(col("cluster").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("id").as("keep_id"))
+    member.join(keeper, Seq("cluster"), "left")
+      .select(col("id"), col("cell"), col("cs").as("centroid_sim"),
+        col("cluster").as("sem_cluster"),
+        (col("cluster").isNull || col("id") === col("keep_id")).as("kept"))
+  }
 }

@@ -34,7 +34,10 @@ object TrainingData extends QueryGroup {
   private val SimhashBits = 16
   private[queries] val AnnQueries = 8 // vec_id < 8 are the query vectors
   private[queries] val Dim = 64
-  private val KmFitIter = 5 // Lloyd rounds the q151 oracle unrolls
+  private val KmFitIter = 5 // Lloyd rounds the q151/q183 oracles unroll
+  // q183 semantic-dup threshold — q176's justified 0.45 (0.35 admits
+  // thousands of generic edges on isotropic vectors)
+  private val SemDedupEps = 0.45
   private val LshBits = 4
   private val JlDim = 32 // q155 Johnson-Lindenstrauss target dim
   private val MmrPool = 20 // q156 bounded candidate pool
@@ -146,10 +149,11 @@ object TrainingData extends QueryGroup {
     * sets. A fixed unroll count certifies a convergence-stopped fit
     * because Lloyd is idempotent at a fixpoint: rounds after
     * convergence recompute the same centroids. */
-  private lazy val ivfFittedSql: String = {
-    // one Lloyd round: kmeansIteration filters non-finite scores
-    // BEFORE the argmax (unlike rankedCells below, which does not)
-    def lloydRound(i: Int): String =
+  // one Lloyd round: kmeansIteration filters non-finite scores
+  // BEFORE the argmax (unlike rankedCells, which does not); emits
+  // sck$i/asg$i/agg$i/cent$i CTEs reading cent${i-1}. Shared by the
+  // q151 and q183 oracles (both need the fitted centroid set).
+  private def lloydRound(i: Int): String =
       s"""sck$i AS (SELECT n.vec_id, n.v, c.cid,
            round(${dDot("c.cv", "n.v")} / sqrt(${dDot("c.cv", "c.cv")} * n.n2), 6) AS cs
          FROM n CROSS JOIN cent${i - 1} c),
@@ -166,6 +170,18 @@ object TrainingData extends QueryGroup {
          FROM cent${i - 1} p LEFT JOIN (
            SELECT cluster_id AS cid, list(centroid::REAL ORDER BY dim_no) AS cvn
            FROM agg$i GROUP BY cluster_id) nc USING (cid)),"""
+
+  /** The shared fitted-quantizer CTE chain: `base`/`n` projections,
+    * the q45 seed set as cent0, and KmFitIter unrolled Lloyd rounds
+    * ending at cent$KmFitIter. Trailing comma included — callers
+    * append their own CTEs directly. */
+  private lazy val lloydCtes: String =
+    s"""base AS (SELECT vec_id, embedding AS v FROM embeddings),
+       n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+       cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 12),
+       ${(1 to KmFitIter).map(lloydRound).mkString("\n")}"""
+
+  private lazy val ivfFittedSql: String = {
     // IVF@nprobe=1 hit counts vs the exact top-5 under one centroid set
     // (the q143 iv1/h1 shape; rankedCells has no NaN filter)
     def ivfHits(cent: String, tag: String): String =
@@ -187,10 +203,7 @@ object TrainingData extends QueryGroup {
            WHERE query_id != neighbor_id) WHERE rnk <= 5),
        h_$tag AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_$tag
          FROM ex e JOIN iv_$tag USING (query_id, neighbor_id) GROUP BY 1),"""
-    s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
-       n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
-       cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 12),
-       ${(1 to KmFitIter).map(lloydRound).mkString("\n")}
+    s"""WITH $lloydCtes
        q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn
              FROM n WHERE vec_id >= 12 AND vec_id < 20),
        ex AS (SELECT query_id, neighbor_id FROM (
@@ -280,6 +293,23 @@ object TrainingData extends QueryGroup {
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SemDeDup (Abbas et al. 2023): semantic dedup at cluster-blocked
+    // cost — fit the coarse quantizer (Lloyd to convergence, q151's
+    // setup), assign every embedding to its nearest centroid, find
+    // >= eps cosine pairs WITHIN cells only, cluster them (CC), and
+    // keep each dup group's lowest-centroid-similarity member (the
+    // paper's diversity-preserving keep rule). The oracle refits the
+    // same centroids via the unrolled-Lloyd CTE chain and recomputes
+    // the components as a recursive CTE.
+    "q183_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val fitted = Similarity.kmeansFit(e, e.filter(col("vec_id") < 12),
+        "vec_id", "embedding", maxIter = KmFitIter)
+      Similarity.semDedup(e, fitted, "vec_id", "embedding", eps = SemDedupEps)
+        .select(col("id").as("vec_id"), col("cell"), col("centroid_sim"),
+          col("sem_cluster"), col("kept"))
+    }),
+
     // Exact dedup on a content key (md5 of the first-5-token prefix):
     // one shuffle on the hash key; keeps the smallest doc_id per group.
     "q30_exact_dedup" -> ((s, dir) => {
@@ -1327,6 +1357,43 @@ object TrainingData extends QueryGroup {
        SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id"""
 
   def oracles: Map[String, String] = Map(
+    // Refit the centroids (unrolled Lloyd), assign via the
+    // no-NaN-filter ranking (rankedCells' shape), pair within cells,
+    // cluster with the recursive-CTE min-reachable-id, keep the
+    // (cs ASC NULLS LAST, id ASC) member per component — NULLS LAST
+    // spelled out because Spark's asc_nulls_last is explicit in
+    // semDedup for the same reason.
+    "q183_semdedup" ->
+      s"""WITH RECURSIVE $lloydCtes
+         sc AS (SELECT n.vec_id, n.v, n.n2, c.cid,
+             round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+           FROM n CROSS JOIN cent$KmFitIter c),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM sc),
+         asg AS (SELECT vec_id, v, n2, cid AS cell, cs FROM rk WHERE rnk = 1),
+         prs AS (SELECT id_a, id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${dDot("a.v", "b.v")} / sqrt(a.n2 * b.n2), 6) AS cs2
+             FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+           WHERE NOT isnan(cs2) AND cs2 >= $SemDedupEps),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         mem AS (SELECT asg.vec_id, asg.cell, asg.cs, comp.cluster
+           FROM asg LEFT JOIN comp ON asg.vec_id = comp.id),
+         keep AS (SELECT cluster, vec_id AS keep_id FROM (
+             SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+               ORDER BY cs ASC NULLS LAST, vec_id ASC) AS rn
+             FROM mem WHERE cluster IS NOT NULL) WHERE rn = 1)
+         SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
+           (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
+         FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
     "q30_exact_dedup" ->
       s"""WITH $dTok,
          keyed AS (SELECT doc_id, md5(array_to_string(toks[1:5], ' ')) AS dedup_key FROM tok)

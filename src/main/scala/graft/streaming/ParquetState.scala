@@ -9,12 +9,18 @@ import org.apache.spark.sql.DataFrame
 private[streaming] object ParquetState {
 
   /** The state table at `path`, or an empty frame with `like`'s
-    * schema before the first batch has written anything. */
-  def readOrEmpty(path: String, like: DataFrame): DataFrame =
-    try like.sparkSession.read.parquet(path)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException => like.limit(0)
-    }
+    * schema before the first batch has written anything. Only
+    * path-not-found maps to empty: an existing-but-unreadable state
+    * table is corruption, and silently restarting from empty state
+    * would re-emit every alert / forget every sketch (ADVICE r4,
+    * the registry fail-loudly rule). */
+  def readOrEmpty(path: String, like: DataFrame): DataFrame = {
+    val spark = like.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) like.limit(0)
+    else spark.read.parquet(path)
+  }
 
   /** Pin PRE-write state, then overwrite: a plan that reads the path
     * it is about to replace must materialize first (the README

@@ -38,4 +38,17 @@ class DedupRegistrySpec extends SparkSpec {
     // registry holds exactly the three accepted fingerprints
     assert(reg.read(spark).distinct().count() == 3)
   }
+
+  test("read: never-written path is empty; corrupt registry fails loudly") {
+    val base = Files.createTempDirectory("graft_reg_").toString
+    assert(new DedupRegistry(base + "/never_written").read(spark).count() == 0)
+
+    // a registry that EXISTS but lacks the fp column is corruption,
+    // not emptiness — forgetting history re-admits every duplicate
+    val corrupt = base + "/corrupt"
+    Seq((1L, "x")).toDF("id", "payload").write.parquet(corrupt)
+    intercept[IllegalArgumentException] {
+      new DedupRegistry(corrupt).read(spark)
+    }
+  }
 }
