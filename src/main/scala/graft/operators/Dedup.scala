@@ -248,6 +248,60 @@ object Dedup {
     minhashSigTable(sh, numPerm)
       .select(col("id"), array((1 to numPerm).map(j => col(s"mh_$j")): _*).as("sig"))
 
+  /** Injective (hop, value) encoding base for OPH densification:
+    * hash values are < MinhashP < 2^30, so hop*2^34 + value never
+    * collides across distinct (hop, value). */
+  private val OphEnc = 1L << 34
+
+  /** ONE-PERMUTATION-HASHING MinHash (Li et al. 2012, "One
+    * Permutation Hashing") with rotation densification (Shrivastava
+    * & Li 2014, "Densifying One Permutation Hashing via Rotation"):
+    * the k-permutation signature from ONE hash evaluation per
+    * shingle. The single hash's value space splits into k bins
+    * (h mod k); bin b's signature entry is the min hash landing in
+    * it; an EMPTY bin borrows the nearest non-empty bin clockwise.
+    * Same collision law as k independent permutations (bin-match
+    * probability ~= Jaccard), at 1/k the hash compute — on the 100 TB
+    * tokenize+hash path, the dominant CPU term drops k-fold while
+    * the shuffle stays |docs| x k values (identical to
+    * minhashSignatures: the conditional mins partial-aggregate
+    * map-side).
+    *
+    * A borrowed entry encodes (hop distance d, borrowed value v)
+    * injectively as d*2^34 + v rather than the paper's v + d*C: two
+    * docs agree on a densified entry iff they borrow the SAME value
+    * from the SAME distance — exactly densification's collision
+    * semantics, with no decode step and no collision-prone constant.
+    * Direct entries (d = 0) stay the raw min hash.
+    *
+    * Returns (id, sig array<long> of length k, n_empty = bins that
+    * had no shingle — the densification load, a signature-quality
+    * diagnostic: estimates degrade when n_empty/k is large, i.e.
+    * docs much shorter than k shingles). */
+  def ophSignaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "ophSignaturesFromShingles: k must be >= 2")
+    // one aggregation, k codegen'd conditional mins — empty bin = NULL
+    val mins = (0 until k).map(b =>
+      min(when(pmod(col("h"), lit(k)) === b, col("h"))).as(s"b_$b"))
+    val bins = shingleHashes(sh).groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(b => col(s"b_$b")): _*).as("bins"))
+    val doubled = concat(col("bins"), col("bins"))
+    val sig = transform(sequence(lit(1), lit(k)), j =>
+      array_min(filter(
+        transform(sequence(lit(0), lit(k - 1)), d =>
+          when(element_at(doubled, (j + d).cast("int")).isNotNull,
+            d.cast("long") * OphEnc + element_at(doubled, (j + d).cast("int")))),
+        x => x.isNotNull)))
+    bins.select(col("id"), sig.as("sig"),
+      size(filter(col("bins"), x => x.isNull)).cast("long").as("n_empty"))
+  }
+
+  /** OPH signatures straight from documents (tokenize -> shingle ->
+    * one hash per shingle -> binned mins -> densify). */
+  def ophSignatures(df: DataFrame, idCol: String, textCol: String,
+                    n: Int, k: Int): DataFrame =
+    ophSignaturesFromShingles(shingleSets(df, idCol, textCol, n), k)
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double,

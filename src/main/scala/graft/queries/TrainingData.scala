@@ -310,6 +310,45 @@ object TrainingData extends QueryGroup {
           col("sem_cluster"), col("kept"))
     }),
 
+    // ONE-permutation-hashing MinHash (Li et al. 2012; rotation
+    // densification per Shrivastava & Li 2014): the 32-entry
+    // signature from ONE hash evaluation per shingle instead of 32 —
+    // the hash-compute term of the dedup path drops 32x at equal
+    // shuffle width (the conditional mins still partial-aggregate
+    // map-side). Hash parity on the signature table proves binning
+    // AND densification (borrowed entries encode (hop, value)
+    // injectively as hop*2^34 + value).
+    "q184_oph_minhash" -> ((s, dir) =>
+      Dedup.ophSignatures(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, k = NumPerm)
+        .select(col("id").as("doc_id"), col("sig"), col("n_empty"))),
+
+    // Does the 1-hash signature still FIND the dups? Every true
+    // near-dup pair (exact jaccard >= 0.5, q31's truth set) flagged
+    // with whether the OPH-banded index (8 bands x 4 rows — q33's
+    // layout over the cheap signature) surfaces it as a candidate:
+    // banding recall of OPH, measured not asserted.
+    "q185_oph_lsh_recall" -> ((s, dir) => {
+      val sh = Dedup.DefaultMaterialize(
+        Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
+      val truth = Dedup.jaccardPairsFromShingles(sh, threshold = 0.5, maxDf = 100)
+      // sigs feed both sides of the band self-join -> materialize
+      val sigs = Dedup.DefaultMaterialize(
+        Dedup.ophSignaturesFromShingles(sh, NumPerm))
+      val bands = sigs.select(col("id"), col("sig"),
+          explode(sequence(lit(1), lit(Bands))).as("bnd"))
+        .select(col("id"), col("bnd"),
+          slice(col("sig"), (col("bnd") - 1) * RowsPerBand + 1,
+            lit(RowsPerBand)).as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bnd") === col("b.bnd") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      truth.join(cand.withColumn("f", lit(true)), Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          coalesce(col("f"), lit(false)).as("found_oph"))
+    }),
+
     // Exact dedup on a content key (md5 of the first-5-token prefix):
     // one shuffle on the hash key; keeps the smallest doc_id per group.
     "q30_exact_dedup" -> ((s, dir) => {
@@ -1393,6 +1432,57 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // bins via binned list-mins of the one-hash-per-shingle list;
+    // densified entries encode (hop d, value) as d*2^34 + value —
+    // identical to Dedup.ophSignaturesFromShingles
+    "q184_oph_minhash" ->
+      s"""WITH $dSh,
+         hsl AS (SELECT doc_id, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hl FROM shn),
+         bn AS (SELECT doc_id, list_transform(generate_series(0, ${NumPerm - 1}),
+             b -> list_min(list_filter(hl, h -> h % $NumPerm = b))) AS bins FROM hsl),
+         dbl AS (SELECT doc_id, bins, bins || bins AS d2 FROM bn)
+         SELECT doc_id,
+           list_transform(generate_series(1, $NumPerm), j ->
+             list_min(list_filter(list_transform(generate_series(0, ${NumPerm - 1}),
+               d -> CASE WHEN d2[j+d] IS NOT NULL THEN d * ${1L << 34} + d2[j+d] END),
+               x -> x IS NOT NULL))) AS sig,
+           len(list_filter(bins, x -> x IS NULL))::BIGINT AS n_empty
+         FROM dbl""",
+
+    // q31's truth set LEFT JOIN the OPH band index's candidates
+    "q185_oph_lsh_recall" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         truth AS (SELECT id_a, id_b,
+             round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+           FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         hsl AS (SELECT doc_id, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hl FROM shn),
+         bn AS (SELECT doc_id, list_transform(generate_series(0, ${NumPerm - 1}),
+             b -> list_min(list_filter(hl, h -> h % $NumPerm = b))) AS bins FROM hsl),
+         dbl AS (SELECT doc_id, bins || bins AS d2 FROM bn),
+         sg AS (SELECT doc_id,
+             list_transform(generate_series(1, $NumPerm), j ->
+               list_min(list_filter(list_transform(generate_series(0, ${NumPerm - 1}),
+                 d -> CASE WHEN d2[j+d] IS NOT NULL THEN d * ${1L << 34} + d2[j+d] END),
+                 x -> x IS NOT NULL))) AS sig
+           FROM dbl),
+         bnd AS (SELECT doc_id, b,
+             sig[((b-1)*$RowsPerBand+1):(b*$RowsPerBand)] AS bkey
+           FROM sg, generate_series(1, $Bands) t(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.bkey = b2.bkey
+             AND a.doc_id < b2.doc_id)
+         SELECT t.id_a, t.id_b, t.jaccard, (c.id_a IS NOT NULL) AS found_oph
+         FROM truth t LEFT JOIN cand c USING (id_a, id_b)""",
 
     "q30_exact_dedup" ->
       s"""WITH $dTok,
