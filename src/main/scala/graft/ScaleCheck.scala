@@ -63,7 +63,10 @@ object ScaleCheck {
       // round-5 session additions: the prefix-filtered join and the
       // winnowed-fingerprint pair mining — both blocked pair finders
       // whose 10x behavior should match q31's ~linear shape
-      "q169_prefix_filter_pairs", "q172_winnowing_pairs")
+      "q169_prefix_filter_pairs", "q172_winnowing_pairs",
+      // OPH signatures: one hash per shingle + binned conditional
+      // mins — expected ~linear like the tokenize+hash paths it feeds
+      "q184_oph_minhash")
 
     println("| component | 1x (s) | 10x (s) | ratio |")
     println("|---|---|---|---|")

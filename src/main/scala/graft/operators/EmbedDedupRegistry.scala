@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CROSS-RUN SEMANTIC near-dup registry — the embedding analogue of
+  * NearDupRegistry, completing the registry family (exact content:
+  * DedupRegistry; lexical near-dup: NearDupRegistry; passage
+  * overlap: WinnowRegistry; semantic: this). A parquet store of
+  * every accepted vector's signature — (id, vq int8 vector, nq its
+  * squared norm) PARTITIONED BY IVF cell — so a new batch dedups
+  * against everything ever accepted at cluster-blocked cost:
+  *
+  *  1. in-batch semantic dups resolve FIRST (Similarity.semDedup,
+  *     the SemDeDup keep rule) so one batch can never register two
+  *     copies;
+  *  2. survivors probe ONLY their own cells of the registry — the
+  *     batch's cell set is a bounded literal IN list (<= |centroids|
+  *     by contract, the ivfTopKPartitioned argument), so the scan is
+  *     directory-pruned and history size enters through a columnar
+  *     read of the probed cells only, never a shuffle of the
+  *     registry;
+  *  3. the eps decision is an exact integer cross-multiply over
+  *     int8 dots — qdot >= 0 AND qdot^2 * 10^6 >= eps_pm^2 * nq_a *
+  *     nq_b — no doubles, no rounding hazard (exact for dim <= ~180
+  *     at int8: qdot^2*10^6 <= 2.6e14*dim^2 must stay under 2^63);
+  *  4. fresh signatures append, partitioned by cell.
+  *
+  * The centroid set is part of the registry's IDENTITY (the numPerm
+  * lesson, NearDupRegistry): probing with centroids other than the
+  * ones the registry was built with silently misses cross-cell
+  * neighbors. The first append pins a centroid fingerprint in a
+  * sidecar; later appends refuse on mismatch with raise_error
+  * semantics rather than degrading recall quietly.
+  *
+  * WRITE ORDER is the delivery guarantee (DedupRegistry's rule): the
+  * corpus sink runs BEFORE the signature append, so a crash between
+  * the two replays the batch as duplicates — the replay self-dedups
+  * against the registry — never as silent loss.
+  */
+class EmbedDedupRegistry(path: String, epsPermille: Int) {
+  require(epsPermille > 0 && epsPermille < 1000,
+    "EmbedDedupRegistry: epsPermille must be in (0, 1000)")
+
+  private val metaPath = path + "_centroid_fp"
+
+  /** Bounded collect (k rows by contract): a stable fingerprint of
+    * the centroid set — ids and float-exact vector values, sorted. */
+  private def centroidFingerprint(centroids: DataFrame,
+                                  idCol: String, vecCol: String): String = {
+    val rows = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => s"${r.getLong(0)}:${r.getSeq[Float](1).mkString(",")}")
+      .sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.mkString(";").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Registry signatures, or empty before the first append. Only
+    * path-not-found maps to empty — an existing-but-unreadable
+    * registry is corruption and propagates (the fail-loudly rule:
+    * forgetting semantic history re-admits every near-dup). */
+  def read(spark: SparkSession): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, vq ARRAY<INT>, nq BIGINT, cell BIGINT"))
+    else {
+      val d = spark.read.parquet(path)
+      val missing = Seq("id", "vq", "nq", "cell").filterNot(d.columns.contains)
+      require(missing.isEmpty,
+        s"EmbedDedupRegistry at $path exists but lacks ${missing.mkString(", ")} " +
+          "— refusing to treat a corrupt registry as empty")
+      // partition-column type inference may narrow cell to INT;
+      // normalize so the empty and non-empty schemas agree
+      d.select(col("id"), col("vq"), col("nq"), col("cell").cast("long"))
+    }
+  }
+
+  /** Dedup `batch` against the registry AND within itself (SemDeDup
+    * keep rule in-batch; history wins cross-run), persist survivors
+    * via `persist`, THEN append their signatures. Returns the
+    * surviving rows with the batch's original schema. */
+  def dedupAppend(batch: DataFrame, centroids: DataFrame,
+                  idCol: String, vecCol: String,
+                  persist: DataFrame => Unit = _ => ()): DataFrame = {
+    val spark = batch.sparkSession
+    val fp = centroidFingerprint(centroids, idCol, vecCol)
+    val mp = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) {
+      val stored = {
+        val in = fs.open(mp)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      require(stored == fp,
+        s"EmbedDedupRegistry at $path was built with centroid set $stored; " +
+          s"probing with $fp would silently miss cross-cell near-dups — " +
+          "rebuild the registry or pass the original centroids")
+    }
+
+    // 1. in-batch semantic dedup (cluster-blocked, SemDeDup keep rule)
+    val sd = Similarity.semDedup(batch, centroids, idCol, vecCol,
+      eps = epsPermille / 1000.0)
+    val keptCells = sd.filter(col("kept"))
+      .select(col("id"), col("cell"))
+    val winners = batch.join(
+        keptCells.withColumnRenamed("id", idCol), Seq(idCol), "inner")
+      .withColumn("vq", Similarity.quantize8(col(vecCol)))
+      .withColumn("nq", Similarity.dotQ8(col("vq"), col("vq")))
+
+    // 2. probe ONLY the batch's cells of the registry (bounded
+    // literal IN list -> directory-pruned scan; same contract as
+    // ivfTopKPartitioned's probe-cell collect)
+    val cells = winners.select("cell").distinct().collect().map(_.getLong(0))
+    val reg = read(spark).filter(col("cell").isin(cells: _*))
+      .select(col("vq").as("rvq"), col("nq").as("rnq"), col("cell"))
+    val e2 = epsPermille.toLong * epsPermille
+    val matched = winners
+      .join(reg, Seq("cell"))
+      .withColumn("qdot", Similarity.dotQ8(col("vq"), col("rvq")))
+      .filter(col("qdot") >= 0 &&
+        col("qdot") * col("qdot") * 1000000L >= lit(e2) * col("nq") * col("rnq"))
+      .select(col(idCol)).distinct()
+    val fresh = winners.join(matched, Seq(idCol), "left_anti")
+
+    // 3. pin BEFORE appending (the plan reads the registry it is
+    // about to extend — the recache hazard), sink first, then append
+    val pinned = fresh.localCheckpoint(true)
+    val out = pinned.drop("vq", "nq", "cell")
+    persist(out)
+    if (!fs.exists(mp)) {
+      val os = fs.create(mp, false)
+      try os.write(fp.getBytes("UTF-8")) finally os.close()
+    }
+    pinned.select(col(idCol).as("id"), col("vq"), col("nq"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    out
+  }
+}

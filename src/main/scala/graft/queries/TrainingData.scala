@@ -38,6 +38,11 @@ object TrainingData extends QueryGroup {
   // q183 semantic-dup threshold — q176's justified 0.45 (0.35 admits
   // thousands of generic edges on isotropic vectors)
   private val SemDedupEps = 0.45
+  // q186 DSIR-shape selection: hashed-bigram feature space, curated
+  // target sources (q174's convention), selection quota
+  private val DsirBuckets = 4096
+  private val DsirTargets = Seq("src0", "src1", "src2", "src3", "src4")
+  private val DsirQuota = 100
   private val LshBits = 4
   private val JlDim = 32 // q155 Johnson-Lindenstrauss target dim
   private val MmrPool = 20 // q156 bounded candidate pool
@@ -347,6 +352,52 @@ object TrainingData extends QueryGroup {
       truth.join(cand.withColumn("f", lit(true)), Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("jaccard"),
           coalesce(col("f"), lit(false)).as("found_oph"))
+    }),
+
+    // IMPORTANCE-BASED data selection (the DSIR shape — Xie et al.
+    // 2023, "Data Selection for Language Models via Importance
+    // Resampling"): hashed bigram features, a target corpus
+    // (src0-4, q174's curated set) vs the raw web rest, per-feature
+    // importance weights, per-doc scores, and a top-K selection
+    // quota. The paper's log-ratio weight is replaced by an exact
+    // rate-difference in integer ppb units — floor(1e9*tc/T) -
+    // floor(1e9*rc/R) — because ln() is not correctly rounded and
+    // would break cross-engine parity; the plumbing (feature
+    // hashing, target-vs-raw estimation, score-and-select) is the
+    // paper's, and every number is an exact BIGINT. Selection is
+    // TakeOrderedAndProject (top-100 by score, ties to small id) +
+    // semi-join — never a global window over the unbounded corpus.
+    "q186_importance_selection" -> ((s, dir) => {
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val isTarget = col("source").isin(DsirTargets: _*)
+      // three consumers (target counts, raw counts, doc scores) ->
+      // materialize once (the multi-consumer rule)
+      val fx = Dedup.DefaultMaterialize(
+        tk.select(col("doc_id"), isTarget.as("tgt"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            pmod(Text.md5Long(concat_ws(" ",
+              element_at(col("toks"), i.cast("int")),
+              element_at(col("toks"), (i + lit(1)).cast("int"))), 8),
+              lit(DsirBuckets)))).as("f")))
+      val tc = fx.filter(col("tgt")).groupBy("f").agg(count(lit(1)).as("tc"))
+      val rc = fx.filter(!col("tgt")).groupBy("f").agg(count(lit(1)).as("rc"))
+      // totals are 1-row aggregates -> broadcast crossJoins (the
+      // repo-standard scalar pattern), never a shuffle
+      val w = tc.join(rc, Seq("f"), "full")
+        .crossJoin(broadcast(tc.agg(sum(col("tc")).as("tt"))))
+        .crossJoin(broadcast(rc.agg(sum(col("rc")).as("rt"))))
+        .select(col("f"),
+          (expr("coalesce(tc, 0L) * 1000000000L div tt") -
+            expr("coalesce(rc, 0L) * 1000000000L div rt")).as("w"))
+      val sc = fx.filter(!col("tgt")).join(w, "f")
+        .groupBy("doc_id").agg(sum(col("w")).as("score"))
+      val top = sc.orderBy(col("score").desc, col("doc_id").asc).limit(DsirQuota)
+        .withColumn("s", lit(true))
+      sc.join(top.select(col("doc_id"), col("s")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("score"),
+          coalesce(col("s"), lit(false)).as("sel"))
     }),
 
     // Exact dedup on a content key (md5 of the first-5-token prefix):
@@ -1432,6 +1483,30 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // rate-difference importance weights in exact ppb; selection via
+    // ORDER BY ... LIMIT (TakeOrderedAndProject's mirror)
+    "q186_importance_selection" ->
+      s"""WITH tk AS (SELECT doc_id, source, $dToks AS toks FROM documents),
+         tk2 AS (SELECT doc_id,
+             source IN (${DsirTargets.map(t => s"'$t'").mkString(", ")}) AS tgt, toks
+           FROM tk WHERE len(toks) >= 2),
+         fx AS (SELECT doc_id, tgt,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> ${dMd5Long("toks[i] || ' ' || toks[i+1]", 8)} % $DsirBuckets)) AS f
+           FROM tk2),
+         tc AS (SELECT f, count(*) AS tc FROM fx WHERE tgt GROUP BY 1),
+         rc AS (SELECT f, count(*) AS rc FROM fx WHERE NOT tgt GROUP BY 1),
+         tt AS (SELECT sum(tc)::BIGINT AS tt FROM tc),
+         rt AS (SELECT sum(rc)::BIGINT AS rt FROM rc),
+         w AS (SELECT f,
+             coalesce(tc, 0) * 1000000000 // tt - coalesce(rc, 0) * 1000000000 // rt AS w
+           FROM tc FULL JOIN rc USING (f) CROSS JOIN tt CROSS JOIN rt),
+         sc AS (SELECT doc_id, sum(w)::BIGINT AS score
+           FROM fx JOIN w USING (f) WHERE NOT tgt GROUP BY 1),
+         top AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT $DsirQuota)
+         SELECT sc.doc_id, sc.score, (t.doc_id IS NOT NULL) AS sel
+         FROM sc LEFT JOIN top t ON sc.doc_id = t.doc_id""",
 
     // bins via binned list-mins of the one-hash-per-shingle list;
     // densified entries encode (hop d, value) as d*2^34 + value —

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Cross-run SEMANTIC dedup against the persistent embedding
+  * registry: in-batch dups resolve via the SemDeDup keep rule,
+  * later batches (and replays) drop anything eps-cosine-close to any
+  * vector ever accepted, the centroid-identity guard refuses a
+  * mismatched probe, and the registry probe is a directory-pruned
+  * scan of the batch's cells only. */
+class EmbedDedupRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cents = Seq(
+    (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (200L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cross-run drop, novel accept, replay self-dedups to empty") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+
+    val b1 = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    var persisted = Set.empty[Long]
+    val out1 = reg.dedupAppend(b1, cents, "vec_id", "embedding",
+        persist = d => persisted = d.select("vec_id").as[Long].collect().toSet)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out1 == Set(1L, 9L))
+    assert(persisted == Set(1L, 9L))
+
+    // 10 ~ batch-1's id 1 (cos ~ 0.995 > 0.98) -> dropped by history;
+    // 11 is 45-degrees off both accepted vectors -> fresh
+    val b2 = Seq(
+      (10L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (11L, Array(0.7f, 0.7f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out2 = reg.dedupAppend(b2, cents, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(out2 == Set(11L))
+
+    // replay: everything already registered
+    assert(reg.dedupAppend(b2, cents, "vec_id", "embedding").count() == 0)
+    assert(reg.read(spark).count() == 3)
+  }
+
+  test("in-batch dups resolve first: one signature per dup group") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    val b = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.02f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = reg.dedupAppend(b, cents, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    // SemDeDup keep rule: the lower-centroid-sim member (id 2) wins
+    assert(out == Set(2L))
+    assert(reg.read(spark).count() == 1)
+  }
+
+  test("centroid-identity guard refuses a mismatched probe") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    val b = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    reg.dedupAppend(b, cents, "vec_id", "embedding")
+    val other = Seq(
+      (100L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (200L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      reg.dedupAppend(b, other, "vec_id", "embedding")
+    }
+  }
+
+  test("registry probe is a directory-pruned scan (PartitionFilters on cell)") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    val b = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    reg.dedupAppend(b, cents, "vec_id", "embedding")
+    // the probe shape dedupAppend builds: literal cell IN list
+    val probe = reg.read(spark).filter(col("cell").isin(100L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+    assert(probe.select("id").as[Long].collect().toSet == Set(1L))
+  }
+}
