@@ -113,4 +113,58 @@ class StreamingCurationSpec extends SparkSpec {
       assert(hit.as[Long].collect().toSeq == Seq(9L))
     } finally q.stop()
   }
+
+  test("SEMANTIC near-dup gate across micro-batches (EmbedDedupRegistry)") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cur3_").toString
+    val corpus = s"$dir/corpus"
+    // the lexical gate above can't catch a paraphrase whose tokens all
+    // changed; the embedding gate does — same micro-batch loop, the
+    // semantic registry as the cross-batch memory
+    val cents = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val reg = new graft.operators.EmbedDedupRegistry(
+      s"$dir/registry", epsPermille = 980)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = MicroBatchPipeline.start(
+      in.toDF().toDF("vec_id", "embedding"),
+      identity,
+      (batch, _) => {
+        reg.dedupAppend(batch, cents, "vec_id", "embedding",
+          persist = out => out.write.mode("append").parquet(corpus))
+        ()
+      },
+      intervalMs = 100)
+    try {
+      in.addData((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      // 3 ~ batch-1's id 1 (a semantic re-post); 4 is novel
+      in.addData((3L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),
+        (4L, Seq(0.7f, 0.7f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpus)
+        .select("vec_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L),
+        s"expected semantic gate to drop 3, got $kept")
+
+      // at-least-once replay: re-delivery self-matches the registry
+      in.addData((3L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),
+        (4L, Seq(0.7f, 0.7f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 3,
+        "replayed micro-batch must not re-land survivors")
+
+      // restart (fresh instance, same path): the centroid-identity
+      // sidecar admits the original centroids and the on-disk
+      // signatures still gate a near-copy of batch-1 content
+      val reg2 = new graft.operators.EmbedDedupRegistry(
+        s"$dir/registry", epsPermille = 980)
+      val out = reg2.dedupAppend(
+        Seq((9L, Seq(0.995f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        cents, "vec_id", "embedding")
+      assert(out.count() == 0, "post-restart probe must still drop near-dups")
+    } finally q.stop()
+  }
 }
