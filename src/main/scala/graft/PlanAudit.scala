@@ -55,7 +55,8 @@ object PlanAudit {
     "q177_bm25_topk" -> "1-row corpus-stats (N, total_dl) broadcast cross join (q53 shape); query-term table is a bounded broadcast equi-join",
     "q181_histogram_quantile" -> "two 1-row aggregates (total count, merge-law mismatch count) broadcast cross-joined (q110 shape, bounded by construction)",
     "q183_semdedup" -> "12 broadcast centroids for cell assignment (q45 shape); the eps pair join and keeper window are cell/component-keyed equi ops",
-    "q186_importance_selection" -> "two 1-row feature-total aggregates broadcast cross-joined (q110 shape); feature joins are equi on the hashed feature id"
+    "q186_importance_selection" -> "two 1-row feature-total aggregates broadcast cross-joined (q110 shape); feature joins are equi on the hashed feature id",
+    "q187_pagerank_centrality" -> "1-row node-count aggregate broadcast cross-joined per power iteration (q110 shape); contribution joins are equi on src/dst"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

@@ -43,6 +43,8 @@ object TrainingData extends QueryGroup {
   private val DsirBuckets = 4096
   private val DsirTargets = Seq("src0", "src1", "src2", "src3", "src4")
   private val DsirQuota = 100
+  private val PrIters = 5 // q187 power iterations (oracle unrolls exactly these)
+  private val SpanGram = 8 // q188 substring-span gram width (tokens)
   private val LshBits = 4
   private val JlDim = 32 // q155 Johnson-Lindenstrauss target dim
   private val MmrPool = 20 // q156 bounded candidate pool
@@ -352,6 +354,88 @@ object TrainingData extends QueryGroup {
       truth.join(cand.withColumn("f", lit(true)), Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("jaccard"),
           coalesce(col("f"), lit(false)).as("found_oph"))
+    }),
+
+    // EXACT substring-span dedup (the Lee et al. 2021 "Deduplicating
+    // Training Data" suffix-array result, re-expressed relationally
+    // at L-token-gram granularity): every position whose L-gram
+    // occurs in >= 2 DISTINCT docs is flagged, and overlapping
+    // flagged spans merge into maximal removable islands
+    // (gaps-and-islands: break when pos - prev > L) — position-level
+    // spans, unlike q122's fixed chunks or q171's sampled
+    // fingerprints. No pair join anywhere: the duplicated-gram set
+    // is a groupBy + semi join, islands window per doc (bounded).
+    "q188_substring_spans" -> ((s, dir) => {
+      val L = SpanGram
+      val t2 = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= L)
+      // (doc_id, pos, h) — two consumers (df counts, span probe)
+      val grams = Dedup.DefaultMaterialize(
+        t2.select(col("doc_id"),
+            explode(sequence(lit(1), size(col("toks")) - (L - 1))).as("pos"),
+            col("toks"))
+          .select(col("doc_id"),
+            // long pos: the oracle's generate_series yields BIGINT
+            col("pos").cast("long").as("pos"),
+            Text.md5Long(concat_ws(" ",
+              slice(col("toks"), col("pos"), lit(L))), 12).as("h")))
+      val dupHashes = grams.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val dup = grams.join(dupHashes, Seq("h"), "left_semi")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val isl = dup
+        .withColumn("prev", lag(col("pos"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") - col("prev") > L, 1).otherwise(0))
+        .withColumn("span_no", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("doc_id"), col("span_no"))
+        .agg(min(col("pos")).as("start_pos"),
+          (max(col("pos")) + (L - 1)).as("end_pos"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_no"), col("start_pos"),
+          col("end_pos"), col("n_grams"))
+    }),
+
+    // PAGERANK centrality over the near-dup similarity graph (the
+    // link-authority signal web-corpus pipelines rank sources with,
+    // applied to the q31 pair graph): 5 power iterations at damping
+    // 0.85, every quantity an exact BIGINT in micro-units with FLOOR
+    // division — r'(v) = (150000 div n) + (85 * sum_u r(u) div
+    // deg(u)) div 100 — so both engines iterate bit-identically, no
+    // doubles anywhere. The pair graph has no dangling nodes by
+    // construction (every node has >= 1 edge), so no leak term.
+    // One eager-pinned job per round (the star-loop discipline);
+    // contributions are equi-joins, n is a 1-row broadcast.
+    "q187_pagerank_centrality" -> ((s, dir) => {
+      val pairs = Dedup.DefaultMaterialize(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = 100).select("id_a", "id_b"))
+      val edges = Dedup.DefaultMaterialize(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      val deg = Dedup.DefaultMaterialize(
+        edges.groupBy("src").agg(count(lit(1)).as("deg")))
+      val nRow = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(broadcast(nRow))
+        .selectExpr("src AS id", "1000000L div n AS r")
+      for (_ <- 1 to PrIters) {
+        val sums = edges
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        ranks = deg.select(col("src").as("id"))
+          .join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .crossJoin(broadcast(nRow))
+          .selectExpr("id", "(150000L div n) + (85L * coalesce(s, 0L)) div 100 AS r")
+          .localCheckpoint(true)
+      }
+      ranks.join(deg.withColumnRenamed("src", "id"), "id")
+        .select(col("id").as("doc_id"), col("r").as("rank_micro"),
+          col("deg").cast("long").as("deg"))
     }),
 
     // IMPORTANCE-BASED data selection (the DSIR shape — Xie et al.
@@ -1483,6 +1567,67 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // flagged-gram positions via a distinct-doc-count semi join;
+    // islands via the standard lag/sum gaps-and-islands
+    "q188_substring_spans" ->
+      s"""WITH $dTok,
+         t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= $SpanGram),
+         g0 AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - ${SpanGram - 1})) AS pos
+           FROM t2),
+         g AS (SELECT doc_id, pos,
+             ${dMd5Long(s"array_to_string(toks[pos:pos+${SpanGram - 1}], ' ')", 12)} AS h
+           FROM g0),
+         dfh AS (SELECT h FROM (
+             SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2),
+         dup AS (SELECT doc_id, pos FROM g JOIN dfh USING (h)),
+         isl AS (SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > $SpanGram THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup))
+         SELECT doc_id, island::BIGINT AS span_no, min(pos) AS start_pos,
+           max(pos) + ${SpanGram - 1} AS end_pos, count(*)::BIGINT AS n_grams
+         FROM isl GROUP BY doc_id, island""",
+
+    // 5 unrolled power iterations in exact micro-unit BIGINTs with
+    // floor division — iteration parity is arithmetic identity
+    "q187_pagerank_centrality" -> {
+      // DuckDB's // floordiv returns DOUBLE — every division is
+      // ::BIGINT-pinned (values are < 2^53 so the floor is exact
+      // either way; the cast is about schema parity, not precision)
+      def round(i: Int): String =
+        s"""s$i AS (SELECT e.dst, sum((p.r // dg.deg)::BIGINT)::BIGINT AS s
+             FROM ed e JOIN r${i - 1} p ON e.src = p.id
+                       JOIN deg dg ON e.src = dg.src
+             GROUP BY e.dst),
+           r$i AS (SELECT d.src AS id,
+               (150000 // nn.n)::BIGINT + ((85 * coalesce(s$i.s, 0)) // 100)::BIGINT AS r
+             FROM deg d CROSS JOIN nn
+             LEFT JOIN s$i ON d.src = s$i.dst),"""
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         dp AS (SELECT id_a, id_b
+           FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dp
+                 UNION ALL SELECT id_b, id_a FROM dp),
+         deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT src AS id, (1000000 // n)::BIGINT AS r FROM deg CROSS JOIN nn),
+         ${(1 to PrIters).map(round).mkString("\n")}
+         fin AS (SELECT id, r FROM r$PrIters)
+         SELECT fin.id AS doc_id, fin.r AS rank_micro, deg.deg::BIGINT AS deg
+         FROM fin JOIN deg ON fin.id = deg.src"""
+    },
 
     // rate-difference importance weights in exact ppb; selection via
     // ORDER BY ... LIMIT (TakeOrderedAndProject's mirror)
