@@ -485,6 +485,12 @@ object Similarity {
     * windows over components, whose size near-dup structure bounds. */
   def semDedup(corpus: DataFrame, centroids: DataFrame,
                idCol: String, vecCol: String, eps: Double): DataFrame = {
+    // the assignment feeds three consumers, but NO materialization:
+    // unlike the shingle table (where column pruning rewrites each
+    // consumer's subtree differently and kills ReuseExchange), every
+    // consumer here needs the same (id, v, n2, cell, cs) projection,
+    // so ReuseExchange already shares the ranked-cells window —
+    // A/B-measured at sf0.1: 2.41 s both ways (TimeQuery, min-of-3)
     val asg = rankedCells(corpus, centroids, idCol, vecCol, spread = true)
       .filter(col("rnk") === 1)
       .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
