@@ -144,9 +144,23 @@ object Dedup {
       .join(sh.select(col("id"), size(col("shingles")).as("n_sh")), "id")
       .filter(col("rn") <=
         col("n_sh") - floor((col("n_sh") * permille + 999) / 1000) + 1)
-      .select("id", "shingle"))
+      .select("id", "shingle", "n_sh", "rn"))
+    // Two more PPJoin prunes ride the candidate join, both
+    // completeness-preserving (q169's brute-force oracle proves it):
+    //  - LENGTH filter: jaccard >= t forces min(|A|,|B|) >=
+    //    t*max(|A|,|B|) — size-incompatible pairs never reach verify;
+    //  - POSITIONAL filter: at a shared prefix element with canonical
+    //    positions (i, j), overlap <= 1 + min(|A|-i, |B|-j); jaccard
+    //    >= t needs overlap*(1000+t') >= t'*(|A|+|B|) (t' permille).
+    //    The bound is tight-valid at the pair's FIRST shared element
+    //    (nothing shared precedes it), so keeping pairs where ANY
+    //    matched row passes loses nothing.
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          least(col("a.n_sh"), col("b.n_sh")) * 1000 >=
+            greatest(col("a.n_sh"), col("b.n_sh")) * permille &&
+          (lit(1) + least(col("a.n_sh") - col("a.rn"), col("b.n_sh") - col("b.rn"))) *
+            (1000 + permille) >= (col("a.n_sh") + col("b.n_sh")) * permille)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
