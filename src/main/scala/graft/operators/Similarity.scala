@@ -461,6 +461,28 @@ object Similarity {
     joined.filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 
+  /** TWO-STAGE retrieval: a cheap coarse scorer proposes candidates,
+    * the exact float cosine re-ranks them and keeps k — the
+    * production ANN serving pattern (cheap recall at the bottom,
+    * exact precision at the top; quantization error never decides
+    * the final order, only membership in the pool). `candidates` is
+    * any (query_id, neighbor_id) proposal set — quantizedTopK,
+    * ivfTopK, lshTopK — so stages compose freely. The rerank join
+    * broadcasts (candidates x query vectors), bounded by
+    * |queries| x poolSize; the corpus never shuffles. */
+  def rerankTopK(candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .transform(Spread.byKey("neighbor_id"))
+      .withColumn("cn", norm2(col("cv")))
+    val probe = candidates.select("query_id", "neighbor_id").join(q, "query_id")
+    val scored = c.join(broadcast(probe), Seq("neighbor_id"))
+      .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, "score", k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): semantic dedup at
     * CLUSTER-BLOCKED cost. Every vector joins its nearest-centroid

@@ -45,6 +45,7 @@ object TrainingData extends QueryGroup {
   private val DsirQuota = 100
   private val PrIters = 5 // q187 power iterations (oracle unrolls exactly these)
   private val SpanGram = 8 // q188 substring-span gram width (tokens)
+  private val RerankPool = 20 // q189 coarse-stage pool size
   private val LshBits = 4
   private val JlDim = 32 // q155 Johnson-Lindenstrauss target dim
   private val MmrPool = 20 // q156 bounded candidate pool
@@ -354,6 +355,20 @@ object TrainingData extends QueryGroup {
       truth.join(cand.withColumn("f", lit(true)), Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("jaccard"),
           coalesce(col("f"), lit(false)).as("found_oph"))
+    }),
+
+    // TWO-STAGE retrieval: int8 coarse top-20 proposes, exact float
+    // cosine re-ranks to top-5 — the production serving pattern
+    // (quantization error decides pool membership, never the final
+    // order). Rerank broadcasts |queries| x 20 pairs; the corpus
+    // never shuffles for either stage.
+    "q189_ann_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < AnnQueries)
+      val coarse = Similarity.quantizedTopK(qs, e, "vec_id", "embedding",
+        k = RerankPool)
+      Similarity.rerankTopK(coarse, qs, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
     }),
 
     // EXACT substring-span dedup (the Lee et al. 2021 "Deduplicating
@@ -1567,6 +1582,35 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // int8 coarse top-20 (q70's quantized scoring) -> exact float
+    // rerank to top-5 with the topK NaN/NULL guard mirrored
+    "q189_ann_rerank" ->
+      s"""WITH qz AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(greatest(-127, least(127, round(x::DOUBLE * 127))) AS INT)) AS qv
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < $AnnQueries),
+         c AS (SELECT vec_id AS neighbor_id, qv AS cq FROM qz),
+         coarse0 AS (SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, $Dim),
+               i -> qq[i]::BIGINT * cq[i])), (acc, x) -> acc + x) AS qdot
+           FROM c JOIN q ON query_id != neighbor_id),
+         coarse AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id ASC) AS rnk FROM coarse0)
+           WHERE rnk <= $RerankPool),
+         base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+         rr AS (SELECT s.query_id, s.neighbor_id,
+             round(${dDot("qn.v", "cn.v")} / sqrt(qn.n2 * cn.n2), 6) AS score
+           FROM coarse s JOIN n qn ON s.query_id = qn.vec_id
+                         JOIN n cn ON s.neighbor_id = cn.vec_id)
+         SELECT query_id, rank, neighbor_id, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM rr WHERE score IS NOT NULL AND NOT isnan(score))
+         WHERE rank <= 5""",
 
     // flagged-gram positions via a distinct-doc-count semi join;
     // islands via the standard lag/sum gaps-and-islands
