@@ -357,6 +357,62 @@ object TrainingData extends QueryGroup {
           coalesce(col("f"), lit(false)).as("found_oph"))
     }),
 
+    // RECIPROCAL-RANK FUSION (Cormack et al. 2009) of three curation
+    // signals — length, lexical diversity (distinct/total ppm),
+    // recency — into one ordering per SOURCE: every rank is a
+    // source-keyed window (never a global sort; fusing per source is
+    // also the right curation semantics — signals calibrate
+    // differently across domains), and the fused score is an exact
+    // integer: sum of 1e9 div (60 + rank), floor per term in both
+    // engines. Rank fusion is how multi-signal quality ordering
+    // avoids hand-tuned weight soup.
+    "q191_rank_fusion" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .filter(col("n_toks") > 0)
+        .withColumn("diversity_ppm", expr("n_distinct * 1000000L div n_toks"))
+      def rk(first: Column): Column = row_number().over(
+        Window.partitionBy("source").orderBy(first, col("doc_id").asc))
+      base
+        .withColumn("r_len", rk(col("n_toks").desc).cast("long"))
+        .withColumn("r_div", rk(col("diversity_ppm").desc).cast("long"))
+        .withColumn("r_rec", row_number().over(
+          Window.partitionBy("source").orderBy(col("doc_id").desc)).cast("long"))
+        .withColumn("rrf_micro", expr(
+          "1000000000L div (60 + r_len) + 1000000000L div (60 + r_div) + " +
+            "1000000000L div (60 + r_rec)"))
+        .select("doc_id", "source", "r_len", "r_div", "r_rec", "rrf_micro")
+    }),
+
+    // B-BIT MINHASH (Li & Koenig 2010): store only the low b=4 bits
+    // of each of the 32 minhash entries — an 8x signature-table
+    // compression for the memory-bound dedup index. Accuracy is
+    // MEASURED per true pair: full-signature match count vs 4-bit
+    // match count vs the paper's corrected estimator
+    // (m/k - 2^-b)/(1 - 2^-b) = (m - 2)/30 at k=32, b=4 — the
+    // collision floor 2^-b is subtracted, not ignored.
+    "q190_bbit_minhash" -> ((s, dir) => {
+      val sh = Dedup.DefaultMaterialize(
+        Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
+      val truth = Dedup.jaccardPairsFromShingles(sh, threshold = 0.5, maxDf = 100)
+      val sigs = Dedup.DefaultMaterialize(
+        Dedup.minhashSignaturesFromShingles(sh, NumPerm))
+      def matches(f: (Column, Column) => Column): Column =
+        size(filter(zip_with(col("sa"), col("sb"), f), b => b)).cast("long")
+      truth
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+        .withColumn("n_match_full", matches((x, y) => x === y))
+        .withColumn("n_match_b4",
+          matches((x, y) => x.bitwiseAND(lit(15L)) === y.bitwiseAND(lit(15L))))
+        .withColumn("est_b4",
+          round((col("n_match_b4") - 2).cast("double") / 30, 6))
+        .select("id_a", "id_b", "jaccard", "n_match_full", "n_match_b4", "est_b4")
+    }),
+
     // TWO-STAGE retrieval: int8 coarse top-20 proposes, exact float
     // cosine re-ranks to top-5 — the production serving pattern
     // (quantization error decides pool membership, never the final
@@ -1582,6 +1638,54 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // per-source rank windows; each reciprocal floor'd independently
+    "q191_rank_fusion" ->
+      s"""WITH tk AS (SELECT doc_id, source, $dToks AS toks FROM documents),
+         b AS (SELECT doc_id, source, len(toks)::BIGINT AS n_toks,
+             len(list_distinct(toks))::BIGINT AS n_distinct
+           FROM tk WHERE len(toks) > 0),
+         b2 AS (SELECT *, (n_distinct * 1000000 // n_toks)::BIGINT AS diversity_ppm FROM b),
+         r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY n_toks DESC, doc_id ASC)::BIGINT AS r_len,
+             row_number() OVER (PARTITION BY source ORDER BY diversity_ppm DESC, doc_id ASC)::BIGINT AS r_div,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id DESC)::BIGINT AS r_rec
+           FROM b2)
+         SELECT doc_id, source, r_len, r_div, r_rec,
+           (1000000000 // (60 + r_len))::BIGINT + (1000000000 // (60 + r_div))::BIGINT
+             + (1000000000 // (60 + r_rec))::BIGINT AS rrf_micro
+         FROM r""",
+
+    // truth pairs (q31's CTEs) x signature lists; match counts via
+    // boolean list_filter lengths, the estimator on the 4-bit count
+    "q190_bbit_minhash" ->
+      s"""WITH $dSh,
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn),
+         truth AS (SELECT id_a, id_b,
+             round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+           FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         hs AS (SELECT doc_id, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hashes FROM shn),
+         sigs AS (SELECT doc_id, $dSig AS sig FROM hs),
+         j2 AS (SELECT t.id_a, t.id_b, t.jaccard, a.sig AS sa, b.sig AS sb
+           FROM truth t JOIN sigs a ON t.id_a = a.doc_id
+                        JOIN sigs b ON t.id_b = b.doc_id),
+         m AS (SELECT id_a, id_b, jaccard,
+             len(list_filter(list_transform(generate_series(1, $NumPerm),
+               i -> sa[i] = sb[i]), x -> x))::BIGINT AS n_match_full,
+             len(list_filter(list_transform(generate_series(1, $NumPerm),
+               i -> (sa[i] & 15) = (sb[i] & 15)), x -> x))::BIGINT AS n_match_b4
+           FROM j2)
+         SELECT id_a, id_b, jaccard, n_match_full, n_match_b4,
+           round((n_match_b4 - 2)::DOUBLE / 30, 6) AS est_b4
+         FROM m""",
 
     // int8 coarse top-20 (q70's quantized scoring) -> exact float
     // rerank to top-5 with the topK NaN/NULL guard mirrored
