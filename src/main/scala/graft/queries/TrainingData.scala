@@ -357,6 +357,29 @@ object TrainingData extends QueryGroup {
           coalesce(col("f"), lit(false)).as("found_oph"))
     }),
 
+    // CCNet-style HEAD/MIDDLE/TAIL bucketing (Wenzek et al. 2020):
+    // per-GROUP terciles of a quality score — CCNet buckets each
+    // language by LM perplexity and trains on head+middle; the
+    // bucketing machinery is what's built here (source-keyed ntile,
+    // deterministic under the total order), with the exact
+    // lexical-diversity ppm as the score column — any score slots in.
+    "q192_ccnet_terciles" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .filter(col("n_toks") > 0)
+        .withColumn("score_ppm", expr("n_distinct * 1000000L div n_toks"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      base.withColumn("tercile", ntile(3).over(w).cast("long"))
+        .withColumn("bucket", element_at(
+          array(lit("head"), lit("middle"), lit("tail")),
+          col("tercile").cast("int")))
+        .select("doc_id", "source", "score_ppm", "tercile", "bucket")
+    }),
+
     // RECIPROCAL-RANK FUSION (Cormack et al. 2009) of three curation
     // signals — length, lexical diversity (distinct/total ppm),
     // recency — into one ordering per SOURCE: every rank is a
@@ -1638,6 +1661,22 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // source-keyed ntile over the same exact score
+    "q192_ccnet_terciles" ->
+      s"""WITH tk AS (SELECT doc_id, source, $dToks AS toks FROM documents),
+         b AS (SELECT doc_id, source, len(toks)::BIGINT AS n_toks,
+             len(list_distinct(toks))::BIGINT AS n_distinct
+           FROM tk WHERE len(toks) > 0),
+         b2 AS (SELECT doc_id, source,
+             (n_distinct * 1000000 // n_toks)::BIGINT AS score_ppm FROM b),
+         t AS (SELECT doc_id, source, score_ppm,
+             ntile(3) OVER (PARTITION BY source
+               ORDER BY score_ppm DESC, doc_id ASC)::BIGINT AS tercile
+           FROM b2)
+         SELECT doc_id, source, score_ppm, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM t""",
 
     // per-source rank windows; each reciprocal floor'd independently
     "q191_rank_fusion" ->

@@ -34,6 +34,20 @@ class EmptyInputSpec extends SparkSpec {
       "vec_id", "embedding", "label", 5).count() == 0)
   }
 
+  test("round-5 additions on an empty corpus") {
+    assert(Dedup.ophSignatures(noDocs, "doc_id", "text", 3, 8).count() == 0)
+    assert(Dedup.prefixFilterPairs(
+      Dedup.shingleSets(noDocs, "doc_id", "text", 3), 500).count() == 0)
+    val cents = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(noVecs, cents, "vec_id", "embedding", 0.9).count() == 0)
+    assert(Similarity.rerankTopK(
+      Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id"),
+      noVecs, noVecs, "vec_id", "embedding", 5).count() == 0)
+    // a doc too short to shingle yields no signature row, not a crash
+    val short = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(Dedup.ophSignatures(short, "doc_id", "text", 3, 8).count() == 0)
+  }
+
   test("robust outliers on empty and single-row entities") {
     val noEvents = Seq.empty[(Long, String, Double)]
       .toDF("event_id", "user_id", "value")
