@@ -298,6 +298,76 @@ object TrainingData extends QueryGroup {
            / len($toks)) * 0.2, 6)"""
   }
 
+  // ---- whole-method oracle texts shared by their own entry AND the
+  // q193 scorecard (which embeds each as a derived table) ----
+
+  private lazy val truthPairsSql: String =
+    s"""WITH $dSh,
+       inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+       filt AS (SELECT * FROM (
+           SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+         WHERE df <= 100),
+       prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn)
+       SELECT id_a, id_b,
+         round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+       WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5"""
+
+  private lazy val q33PairsSql: String =
+    s"""WITH $dSh,
+       hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hashes FROM shn),
+       sigs AS (SELECT doc_id, shingles, $dSig AS sig FROM hs),
+       bandrows AS (SELECT doc_id,
+           unnest(generate_series(1, $Bands)) AS band,
+           unnest(list_transform(generate_series(1, $Bands),
+             b -> md5(array_to_string(sig[((b-1)*$RowsPerBand+1):(b*$RowsPerBand)], ',')))) AS band_key
+         FROM sigs),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bandrows a JOIN bandrows b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       verified AS (SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+         FROM cand JOIN shn sa ON id_a = sa.doc_id JOIN shn sb ON id_b = sb.doc_id)
+       SELECT id_a, id_b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+       FROM verified WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.5"""
+
+  private lazy val q144PairsSql: String =
+    s"""WITH $dTok, $dSims64
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.fp, b.fp))::INT AS hamming
+       FROM sims64 a JOIN sims64 b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+
+  private lazy val q166PairsSql: String =
+    s"""WITH $dSh,
+       inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
+       filt AS (SELECT * FROM (
+           SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+         WHERE df <= 100),
+       pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn)
+       SELECT id_a, id_b, inter::BIGINT AS inter,
+         sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b
+       FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+       WHERE inter * 1000 >= 900 * least(sa.n_sh, sb.n_sh)"""
+
+  private lazy val q172PairsSql: String =
+    s"""WITH $dWinnowFp,
+       byh AS (SELECT DISTINCT doc_id, h FROM fp),
+       hot AS (SELECT h FROM (
+           SELECT h, count(*) AS df FROM byh GROUP BY 1) WHERE df > 100),
+       filt AS (SELECT doc_id, h FROM byh
+           WHERE h NOT IN (SELECT h FROM hot))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+       FROM filt a JOIN filt b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 3"""
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -355,6 +425,39 @@ object TrainingData extends QueryGroup {
       truth.join(cand.withColumn("f", lit(true)), Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("jaccard"),
           coalesce(col("f"), lit(false)).as("found_oph"))
+    }),
+
+    // DEDUP-METHOD SCORECARD: every candidate-generation family's
+    // FINAL pair set scored against the exact-jaccard>=0.5 truth in
+    // ONE table — (method, n_found, n_hit, n_true, precision,
+    // recall). The verified pipelines (minhash-LSH) show banding
+    // recall at precision 1.0 by construction; the own-criterion
+    // families (simhash Hamming<=3, winnowing shared>=3,
+    // containment>=0.9) show how their acceptance rule trades
+    // precision for the overlap classes jaccard misses. The
+    // family-choice decision, measured in one place instead of
+    // asserted per family.
+    "q193_dedup_scorecard" -> ((s, dir) => {
+      val truth = Dedup.DefaultMaterialize(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = 100).select("id_a", "id_b"))
+      def score(method: String, pairs: DataFrame): DataFrame = {
+        val p = Dedup.DefaultMaterialize(
+          pairs.select(col("id_a"), col("id_b")).distinct())
+        val hit = p.join(truth, Seq("id_a", "id_b"), "left_semi")
+        // three 1-row aggregates cross-joined (the q110 shape)
+        p.agg(count(lit(1)).as("n_found"))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+          .select(lit(method).as("method"),
+            col("n_found"), col("n_hit"), col("n_true"),
+            round(col("n_hit").cast("double") / col("n_found"), 6).as("precision"),
+            round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+      }
+      score("minhash_lsh", queries("q33_minhash_lsh_pairs")(s, dir))
+        .unionByName(score("simhash64_h3", queries("q144_simhash64")(s, dir)))
+        .unionByName(score("winnow_shared3", queries("q172_winnowing_pairs")(s, dir)))
+        .unionByName(score("containment_900", queries("q166_containment_pairs")(s, dir)))
     }),
 
     // CCNet-style HEAD/MIDDLE/TAIL bucketing (Wenzek et al. 2020):
@@ -1662,6 +1765,28 @@ object TrainingData extends QueryGroup {
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
 
+    // each method's full oracle embedded as a derived table; the
+    // truth set shared via one MATERIALIZED CTE
+    "q193_dedup_scorecard" -> {
+      def m(name: String, sql: String): String =
+        s"""SELECT '$name' AS method,
+           (SELECT count(*) FROM ($sql) p)::BIGINT AS n_found,
+           (SELECT count(*) FROM ($sql) p
+              JOIN truthp ON p.id_a = truthp.id_a AND p.id_b = truthp.id_b)::BIGINT AS n_hit,
+           (SELECT count(*) FROM truthp)::BIGINT AS n_true"""
+      val methods = Seq(
+        ("minhash_lsh", q33PairsSql),
+        ("simhash64_h3", q144PairsSql),
+        ("winnow_shared3", q172PairsSql),
+        ("containment_900", q166PairsSql))
+      s"""WITH truthp AS MATERIALIZED (
+           SELECT id_a, id_b FROM ($truthPairsSql) t)
+         SELECT method, n_found, n_hit, n_true,
+           round(n_hit::DOUBLE / n_found, 6) AS precision,
+           round(n_hit::DOUBLE / n_true, 6) AS recall
+         FROM (${methods.map { case (n, s0) => m(n, s0) }.mkString(" UNION ALL ")}) u"""
+    },
+
     // source-keyed ntile over the same exact score
     "q192_ccnet_terciles" ->
       s"""WITH tk AS (SELECT doc_id, source, $dToks AS toks FROM documents),
@@ -1939,16 +2064,7 @@ object TrainingData extends QueryGroup {
          FROM web JOIN cur USING (h)
          GROUP BY 1 HAVING count(*) >= 2""",
 
-    "q172_winnowing_pairs" ->
-      s"""WITH $dWinnowFp,
-         byh AS (SELECT DISTINCT doc_id, h FROM fp),
-         hot AS (SELECT h FROM (
-             SELECT h, count(*) AS df FROM byh GROUP BY 1) WHERE df > 100),
-         filt AS (SELECT doc_id, h FROM byh
-             WHERE h NOT IN (SELECT h FROM hot))
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
-         FROM filt a JOIN filt b ON a.h = b.h AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 3""",
+    "q172_winnowing_pairs" -> q172PairsSql,
 
     // brute force: every co-shingled pair, exact jaccard, no guards —
     // the completeness bar for the prefix-filtered path
@@ -2014,20 +2130,7 @@ object TrainingData extends QueryGroup {
              / (2.0 * n_s * n_r), 6) AS tv
          FROM a""",
 
-    "q166_containment_pairs" ->
-      s"""WITH $dSh,
-         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn),
-         filt AS (SELECT * FROM (
-             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
-           WHERE df <= 100),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                   FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn)
-         SELECT id_a, id_b, inter::BIGINT AS inter,
-           sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b
-         FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         WHERE inter * 1000 >= 900 * least(sa.n_sh, sb.n_sh)""",
+    "q166_containment_pairs" -> q166PairsSql,
 
     "q69_dedup_clusters" -> ccClusterOracle,
 
@@ -2119,24 +2222,7 @@ object TrainingData extends QueryGroup {
          SELECT doc_id, unnest(generate_series(1, $NumPerm)) AS perm_no, unnest(sig) AS minhash
          FROM sigs""",
 
-    "q33_minhash_lsh_pairs" ->
-      s"""WITH $dSh,
-         hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hashes FROM shn),
-         sigs AS (SELECT doc_id, shingles, $dSig AS sig FROM hs),
-         bandrows AS (SELECT doc_id,
-             unnest(generate_series(1, $Bands)) AS band,
-             unnest(list_transform(generate_series(1, $Bands),
-               b -> md5(array_to_string(sig[((b-1)*$RowsPerBand+1):(b*$RowsPerBand)], ',')))) AS band_key
-           FROM sigs),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bandrows a JOIN bandrows b
-                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         verified AS (SELECT id_a, id_b,
-             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-             len(sa.shingles) AS na, len(sb.shingles) AS nb
-           FROM cand JOIN shn sa ON id_a = sa.doc_id JOIN shn sb ON id_b = sb.doc_id)
-         SELECT id_a, id_b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
-         FROM verified WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.5""",
+    "q33_minhash_lsh_pairs" -> q33PairsSql,
 
     "q34_simhash" ->
       s"""WITH $dTok, $dSims
@@ -2672,12 +2758,7 @@ object TrainingData extends QueryGroup {
 
     // Brute-force all-pairs on purpose: equality with the Spark plan
     // certifies the banded candidate set is complete for d <= 3.
-    "q144_simhash64" ->
-      s"""WITH $dTok, $dSims64
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.fp, b.fp))::INT AS hamming
-         FROM sims64 a JOIN sims64 b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+    "q144_simhash64" -> q144PairsSql,
 
     "q180_selfrep_scrub" ->
       s"""WITH $dTok,
