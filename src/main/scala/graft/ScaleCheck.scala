@@ -44,10 +44,31 @@ object ScaleCheck {
         .withColumn("text",
           regexp_replace(col("text"), "([a-z0-9]+)", s"c$c$$1"))
 
+    /** Copy c of the embeddings: ids offset, a hashed per-(copy, dim)
+      * sign pattern flips ~half the dims between any two copies, so
+      * cross-copy cosine is ~0 (far below every near-dup threshold) —
+      * 10x the vectors is 10x distinct content, the embedding
+      * analogue of the token-prefix trick. Copy 0 is the original. */
+    val embBase = Tables.embeddings(spark, sf)
+    def copyEmb(c: Int): DataFrame = {
+      val flips = (0 until 64).map { d =>
+        val h = (c * 2654435761L + d * 40503L) >>> 13
+        if (c != 0 && (h & 1L) == 1L) -1.0f else 1.0f
+      }
+      val flipCol = array(flips.map(lit): _*)
+      if (c == 0) embBase
+      else embBase
+        .withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
+        .withColumn("embedding",
+          zip_with(col("embedding"), flipCol, (x, s) => (x * s).cast("float")))
+    }
+
     def synth(mult: Int): String = {
       val dir = s"$root/x$mult"
       (0 until mult).map(copy).reduce(_ unionAll _)
         .coalesce(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (0 until mult).map(copyEmb).reduce(_ unionAll _)
+        .coalesce(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       dir
     }
 
@@ -66,7 +87,11 @@ object ScaleCheck {
       "q169_prefix_filter_pairs", "q172_winnowing_pairs",
       // OPH signatures: one hash per shingle + binned conditional
       // mins — expected ~linear like the tokenize+hash paths it feeds
-      "q184_oph_minhash")
+      "q184_oph_minhash",
+      // embedding-side pair finders: cell/bucket-blocked, expected
+      // ~linear (the sign-flip synthesis keeps copies far apart in
+      // cosine, so answer size stays a data property)
+      "q35_embedding_near_dup", "q183_semdedup")
 
     println("| component | 1x (s) | 10x (s) | ratio |")
     println("|---|---|---|---|")
@@ -77,6 +102,20 @@ object ScaleCheck {
       println(f"| $name | $t1%.2f | $t10%.2f | ${t10 / t1}%.1fx |")
       (name, t1, t10)
     }
+
+    // Blocking width must TRACK corpus size: the q35/q183 rows run
+    // with their catalog-fixed width (16 LSH buckets / 12 cells), so
+    // within-block candidate pairs grow ~quadratically at 10x — the
+    // measured penalty. The SAME operator with bits += 3 (8x the
+    // buckets, ~matching the 10x data) restores the near-linear
+    // shape; k (cells) is SemDeDup's identical knob.
+    val cpScaled = Seq((1, 4), (10, 7)).map { case (mult, bits) =>
+      (mult, time2(operators.Similarity.cosinePairs(
+        Tables.embeddings(spark, dirs(mult)), "vec_id", "embedding",
+        dim = 64, threshold = 0.35, bits = bits).count()))
+    }
+    val Seq((_, cp1), (_, cp10)) = cpScaled
+    println(f"| q35 with width-scaled blocking (bits 4 -> 7) | $cp1%.2f | $cp10%.2f | ${cp10 / cp1}%.1fx |")
 
     // fixed 500-doc probe batch (disjoint content and ids: copy 99)
     val batch = copy(99).filter(pmod(col("doc_id"), lit(10)) === 3)
@@ -120,7 +159,8 @@ object ScaleCheck {
       s""""$n":[${f"$a%.3f"},${f"$b%.3f"}]""" }.mkString(",")
     println(s"""{"scalecheck":{$qjson,"registry_seed":[${f"$seed1%.3f"},${f"$seed10%.3f"}],""" +
       s""""registry_probe":[${f"$probe1%.3f"},${f"$probe10%.3f"}],""" +
-      s""""incremental_cc_fold":[${f"$ccf1%.3f"},${f"$ccf10%.3f"}],"sf":"$sf"}}""")
+      s""""incremental_cc_fold":[${f"$ccf1%.3f"},${f"$ccf10%.3f"}],""" +
+      s""""cosine_pairs_width_scaled":[${f"$cp1%.3f"},${f"$cp10%.3f"}],"sf":"$sf"}}""")
     spark.stop()
   }
 }
