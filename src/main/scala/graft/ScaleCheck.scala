@@ -88,9 +88,12 @@ object ScaleCheck {
       // OPH signatures: one hash per shingle + binned conditional
       // mins — expected ~linear like the tokenize+hash paths it feeds
       "q184_oph_minhash",
-      // embedding-side pair finders: cell/bucket-blocked, expected
-      // ~linear (the sign-flip synthesis keeps copies far apart in
-      // cosine, so answer size stays a data property)
+      // embedding-side pair finders at their catalog-FIXED blocking
+      // width (16 buckets / 12 cells): these rows measure the
+      // fixed-width penalty — within-block pairs grow ~n²/width —
+      // and the width-scaled row below shows the recovery. The
+      // sign-flip synthesis keeps copies far apart in cosine, so
+      // answer size stays a data property.
       "q35_embedding_near_dup", "q183_semdedup")
 
     println("| component | 1x (s) | 10x (s) | ratio |")

@@ -24,15 +24,14 @@ class DedupRegistry(path: String) {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
-    // Path-not-found means a registry that has never been written —
-    // that is the ONLY case treated as empty. A registry that exists
-    // but cannot be read as (fp STRING) is corruption: forgetting the
-    // whole dedup history and silently re-admitting duplicates is the
+    // Never-committed (absent, or only _temporary from a crashed
+    // first append) is the ONLY case treated as empty — the shared
+    // RegistryIO policy. A registry with committed data that cannot
+    // be read as (fp STRING) is corruption: forgetting the whole
+    // dedup history and silently re-admitting duplicates is the
     // worst possible failure mode, so schema errors propagate
     // (ADVICE r4, same rule as NearDupRegistry.read).
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) empty
+    if (!RegistryIO.committedDataExists(spark, path)) empty
     else {
       val d = spark.read.parquet(path)
       require(d.columns.contains("fp"),

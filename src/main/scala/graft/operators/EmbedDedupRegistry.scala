@@ -45,27 +45,30 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
   private val metaPath = path + "_centroid_fp"
 
   /** Bounded collect (k rows by contract): a stable fingerprint of
-    * the centroid set — ids and float-exact vector values, sorted. */
-  private def centroidFingerprint(centroids: DataFrame,
-                                  idCol: String, vecCol: String): String = {
+    * the centroid set — ids and float-exact vector values, sorted —
+    * plus the vector dimension (for the overflow guard). */
+  private def centroidInfo(centroids: DataFrame,
+                           idCol: String, vecCol: String): (String, Int) = {
     val rows = centroids
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()
-      .map(r => s"${r.getLong(0)}:${r.getSeq[Float](1).mkString(",")}")
-      .sorted
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(rows.mkString(";").getBytes("UTF-8"))
+    require(rows.nonEmpty, "EmbedDedupRegistry: centroid set is empty")
+    val keys = rows.map(r => s"${r.getLong(0)}:${r.getSeq[Float](1).mkString(",")}").sorted
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(keys.mkString(";").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+    (fp, rows.head.getSeq[Float](1).length)
   }
 
-  /** Registry signatures, or empty before the first append. Only
-    * path-not-found maps to empty — an existing-but-unreadable
-    * registry is corruption and propagates (the fail-loudly rule:
-    * forgetting semantic history re-admits every near-dup). */
+  /** Registry signatures, or empty before the first COMMITTED append
+    * (the shared RegistryIO policy — a crashed first append's
+    * _temporary-only dir is still "never written", and the
+    * documented replay contract must be able to run). A registry
+    * with committed data that cannot be read is corruption and
+    * propagates (the fail-loudly rule: forgetting semantic history
+    * re-admits every near-dup). */
   def read(spark: SparkSession): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    if (!RegistryIO.committedDataExists(spark, path))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -90,7 +93,19 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
                   idCol: String, vecCol: String,
                   persist: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
-    val fp = centroidFingerprint(centroids, idCol, vecCol)
+    // reserved columns (the DedupRegistry _reg_fp rule): a batch
+    // carrying vq/nq/cell would be silently clobbered or fail with
+    // an ambiguous-column error deep in the plan
+    val reserved = Seq("vq", "nq", "cell").filter(batch.columns.contains)
+    require(reserved.isEmpty,
+      s"EmbedDedupRegistry: batch must not contain reserved column(s) ${reserved.mkString(", ")}")
+    val (fp, dim) = centroidInfo(centroids, idCol, vecCol)
+    // the eps test is exact only while qdot^2 * 10^6 < 2^63; at int8
+    // qdot <= 16129*dim, so dim must stay under ~180 — enforce the
+    // documented bound instead of wrapping negative silently
+    require(dim <= 180,
+      s"EmbedDedupRegistry: dim=$dim overflows the exact int64 eps test " +
+        "(max ~180 at int8) — rescale or shard the comparison")
     val mp = new org.apache.hadoop.fs.Path(metaPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(mp)) {
@@ -109,10 +124,14 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       eps = epsPermille / 1000.0)
     val keptCells = sd.filter(col("kept"))
       .select(col("id"), col("cell"))
-    val winners = batch.join(
+    // winners feeds three consumers (the cells collect, and both the
+    // left side and the matched subtree of `fresh`) — materialize
+    // once (lazy localCheckpoint: realized by the collect, no extra
+    // job) or the semDedup-join + quantize pipeline runs per consumer
+    val winners = Dedup.DefaultMaterialize(batch.join(
         keptCells.withColumnRenamed("id", idCol), Seq(idCol), "inner")
       .withColumn("vq", Similarity.quantize8(col(vecCol)))
-      .withColumn("nq", Similarity.dotQ8(col("vq"), col("vq")))
+      .withColumn("nq", Similarity.dotQ8(col("vq"), col("vq"))))
 
     // 2. probe ONLY the batch's cells of the registry (bounded
     // literal IN list -> directory-pruned scan; same contract as
@@ -124,7 +143,13 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     val matched = winners
       .join(reg, Seq("cell"))
       .withColumn("qdot", Similarity.dotQ8(col("vq"), col("rvq")))
-      .filter(col("qdot") >= 0 &&
+      // STRICT qdot > 0: a zero-norm signature (near-zero embedding
+      // quantizes to all zeros, nq = 0) yields qdot = 0 against
+      // everything, and `0 >= e2*nq*0` would mark every future
+      // vector in its cell as a dup — one degenerate embedding must
+      // not silently poison a cell. cos >= eps > 0 implies qdot > 0
+      // for any real match, so nothing true is lost.
+      .filter(col("qdot") > 0 &&
         col("qdot") * col("qdot") * 1000000L >= lit(e2) * col("nq") * col("rnq"))
       .select(col(idCol)).distinct()
     val fresh = winners.join(matched, Seq(idCol), "left_anti")

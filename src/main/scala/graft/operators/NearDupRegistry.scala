@@ -94,13 +94,13 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, sig ARRAY<BIGINT>"))
-    // Path-not-found is the ONLY silent-empty case (first run); a
-    // registry that EXISTS with a wrong/missing column must fail
-    // loudly, not forget the whole dedup history (ADVICE r4) — so
-    // schema errors from the select below propagate.
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) empty
+    // Never-committed is the ONLY silent-empty case (first run, or a
+    // crashed first append's _temporary-only dir — the shared
+    // RegistryIO policy); a registry with committed data but a
+    // wrong/missing column must fail loudly, not forget the whole
+    // dedup history (ADVICE r4) — so schema errors from the select
+    // below propagate.
+    if (!RegistryIO.committedDataExists(spark, path)) empty
     else spark.read.parquet(path).select(col("id"), guardedSig(col("sig")))
   }
 

@@ -9,16 +9,15 @@ import org.apache.spark.sql.DataFrame
 private[streaming] object ParquetState {
 
   /** The state table at `path`, or an empty frame with `like`'s
-    * schema before the first batch has written anything. Only
-    * path-not-found maps to empty: an existing-but-unreadable state
-    * table is corruption, and silently restarting from empty state
-    * would re-emit every alert / forget every sketch (ADVICE r4,
-    * the registry fail-loudly rule). */
+    * schema before the first batch has COMMITTED anything (the
+    * shared graft.operators.RegistryIO policy — a crashed first
+    * write's _temporary-only dir is still "never written"). A state
+    * table with committed data that cannot be read is corruption and
+    * propagates: silently restarting from empty state would re-emit
+    * every alert / forget every sketch (ADVICE r4). */
   def readOrEmpty(path: String, like: DataFrame): DataFrame = {
     val spark = like.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) like.limit(0)
+    if (!graft.operators.RegistryIO.committedDataExists(spark, path)) like.limit(0)
     else spark.read.parquet(path)
   }
 

@@ -50,5 +50,12 @@ class DedupRegistrySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       new DedupRegistry(corrupt).read(spark)
     }
+
+    // a crashed FIRST append leaves only _temporary: the registry
+    // was never committed to, so this is emptiness (the documented
+    // replay contract must be able to run), not corruption
+    val crashed = base + "/crashed"
+    new java.io.File(crashed + "/_temporary/0").mkdirs()
+    assert(new DedupRegistry(crashed).read(spark).count() == 0)
   }
 }

@@ -76,6 +76,35 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     }
   }
 
+  test("a zero-norm signature cannot poison its cell") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    // a degenerate all-zeros embedding registers with nq = 0
+    val b1 = Seq((1L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(reg.dedupAppend(b1, cents, "vec_id", "embedding").count() == 1)
+    // a real vector in the same cell must NOT match it (qdot = 0
+    // against the zero signature; `0 >= e2*nq*0` would have said dup)
+    val b2 = Seq((2L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = reg.dedupAppend(b2, cents, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(2L))
+  }
+
+  test("reserved columns and oversized dims are refused up front") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    val b = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      reg.dedupAppend(b.withColumn("cell", lit(7)), cents, "vec_id", "embedding")
+    }
+    // dim 200 overflows the exact int64 eps cross-multiply
+    val bigCents = Seq((100L, Array.fill(200)(0.1f))).toDF("vec_id", "embedding")
+    val bigB = Seq((1L, Array.fill(200)(0.2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      reg.dedupAppend(bigB, bigCents, "vec_id", "embedding")
+    }
+  }
+
   test("registry probe is a directory-pruned scan (PartitionFilters on cell)") {
     val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
     val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
