@@ -120,6 +120,26 @@ object StreamOps {
       (d, k) => d.drop(right(k)))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like intervalJoin, but
+    * a left row with NO right match within [leftTs, leftTs +
+    * tolerance] is still emitted, right columns NULL — the
+    * "impressions that never converted" / "alerts never acked"
+    * shape, answered by the STREAM itself instead of a batch
+    * backfill. The unmatched emission is necessarily DELAYED until
+    * the join watermark (min of both sides) passes the END of the
+    * row's interval: only then can the engine prove no match is
+    * coming. Same bounded state as the inner variant — the range
+    * condition derives both state watermarks. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            keys: Seq[String], leftTs: String,
+                            rightTs: String, tolerance: String): DataFrame = {
+    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
+    val rangeCond = right(rightTs) >= left(leftTs) &&
+      right(rightTs) <= left(leftTs) + expr(s"INTERVAL $tolerance")
+    keys.foldLeft(left.join(right, keyCond && rangeCond, "left_outer"))(
+      (d, k) => d.drop(right(k)))
+  }
+
   /** Streaming CDC COMPACTION (the streaming form of q105): maintain
     * the latest version per key as an update-mode aggregate —
     * max(struct(ts, tieBreak, values...)) keeps ONE struct per key,

@@ -92,6 +92,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftOuter emits unmatched lefts only after the watermark closes their interval") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp, String)]
+    val buys = MemoryStream[(String, Timestamp, Double)]
+    val joined = StreamOps.intervalJoinLeftOuter(
+      clicks.toDF().toDF("user", "cts", "click").withWatermark("cts", "1 hour"),
+      buys.toDF().toDF("user", "bts", "amount").withWatermark("bts", "1 hour"),
+      Seq("user"), "cts", "bts", "2 hours")
+    val q = joined.writeStream.format("memory")
+      .queryName("ijo_out").outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(("u1", ts(day0, 1), "c1"), // buy at h2 -> matched
+        ("u1", ts(day0, 5), "c2"))              // no buy in [5, 7]: never converts
+      buys.addData(("u1", ts(day0, 2), 5.0))
+      q.processAllAvailable()
+      def rows = spark.table("ijo_out")
+        .select("click", "amount").as[(String, Option[Double])].collect().toSet
+      // the match emits promptly; the non-converter must NOT emit yet
+      // (its interval [5, 7] is still open — a buy could arrive)
+      assert(rows == Set(("c1", Some(5.0))))
+
+      // push BOTH watermarks (the join watermark is their min) far
+      // past c2's interval end -> the engine can prove no match
+      clicks.addData(("u9", ts(day0, 12), "late"))
+      buys.addData(("u9", ts(day0, 12), 1.0))
+      q.processAllAvailable()
+      assert(rows.contains(("c2", None)),
+        s"unmatched left must emit with NULL right after the watermark, got $rows")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins the dim per micro-batch") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.broadcast
