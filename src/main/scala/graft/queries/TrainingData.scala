@@ -335,6 +335,31 @@ object TrainingData extends QueryGroup {
        SELECT id_a, id_b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
        FROM verified WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.5"""
 
+  private lazy val q194PairsSql: String =
+    s"""WITH $dSh,
+       hsl AS (SELECT doc_id, shingles, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hl FROM shn),
+       bn AS (SELECT doc_id, shingles, list_transform(generate_series(0, ${NumPerm - 1}),
+           b -> list_min(list_filter(hl, h -> h % $NumPerm = b))) AS bins FROM hsl),
+       dbl AS (SELECT doc_id, shingles, bins || bins AS d2 FROM bn),
+       sg AS (SELECT doc_id, shingles,
+           list_transform(generate_series(1, $NumPerm), j ->
+             list_min(list_filter(list_transform(generate_series(0, ${NumPerm - 1}),
+               d -> CASE WHEN d2[j+d] IS NOT NULL THEN d * ${1L << 34} + d2[j+d] END),
+               x -> x IS NOT NULL))) AS sig
+         FROM dbl),
+       bnd AS (SELECT doc_id, b,
+           sig[((b-1)*$RowsPerBand+1):(b*$RowsPerBand)] AS bkey
+         FROM sg, generate_series(1, $Bands) t(b)),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.bkey = b2.bkey
+           AND a.doc_id < b2.doc_id),
+       verified AS (SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+         FROM cand JOIN shn sa ON id_a = sa.doc_id JOIN shn sb ON id_b = sb.doc_id)
+       SELECT id_a, id_b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+       FROM verified WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.5"""
+
   private lazy val q144PairsSql: String =
     s"""WITH $dTok, $dSims64
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -427,6 +452,37 @@ object TrainingData extends QueryGroup {
           coalesce(col("f"), lit(false)).as("found_oph"))
     }),
 
+    // The OPH signature put to WORK: the full cheap-signature dedup
+    // pipeline — OPH bands (8x4 over the 1-hash-per-shingle
+    // signature) generate candidates, exact jaccard verifies — q33's
+    // pair semantics at 1/32 the signature-hash compute. Verified
+    // output == the pairs the q33 pipeline would keep wherever the
+    // cheap banding surfaces the pair (q185 measures that recall;
+    // q193 scores it against the other families).
+    "q194_oph_lsh_pairs" -> ((s, dir) => {
+      val sh = Dedup.DefaultMaterialize(
+        Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
+      val sigs = Dedup.DefaultMaterialize(
+        Dedup.ophSignaturesFromShingles(sh, NumPerm))
+      val bands = sigs.select(col("id"), col("sig"),
+          explode(sequence(lit(1), lit(Bands))).as("bnd"))
+        .select(col("id"), col("bnd"),
+          slice(col("sig"), (col("bnd") - 1) * RowsPerBand + 1,
+            lit(RowsPerBand)).as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bnd") === col("b.bnd") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      cand
+        .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", round(col("inter").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    }),
+
     // DEDUP-METHOD SCORECARD: every candidate-generation family's
     // FINAL pair set scored against the exact-jaccard>=0.5 truth in
     // ONE table — (method, n_found, n_hit, n_true, precision,
@@ -455,6 +511,7 @@ object TrainingData extends QueryGroup {
             round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
       }
       score("minhash_lsh", queries("q33_minhash_lsh_pairs")(s, dir))
+        .unionByName(score("oph_lsh", queries("q194_oph_lsh_pairs")(s, dir)))
         .unionByName(score("simhash64_h3", queries("q144_simhash64")(s, dir)))
         .unionByName(score("winnow_shared3", queries("q172_winnowing_pairs")(s, dir)))
         .unionByName(score("containment_900", queries("q166_containment_pairs")(s, dir)))
@@ -1765,6 +1822,9 @@ object TrainingData extends QueryGroup {
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
 
+    // the q33-shaped banding + verification over the OPH signature
+    "q194_oph_lsh_pairs" -> q194PairsSql,
+
     // each method's full oracle embedded as a derived table; the
     // truth set shared via one MATERIALIZED CTE
     "q193_dedup_scorecard" -> {
@@ -1776,6 +1836,7 @@ object TrainingData extends QueryGroup {
            (SELECT count(*) FROM truthp)::BIGINT AS n_true"""
       val methods = Seq(
         ("minhash_lsh", q33PairsSql),
+        ("oph_lsh", q194PairsSql),
         ("simhash64_h3", q144PairsSql),
         ("winnow_shared3", q172PairsSql),
         ("containment_900", q166PairsSql))
