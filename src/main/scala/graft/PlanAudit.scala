@@ -58,7 +58,8 @@ object PlanAudit {
     "q186_importance_selection" -> "two 1-row feature-total aggregates broadcast cross-joined (q110 shape); feature joins are equi on the hashed feature id",
     "q187_pagerank_centrality" -> "1-row node-count aggregate broadcast cross-joined per power iteration (q110 shape); contribution joins are equi on src/dst",
     "q189_ann_rerank" -> "coarse stage is the int8 brute-force scorer (8-query side broadcast, q70 shape); the rerank join is equi on neighbor_id with a bounded |queries| x pool broadcast",
-    "q193_dedup_scorecard" -> "three 1-row count aggregates cross-joined per method row (q110 shape, bounded by construction); the simhash method's own pair join is q144's banded/verified plan"
+    "q193_dedup_scorecard" -> "three 1-row count aggregates cross-joined per method row (q110 shape, bounded by construction); the simhash method's own pair join is q144's banded/verified plan",
+    "q195_dedup_funnel" -> "four 1-row stage-count aggregates cross-joined into the stack (q110 shape, bounded by construction); every stage's own joins are keyed"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

@@ -452,6 +452,50 @@ object TrainingData extends QueryGroup {
           coalesce(col("f"), lit(false)).as("found_oph"))
     }),
 
+    // THE DEDUP FUNNEL: the lexical stack in production order as ONE
+    // staged account — exact content dedup, near-dup clustering over
+    // the SURVIVORS (CC reps kept), then the substring-span scrub
+    // over what remains (gram df computed WITHIN the surviving
+    // corpus: each stage sees exactly the corpus the previous stage
+    // produced, the way a real pipeline runs). One row per stage:
+    // (stage, n_in, n_out, n_removed). q30/q31/q69/q188 certify the
+    // pieces; this accounts for their composition end to end.
+    "q195_dedup_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val key = md5(concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)))
+      val s1 = Dedup.DefaultMaterialize(
+        Dedup.exactDedup(d, "doc_id", key).select("doc_id", "text"))
+      val comp = Dedup.connectedComponents(
+        Dedup.jaccardPairsFromShingles(
+          Dedup.DefaultMaterialize(Dedup.shingleSets(s1, "doc_id", "text", 3)),
+          threshold = 0.5, maxDf = 100).select("id_a", "id_b"))
+      val s2 = Dedup.DefaultMaterialize(s1.join(
+        comp.filter(col("id") =!= col("cluster")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti"))
+      val L = SpanGram
+      val gm = Dedup.DefaultMaterialize(
+        s2.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= L)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("toks")) - (L - 1))).as("pos"),
+            col("toks"))
+          .select(col("doc_id"),
+            Text.md5Long(concat_ws(" ",
+              slice(col("toks"), col("pos"), lit(L))), 12).as("h")))
+      val flagged = gm.join(
+          gm.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+            .filter(col("nd") >= 2).select("h"), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      // four 1-row aggregates -> broadcast crossJoins (q110 shape)
+      d.agg(count(lit(1)).as("n0"))
+        .crossJoin(broadcast(s1.agg(count(lit(1)).as("n1"))))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n2"))))
+        .crossJoin(broadcast(flagged.agg(count(lit(1)).as("nf"))))
+        .selectExpr("stack(3, '1_exact', n0, n1, '2_near_dup', n1, n2, " +
+          "'3_substring', n2, n2 - nf) AS (stage, n_in, n_out)")
+        .withColumn("n_removed", col("n_in") - col("n_out"))
+    }),
+
     // The OPH signature put to WORK: the full cheap-signature dedup
     // pipeline — OPH bands (8x4 over the 1-hash-per-shingle
     // signature) generate candidates, exact jaccard verifies — q33's
@@ -1824,6 +1868,55 @@ object TrainingData extends QueryGroup {
 
     // the q33-shaped banding + verification over the OPH signature
     "q194_oph_lsh_pairs" -> q194PairsSql,
+
+    // survivor sets as doc_id CTEs, each stage restricted to the
+    // previous stage's corpus (incl. gram df and shingle df)
+    "q195_dedup_funnel" ->
+      s"""WITH RECURSIVE $dSh,
+         keyed AS (SELECT doc_id, md5(array_to_string(toks[1:5], ' ')) AS k FROM tok),
+         s1 AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+             FROM keyed) WHERE rn = 1),
+         shn1 AS (SELECT * FROM shn WHERE doc_id IN (SELECT doc_id FROM s1)),
+         inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shn1),
+         filt AS (SELECT * FROM (
+             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+           WHERE df <= 100),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shn1),
+         dp AS (SELECT id_a, id_b
+           FROM prs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+           WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM dp
+                   UNION ALL SELECT id_b, id_a FROM dp),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (
+             SELECT id FROM comp WHERE id != cluster)),
+         t2 AS (SELECT doc_id, toks FROM tok
+           WHERE len(toks) >= $SpanGram AND doc_id IN (SELECT doc_id FROM s2)),
+         g0 AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - ${SpanGram - 1})) AS pos FROM t2),
+         g AS (SELECT doc_id,
+             ${dMd5Long(s"array_to_string(toks[pos:pos+${SpanGram - 1}], ' ')", 12)} AS h
+           FROM g0),
+         dfh AS (SELECT h FROM (
+             SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2),
+         fl AS (SELECT DISTINCT doc_id FROM g JOIN dfh USING (h)),
+         c0 AS (SELECT count(*)::BIGINT AS n FROM documents),
+         c1 AS (SELECT count(*)::BIGINT AS n FROM s1),
+         c2 AS (SELECT count(*)::BIGINT AS n FROM s2),
+         cf AS (SELECT count(*)::BIGINT AS n FROM fl)
+         SELECT stage, n_in, n_out, n_in - n_out AS n_removed FROM (
+           SELECT '1_exact' AS stage, c0.n AS n_in, c1.n AS n_out FROM c0, c1
+           UNION ALL SELECT '2_near_dup', c1.n, c2.n FROM c1, c2
+           UNION ALL SELECT '3_substring', c2.n, c2.n - cf.n FROM c2, cf) u""",
 
     // each method's full oracle embedded as a derived table; the
     // truth set shared via one MATERIALIZED CTE
