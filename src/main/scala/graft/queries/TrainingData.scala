@@ -452,6 +452,32 @@ object TrainingData extends QueryGroup {
           coalesce(col("f"), lit(false)).as("found_oph"))
     }),
 
+    // VOCABULARY RICHNESS per source: Chao1's lower-bound richness
+    // estimator (observed V + n1^2/(2*n2), Chao 1984) and the
+    // Good-Turing unseen-probability mass (n1/N, Good 1953) — the
+    // "how much vocabulary has this crawl NOT seen yet" monitor that
+    // decides whether another crawl of a source is worth it. Exact
+    // arithmetic throughout: singleton/doubleton counts are BIGINTs,
+    // the estimator terms integer-floor in micro units. One shuffle
+    // per level (token counts partial-agg map-side).
+    "q196_vocab_richness" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      tf.groupBy("source").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("v_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .withColumn("chao1_micro",
+          expr("v_obs * 1000000L + CASE WHEN n2 > 0 " +
+            "THEN (n1 * n1 * 1000000L) div (2 * n2) " +
+            "ELSE (n1 * (n1 - 1) * 1000000L) div 2 END"))
+        .withColumn("unseen_mass_ppm", expr("n1 * 1000000L div n_tokens"))
+        .select("source", "n_tokens", "v_obs", "n1", "n2",
+          "chao1_micro", "unseen_mass_ppm")
+    }),
+
     // THE DEDUP FUNNEL: the lexical stack in production order as ONE
     // staged account — exact content dedup, near-dup clustering over
     // the SURVIVORS (CC reps kept), then the substring-span scrub
@@ -1868,6 +1894,24 @@ object TrainingData extends QueryGroup {
 
     // the q33-shaped banding + verification over the OPH signature
     "q194_oph_lsh_pairs" -> q194PairsSql,
+
+    // same Chao1/Good-Turing integer arithmetic over per-source
+    // token frequencies (the bias-corrected n2=0 branch included)
+    "q196_vocab_richness" ->
+      s"""WITH tk AS (SELECT source, unnest($dToks) AS t FROM documents),
+         tf AS (SELECT source, t, count(*) AS c FROM tk GROUP BY 1, 2),
+         agg AS (SELECT source,
+             sum(c)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS v_obs,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+           FROM tf GROUP BY 1)
+         SELECT source, n_tokens, v_obs, n1, n2,
+           v_obs * 1000000 + CASE WHEN n2 > 0
+             THEN ((n1 * n1 * 1000000) // (2 * n2))::BIGINT
+             ELSE ((n1 * (n1 - 1) * 1000000) // 2)::BIGINT END AS chao1_micro,
+           (n1 * 1000000 // n_tokens)::BIGINT AS unseen_mass_ppm
+         FROM agg""",
 
     // survivor sets as doc_id CTEs, each stage restricted to the
     // previous stage's corpus (incl. gram df and shingle df)
