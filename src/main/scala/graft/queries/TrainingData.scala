@@ -421,10 +421,16 @@ object TrainingData extends QueryGroup {
     // map-side). Hash parity on the signature table proves binning
     // AND densification (borrowed entries encode (hop, value)
     // injectively as hop*2^34 + value).
+    // Output in LONG form (doc_id, pos, sig_entry, n_empty) via
+    // posexplode — the q44 precedent for array-valued results — so the
+    // gate's canonicalizer can sort scalar cells; every signature
+    // entry is still individually hash-checked.
     "q184_oph_minhash" -> ((s, dir) =>
       Dedup.ophSignatures(Tables.documents(s, dir), "doc_id", "text",
           n = 3, k = NumPerm)
-        .select(col("id").as("doc_id"), col("sig"), col("n_empty"))),
+        .select(col("id").as("doc_id"), posexplode(col("sig")), col("n_empty"))
+        .select(col("doc_id"), col("pos"), col("col").as("sig_entry"),
+          col("n_empty"))),
 
     // Does the 1-hash signature still FIND the dups? Every true
     // near-dup pair (exact jaccard >= 0.5, q31's truth set) flagged
@@ -2171,14 +2177,16 @@ object TrainingData extends QueryGroup {
          hsl AS (SELECT doc_id, list_transform(shingles, s -> ${dMd5Long("s", 12)} % $P) AS hl FROM shn),
          bn AS (SELECT doc_id, list_transform(generate_series(0, ${NumPerm - 1}),
              b -> list_min(list_filter(hl, h -> h % $NumPerm = b))) AS bins FROM hsl),
-         dbl AS (SELECT doc_id, bins, bins || bins AS d2 FROM bn)
-         SELECT doc_id,
+         dbl AS (SELECT doc_id, bins, bins || bins AS d2 FROM bn),
+         sigt AS (SELECT doc_id,
            list_transform(generate_series(1, $NumPerm), j ->
              list_min(list_filter(list_transform(generate_series(0, ${NumPerm - 1}),
                d -> CASE WHEN d2[j+d] IS NOT NULL THEN d * ${1L << 34} + d2[j+d] END),
                x -> x IS NOT NULL))) AS sig,
            len(list_filter(bins, x -> x IS NULL))::BIGINT AS n_empty
-         FROM dbl""",
+         FROM dbl)
+         SELECT doc_id, CAST(j - 1 AS INT) AS pos, sig[j] AS sig_entry, n_empty
+         FROM sigt CROSS JOIN generate_series(1, $NumPerm) AS g(j)""",
 
     // q31's truth set LEFT JOIN the OPH band index's candidates
     "q185_oph_lsh_recall" ->
