@@ -371,11 +371,26 @@ object Similarity {
       .agg(max(struct(col("score"), (-col("seed_id")).as("neg_seed"),
         col("cv").as("cv"))).as("best"))
       .select((-col("best.neg_seed")).as("cluster_id"), col("best.cv").as("cv"))
+    // Centroid mean in EXACT integer micro-units, not decimal casts:
+    // DuckDB's REAL->DECIMAL cast scales in FLOAT arithmetic (its
+    // 0.019056067f becomes 0.0190560672) while Spark's goes through
+    // the shortest string repr (0.0190560670) — per-element 1e-9
+    // discrepancies that occasionally cross a 6-dp rounding boundary
+    // once cell counts grow (observed: 20 rows, one cell, sf0.1 at 32
+    // cells). floor(x*1e10 + 0.5) over the float's double value is
+    // bitwise identical in both engines; the half-away-from-zero
+    // division to 6-dp units is exact bigint DIV (DuckDB BIGINT //
+    // matches — both truncate, operands kept non-negative); the final
+    // /1e6 double division is one IEEE op. Parity at ANY cell count.
     assigned.select(col("cluster_id"), posexplode(col("cv")))
       .groupBy(col("cluster_id"), col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("col").cast("decimal(28,10)")).as("ssum"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * lit(1e10) + lit(0.5))).as("ssum"))
       .select(col("cluster_id"), col("pos").as("dim_no"), col("n"),
-        round(col("ssum").cast("double") / col("n"), 6).as("centroid"))
+        (expr("""CASE WHEN ssum >= 0
+                 THEN (2 * ssum + n * 10000) DIV (2 * n * 10000)
+                 ELSE -((2 * -ssum + n * 10000) DIV (2 * n * 10000)) END""")
+          .cast("double") / lit(1e6)).as("centroid"))
   }
 
   /** Lloyd's algorithm to CONVERGENCE: iterate kmeansIteration until
@@ -459,6 +474,56 @@ object Similarity {
     // so a NaN similarity would pass the threshold; NULL (zero-norm
     // vector) already fails the comparison.
     joined.filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+  }
+
+  /** Smallest b with 2^b >= m (m >= 1): exact integer ceil-log2, no
+    * transcendentals — the DuckDB oracles replicate it bit-for-bit
+    * with a bounded generate_series scan. */
+  def ceilLog2(m: Long): Int =
+    if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+
+  /** Corpus-derived LSH width: enough bits that the EXPECTED bucket
+    * population is ~targetBucket (2^bits >= ceil(n/targetBucket)),
+    * clamped to [1, 16]. Fixed-width blocking is the measured 100 TB
+    * cliff (SCALE.md: within-bucket pairs grow ~n²/2^bits, 19.6x time
+    * at 10x data for fixed bits=4); deriving bits from an observed
+    * corpus count keeps the per-bucket pair cost FLAT as data grows.
+    * Cap 16: 65k buckets bounds the bucket-id arithmetic; recall loss
+    * per added bit is the sign-LSH collision probability, unchanged. */
+  def derivedLshBits(n: Long, targetBucket: Long = 128L): Int =
+    math.min(16, math.max(1, ceilLog2((n + targetBucket - 1) / targetBucket)))
+
+  /** Corpus-derived quantizer cell count: ceil(n/targetCell) clamped
+    * to [4, 4096] — the SemDeDup knob (fixed 12 cells measured 8.9x
+    * at 10x data). 4096 x dim floats bounds kmeansFit's driver state
+    * at any corpus size. */
+  def derivedCells(n: Long, targetCell: Long = 64L): Int =
+    math.min(4096L, math.max(4L, (n + targetCell - 1) / targetCell)).toInt
+
+  /** cosinePairs with CORPUS-DERIVED bucket width: one count() job
+    * observes n (a single driver-side long), then blocks at
+    * 2^derivedLshBits(n, targetBucket) sign-LSH buckets. The explicit
+    * `bits` override (cosinePairs) remains for callers that pin
+    * width; this is the default path a growing corpus should use. */
+  def cosinePairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double,
+                      targetBucket: Long = 128L): DataFrame =
+    cosinePairs(df, idCol, vecCol, dim, threshold,
+      bits = derivedLshBits(df.count(), targetBucket))
+
+  /** semDedup with a CORPUS-DERIVED cell count: observes n, fits
+    * derivedCells(n, targetCell) centroids seeded from the lowest
+    * ids (dense-ish id space assumed — the explicit-seed semDedup +
+    * kmeansFit path remains for arbitrary id spaces), then runs the
+    * cluster-blocked dedup. Cell population stays ~targetCell as the
+    * corpus grows, so the within-cell pair cost stays flat. */
+  def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                   eps: Double, maxIter: Int,
+                   targetCell: Long = 64L): DataFrame = {
+    val cells = derivedCells(corpus.count(), targetCell)
+    val fitted = kmeansFit(corpus, corpus.filter(col(idCol) < cells),
+      idCol, vecCol, maxIter)
+    semDedup(corpus, fitted, idCol, vecCol, eps)
   }
 
   /** TWO-STAGE retrieval: a cheap coarse scorer proposes candidates,

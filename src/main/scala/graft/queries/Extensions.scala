@@ -210,7 +210,7 @@ object Extensions extends QueryGroup {
     }),
 
     // One k-means Lloyd iteration: cosine assignment to 8 seed
-    // centroids (vec_id < 8) + decimal-exact centroid recompute —
+    // centroids (vec_id < 8) + integer-micro-exact centroid recompute —
     // the embedding-clustering step (semantic dedup, corpus
     // bucketing) as a two-shuffle relational plan.
     "q94_kmeans_iter" -> ((s, dir) => {
@@ -571,14 +571,22 @@ object Extensions extends QueryGroup {
              row_number() OVER (PARTITION BY vec_id
                ORDER BY score DESC, seed_id ASC) AS rn
            FROM scored WHERE score IS NOT NULL AND NOT isnan(score)),
-         a AS (SELECT cluster_id, cv FROM best WHERE rn = 1)
-         SELECT cluster_id, CAST(dim_no AS INT) AS dim_no, count(*) AS n,
-           round(sum(v::DECIMAL(28,10))::DOUBLE / count(*), 6) AS centroid
-         FROM (SELECT cluster_id,
-                 unnest(generate_series(0, len(cv) - 1)) AS dim_no,
-                 unnest(cv) AS v
-               FROM a)
-         GROUP BY cluster_id, dim_no""" },
+         a AS (SELECT cluster_id, cv FROM best WHERE rn = 1),
+         -- exact integer micro-unit mean (kmeansIteration's scheme:
+         -- REAL->DECIMAL casts diverge between engines; floor of the
+         -- double value + bigint division do not)
+         sums AS (SELECT cluster_id, dim_no, count(*) AS n,
+             sum(floor(v::DOUBLE * 10000000000 + 0.5))::BIGINT AS s,
+             count(*) * 10000 AS d
+           FROM (SELECT cluster_id,
+                   unnest(generate_series(0, len(cv) - 1)) AS dim_no,
+                   unnest(cv) AS v
+                 FROM a)
+           GROUP BY cluster_id, dim_no)
+         SELECT cluster_id, CAST(dim_no AS INT) AS dim_no, n,
+           (CASE WHEN s >= 0 THEN (2 * s + d) // (2 * d)
+                 ELSE -((2 * -s + d) // (2 * d)) END) / 1000000.0 AS centroid
+         FROM sums""" },
 
     "q92_mixture_sample" ->
       """SELECT doc_id, source,

@@ -47,6 +47,10 @@ object TrainingData extends QueryGroup {
   private val SpanGram = 8 // q188 substring-span gram width (tokens)
   private val RerankPool = 20 // q189 coarse-stage pool size
   private val LshBits = 4
+  // q35 / q183 corpus-derived blocking targets (expected bucket/cell
+  // population; width = f(observed corpus count) in BOTH engines)
+  private val CosTargetBucket = 128L
+  private val SemCellTarget = 64L
   private val JlDim = 32 // q155 Johnson-Lindenstrauss target dim
   private val MmrPool = 20 // q156 bounded candidate pool
   private val MmrK = 5 // q156 greedy picks (oracle unrolls exactly these)
@@ -170,24 +174,36 @@ object TrainingData extends QueryGroup {
              ORDER BY cs DESC, cid ASC) AS rn
            FROM sck$i WHERE cs IS NOT NULL AND NOT isnan(cs)) WHERE rn = 1),
        agg$i AS (SELECT cluster_id, dim_no,
-           round(sum(vv::DECIMAL(28,10))::DOUBLE / count(*), 6) AS centroid
-         FROM (SELECT cluster_id, unnest(generate_series(0, len(v) - 1)) AS dim_no,
-                 unnest(v) AS vv FROM asg$i)
-         GROUP BY cluster_id, dim_no),
+           (CASE WHEN s >= 0 THEN (2 * s + d) // (2 * d)
+                 ELSE -((2 * -s + d) // (2 * d)) END) / 1000000.0 AS centroid
+         FROM (SELECT cluster_id, dim_no,
+                 sum(floor(vv::DOUBLE * 10000000000 + 0.5))::BIGINT AS s,
+                 count(*) * 10000 AS d
+               FROM (SELECT cluster_id, unnest(generate_series(0, len(v) - 1)) AS dim_no,
+                       unnest(v) AS vv FROM asg$i)
+               GROUP BY cluster_id, dim_no)),
        cent$i AS (SELECT p.cid, coalesce(nc.cvn, p.cv) AS cv
          FROM cent${i - 1} p LEFT JOIN (
            SELECT cluster_id AS cid, list(centroid::REAL ORDER BY dim_no) AS cvn
            FROM agg$i GROUP BY cluster_id) nc USING (cid)),"""
 
   /** The shared fitted-quantizer CTE chain: `base`/`n` projections,
-    * the q45 seed set as cent0, and KmFitIter unrolled Lloyd rounds
-    * ending at cent$KmFitIter. Trailing comma included — callers
-    * append their own CTEs directly. */
-  private lazy val lloydCtes: String =
+    * a seed set as cent0 (default: the q45 fixed-12 contract; q183
+    * passes the corpus-derived predicate), and KmFitIter unrolled
+    * Lloyd rounds ending at cent$KmFitIter. Trailing comma included —
+    * callers append their own CTEs directly. */
+  private def lloydCtes(seedPred: String = "vec_id < 12"): String =
     s"""base AS (SELECT vec_id, embedding AS v FROM embeddings),
        n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
-       cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 12),
+       cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE $seedPred),
        ${(1 to KmFitIter).map(lloydRound).mkString("\n")}"""
+
+  /** q183's corpus-derived cell count (mirrors Similarity.derivedCells
+    * at targetCell=SemCellTarget): ceil(n/target) clamped [4, 4096],
+    * observed from the same embeddings table Spark counts. */
+  private lazy val dDerivedCells: String =
+    s"(SELECT greatest(4, least(4096, ((count(*) + ${SemCellTarget - 1}) // " +
+      s"$SemCellTarget)::BIGINT)) FROM embeddings)"
 
   private lazy val ivfFittedSql: String = {
     // IVF@nprobe=1 hit counts vs the exact top-5 under one centroid set
@@ -211,7 +227,7 @@ object TrainingData extends QueryGroup {
            WHERE query_id != neighbor_id) WHERE rnk <= 5),
        h_$tag AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_$tag
          FROM ex e JOIN iv_$tag USING (query_id, neighbor_id) GROUP BY 1),"""
-    s"""WITH $lloydCtes
+    s"""WITH ${lloydCtes()}
        q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn
              FROM n WHERE vec_id >= 12 AND vec_id < 20),
        ex AS (SELECT query_id, neighbor_id FROM (
@@ -232,6 +248,25 @@ object TrainingData extends QueryGroup {
          round(n_hit_fit::DOUBLE / 5, 6) AS recall_fit
        FROM sel"""
   }
+
+  /** Corpus-derived LSH bits (mirrors Similarity.derivedLshBits):
+    * smallest b in [1,16] with 2^b >= ceil(n/target), n counted from
+    * the same table Spark counts. Emits a one-row CTE body; join it
+    * in with CROSS JOIN. */
+  private def dDerivedBitsCte(target: Long): String =
+    s"""mb AS (SELECT ((count(*) + ${target - 1}) // $target)::BIGINT AS m FROM embeddings),
+       wb AS (SELECT greatest(1, least(16, coalesce(list_min(list_filter(generate_series(0, 16),
+           b -> (1::BIGINT << b) >= m)), 16)))::INT AS bits FROM mb)"""
+
+  /** Sign-LSH bucket with a DYNAMIC bit count (column `bits` from
+    * dDerivedBitsCte): hyperplane weights by the same pure formula as
+    * Similarity.hyperplaneWeight — ((j*dim+d) * 2654435761) % 97 - 48,
+    * exact in float, products/fold in DOUBLE like FloatDotProduct. */
+  private def dBucketDyn(v: String): String =
+    s"list_sum(list_prepend(0::BIGINT, list_transform(generate_series(0, bits - 1), j -> " +
+      s"CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $Dim), " +
+      s"i -> $v[i]::DOUBLE * (((j * $Dim + i - 1) * 2654435761) % 97 - 48)::DOUBLE)), " +
+      s"(acc, x) -> acc + x) >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)))"
 
   /** LSH bucket id from a vector list column (mirrors Similarity.lshBucket). */
   private def dBucket(v: String): String = {
@@ -404,14 +439,17 @@ object TrainingData extends QueryGroup {
     // paper's diversity-preserving keep rule). The oracle refits the
     // same centroids via the unrolled-Lloyd CTE chain and recomputes
     // the components as a recursive CTE.
-    "q183_semdedup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val fitted = Similarity.kmeansFit(e, e.filter(col("vec_id") < 12),
-        "vec_id", "embedding", maxIter = KmFitIter)
-      Similarity.semDedup(e, fitted, "vec_id", "embedding", eps = SemDedupEps)
+    // Cell count is CORPUS-DERIVED (VERDICT r5 #2): ceil(n/64) cells
+    // clamped [4, 4096] — 8 at n=500, 32 at n=2000 — so the
+    // within-cell pair cost stays flat as the corpus grows (the fixed
+    // 12-cell quantizer measured 8.9x at 10x data). The oracle's
+    // seed predicate computes the identical count via scalar subquery.
+    "q183_semdedup" -> ((s, dir) =>
+      Similarity.semDedupAuto(Tables.embeddings(s, dir), "vec_id",
+          "embedding", eps = SemDedupEps, maxIter = KmFitIter,
+          targetCell = SemCellTarget)
         .select(col("id").as("vec_id"), col("cell"), col("centroid_sim"),
-          col("sem_cluster"), col("kept"))
-    }),
+          col("sem_cluster"), col("kept"))),
 
     // ONE-permutation-hashing MinHash (Li et al. 2012; rotation
     // densification per Shrivastava & Li 2014): the 32-entry
@@ -1246,10 +1284,14 @@ object TrainingData extends QueryGroup {
     }),
 
     // Embedding near-dup pairs: cosine >= 0.35 within sign-LSH
-    // buckets (approximate; 2^4 fewer comparisons than quadratic).
+    // buckets whose WIDTH IS CORPUS-DERIVED (VERDICT r5 #2): bits =
+    // ceilLog2(ceil(n/128)), observed from a count of the same table
+    // the oracle's scalar subquery counts — 2 bits at n=500, 4 at
+    // n=2000, 8 at the 10x ScaleCheck corpus. Fixed width was the
+    // measured scale cliff; the bucket population now stays ~128.
     "q35_embedding_near_dup" -> ((s, dir) =>
-      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = Dim, threshold = 0.35, bits = LshBits)),
+      Similarity.cosinePairsAuto(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = Dim, threshold = 0.35, targetBucket = CosTargetBucket)),
 
     // Brute-force cosine top-10 for the 8 query vectors (exact ANN
     // baseline; query side broadcast, corpus never shuffles for the join).
@@ -1349,17 +1391,22 @@ object TrainingData extends QueryGroup {
     }),
 
     // Element-wise embedding CENTROIDS per label: posexplode to
-    // (label, dim, value), decimal-exact sums, mean at 6 dp. The
-    // vector mean as a relational plan — partial aggregation per
-    // (label, dim) cell, no vector ever held whole on one node.
+    // (label, dim, value), exact integer micro-unit sums (the
+    // kmeansIteration scheme — REAL->DECIMAL casts diverge between
+    // engines), mean at 6 dp. The vector mean as a relational plan —
+    // partial aggregation per (label, dim) cell, no vector ever held
+    // whole on one node.
     "q82_embedding_centroids" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       e.select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
         .agg(count(lit(1)).as("n"),
-          sum(col("col").cast("decimal(28,10)")).as("s"))
+          sum(floor(col("col").cast("double") * lit(1e10) + lit(0.5))).as("ssum"))
         .select(col("label"), col("pos").as("dim_no"), col("n"),
-          round(col("s").cast("double") / col("n"), 6).as("centroid"))
+          (expr("""CASE WHEN ssum >= 0
+                   THEN (2 * ssum + n * 10000) DIV (2 * n * 10000)
+                   ELSE -((2 * -ssum + n * 10000) DIV (2 * n * 10000)) END""")
+            .cast("double") / lit(1e6)).as("centroid"))
     }),
 
     // Benchmark DECONTAMINATION: flag training docs sharing word
@@ -1868,7 +1915,7 @@ object TrainingData extends QueryGroup {
     // spelled out because Spark's asc_nulls_last is explicit in
     // semDedup for the same reason.
     "q183_semdedup" ->
-      s"""WITH RECURSIVE $lloydCtes
+      s"""WITH RECURSIVE ${lloydCtes(s"vec_id < $dDerivedCells")}
          sc AS (SELECT n.vec_id, n.v, n.n2, c.cid,
              round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
            FROM n CROSS JOIN cent$KmFitIter c),
@@ -2487,8 +2534,10 @@ object TrainingData extends QueryGroup {
          FROM cand WHERE bit_count(xor(fa, fb)) <= 2""",
 
     "q35_embedding_near_dup" ->
-      s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
-         nb AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2, ${dBucket("v")} AS bucket FROM base),
+      s"""WITH ${dDerivedBitsCte(CosTargetBucket)},
+         base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         nb AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2, ${dBucketDyn("v")} AS bucket
+           FROM base CROSS JOIN wb),
          pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              a.v AS va, b.v AS vb, a.n2 AS na, b.n2 AS nb2
            FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -2692,13 +2741,18 @@ object TrainingData extends QueryGroup {
          FROM documents d JOIN tok USING (doc_id)""",
 
     "q82_embedding_centroids" ->
-      """SELECT label, CAST(dim_no AS INT) AS dim_no, count(*) AS n,
-         round(sum(v::DECIMAL(28,10))::DOUBLE / count(*), 6) AS centroid
-         FROM (SELECT label,
-                 unnest(generate_series(0, len(embedding)-1)) AS dim_no,
-                 unnest(embedding) AS v
-               FROM embeddings)
-         GROUP BY label, dim_no""",
+      """WITH sums AS (SELECT label, dim_no, count(*) AS n,
+             sum(floor(v::DOUBLE * 10000000000 + 0.5))::BIGINT AS s,
+             count(*) * 10000 AS d
+           FROM (SELECT label,
+                   unnest(generate_series(0, len(embedding)-1)) AS dim_no,
+                   unnest(embedding) AS v
+                 FROM embeddings)
+           GROUP BY label, dim_no)
+         SELECT label, CAST(dim_no AS INT) AS dim_no, n,
+           (CASE WHEN s >= 0 THEN (2 * s + d) // (2 * d)
+                 ELSE -((2 * -s + d) // (2 * d)) END) / 1000000.0 AS centroid
+         FROM sums""",
 
     "q80_decontamination" ->
       s"""WITH $dSh,

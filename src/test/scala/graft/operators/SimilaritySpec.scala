@@ -114,6 +114,40 @@ class SimilaritySpec extends SparkSpec {
     assert(top1(2) == Seq(1L))
   }
 
+  test("corpus-derived blocking width: exact integer derivation + clamps") {
+    // ceilLog2: exact, no transcendentals
+    assert(Similarity.ceilLog2(1) == 0)
+    assert(Similarity.ceilLog2(2) == 1)
+    assert(Similarity.ceilLog2(3) == 2)
+    assert(Similarity.ceilLog2(16) == 4)
+    assert(Similarity.ceilLog2(17) == 5)
+    assert(Similarity.ceilLog2(1L << 40) == 40)
+    // the catalog's corpora land where the q35/q183 comments claim
+    assert(Similarity.derivedLshBits(500) == 2) // sf0.01
+    assert(Similarity.derivedLshBits(2000) == 4) // sf0.1 (pre-change width)
+    assert(Similarity.derivedLshBits(20000) == 8) // ScaleCheck 10x
+    assert(Similarity.derivedLshBits(200000) == 11) // ScaleCheck 100x
+    assert(Similarity.derivedLshBits(1) == 1) // floor clamp
+    assert(Similarity.derivedLshBits(Long.MaxValue / 2) == 16) // cap
+    assert(Similarity.derivedCells(500) == 8)
+    assert(Similarity.derivedCells(2000) == 32)
+    assert(Similarity.derivedCells(1) == 4) // floor clamp
+    assert(Similarity.derivedCells(1L << 40) == 4096) // cap
+  }
+
+  test("cosinePairsAuto == cosinePairs at the derived width") {
+    // 4 vectors -> derivedLshBits(4) = 1: same pairs as an explicit
+    // bits=1 run, and a subset of the exact bits=0 pairs
+    val auto = Similarity.cosinePairsAuto(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.3).collect().toSet
+    val pinned = Similarity.cosinePairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.3, bits = 1).collect().toSet
+    assert(auto == pinned)
+    val exact = Similarity.cosinePairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.3, bits = 0).collect().toSet
+    assert(auto.subsetOf(exact))
+  }
+
   test("hyperplaneWeight strides by the actual dim (no shifted copies)") {
     // with a fixed stride of 64, weight(j, d+64, 128) would equal
     // weight(j+1, d, 128) for every d — adjacent hyperplanes sharing
