@@ -34,15 +34,70 @@ import org.apache.spark.sql.functions._
   * semantics rather than degrading recall quietly.
   *
   * WRITE ORDER is the delivery guarantee (DedupRegistry's rule): the
-  * corpus sink runs BEFORE the signature append, so a crash between
-  * the two replays the batch as duplicates — the replay self-dedups
-  * against the registry — never as silent loss.
+  * corpus sink runs BEFORE the signature append, never the reverse —
+  * so a crash can only ever duplicate, never silently lose. The
+  * at-least-once window is ASYMMETRIC, though (ADVICE r5): a crash
+  * AFTER the signature append replays with every row matched (the
+  * replay self-dedups, zero duplicates), but a crash BETWEEN
+  * persist() and the append replays with NO registry match — the
+  * whole surviving batch double-lands in the corpus sink. Callers
+  * that cannot tolerate a full-batch duplicate window must make
+  * persist() idempotent per batch (the streaming/IdempotentSink
+  * batch-id layout: overwrite a batch-keyed directory, so the replay
+  * lands on the same key instead of appending twice).
+  *
+  * REFIT lifecycle: `refit(newCentroids)` migrates the registry to a
+  * larger fitted centroid set as the corpus grows (the corpus-derived
+  * cell-count discipline — a registry born at 12 cells must not pin
+  * its whole lifetime to 12). Stored int8 signatures are re-assigned
+  * to their nearest NEW centroid (dequantized at /127 — exact for
+  * every representable signature; assignment can differ from the
+  * original float's only within quantization distance of a cell
+  * border, the same approximation the int8 eps test already accepts),
+  * rewritten partitioned by new cell into a GENERATION directory, and
+  * the fingerprint sidecar — now (fp, dataDir) — is swapped by an
+  * atomic rename. A crash anywhere before the swap leaves the old
+  * generation fully active; after it, the new one. The old data dir
+  * is deleted only after the swap (best-effort; an orphaned
+  * generation is garbage, never corruption).
   */
 class EmbedDedupRegistry(path: String, epsPermille: Int) {
   require(epsPermille > 0 && epsPermille < 1000,
     "EmbedDedupRegistry: epsPermille must be in (0, 1000)")
 
   private val metaPath = path + "_centroid_fp"
+
+  /** Sidecar state: centroid fingerprint + active data directory.
+    * Legacy single-line sidecars (fp only) resolve to `path`. */
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem): Option[(String, String)] = {
+    val mp = new org.apache.hadoop.fs.Path(metaPath)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = txt.split("\n", 2)
+      Some((lines(0).trim, if (lines.length > 1 && lines(1).trim.nonEmpty) lines(1).trim else path))
+    }
+  }
+
+  /** Atomic sidecar replace: write a tmp file, rename OVERWRITE onto
+    * the live name — readers see the old pointer or the new one,
+    * never a partial write. */
+  private def writeMeta(spark: SparkSession, fp: String, dataDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mp = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = mp.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val os = fs.create(tmp, false)
+    try os.write(s"$fp\n$dataDir".getBytes("UTF-8")) finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+    fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The active data directory (sidecar pointer, default `path`). */
+  private def activeDir(fs: org.apache.hadoop.fs.FileSystem): String =
+    readMeta(fs).map(_._2).getOrElse(path)
 
   /** Bounded collect (k rows by contract): a stable fingerprint of
     * the centroid set — ids and float-exact vector values, sorted —
@@ -68,16 +123,19 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * propagates (the fail-loudly rule: forgetting semantic history
     * re-admits every near-dup). */
   def read(spark: SparkSession): DataFrame = {
-    if (!RegistryIO.committedDataExists(spark, path))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = activeDir(fs)
+    if (!RegistryIO.committedDataExists(spark, dir))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "id BIGINT, vq ARRAY<INT>, nq BIGINT, cell BIGINT"))
     else {
-      val d = spark.read.parquet(path)
+      val d = spark.read.parquet(dir)
       val missing = Seq("id", "vq", "nq", "cell").filterNot(d.columns.contains)
       require(missing.isEmpty,
-        s"EmbedDedupRegistry at $path exists but lacks ${missing.mkString(", ")} " +
+        s"EmbedDedupRegistry at $dir exists but lacks ${missing.mkString(", ")} " +
           "— refusing to treat a corrupt registry as empty")
       // partition-column type inference may narrow cell to INT;
       // normalize so the empty and non-empty schemas agree
@@ -108,15 +166,11 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         "(max ~180 at int8) — rescale or shard the comparison")
     val mp = new org.apache.hadoop.fs.Path(metaPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(mp)) {
-      val stored = {
-        val in = fs.open(mp)
-        try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      }
+    readMeta(fs).foreach { case (stored, _) =>
       require(stored == fp,
         s"EmbedDedupRegistry at $path was built with centroid set $stored; " +
           s"probing with $fp would silently miss cross-cell near-dups — " +
-          "rebuild the registry or pass the original centroids")
+          "refit(newCentroids) to migrate, or pass the original centroids")
     }
 
     // 1. in-batch semantic dedup (cluster-blocked, SemDeDup keep rule)
@@ -159,12 +213,62 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     val pinned = fresh.localCheckpoint(true)
     val out = pinned.drop("vq", "nq", "cell")
     persist(out)
-    if (!fs.exists(mp)) {
-      val os = fs.create(mp, false)
-      try os.write(fp.getBytes("UTF-8")) finally os.close()
-    }
+    if (readMeta(fs).isEmpty) writeMeta(spark, fp, path)
     pinned.select(col(idCol).as("id"), col("vq"), col("nq"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .write.mode("append").partitionBy("cell").parquet(activeDir(fs))
     out
+  }
+
+  /** Migrate the registry to a NEW centroid set (see class doc):
+    * re-assign every stored signature to its nearest new centroid,
+    * rewrite into a fresh generation directory, atomically swap the
+    * sidecar pointer, then clean up the old generation. Identity
+    * refits (same fingerprint) are a no-op. After refit, dedupAppend
+    * accepts ONLY the new centroid set — the fingerprint guard's
+    * migration path, not a bypass.
+    *
+    * Ids are unique in a registry by construction (one signature per
+    * accepted vector), so the assignment join-back cannot fan out. */
+  def refit(spark: SparkSession, newCentroids: DataFrame,
+            idCol: String, vecCol: String): Unit = {
+    val (fp, dim) = centroidInfo(newCentroids, idCol, vecCol)
+    require(dim <= 180,
+      s"EmbedDedupRegistry: dim=$dim overflows the exact int64 eps test " +
+        "(max ~180 at int8) — rescale or shard the comparison")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = readMeta(fs)
+    require(current.nonEmpty,
+      s"EmbedDedupRegistry at $path has never been appended to — " +
+        "nothing to refit (the first dedupAppend pins its centroid set)")
+    val (oldFp, oldDir) = current.get
+    if (oldFp == fp) return // identity refit: same centroid identity
+    val newDir = s"${path}_gen_$fp"
+    val newDirPath = new org.apache.hadoop.fs.Path(newDir)
+    // a stale dir from an abandoned earlier refit to this same set is
+    // inactive garbage (the sidecar never pointed at it) — clear it
+    if (fs.exists(newDirPath)) fs.delete(newDirPath, true)
+    val cur = read(spark)
+    // dequantize (exact: every int8 signature value is q/127 by
+    // construction) and re-rank under the new centroids with
+    // assignCells' (cs DESC, cid ASC) discipline — the same ranking
+    // future float batches get, up to quantization distance
+    val deq = cur.withColumn("v",
+      transform(col("vq"), x => (x.cast("float") / lit(127.0f)).cast("float")))
+    // spread = true: the refit is a full registry rewrite — repartition
+    // by id so a few large cells don't serialize the re-ranking
+    // (assignCells reads the same column names from both frames)
+    val re = Similarity.assignCells(deq,
+        newCentroids.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", "v", spread = true)
+      .select(col("id"), col("cell"))
+    cur.drop("cell").join(re, Seq("id"))
+      .select(col("id"), col("vq"), col("nq"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(newDir)
+    writeMeta(spark, fp, newDir) // the atomic cutover
+    if (oldDir != newDir) { // old generation is now unreachable
+      val op = new org.apache.hadoop.fs.Path(oldDir)
+      if (fs.exists(op)) fs.delete(op, true)
+    }
   }
 }

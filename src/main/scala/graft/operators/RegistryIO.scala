@@ -14,7 +14,15 @@ import org.apache.spark.sql.SparkSession
   * dedup/state history re-admits every duplicate. */
 object RegistryIO {
 
-  /** True iff `path` holds at least one committed data file. */
+  /** True iff `path` holds at least one committed data file. ANY
+    * non-marker file counts (ADVICE r5) — not just Spark's own
+    * part-* naming: a registry whose data files were written or
+    * compacted by another tool must be READ (and then judged by the
+    * schema check), not silently treated as never-committed — that
+    * is exactly the forget-history failure this policy exists to
+    * prevent. Markers are `_`/`.`-prefixed (SUCCESS files, CRC
+    * sidecars, in-flight tmp) — the same classes Spark's own reader
+    * skips. */
   def committedDataExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -26,7 +34,7 @@ object RegistryIO {
             // partition dirs (cell=...) hold the files; _temporary
             // and other _-prefixed dirs are uncommitted scaffolding
             !n.startsWith("_") && !n.startsWith(".") && scan(s.getPath)
-          else n.startsWith("part-")
+          else !n.startsWith("_") && !n.startsWith(".")
         }
       scan(p)
     }

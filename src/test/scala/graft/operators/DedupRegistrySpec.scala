@@ -57,5 +57,18 @@ class DedupRegistrySpec extends SparkSpec {
     val crashed = base + "/crashed"
     new java.io.File(crashed + "/_temporary/0").mkdirs()
     assert(new DedupRegistry(crashed).read(spark).count() == 0)
+
+    // data files NOT named part-* (another tool wrote or compacted
+    // the registry) are still committed data (ADVICE r5): the foreign
+    // file must be READ — here it has the right schema and simply
+    // works; treating it as never-committed would silently forget
+    // the dedup history
+    val foreign = base + "/foreign"
+    Seq((1L, "abc")).toDF("id", "fp").write.parquet(foreign)
+    val dir = new java.io.File(foreign)
+    dir.listFiles.filter(_.getName.startsWith("part-")).foreach { f =>
+      assert(f.renameTo(new java.io.File(foreign + "/compacted-0.parquet")))
+    }
+    assert(RegistryIO.committedDataExists(spark, foreign))
   }
 }

@@ -105,6 +105,68 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     }
   }
 
+  test("refit migrates to a larger centroid set; probes are replay-equivalent") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    // two well-separated clusters -> quantization noise cannot move
+    // any vector across a cell border during refit
+    val b1 = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    reg.dedupAppend(b1, cents, "vec_id", "embedding")
+
+    // identity refit: same fingerprint, no-op — registry untouched
+    val before = reg.read(spark).orderBy("id").collect().toSeq
+    reg.refit(spark, cents, "vec_id", "embedding")
+    assert(reg.read(spark).orderBy("id").collect().toSeq == before)
+
+    // grow 2 -> 3 cells (a refined set: old axes kept, one added)
+    val cents3 = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (300L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    reg.refit(spark, cents3, "vec_id", "embedding")
+
+    // unaffected vectors: same ids, same signatures, same cells
+    // (their nearest centroid did not change)
+    val after = reg.read(spark).orderBy("id").collect().toSeq
+    assert(after.map(_.getLong(0)) == before.map(_.getLong(0)))
+    assert(after.map(r => (r.getLong(0), r.getLong(3))).toSet ==
+      before.map(r => (r.getLong(0), r.getLong(3))).toSet)
+
+    // probe equivalence: a near-dup of an accepted vector still drops
+    val b2 = Seq(
+      (10L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // ~ id 1 -> drop
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)) // new cell 300 -> fresh
+    ).toDF("vec_id", "embedding")
+    val out = reg.dedupAppend(b2, cents3, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(11L))
+
+    // the OLD centroid set is now the mismatched probe
+    intercept[IllegalArgumentException] {
+      reg.dedupAppend(b2, cents, "vec_id", "embedding")
+    }
+    // and a replay of b2 self-dedups against the refit registry
+    assert(reg.dedupAppend(b2, cents3, "vec_id", "embedding").count() == 0)
+  }
+
+  test("refit refuses a never-appended registry; oversized dims refused") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    intercept[IllegalArgumentException] {
+      reg.refit(spark, cents, "vec_id", "embedding")
+    }
+    val b = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    reg.dedupAppend(b, cents, "vec_id", "embedding")
+    val bigCents = Seq((100L, Array.fill(200)(0.1f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      reg.refit(spark, bigCents, "vec_id", "embedding")
+    }
+  }
+
   test("registry probe is a directory-pruned scan (PartitionFilters on cell)") {
     val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
     val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
