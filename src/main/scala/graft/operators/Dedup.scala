@@ -52,10 +52,21 @@ object Dedup {
     *    10x cost); downstream explode() drops empty arrays itself. */
   def shingleSets(df: DataFrame, idCol: String,
                   textCol: String, n: Int): DataFrame =
+    shingleSetsFromTokens(tokenTable(df, idCol, textCol), n)
+
+  /** Shared (id, toks) token table: the tokenizer regex is the one
+    * text pass every lexical family needs (shingles, simhash token
+    * hashes, winnow positioned grams) — materialize THIS once and
+    * feed them all (the q193 scorecard discipline) instead of
+    * re-tokenizing per family. */
+  def tokenTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(textCol).as("doc_text"))
       .transform(Spread.byKey("id"))
       .select(col("id"), Text.tokens(col("doc_text")).as("toks"))
-      .select(col("id"), Text.shingles(col("toks"), n).as("shingles"))
+
+  /** Shingle sets over an already-built (id, toks) token table. */
+  def shingleSetsFromTokens(tok: DataFrame, n: Int): DataFrame =
+    tok.select(col("id"), Text.shingles(col("toks"), n).as("shingles"))
       // keyed exchange AFTER the expensive projection: callers
       // materialize this table (localCheckpoint preserves the physical
       // partitioning), so id-keyed consumers — the minhash signature
@@ -236,16 +247,44 @@ object Dedup {
     */
   /** Exploded (id, shingle) relation with per-shingle md5 hash —
     * shared scale-path input for minhash signatures. */
-  private[operators] def shingleHashes(sh: DataFrame): DataFrame =
+  /** Exploded (id, h) shingle-hash table — the md5 pass both the
+    * minhash and OPH signature builds consume; materialize it once
+    * when feeding both (the q193 scorecard discipline). */
+  def shingleHashes(sh: DataFrame): DataFrame =
     sh.select(col("id"), explode(col("shingles")).as("s"))
       .select(col("id"), pmod(Text.md5Long(col("s"), 12), lit(Text.MinhashP)).as("h"))
 
   /** MinHash signature table (id, mh_1..mh_numPerm) via codegen'd
     * min-aggregates over the exploded shingle hashes — the
     * interpreted array-fold variant is 100x slower at sf0.1. */
-  private[operators] def minhashSigTable(sh: DataFrame, numPerm: Int): DataFrame = {
+  private[operators] def minhashSigTable(sh: DataFrame, numPerm: Int): DataFrame =
+    minhashSigTableFromHashes(shingleHashes(sh), numPerm)
+
+  /** Signature table over an already-built (id, h) hash table. */
+  def minhashSigTableFromHashes(hashes: DataFrame, numPerm: Int): DataFrame = {
     val aggs = Text.minhashAggs(col("h"), numPerm)
-    shingleHashes(sh).groupBy("id").agg(aggs.head, aggs.tail: _*)
+    hashes.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band-bucket candidate pairs (id_a < id_b, distinct) from a
+    * wide (id, mh_*) signature table — the candidate-generation half
+    * of minhashLshPairsFromShingles, exposed so a scorecard can pair
+    * it with a SHARED verification pass. */
+  def minhashBandCandidates(sigs: DataFrame, bands: Int,
+                            rowsPerBand: Int): DataFrame = {
+    // band b (1-based) covers mh_{(b-1)*r+1} .. mh_{b*r}.
+    val bandKeys = (1 to bands).map { b =>
+      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
+        .map(j => col(s"mh_$j").cast("string"))
+      md5(concat_ws(",", cols: _*))
+    }
+    val bandRows = sigs.select(col("id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** MinHash signature per document as ONE array<long> column
@@ -292,12 +331,18 @@ object Dedup {
     * had no shingle — the densification load, a signature-quality
     * diagnostic: estimates degrade when n_empty/k is large, i.e.
     * docs much shorter than k shingles). */
-  def ophSignaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
-    require(k >= 2, "ophSignaturesFromShingles: k must be >= 2")
+  def ophSignaturesFromShingles(sh: DataFrame, k: Int): DataFrame =
+    ophSignaturesFromHashes(shingleHashes(sh), k)
+
+  /** OPH signatures over an already-built (id, h) hash table (one
+    * materialized hash pass can feed BOTH the minhash and OPH
+    * signature builds — the q193 scorecard discipline). */
+  def ophSignaturesFromHashes(hashes: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "ophSignaturesFromHashes: k must be >= 2")
     // one aggregation, k codegen'd conditional mins — empty bin = NULL
     val mins = (0 until k).map(b =>
       min(when(pmod(col("h"), lit(k)) === b, col("h"))).as(s"b_$b"))
-    val bins = shingleHashes(sh).groupBy("id").agg(mins.head, mins.tail: _*)
+    val bins = hashes.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(b => col(s"b_$b")): _*).as("bins"))
     // `doubled` MUST sit behind a projection boundary (the README
     // plan-notes rule): inlined, the concat(bins, bins) expression is
@@ -344,27 +389,23 @@ object Dedup {
   def minhashLshPairsFromShingles(sh: DataFrame, bands: Int,
                                   rowsPerBand: Int,
                                   threshold: Double): DataFrame = {
-    val numPerm = bands * rowsPerBand
-    val sigs = minhashSigTable(sh, numPerm)
-    // band b (1-based) covers mh_{(b-1)*r+1} .. mh_{b*r}.
-    val bandKeys = (1 to bands).map { b =>
-      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
-        .map(j => col(s"mh_$j").cast("string"))
-      md5(concat_ws(",", cols: _*))
-    }
-    val bandRows = sigs.select(col("id"), posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val cand = bandRows.as("a").join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // Verify through the exploded inverted index (the q31 shape)
-    // instead of carrying full shingle ARRAYS through two joins:
-    // semi-join (id, shingle) down to candidate ids — a tiny set
-    // relative to the corpus — self-join per shingle within it, and
-    // keep only LSH candidate pairs. shingles are array_distinct, so
-    // the per-shingle match count IS the exact intersection size.
+    val cand = minhashBandCandidates(
+      minhashSigTable(sh, bands * rowsPerBand), bands, rowsPerBand)
+    verifyCandidatesFromShingles(sh, cand, threshold)
+  }
+
+  /** Exact-jaccard verification of a candidate pair set against an
+    * already-materialized shingle table, through the exploded
+    * inverted index (the q31 shape) instead of carrying full shingle
+    * ARRAYS through two joins: semi-join (id, shingle) down to
+    * candidate ids — a tiny set relative to the corpus — self-join
+    * per shingle within it, and keep only candidate pairs. shingles
+    * are array_distinct, so the per-shingle match count IS the exact
+    * intersection size. Shared by the minhash-LSH and OPH-LSH verify
+    * stages (the array_intersect variant measured ~2x slower on the
+    * OPH path at sf0.1). */
+  def verifyCandidatesFromShingles(sh: DataFrame, cand: DataFrame,
+                                   threshold: Double): DataFrame = {
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     val inv = sh.join(candIds, Seq("id"), "left_semi")
@@ -663,10 +704,15 @@ object Dedup {
     * for half the space, which is fine: banding uses arithmetic
     * shift + mask and verification uses bit_count(xor), both
     * sign-agnostic. */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokh = df.select(col(idCol).as("id"), col(textCol).as("doc_text"))
-      .transform(Spread.byKey("id"))
-      .select(col("id"), explode(Text.tokens(col("doc_text"))).as("t"))
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash64FromTokens(tokenTable(df, idCol, textCol))
+
+  /** simhash64 over an already-built (id, toks) token table (one
+    * materialized tokenize pass feeds every lexical family — the
+    * q193 scorecard discipline). */
+  def simhash64FromTokens(tok: DataFrame): DataFrame = {
+    val tokh = tok
+      .select(col("id"), explode(col("toks")).as("t"))
       .select(col("id"),
         Text.md5LongAt(col("t"), 1, 8).as("h_lo"),
         Text.md5LongAt(col("t"), 9, 8).as("h_hi"))

@@ -32,15 +32,19 @@ object Winnow {
     * DISTINCT selected (hash, position). Docs with fewer than
     * n + w - 1 tokens (no full window) contribute nothing. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, w: Int): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("id"), col(textCol).as("doc_text"))
-      .transform(Spread.byKey("id"))
-      // STEP-WISE selects: the tokens regex must land in its own
-      // projection so CollapseProject keeps it single-evaluation —
-      // inlined into the shingle lambda it would re-run per
-      // element_at reference (the elementHashes rule)
-      .select(col("id"), Text.tokens(col("doc_text")).as("toks"))
+                   n: Int, w: Int): DataFrame =
+    // STEP-WISE selects: the tokens regex lands in its own projection
+    // (inside tokenTable) so CollapseProject keeps it
+    // single-evaluation — inlined into the shingle lambda it would
+    // re-run per element_at reference (the elementHashes rule)
+    fingerprintsFromTokens(
+      Dedup.tokenTable(docs, idCol, textCol), n, w)
+
+  /** Fingerprints over an already-built (id, toks) token table (one
+    * materialized tokenize pass feeds every lexical family — the
+    * q193 scorecard discipline). */
+  def fingerprintsFromTokens(tok: DataFrame, n: Int, w: Int): DataFrame = {
+    val grams = tok
       .select(col("id"),
         posexplode(Text.shinglesWithDuplicates(col("toks"), n)))
       .select(col("id"), (col("pos") + 1).as("pos"),
