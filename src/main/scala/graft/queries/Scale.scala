@@ -496,16 +496,21 @@ object Scale extends QueryGroup {
     // Tokenizer FERTILITY per language: corpus-level subwords-per-word
     // ratio — the statistic that decides whether a tokenizer's vocab
     // serves a language well (fertility >> 1 means over-segmentation).
-    // Exact integer sums per lang; one double division at the end.
+    // Counts come from the REAL greedy encoder (the q197 tokenizer,
+    // VERDICT r5 #7), not the old regex-split proxy. Exact integer
+    // sums per lang; one double division at the end.
     "q134_tokenizer_fertility" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      d.select(col("lang"),
-          size(Text.tokens(col("text"))).cast("long").as("n_words"),
-          Text.subwordCount(col("text")).cast("long").as("n_subwords"))
+      val vocab = graft.operators.Subword.vocabulary(
+        d, "doc_id", "text", SubwordSql.K)
+      val dc = graft.operators.Subword.docCounts(d, "doc_id", "text", vocab)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_subwords"))
+      d.select(col("doc_id"), col("lang"))
+        .join(dc, Seq("doc_id"), "left")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_words")).as("words"),
-          sum(col("n_subwords")).as("subwords"))
+          sum(coalesce(col("n_words"), lit(0L))).as("words"),
+          sum(coalesce(col("n_subwords"), lit(0L))).as("subwords"))
         .withColumn("fertility",
           round(col("subwords").cast("double") / col("words"), 6))
     }),
@@ -1022,13 +1027,16 @@ object Scale extends QueryGroup {
          FROM a WHERE sum_gap > 0""",
 
     "q134_tokenizer_fertility" ->
-      s"""WITH $dTok
+      s"""WITH RECURSIVE ${SubwordSql.ctes()},
+         dtc AS (SELECT t.doc_id, count(*)::BIGINT AS w,
+             sum(c.n_subwords)::BIGINT AS sw
+           FROM swtok t JOIN swcounts c ON c.word = t.term GROUP BY 1)
          SELECT lang, count(*)::BIGINT AS n_docs,
-           sum(len(toks))::BIGINT AS words,
-           sum(len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ]+)', 1)))::BIGINT AS subwords,
-           round(sum(len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ]+)', 1)))::DOUBLE
-             / sum(len(toks)), 6) AS fertility
-         FROM documents JOIN tok USING (doc_id)
+           sum(coalesce(dtc.w, 0))::BIGINT AS words,
+           sum(coalesce(dtc.sw, 0))::BIGINT AS subwords,
+           round(sum(coalesce(dtc.sw, 0))::DOUBLE
+             / sum(coalesce(dtc.w, 0)), 6) AS fertility
+         FROM documents d LEFT JOIN dtc USING (doc_id)
          GROUP BY lang""",
 
     "q125_mad_outliers" ->

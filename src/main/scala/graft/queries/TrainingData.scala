@@ -1451,12 +1451,20 @@ object TrainingData extends QueryGroup {
     // (2048) greedily in a deterministic order, per language — the
     // batch-construction shape LLM training corpora go through last.
     // One window cumsum; a doc lands in the pack where its first
-    // token falls.
+    // token falls. Budgets count REAL subword tokens (the q197
+    // greedy encoder, VERDICT r5 #7) — what the training batch
+    // actually holds — not whitespace-word proxies.
     "q81_sequence_packing" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      val vocab = graft.operators.Subword.vocabulary(
+        d, "doc_id", "text", SubwordSql.K)
+      val dc = graft.operators.Subword.docCounts(d, "doc_id", "text", vocab)
+        .select(col("id").as("doc_id"), col("n_subwords"))
       val w = Window.partitionBy("lang").orderBy("doc_id")
-      d.select(col("lang"), col("doc_id"),
-          size(Text.tokens(col("text"))).as("n_tokens"))
+      d.select(col("lang"), col("doc_id"))
+        .join(dc, Seq("doc_id"), "left")
+        .withColumn("n_tokens", coalesce(col("n_subwords"), lit(0L)))
+        .drop("n_subwords")
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .withColumn("pack_id",
           floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("int"))
@@ -2779,16 +2787,18 @@ object TrainingData extends QueryGroup {
          FROM documents JOIN tok USING (doc_id)""",
 
     "q81_sequence_packing" ->
-      s"""WITH $dTok
-         SELECT d.lang, d.doc_id, len(toks) AS n_tokens,
+      s"""WITH RECURSIVE ${SubwordSql.ctes()},
+         dtc AS (SELECT t.doc_id, sum(c.n_subwords)::BIGINT AS n
+           FROM swtok t JOIN swcounts c ON c.word = t.term GROUP BY 1)
+         SELECT d.lang, d.doc_id, coalesce(dtc.n, 0) AS n_tokens,
            -- ::BIGINT: DuckDB integer sum() yields HUGEINT, which lands
            -- in the checker as float64 and breaks the value hash
-           CAST(sum(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+           CAST(sum(coalesce(dtc.n, 0)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
-           CAST(FLOOR((sum(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks))
+           CAST(FLOOR((sum(coalesce(dtc.n, 0)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - coalesce(dtc.n, 0))
              / 2048) AS INT) AS pack_id
-         FROM documents d JOIN tok USING (doc_id)""",
+         FROM documents d LEFT JOIN dtc USING (doc_id)""",
 
     "q82_embedding_centroids" ->
       """WITH sums AS (SELECT label, dim_no, count(*) AS n,
