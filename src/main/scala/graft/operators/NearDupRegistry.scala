@@ -49,19 +49,23 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     * integer compare — no double division in the hot predicate). */
   private val minAgree: Int = math.ceil(simThreshold * numPerm).toInt
 
-  /** Catalog name for the persisted band index: derived from the
-    * registry path (the catalog is global — two registries must not
-    * collide on one table; the Bucketing.scala tag discipline).
-    * nBuckets is NOT part of the identity: an existing index keeps
-    * its layout; size it for the target cluster up front. */
-  private val indexTable: String = "graft_neardup_idx_" +
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-  /** Where the bucketed band-index files live (sibling of the
-    * signature registry, public so operability specs/tools can assert
-    * the index is really persisted). */
-  val indexLocation: String = path + "_band_idx"
-  private def indexPath: String = indexLocation
+  /** The persisted band index: a bucketed table with the GenIndex
+    * generation lifecycle (compaction without a forget-history crash
+    * window). Catalog name derives from the registry path (the
+    * catalog is global — two registries must not collide on one
+    * table; the Bucketing.scala tag discipline). nBuckets is NOT
+    * part of the identity: an existing index keeps its layout; size
+    * it for the target cluster up front. */
+  private val index = new GenIndex(
+    "graft_neardup_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString,
+    path + "_band_idx",
+    "id BIGINT, sig ARRAY<BIGINT>, band INT, band_key STRING",
+    Seq("band", "band_key"), nBuckets)
+  /** Where the bucketed band-index files currently live (generation-
+    * aware; public so operability specs/tools can assert the index is
+    * really persisted). */
+  def indexLocation(spark: SparkSession): String = index.activeLocation(spark)
 
   /** One-time-per-instance index bootstrap: re-register the external
     * table (an in-memory catalog forgets bucket metadata across JVMs;
@@ -71,14 +75,9 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     * the FIRST batch (later crash windows converge via replay). */
   private var indexReady = false
   private def ensureIndex(spark: SparkSession): Unit = {
-    spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS $indexTable
-         |(id BIGINT, sig ARRAY<BIGINT>, band INT, band_key STRING)
-         |USING PARQUET
-         |CLUSTERED BY (band, band_key) INTO $nBuckets BUCKETS
-         |LOCATION '$indexPath'""".stripMargin)
+    index.ensure(spark)
     if (!indexReady) {
-      if (spark.table(indexTable).isEmpty) {
+      if (index.df(spark).isEmpty) {
         val sigs = read(spark)
         if (!sigs.isEmpty) appendToIndex(sigs)
       }
@@ -87,8 +86,18 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
   }
 
   private def appendToIndex(sigs: DataFrame): Unit =
-    bandRows(sigs).select("id", "sig", "band", "band_key")
-      .write.mode("append").insertInto(indexTable)
+    index.append(bandRows(sigs).select("id", "sig", "band", "band_key"))
+
+  /** Maintenance: rewrite the band index into ~nBuckets files when
+    * per-batch appends have fragmented it past `maxFiles`. Probe
+    * results are unchanged (same rows, same bucket layout) and a
+    * crash leaves the old index fully active — the GenIndex
+    * generation-swap contract. Returns whether a rewrite ran. */
+  def compactIndex(spark: SparkSession,
+                   maxFiles: Int = 4 * nBuckets): Boolean = {
+    ensureIndex(spark)
+    index.compact(spark, maxFiles)
+  }
 
   def read(spark: SparkSession): DataFrame = {
     val empty = spark.createDataFrame(
@@ -135,7 +144,7 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     * zero banding work on the registry side. */
   private def matchedIds(spark: SparkSession, sigs: DataFrame): DataFrame = {
     ensureIndex(spark)
-    val reg = spark.table(indexTable).select(
+    val reg = index.df(spark).select(
       col("band"), col("band_key"), guardedSig(col("sig")).as("reg_sig"))
     reg.join(broadcast(bandRows(sigs)), Seq("band", "band_key"))
       .filter(agreement(col("sig"), col("reg_sig")) >= minAgree)

@@ -36,12 +36,18 @@ class WinnowRegistry(path: String, n: Int, w: Int, minShared: Int,
   require(n >= 1 && w >= 1 && minShared >= 1,
     "WinnowRegistry: n, w, minShared must be positive")
 
-  private val indexTable: String = "graft_winnow_idx_" +
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-  /** Where the bucketed fingerprint index lives (public so specs can
-    * assert the persistence). */
-  val indexLocation: String = path + "_fp_idx"
+  /** The persisted fingerprint index: a bucketed table with the
+    * GenIndex generation lifecycle, giving compaction AND `forget`
+    * a rewrite path with no forget-history crash window (the old
+    * in-place INSERT OVERWRITE could lose the whole index to a
+    * crash between delete and rewrite). */
+  private val index = new GenIndex(
+    "graft_winnow_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString,
+    path + "_fp_idx", "id BIGINT, h BIGINT", Seq("h"), nBuckets)
+  /** Where the bucketed fingerprint-index files currently live
+    * (generation-aware; public so specs can assert the persistence). */
+  def indexLocation(spark: SparkSession): String = index.activeLocation(spark)
 
   private def paramsPath = new org.apache.hadoop.fs.Path(path + "_params")
 
@@ -63,13 +69,17 @@ class WinnowRegistry(path: String, n: Int, w: Int, minShared: Int,
     }
   }
 
-  private def ensureIndex(spark: SparkSession): Unit =
-    spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS $indexTable
-         |(id BIGINT, h BIGINT)
-         |USING PARQUET
-         |CLUSTERED BY (h) INTO $nBuckets BUCKETS
-         |LOCATION '$indexLocation'""".stripMargin)
+  private def ensureIndex(spark: SparkSession): Unit = index.ensure(spark)
+
+  /** Maintenance: rewrite the fingerprint index into ~nBuckets files
+    * when per-batch appends have fragmented it past `maxFiles`.
+    * Probe results are unchanged (same rows, same bucket layout);
+    * crash-safe by the GenIndex generation-swap contract. */
+  def compactIndex(spark: SparkSession,
+                   maxFiles: Int = 4 * nBuckets): Boolean = {
+    checkParams(spark)
+    index.compact(spark, maxFiles)
+  }
 
   /** Gate a batch: drop docs sharing >= minShared selected
     * fingerprints with the registry (or with a surviving in-batch
@@ -93,7 +103,7 @@ class WinnowRegistry(path: String, n: Int, w: Int, minShared: Int,
     // 2. cross-run: probe the bucketed index — count DISTINCT batch
     //    fingerprints present in the registry (any historical doc)
     val regHits = inBatchKept
-      .join(spark.table(indexTable).select(col("h")).distinct(), Seq("h"),
+      .join(index.df(spark).select(col("h")).distinct(), Seq("h"),
         "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared).select("id")
@@ -101,24 +111,21 @@ class WinnowRegistry(path: String, n: Int, w: Int, minShared: Int,
       .join(regHits, Seq("id"), "left_anti")
       .localCheckpoint(true)
     // 3. register survivors' fingerprints LAST (replay self-matches)
-    fps.join(keptIds, Seq("id"), "left_semi")
-      .write.mode("append").insertInto(indexTable)
+    index.append(fps.join(keptIds, Seq("id"), "left_semi"))
     batch.join(keptIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
   }
 
   /** Right-to-be-forgotten: remove the given doc ids' fingerprints
     * from the index, so content equal or near-equal to a forgotten
-    * doc is admissible again. The rewrite is a full anti-join pass
-    * over the index — the honest cost of deletion in an append-
-    * optimized layout (same INSERT OVERWRITE shape as q123's
-    * compaction); ids are read pre-overwrite through an eager
-    * checkpoint (the ParquetState pin rule). */
+    * doc is admissible again. The rewrite is a full filter pass over
+    * the index — the honest cost of deletion in an append-optimized
+    * layout — landed as a GenIndex generation swap, so a crash
+    * leaves the pre-forget index fully active (the old in-place
+    * overwrite could lose the whole index between delete and
+    * rewrite). */
   def forget(spark: SparkSession, ids: Seq[Long]): Unit = {
     checkParams(spark)
     ensureIndex(spark)
-    val keep = spark.table(indexTable)
-      .filter(!col("id").isin(ids: _*))
-      .localCheckpoint(true)
-    keep.write.mode("overwrite").insertInto(indexTable)
+    index.rewrite(spark, _.filter(!col("id").isin(ids: _*)))
   }
 }

@@ -126,7 +126,7 @@ class NearDupRegistrySpec extends SparkSpec {
       Seq((3L, aNear), (4L, c)).toDF("doc_id", "text"), "doc_id", "text")
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(4L))
     // and the index now exists on disk for the next instance
-    assert(spark.read.parquet(r2.indexLocation).select("id").distinct()
+    assert(spark.read.parquet(r2.indexLocation(spark)).select("id").distinct()
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
@@ -142,6 +142,54 @@ class NearDupRegistrySpec extends SparkSpec {
     // while a genuinely missing path is still the empty first run
     val fresh = java.nio.file.Files.createTempDirectory("neardup_reg6").toString + "/nope"
     assert(reg(fresh).read(spark).isEmpty)
+  }
+
+  test("index compaction is invisible to probes and survives new instances") {
+    // VERDICT r5 #8: per-batch appends fragment the band index into
+    // one file group per dedupAppend; compaction must rewrite it into
+    // ~nBuckets files WITHOUT changing any probe verdict, and without
+    // an in-place overwrite's forget-history crash window (GenIndex
+    // builds the next generation beside the live one).
+    val dir = java.nio.file.Files.createTempDirectory("neardup_regc").toString + "/reg"
+    val r = reg(dir)
+    // three appends -> three file groups in the gen-0 index
+    r.dedupAppend(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
+    r.dedupAppend(Seq((2L, b)).toDF("doc_id", "text"), "doc_id", "text")
+    r.dedupAppend(Seq((3L, c)).toDF("doc_id", "text"), "doc_id", "text")
+    def files(loc: String): Int =
+      new java.io.File(loc).listFiles.count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = files(r.indexLocation(spark))
+    assert(before >= 3, s"expected >=3 file groups pre-compaction, got $before")
+
+    val probeBatch = Seq((10L, aNear), (11L, c), (12L, "nothing like the others whatsoever in any way"))
+      .toDF("doc_id", "text")
+    val preProbe = r.probe(probeBatch, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+
+    // under the threshold -> no-op; over it -> rewrite
+    assert(!r.compactIndex(spark, maxFiles = 100))
+    assert(r.compactIndex(spark, maxFiles = 2))
+    val loc = r.indexLocation(spark)
+    assert(loc != dir + "_band_idx", "compaction must move to a new generation")
+    assert(files(loc) < before, s"compaction must shrink file count (${files(loc)} vs $before)")
+
+    // replay-invisibility: identical probe verdicts after compaction,
+    // from this instance AND from a fresh one (sidecar resolution)
+    assert(r.probe(probeBatch, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq == preProbe)
+    val r2 = reg(dir)
+    assert(r2.probe(probeBatch, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq == preProbe)
+    // and the gate still works end-to-end: near-dup dropped, fresh
+    // content admitted and registered into the NEW generation
+    val out = r2.dedupAppend(
+      Seq((20L, aNear2), (21L, "entirely novel content with zero overlap against history"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(21L))
+    assert(r2.dedupAppend(
+      Seq((21L, "entirely novel content with zero overlap against history"))
+        .toDF("doc_id", "text"), "doc_id", "text").isEmpty)
   }
 
   test("a registry written with a different numPerm fails loudly") {

@@ -58,4 +58,45 @@ class WinnowRegistrySpec extends SparkSpec {
       bad.dedupAppend(b1, "doc_id", "text")
     }
   }
+
+  test("index compaction is invisible to the gate; forget still works after it") {
+    // VERDICT r5 #8: the fingerprint index fragments one file group
+    // per batch; compaction rewrites it generation-swap style (no
+    // in-place overwrite crash window) with probe verdicts unchanged.
+    val dir = Files.createTempDirectory("graft_winregc_").toString
+    val reg = new WinnowRegistry(s"$dir/reg", n = 3, w = 4, minShared = 2)
+    val pA = (1 to 20).map(i => s"aa$i").mkString(" ")
+    val pB = (1 to 20).map(i => s"bb$i").mkString(" ")
+    reg.dedupAppend(Seq((1L, s"start $pA end")).toDF("doc_id", "text"), "doc_id", "text")
+    reg.dedupAppend(Seq((2L, s"open $pB close")).toDF("doc_id", "text"), "doc_id", "text")
+    reg.dedupAppend(Seq((3L, "lone words sharing nothing with any other document at all today"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    def files(loc: String): Int =
+      new java.io.File(loc).listFiles.count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = files(reg.indexLocation(spark))
+    assert(before >= 3)
+
+    assert(!reg.compactIndex(spark, maxFiles = 100)) // under threshold: no-op
+    assert(reg.compactIndex(spark, maxFiles = 2))
+    assert(files(reg.indexLocation(spark)) < before)
+
+    // gate verdicts unchanged, including from a FRESH instance
+    // (sidecar resolution): a partial copy of doc 1 is still dropped,
+    // fresh content still admitted
+    val reg2 = new WinnowRegistry(s"$dir/reg", n = 3, w = 4, minShared = 2)
+    val out = reg2.dedupAppend(Seq(
+      (10L, s"requote $pA tail"),
+      (11L, "brand new material overlapping nothing previously accepted in this registry ever")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+
+    // forget rewrites the COMPACTED generation: doc 1's passage
+    // becomes admissible again
+    reg2.forget(spark, Seq(1L))
+    val re = reg2.dedupAppend(
+      Seq((12L, s"fresh frame $pA other side")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(re.select("doc_id").as[Long].collect().toSeq == Seq(12L))
+  }
 }

@@ -89,7 +89,7 @@ class StreamingCurationSpec extends SparkSpec {
       // bucketed index table exists beside the registry and carries
       // exactly the admitted ids — per-batch probe cost tracked the
       // BATCH, not ingest history
-      val idx = spark.read.parquet(reg.indexLocation)
+      val idx = spark.read.parquet(reg.indexLocation(spark))
       assert(idx.select("id").distinct().as[Long].collect().toSet
         == Set(1L, 2L, 4L))
       assert(idx.columns.toSet == Set("id", "sig", "band", "band_key"))
