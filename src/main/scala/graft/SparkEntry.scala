@@ -16,7 +16,8 @@ object SparkEntry {
     q.TrainingData,
     q.Extensions,
     q.Curation,
-    q.Scale
+    q.Scale,
+    q.Learn
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
