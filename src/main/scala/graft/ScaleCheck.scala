@@ -41,6 +41,11 @@ object ScaleCheck {
     val mults = (if (args.length > 1) args(1) else "1,10")
       .split(",").map(_.trim.toInt).toSeq.sorted
     require(mults.nonEmpty && mults.head >= 1)
+    // optional arg 3: comma-separated substrings — only rows whose
+    // name contains one of them run (re-measure a subset without
+    // paying for the whole table; empty = all rows)
+    val rowFilter = (if (args.length > 2) args(2) else "")
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
     val spark = GraftSession.fromEnv()
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
     val base = Tables.documents(spark, sf)
@@ -67,9 +72,18 @@ object ScaleCheck {
       * ratios stay meaningful as long as the above-threshold count is
       * small against the 1x answer. Copy 0 is the original. */
     val embBase = Tables.embeddings(spark, sf)
+    // splitmix64 finalizer: the r6 run measured the previous LINEAR
+    // hash ((c*A + d*B) >>> 13) producing IDENTICAL sign patterns for
+    // ~600 of the 4950 copy pairs at 100x (bit 13 of a linear form is
+    // periodic in c) — max cross-copy cosine exactly 1.0. Avalanche
+    // mixing makes patterns iid across copies; full-pattern collision
+    // probability drops to 2^-64.
     def signPattern(c: Int): IndexedSeq[Float] = (0 until 64).map { d =>
-      val h = (c * 2654435761L + d * 40503L) >>> 13
-      if (c != 0 && (h & 1L) == 1L) -1.0f else 1.0f
+      var z = c.toLong * 64L + d + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if (c != 0 && (z & 1L) == 1L) -1.0f else 1.0f
     }
     def copyEmb(c: Int): DataFrame = {
       val flipCol = array(signPattern(c).map(lit): _*)
@@ -140,7 +154,9 @@ object ScaleCheck {
     }
     /** Measure `f(mult)` at each requested mult <= cap; a failed cell
       * prints as err without killing the run. */
-    def row(name: String, cap: Int = Int.MaxValue)(f: Int => Unit): Unit =
+    def row(name: String, cap: Int = Int.MaxValue)(f: Int => Unit): Unit = {
+      if (rowFilter.nonEmpty &&
+        !rowFilter.exists(name.toLowerCase.contains)) return
       fmtRow(name, name.takeWhile(_ != ' ').toLowerCase, mults.map { m =>
         if (m > cap) None
         else try Some(time2(f(m))) catch {
@@ -149,6 +165,7 @@ object ScaleCheck {
             None
         }
       })
+    }
 
     println(s"| component | ${mults.map(m => s"${m}x (s)").mkString(" | ")} | ratio |")
     println(s"|---|${mults.map(_ => "---").mkString("|")}|---|")
@@ -172,34 +189,77 @@ object ScaleCheck {
 
     // corpus-DERIVED width (the round-6 default path): bits/cells
     // from an observed count, so within-block pair cost stays flat.
-    // The semDedup row still carries the n x k assignment cross join
-    // (k ~ n/64) — the expected super-linear residual, named in
-    // SCALE.md as the hierarchical-quantizer frontier.
-    row("cosinePairsAuto (derived bits)") { m =>
+    // PAIR rows are capped at 10x: the r6 100x run measured 3.2M
+    // contaminated same-base cross-copy pairs >= 0.35 (sphere
+    // packing: at dim=64 a random pair has P(cos >= 0.35) =
+    // Phi(-2.8) ~ 0.3%, so ANY 500k-vector synthetic corpus holds
+    // ~10^8 above-threshold pairs — answer size goes quadratic as a
+    // property of the GEOMETRY, not the engine). The 100x columns
+    // therefore measure the pair-free stages below (assignment +
+    // fit), where engine cost is the thing being tested.
+    row("cosinePairsAuto (derived bits)", cap = 10) { m =>
       operators.Similarity.cosinePairsAuto(
         Tables.embeddings(spark, dirs(m)), "vec_id", "embedding",
         dim = 64, threshold = 0.35).count(): Unit
     }
-    row("semDedupAuto (derived cells, maxIter=2)") { m =>
+    row("semDedupAuto (derived cells, maxIter=2)", cap = 10) { m =>
       operators.Similarity.semDedupAuto(
         Tables.embeddings(spark, dirs(m)), "vec_id", "embedding",
         eps = 0.05, maxIter = 2).count(): Unit
     }
+    // the hierarchical-quantizer answer to the n x k residual (q200):
+    // coarse->fine fit + two-hop assignment costs ~2n*sqrt(k) per
+    // round instead of n*k. Same dedup tail as the flat row (same
+    // pair contamination), so the 10x comparison is apples-to-apples
+    // and the flat row's measured 100x point (589.8 s, r6 run) is the
+    // reference this row's 100x cell should beat by ~sqrt(k)/2.
+    row("semDedupHier (two-level, maxIter=2)") { m =>
+      operators.Similarity.hierarchicalSemDedupAuto(
+        Tables.embeddings(spark, dirs(m)), "vec_id", "embedding",
+        eps = 0.05, maxIter = 2).count(): Unit
+    }
+    // PAIR-FREE assignment rows (answer size exactly n at any mult —
+    // immune to the geometric contamination): the flat n x k argmin
+    // vs the two-hop coarse route, centroids taken unfitted from the
+    // id-low corpus rows (assignment cost does not care whether the
+    // centroids converged)
+    row("assignFlat (n x k argmin)") { m =>
+      val emb = Tables.embeddings(spark, dirs(m))
+      val k = operators.Similarity.derivedCells(emb.count())
+      operators.Similarity.assignCells(emb,
+        emb.filter(col("vec_id") < k), "vec_id", "embedding")
+        .count(): Unit
+    }
+    row("assignHier (coarse->fine two-hop)") { m =>
+      val emb = Tables.embeddings(spark, dirs(m))
+      val k = operators.Similarity.derivedCells(emb.count())
+      val c = operators.Similarity.ceilSqrt(k)
+      val coarse = emb.filter(col("vec_id") < c)
+      val fine = operators.Similarity.assignCells(
+          emb.filter(col("vec_id") < k), coarse, "vec_id", "embedding",
+          spread = false)
+        .select(col("id").as("cid"), col("v").as("cv"),
+          col("cell").as("blk"))
+      operators.Similarity.hierarchicalAssign(emb, coarse, fine,
+        "vec_id", "embedding").count(): Unit
+    }
 
     // fixed 500-doc probe batch (disjoint content and ids: copy 999)
-    val batch = copy(999).filter(pmod(col("doc_id"), lit(10)) === 3)
-      .limit(500).localCheckpoint(true)
-    val regs = mults.map { m =>
-      val reg = new operators.NearDupRegistry(s"$root/reg$m/r",
-        numPerm = 32, bands = 8, rowsPerBand = 4, simThreshold = 0.5)
-      val seedSecs = time(
-        reg.dedupAppend(Tables.documents(spark, dirs(m)), "doc_id", "text").count())
-      val probeSecs = time(reg.dedupAppend(batch, "doc_id", "text").count())
-      (Some(seedSecs), Some(probeSecs))
+    if (rowFilter.isEmpty || rowFilter.exists("registry".contains)) {
+      val batch = copy(999).filter(pmod(col("doc_id"), lit(10)) === 3)
+        .limit(500).localCheckpoint(true)
+      val regs = mults.map { m =>
+        val reg = new operators.NearDupRegistry(s"$root/reg$m/r",
+          numPerm = 32, bands = 8, rowsPerBand = 4, simThreshold = 0.5)
+        val seedSecs = time(
+          reg.dedupAppend(Tables.documents(spark, dirs(m)), "doc_id", "text").count())
+        val probeSecs = time(reg.dedupAppend(batch, "doc_id", "text").count())
+        (Some(seedSecs), Some(probeSecs))
+      }
+      fmtRow("registry seed (full corpus)", "registry_seed", regs.map(_._1))
+      fmtRow("registry dedupAppend (fixed 500-doc batch)", "registry_probe",
+        regs.map(_._2))
     }
-    fmtRow("registry seed (full corpus)", "registry_seed", regs.map(_._1))
-    fmtRow("registry dedupAppend (fixed 500-doc batch)", "registry_probe",
-      regs.map(_._2))
 
     // incremental CC: fold a FIXED 300-edge batch into the standing
     // labeling — the contracted fixpoint is bounded by the batch, so
@@ -207,32 +267,38 @@ object ScaleCheck {
     // equi-joins (expected ~flat, like the registry probe). Standing
     // labelings are seeded untimed; capped at 10x (the seeding cost
     // is q31+CC again and the probe's flatness is the claim).
-    val ccBatch = {
-      import spark.implicits._
-      (0 until 300).map { i =>
-        (i.toLong * 7 % 5000, 900000000L + i) // existing id <- new id
-      }.toDF("id_a", "id_b").localCheckpoint(true)
-    }
-    fmtRow("incremental CC fold (fixed 300-edge batch)",
-      "incremental_cc_fold", mults.map { m =>
-      if (m > 10) None
-      else {
-        val standing = operators.Dedup.connectedComponents(
-          operators.Dedup.jaccardPairs(Tables.documents(spark, dirs(m)),
-            "doc_id", "text", n = 3, threshold = 0.5, maxDf = 100))
-          .localCheckpoint(true)
-        Some(time2(operators.Dedup
-          .connectedComponentsIncremental(standing, ccBatch).count()))
+    if (rowFilter.isEmpty || rowFilter.exists("incremental cc fold".contains)) {
+      val ccBatch = {
+        import spark.implicits._
+        (0 until 300).map { i =>
+          (i.toLong * 7 % 5000, 900000000L + i) // existing id <- new id
+        }.toDF("id_a", "id_b").localCheckpoint(true)
       }
-    })
+      fmtRow("incremental CC fold (fixed 300-edge batch)",
+        "incremental_cc_fold", mults.map { m =>
+        if (m > 10) None
+        else {
+          val standing = operators.Dedup.connectedComponents(
+            operators.Dedup.jaccardPairs(Tables.documents(spark, dirs(m)),
+              "doc_id", "text", n = 3, threshold = 0.5, maxDf = 100))
+            .localCheckpoint(true)
+          Some(time2(operators.Dedup
+            .connectedComponentsIncremental(standing, ccBatch).count()))
+        }
+      })
+    }
 
     // measured embedding-synthesis contamination at the largest mult
     // (ADVICE r5): exact count of same-base cross-copy pairs above
-    // the 0.35 threshold the timing rows use. Non-zero is expected at
-    // large mults (tail of a ~N(0, 0.125) per-pair cosine); the rows
-    // stay comparable while this stays small vs the 1x answer size.
+    // the 0.35 threshold the pair rows use. Non-zero is expected at
+    // large mults (tail of a ~N(0, 0.125) per-pair cosine, fatter
+    // when component mass is uneven) — this is the geometric limit
+    // that caps the PAIR rows at 10x; the 0.6 line shows the tail
+    // collapsing once the threshold clears the dim=64 noise floor.
     val (driftN, driftMax) = embDrift(mults.max, 0.35)
     println(f"| cross-copy emb pairs >= 0.35 at ${mults.max}x (measured drift) | n=$driftN | max=$driftMax%.3f | — |")
+    val (driftN6, _) = embDrift(mults.max, 0.6)
+    println(s"| cross-copy emb pairs >= 0.60 at ${mults.max}x | n=$driftN6 | — | — |")
 
     val qjson = json.map { case (key, ts) =>
       s""""$key":[${ts.map(t => f"$t%.3f").mkString(",")}]"""

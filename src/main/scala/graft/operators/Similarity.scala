@@ -361,16 +361,30 @@ object Similarity {
       .withColumn("cn", norm2(col("cv")))
     val s = seeds.select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
       .withColumn("sn", norm2(col("sv")))
-    val assigned = c.join(broadcast(s), lit(true))
+    exactCentroidMean(lloydArgmax(c.join(broadcast(s), lit(true))))
+  }
+
+  /** The Lloyd argmax over a scored (vec_id, cv, cn, seed_id, sv, sn)
+    * join: score by cosine, drop non-finite, keep each vector's best
+    * (score DESC, smaller seed id) assignment. Struct max is
+    * lexicographic: best score, then SMALLER seed id (negated so max
+    * picks it); cv rides along, never compared (neg_seed is unique
+    * within a vec_id group). Shared by the flat (cross-join) and
+    * blocked (coarse-cell equi-join) iterations — the argmax rule
+    * must not drift between them. */
+  private def lloydArgmax(joined: DataFrame): DataFrame =
+    joined
       .withColumn("score", cosineScore(col("sv"), col("cv"), col("sn"), col("cn")))
       .filter(col("score").isNotNull && !isnan(col("score").cast("double")))
-      // struct max is lexicographic: best score, then SMALLER seed id
-      // (negated so max picks it); cv rides along, never compared
-      // (neg_seed is unique within a vec_id group).
       .groupBy(col("vec_id"))
       .agg(max(struct(col("score"), (-col("seed_id")).as("neg_seed"),
         col("cv").as("cv"))).as("best"))
       .select((-col("best.neg_seed")).as("cluster_id"), col("best.cv").as("cv"))
+
+  /** Per-cluster element-wise mean of float vectors, exact-integer
+    * arithmetic (see the comment below) — input (cluster_id, cv),
+    * output (cluster_id, dim_no, n, centroid). */
+  private def exactCentroidMean(assigned: DataFrame): DataFrame = {
     // Centroid mean in EXACT integer micro-units, not decimal casts:
     // DuckDB's REAL->DECIMAL cast scales in FLOAT arithmetic (its
     // 0.019056067f becomes 0.0190560672) while Spark's goes through
@@ -446,6 +460,112 @@ object Similarity {
       round += 1
     }
     (toDf(cents), round)
+  }
+
+  /** Smallest c with c*c >= k (k >= 1): exact integer ceil-sqrt by
+    * upward scan from the floor estimate — no floating-point sqrt in
+    * the derivation the oracle must replicate (DuckDB mirrors it with
+    * a bounded generate_series min-scan). */
+  def ceilSqrt(k: Long): Int = {
+    require(k >= 1, s"ceilSqrt: k must be >= 1, got $k")
+    var c = math.max(1L, math.sqrt(k.toDouble).toLong - 2)
+    while (c * c < k) c += 1
+    c.toInt
+  }
+
+  /** One BLOCKED Lloyd iteration: identical argmax + exact-mean rules
+    * to kmeansIteration, but each vector competes only among the fine
+    * centroids of its own coarse block — the n x k cross join becomes
+    * an equi-join on `blk` against a broadcast seed set, n x (k/c)
+    * comparisons. Input: corpus (vec_id, cv, blk) pre-assigned to
+    * coarse blocks; seeds (seed_id, sv, blk). Fine centroids never
+    * migrate across blocks (the hierarchy is fixed by the coarse
+    * assignment), which is what makes the blocked fit both cheap and
+    * oracle-expressible as an equi-join CTE. */
+  private def kmeansIterationBlocked(assigned: DataFrame,
+                                     seeds: DataFrame): DataFrame = {
+    val c = assigned.select(col("vec_id"), col("cv"), col("blk"))
+      .withColumn("cn", norm2(col("cv")))
+    val s = seeds.select(col("seed_id"), col("sv"), col("blk"))
+      .withColumn("sn", norm2(col("sv")))
+    exactCentroidMean(lloydArgmax(c.join(broadcast(s), Seq("blk"))))
+  }
+
+  /** Blocked Lloyd to convergence — the kmeansFitWithRounds driver
+    * loop with (cid, blk, vector) centroid state. Same
+    * one-job-per-round / bounded (k x dim) collect / empty-cluster
+    * carry-forward / fixpoint-idempotence contract, so a fixed-round
+    * unrolled SQL oracle certifies a convergence-stopped fit here
+    * too. `assigned` is (vec_id, cv, blk); `seeds` is (seed_id, sv,
+    * blk), k rows, broadcast-sized by contract. Returns ((seed_id,
+    * sv, blk), roundsRun). */
+  def blockedKmeansFitWithRounds(assigned: DataFrame, seeds: DataFrame,
+                                 maxIter: Int): (DataFrame, Int) = {
+    require(maxIter >= 1, "blockedKmeansFit: maxIter must be >= 1")
+    val spark = assigned.sparkSession
+    def toDf(cs: Seq[(Long, Long, Seq[Float])]): DataFrame = {
+      import spark.implicits._
+      cs.toDF("seed_id", "blk", "sv").select("seed_id", "sv", "blk")
+    }
+    var cents: Seq[(Long, Long, Seq[Float])] = seeds
+      .select(col("seed_id").cast("long"), col("blk").cast("long"),
+        col("sv").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+      .toSeq.sortBy(_._1)
+    var round = 0
+    var converged = false
+    while (round < maxIter && !converged) {
+      val stats = kmeansIterationBlocked(assigned, toDf(cents))
+        .select(col("cluster_id").cast("long"), col("dim_no"), col("centroid"))
+        .collect()
+      val computed = stats.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+      }
+      val next = cents.map { case (cid, blk, v) =>
+        (cid, blk, computed.getOrElse(cid, v))
+      }
+      converged = next == cents
+      cents = next
+      round += 1
+    }
+    (toDf(cents), round)
+  }
+
+  /** TWO-LEVEL (coarse -> fine) quantizer fit — the
+    * hierarchical-coarse-quantizer fix for the n x k assignment cross
+    * join (SCALE.md's named residual cliff: corpus-derived cells keep
+    * within-cell pair cost flat, but assignment against k ~ n/target
+    * centroids is ~n²/target). Fit c = ceilSqrt(k) coarse centroids
+    * on the full corpus (n x c per round), assign each vector to its
+    * coarse block, then fit ceil(k/c) fine centroids WITHIN each
+    * block (an equi-join: n x k/c per round). Total per-round cost
+    * ~2 n sqrt(k) instead of n k — at k = 4096 a 32x reduction, and
+    * the shape a real IVF build uses at billion-vector scale.
+    *
+    * Seeds are deterministic: coarse from ids < c (the kmeansFit
+    * dense-id contract), fine from each block's lowest-id members
+    * (row_number per block), so the DuckDB oracle replicates the
+    * whole fit bit-for-bit. Returns (coarseCentroids (idCol, vecCol),
+    * fineCentroids (cid, cv, blk)); fine cids are the seed vectors'
+    * corpus ids — globally unique. */
+  def hierarchicalQuantizerFit(corpus: DataFrame, idCol: String,
+                               vecCol: String, k: Int, maxIter: Int)
+      : (DataFrame, DataFrame) = {
+    val c = ceilSqrt(k)
+    val finePer = (k + c - 1) / c
+    val coarse = kmeansFit(corpus, corpus.filter(col(idCol) < c),
+      idCol, vecCol, maxIter)
+    val asgC = assignCells(corpus, coarse, idCol, vecCol)
+      .withColumnRenamed("cell", "blk")
+    val w = Window.partitionBy("blk").orderBy(col("id").asc)
+    val seeds = asgC.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= finePer)
+      .select(col("id").as("seed_id"), col("v").as("sv"), col("blk"))
+    val (fine, _) = blockedKmeansFitWithRounds(
+      asgC.select(col("id").as("vec_id"), col("v").as("cv"), col("blk")),
+      seeds, maxIter)
+    (coarse, fine.select(col("seed_id").as("cid"), col("sv").as("cv"),
+      col("blk")))
   }
 
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding
@@ -581,6 +701,14 @@ object Similarity {
     val asg = rankedCells(corpus, centroids, idCol, vecCol, spread = true)
       .filter(col("rnk") === 1)
       .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
+    semDedupTail(asg, eps)
+  }
+
+  /** The cell-blocked dedup tail shared by semDedup (flat assignment)
+    * and hierarchicalSemDedupAuto (two-level assignment): within-cell
+    * >= eps pairs, connected components, the lowest-centroid-sim keep
+    * rule. `asg` is (id, v, n2, cell, cs). */
+  private def semDedupTail(asg: DataFrame, eps: Double): DataFrame = {
     val pairs = asg.select(col("id").as("id_a"), col("v").as("va"),
         col("n2").as("na"), col("cell"))
       .join(asg.select(col("id").as("id_b"), col("v").as("vb"),
@@ -608,5 +736,45 @@ object Similarity {
       .select(col("id"), col("cell"), col("cs").as("centroid_sim"),
         col("cluster").as("sem_cluster"),
         (col("cluster").isNull || col("id") === col("keep_id")).as("kept"))
+  }
+
+  /** SemDeDup under the TWO-LEVEL quantizer: derive k from the
+    * observed corpus count (the semDedupAuto contract), fit the
+    * hierarchical quantizer, assign each vector coarse -> fine (two
+    * broadcast equi-join hops, ~2 n sqrt(k) comparisons instead of
+    * n k), then run the same cell-blocked dedup tail. Cells are the
+    * FINE centroids, so within-cell pair cost matches semDedupAuto's;
+    * only the assignment/fit cost changes shape. The fine argmax uses
+    * rankedCells' exact rule (round-6 score DESC, cid ASC, no NaN
+    * filter) restricted to the vector's own coarse block — the
+    * hierarchy's documented approximation (a vector near a coarse
+    * border may land in a different fine cell than the flat argmin
+    * would pick; q201 measures the agreement rate). */
+  def hierarchicalSemDedupAuto(corpus: DataFrame, idCol: String,
+                               vecCol: String, eps: Double, maxIter: Int,
+                               targetCell: Long = 64L): DataFrame = {
+    val k = derivedCells(corpus.count(), targetCell)
+    val (coarse, fine) = hierarchicalQuantizerFit(corpus, idCol, vecCol,
+      k, maxIter)
+    semDedupTail(hierarchicalAssign(corpus, coarse, fine, idCol, vecCol), eps)
+  }
+
+  /** Two-hop assignment under a fitted hierarchical quantizer: route
+    * each vector to its coarse block (broadcast, n x c), then argmax
+    * over ONLY that block's fine centroids (broadcast equi-join,
+    * n x k/c) — rankedCells' exact rule (round-6 score DESC, cid ASC,
+    * no NaN filter) at both hops. Returns (id, v, n2, cell, cs) with
+    * cell the fine centroid id. */
+  def hierarchicalAssign(corpus: DataFrame, coarse: DataFrame,
+                         fine: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val asgC = assignCells(corpus, coarse, idCol, vecCol)
+      .withColumnRenamed("cell", "blk")
+    val wf = Window.partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
+    asgC.join(broadcast(fine.withColumn("cn2", norm2(col("cv")))), Seq("blk"))
+      .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
   }
 }

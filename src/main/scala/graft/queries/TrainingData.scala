@@ -182,7 +182,7 @@ object TrainingData extends QueryGroup {
                FROM (SELECT cluster_id, unnest(generate_series(0, len(v) - 1)) AS dim_no,
                        unnest(v) AS vv FROM asg$i)
                GROUP BY cluster_id, dim_no)),
-       cent$i AS (SELECT p.cid, coalesce(nc.cvn, p.cv) AS cv
+       cent$i AS MATERIALIZED (SELECT p.cid, coalesce(nc.cvn, p.cv) AS cv
          FROM cent${i - 1} p LEFT JOIN (
            SELECT cluster_id AS cid, list(centroid::REAL ORDER BY dim_no) AS cvn
            FROM agg$i GROUP BY cluster_id) nc USING (cid)),"""
@@ -194,7 +194,7 @@ object TrainingData extends QueryGroup {
     * callers append their own CTEs directly. */
   private def lloydCtes(seedPred: String = "vec_id < 12"): String =
     s"""base AS (SELECT vec_id, embedding AS v FROM embeddings),
-       n AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+       n AS MATERIALIZED (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
        cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE $seedPred),
        ${(1 to KmFitIter).map(lloydRound).mkString("\n")}"""
 
@@ -204,6 +204,65 @@ object TrainingData extends QueryGroup {
   private lazy val dDerivedCells: String =
     s"(SELECT greatest(4, least(4096, ((count(*) + ${SemCellTarget - 1}) // " +
       s"$SemCellTarget)::BIGINT)) FROM embeddings)"
+
+  /** One BLOCKED Lloyd round (q200/q201): identical arithmetic to
+    * lloydRound, but the score join is an equi-join on `blk` (each
+    * vector competes only among its coarse block's fine centroids) —
+    * mirroring Similarity.kmeansIterationBlocked. Reads `asgc`
+    * (vec_id, v, n2, blk) and fcent${"$"}{i-1}; emits fcent$$i. */
+  private def blockedLloydRound(i: Int): String =
+    s"""fsck$i AS (SELECT a.vec_id, a.v, c.cid,
+         round(${dDot("c.cv", "a.v")} / sqrt(${dDot("c.cv", "c.cv")} * a.n2), 6) AS cs
+       FROM asgc a JOIN fcent${i - 1} c USING (blk)),
+     fasg$i AS (SELECT cid AS cluster_id, v FROM (
+         SELECT cid, v, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cs DESC, cid ASC) AS rn
+         FROM fsck$i WHERE cs IS NOT NULL AND NOT isnan(cs)) WHERE rn = 1),
+     fagg$i AS (SELECT cluster_id, dim_no,
+         (CASE WHEN s >= 0 THEN (2 * s + d) // (2 * d)
+               ELSE -((2 * -s + d) // (2 * d)) END) / 1000000.0 AS centroid
+       FROM (SELECT cluster_id, dim_no,
+               sum(floor(vv::DOUBLE * 10000000000 + 0.5))::BIGINT AS s,
+               count(*) * 10000 AS d
+             FROM (SELECT cluster_id, unnest(generate_series(0, len(v) - 1)) AS dim_no,
+                     unnest(v) AS vv FROM fasg$i)
+             GROUP BY cluster_id, dim_no)),
+     fcent$i AS MATERIALIZED (SELECT p.cid, p.blk, coalesce(nc.cvn, p.cv) AS cv
+       FROM fcent${i - 1} p LEFT JOIN (
+         SELECT cluster_id AS cid, list(centroid::REAL ORDER BY dim_no) AS cvn
+         FROM fagg$i GROUP BY cluster_id) nc USING (cid)),"""
+
+  /** The shared two-level quantizer CTE chain (q200/q201), mirroring
+    * Similarity.hierarchicalQuantizerFit + hierarchicalAssign:
+    * corpus-derived k, c = ceil-sqrt(k) via a bounded min-scan (no
+    * floating sqrt), coarse Lloyd fit (lloydCtes at the c-seed
+    * predicate), coarse assignment, per-block lowest-id fine seeds,
+    * KmFitIter blocked Lloyd rounds, and the final two-hop
+    * assignment `fasg` (vec_id, v, n2, cell, cs). Trailing comma. */
+  private lazy val hierCtes: String =
+    s"""pk AS (SELECT greatest(4, least(4096, ((count(*) + ${SemCellTarget - 1}) //
+         $SemCellTarget)::BIGINT)) AS k FROM embeddings),
+     pc AS (SELECT min(i) AS c FROM (SELECT unnest(generate_series(1, 64)) AS i) g, pk
+       WHERE i * i >= k),
+     pp AS (SELECT k, c, (k + c - 1) // c AS fp FROM pk, pc),
+     ${lloydCtes("vec_id < (SELECT c FROM pc)")}
+     csc AS (SELECT n.vec_id, n.v, n.n2, c.cid,
+         round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+       FROM n CROSS JOIN cent$KmFitIter c),
+     crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         ORDER BY cs DESC, cid ASC) AS rnk FROM csc),
+     asgc AS MATERIALIZED (SELECT vec_id, v, n2, cid AS blk FROM crk WHERE rnk = 1),
+     fcent0 AS (SELECT vec_id AS cid, v AS cv, blk FROM (
+         SELECT vec_id, v, blk, row_number() OVER (PARTITION BY blk
+           ORDER BY vec_id ASC) AS rn FROM asgc)
+       WHERE rn <= (SELECT fp FROM pp)),
+     ${(1 to KmFitIter).map(blockedLloydRound).mkString("\n")}
+     fsc AS (SELECT a.vec_id, a.v, a.n2, c.cid,
+         round(${dDot("a.v", "c.cv")} / sqrt(a.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+       FROM asgc a JOIN fcent$KmFitIter c USING (blk)),
+     frk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         ORDER BY cs DESC, cid ASC) AS rnk FROM fsc),
+     fasg AS MATERIALIZED (SELECT vec_id, v, n2, cid AS cell, cs FROM frk WHERE rnk = 1),"""
 
   private lazy val ivfFittedSql: String = {
     // IVF@nprobe=1 hit counts vs the exact top-5 under one centroid set
@@ -509,6 +568,48 @@ object TrainingData extends QueryGroup {
           targetCell = SemCellTarget)
         .select(col("id").as("vec_id"), col("cell"), col("centroid_sim"),
           col("sem_cluster"), col("kept"))),
+
+    // SemDeDup under the TWO-LEVEL quantizer (the 100 TB fix for the
+    // remaining assignment cliff): corpus-derived k cells as q183,
+    // but fit and assignment go coarse (ceil-sqrt(k) centroids, full
+    // corpus) -> fine (blocked Lloyd within each coarse block), so
+    // per-round cost is ~2n*sqrt(k) instead of n*k — at the 4096-cell
+    // clamp a 32x reduction, the IVF-build shape at billion-vector
+    // scale. Same dedup tail as q183 over the fine cells. The oracle
+    // unrolls BOTH fits (coarse lloydCtes + KmFitIter blocked rounds)
+    // and replicates the two-hop assignment bit-for-bit.
+    "q200_hier_semdedup" -> ((s, dir) =>
+      Similarity.hierarchicalSemDedupAuto(Tables.embeddings(s, dir),
+          "vec_id", "embedding", eps = SemDedupEps, maxIter = KmFitIter,
+          targetCell = SemCellTarget)
+        .select(col("id").as("vec_id"), col("cell"), col("centroid_sim"),
+          col("sem_cluster"), col("kept"))),
+
+    // The hierarchy's approximation, MEASURED: a vector near a coarse
+    // border can land in a different fine cell than the flat argmin
+    // over all k fine centroids would pick. One row: corpus size,
+    // how many vectors the two-hop route assigns to the same fine
+    // cell as the flat route (same fitted fine centroid set), and the
+    // agreement rate in ppm — the routing-recall number that says
+    // whether coarse routing is safe to default at scale.
+    "q201_hier_assign_agree" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val k = Similarity.derivedCells(emb.count(), SemCellTarget)
+      val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
+        emb, "vec_id", "embedding", k, KmFitIter)
+      val hier = Similarity.hierarchicalAssign(emb, coarse, fine,
+        "vec_id", "embedding").select(col("id"), col("cell").as("cell_h"))
+      val flat = Similarity.assignCells(emb,
+          fine.select(col("cid").as("vec_id"), col("cv").as("embedding")),
+          "vec_id", "embedding")
+        .select(col("id"), col("cell").as("cell_f"))
+      hier.join(flat, Seq("id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("cell_h") === col("cell_f"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .selectExpr("n_vectors", "n_agree",
+          "n_agree * 1000000L div n_vectors AS agree_ppm")
+    }),
 
     // ONE-permutation-hashing MinHash (Li et al. 2012; rotation
     // densification per Shrivastava & Li 2014): the 32-entry
@@ -2002,6 +2103,49 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // the q183 dedup tail verbatim, but over the TWO-LEVEL
+    // assignment's fine cells (hierCtes ends at fasg)
+    "q200_hier_semdedup" ->
+      s"""WITH RECURSIVE $hierCtes
+         prs AS (SELECT id_a, id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${dDot("a.v", "b.v")} / sqrt(a.n2 * b.n2), 6) AS cs2
+             FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+           WHERE NOT isnan(cs2) AND cs2 >= $SemDedupEps),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         mem AS (SELECT fasg.vec_id, fasg.cell, fasg.cs, comp.cluster
+           FROM fasg LEFT JOIN comp ON fasg.vec_id = comp.id),
+         kp AS (SELECT cluster, vec_id AS keep_id FROM (
+             SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+               ORDER BY cs ASC NULLS LAST, vec_id ASC) AS rn
+             FROM mem WHERE cluster IS NOT NULL) WHERE rn = 1)
+         SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
+           (m.cluster IS NULL OR m.vec_id = kp.keep_id) AS kept
+         FROM mem m LEFT JOIN kp ON m.cluster = kp.cluster""",
+
+    // flat argmin over ALL fine centroids (rankedCells' rule) vs the
+    // two-hop route, joined per vector — one agreement row
+    "q201_hier_assign_agree" ->
+      s"""WITH RECURSIVE $hierCtes
+         flatsc AS (SELECT a.vec_id, c.cid,
+             round(${dDot("a.v", "c.cv")} / sqrt(a.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+           FROM asgc a CROSS JOIN fcent$KmFitIter c),
+         flatrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM flatsc),
+         flata AS (SELECT vec_id, cid AS cell_f FROM flatrk WHERE rnk = 1)
+         SELECT count(*)::BIGINT AS n_vectors,
+           sum(CASE WHEN h.cell = f.cell_f THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+           ((sum(CASE WHEN h.cell = f.cell_f THEN 1 ELSE 0 END)::BIGINT * 1000000)
+             // count(*)::BIGINT)::BIGINT AS agree_ppm
+         FROM fasg h JOIN flata f USING (vec_id)""",
 
     // the q33-shaped banding + verification over the OPH signature
     "q194_oph_lsh_pairs" -> q194PairsSql,

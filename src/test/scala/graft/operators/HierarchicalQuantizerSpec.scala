@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Two-level (coarse -> fine) quantizer on planted fixtures: the
+  * blocked fine fit must converge to the planted cluster structure,
+  * fine centroids never migrate across coarse blocks, the two-hop
+  * assignment must agree with the flat argmin when clusters are well
+  * separated, and the semDedup tail must behave identically to the
+  * flat variant's contract (keep rule, singletons). The cross-engine
+  * gate (q200/q201) verifies the same fit against the unrolled DuckDB
+  * oracle at sf scale; this spec pins semantics on a hand-checkable
+  * input. */
+class HierarchicalQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four tight clusters, two per coarse half-space: A/B live in dims
+  // (1,2), C/D in dims (3,4). Ids interleave mod 4 (0=A, 1=C, 2=B,
+  // 3=D) so the deterministic seed rules pick: coarse seeds ids 0 (A)
+  // and 1 (C); block-0 fine seeds ids 0 (A), 2 (B); block-1 fine
+  // seeds ids 1 (C), 3 (D).
+  private def proto(cluster: Int): Array[Float] = cluster match {
+    case 0 => Array(1.0f, 0.2f, 0.0f, 0.0f) // A
+    case 1 => Array(0.0f, 0.0f, 1.0f, 0.2f) // C
+    case 2 => Array(0.2f, 1.0f, 0.0f, 0.0f) // B
+    case _ => Array(0.0f, 0.0f, 0.2f, 1.0f) // D
+  }
+
+  private def corpus16 = (0 until 16).map { i =>
+    val p = proto(i % 4)
+    // small per-member perturbation on the cluster's minor dim keeps
+    // members distinct but far inside their own cluster
+    val v = p.clone()
+    val minor = if (i % 4 == 0 || i % 4 == 2) 1 - (i % 4) / 2 else 3 - (i % 4 - 1) / 2
+    v(minor) = v(minor) + 0.01f * (i / 4)
+    (i.toLong, v.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("ceilSqrt: exact integer ceil-sqrt") {
+    assert(Similarity.ceilSqrt(1L) === 1)
+    assert(Similarity.ceilSqrt(2L) === 2)
+    assert(Similarity.ceilSqrt(4L) === 2)
+    assert(Similarity.ceilSqrt(5L) === 3)
+    assert(Similarity.ceilSqrt(4095L) === 64)
+    assert(Similarity.ceilSqrt(4096L) === 64)
+    assert(Similarity.ceilSqrt(4097L) === 65)
+  }
+
+  test("fit: 2 fine centroids per coarse block, blocks never migrate") {
+    val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
+      corpus16, "vec_id", "embedding", k = 4, maxIter = 10)
+    assert(coarse.count() === 2L)
+    val f = fine.select("cid", "blk").as[(Long, Long)].collect().toMap
+    assert(f.keySet === Set(0L, 1L, 2L, 3L))
+    // seed rule: ids 0,2 seeded in block 0 (coarse seed 0's
+    // half-space), ids 1,3 in block 1 — and the blocked fit must
+    // keep them there
+    assert(f(0L) === f(2L))
+    assert(f(1L) === f(3L))
+    assert(f(0L) !== f(1L))
+  }
+
+  test("two-hop assignment partitions the corpus by planted cluster " +
+    "and agrees with the flat argmin") {
+    val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
+      corpus16, "vec_id", "embedding", k = 4, maxIter = 10)
+    val hier = Similarity.hierarchicalAssign(corpus16, coarse, fine,
+      "vec_id", "embedding")
+    val cells = hier.select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells.size === 16)
+    // members of one planted cluster share a cell; 4 distinct cells
+    (0 until 4).foreach { c =>
+      val ids = (0 until 16).filter(_ % 4 == c).map(_.toLong)
+      assert(ids.map(cells).toSet.size === 1, s"cluster $c split across cells")
+    }
+    assert(cells.values.toSet.size === 4)
+    // flat argmin over ALL fine centroids picks the same cells here
+    // (clusters are far from every coarse border)
+    val flat = Similarity.assignCells(corpus16,
+        fine.select(col("cid").as("vec_id"), col("cv").as("embedding")),
+        "vec_id", "embedding")
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells === flat)
+  }
+
+  test("semDedup tail under the hierarchy: planted dup pair resolves " +
+    "by the keep rule, everything else survives") {
+    // ids 0 and 4 are cluster-A members 0.0002 apart in one minor dim
+    // -> cosine > 0.9999; every other within-cluster pair is farther
+    val dup = corpus16.withColumn("embedding",
+      when(col("vec_id") === 4L,
+        typedLit(Seq(1.0f, 0.2002f, 0.0f, 0.0f))).otherwise(col("embedding")))
+      .withColumn("embedding",
+        when(col("vec_id") === 0L,
+          typedLit(Seq(1.0f, 0.2f, 0.0f, 0.0f))).otherwise(col("embedding")))
+    val out = Similarity.hierarchicalSemDedupAuto(dup, "vec_id",
+        "embedding", eps = 0.99999, maxIter = 10, targetCell = 4L)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.size === 16)
+    // exactly one of the planted pair dropped, all others kept
+    assert(out(0L) ^ out(4L))
+    assert(out.filterNot(kv => kv._1 == 0L || kv._1 == 4L).values.forall(identity))
+  }
+}
