@@ -704,15 +704,51 @@ object Similarity {
     semDedupTail(asg, eps)
   }
 
+  /** semDedup with a HARD per-block population cap — the skew valve.
+    * Cluster blocking bounds within-cell pair cost only if no cell is
+    * huge; real corpora concentrate (one dominant language/domain can
+    * put a large fraction of vectors in one cell), and a cell of m
+    * vectors costs m²/2 comparisons no matter how the rest of the
+    * corpus is shaped. Here any cell whose population exceeds
+    * `cellCap` is SALTED into ceil(pop/cellCap) deterministic
+    * sub-cells (md5 of the id — the cross-engine hash primitive — mod
+    * the sub-cell count), and pairs generate within (cell, sub) only:
+    * worst-case per-block work is ~cellCap² regardless of data skew,
+    * the same bound salting gives a skewed shuffle join.
+    *
+    * Approximation, stated plainly: eps-pairs straddling two
+    * sub-cells of one giant cell are invisible (each survivor is
+    * still deduped against ~cellCap of its cell-mates); cells at or
+    * under the cap are NOT salted (nsub = 1), so the un-skewed
+    * corpus is byte-identical to semDedup's output. The per-cell
+    * count observation is one aggregation over k cells, broadcast
+    * back. */
+  def semDedupCapped(corpus: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String, eps: Double,
+                     cellCap: Int): DataFrame = {
+    require(cellCap >= 1, "semDedupCapped: cellCap must be >= 1")
+    val asg = rankedCells(corpus, centroids, idCol, vecCol, spread = true)
+      .filter(col("rnk") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
+    val counts = asg.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val salted = asg.join(broadcast(counts), Seq("cell"))
+      .withColumn("nsub", expr(s"(cnt + ${cellCap - 1}) div $cellCap"))
+      .withColumn("sub", pmod(
+        graft.functions.Text.md5Long(col("id").cast("string"), 12),
+        col("nsub")))
+    semDedupTail(salted, eps, blockCols = Seq("cell", "sub"))
+  }
+
   /** The cell-blocked dedup tail shared by semDedup (flat assignment)
     * and hierarchicalSemDedupAuto (two-level assignment): within-cell
     * >= eps pairs, connected components, the lowest-centroid-sim keep
     * rule. `asg` is (id, v, n2, cell, cs). */
-  private def semDedupTail(asg: DataFrame, eps: Double): DataFrame = {
-    val pairs = asg.select(col("id").as("id_a"), col("v").as("va"),
-        col("n2").as("na"), col("cell"))
-      .join(asg.select(col("id").as("id_b"), col("v").as("vb"),
-        col("n2").as("nb"), col("cell")), Seq("cell"))
+  private def semDedupTail(asg: DataFrame, eps: Double,
+                           blockCols: Seq[String] = Seq("cell")): DataFrame = {
+    val pairs = asg.select((Seq(col("id").as("id_a"), col("v").as("va"),
+        col("n2").as("na")) ++ blockCols.map(col)): _*)
+      .join(asg.select((Seq(col("id").as("id_b"), col("v").as("vb"),
+        col("n2").as("nb")) ++ blockCols.map(col)): _*), blockCols)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosineScore(col("va"), col("vb"), col("na"), col("nb")))
       // NaN guard as in cosinePairs; NULL (zero-norm) fails >= on its own

@@ -611,6 +611,22 @@ object TrainingData extends QueryGroup {
           "n_agree * 1000000L div n_vectors AS agree_ppm")
     }),
 
+    // the SKEW VALVE (the other half of the 100 TB semDedup story):
+    // cluster blocking bounds pair cost only while no cell is huge,
+    // and real corpora concentrate. Cells over `cellCap` are salted
+    // into ceil(pop/cap) md5-deterministic sub-cells; pairs generate
+    // within (cell, sub) only, so worst-case per-block work is
+    // ~cap^2 regardless of skew. Fixed-12 unfitted centroids (the
+    // q45 contract) at cap 40: the fuller cells split, the rest run
+    // unsalted (nsub = 1, byte-identical to plain semDedup there).
+    "q202_capped_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semDedupCapped(emb, emb.filter(col("vec_id") < 12),
+          "vec_id", "embedding", eps = SemDedupEps, cellCap = 40)
+        .select(col("id").as("vec_id"), col("cell"), col("centroid_sim"),
+          col("sem_cluster"), col("kept"))
+    }),
+
     // ONE-permutation-hashing MinHash (Li et al. 2012; rotation
     // densification per Shrivastava & Li 2014): the 32-entry
     // signature from ONE hash evaluation per shingle instead of 32 —
@@ -2123,6 +2139,47 @@ object TrainingData extends QueryGroup {
          comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
          mem AS (SELECT fasg.vec_id, fasg.cell, fasg.cs, comp.cluster
            FROM fasg LEFT JOIN comp ON fasg.vec_id = comp.id),
+         kp AS (SELECT cluster, vec_id AS keep_id FROM (
+             SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+               ORDER BY cs ASC NULLS LAST, vec_id ASC) AS rn
+             FROM mem WHERE cluster IS NOT NULL) WHERE rn = 1)
+         SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
+           (m.cluster IS NULL OR m.vec_id = kp.keep_id) AS kept
+         FROM mem m LEFT JOIN kp ON m.cluster = kp.cluster""",
+
+    // q183's tail over (cell, sub) blocks: cells over the cap salt
+    // into md5-deterministic sub-cells, mirroring semDedupCapped
+    "q202_capped_semdedup" ->
+      s"""WITH RECURSIVE base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         n AS MATERIALIZED (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 12),
+         sc AS (SELECT n.vec_id, n.v, n.n2, c.cid,
+             round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+           FROM n CROSS JOIN cent c),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM sc),
+         asg AS MATERIALIZED (SELECT vec_id, v, n2, cid AS cell, cs
+           FROM rk WHERE rnk = 1),
+         cnts AS (SELECT cell, count(*) AS cnt FROM asg GROUP BY 1),
+         ssub AS MATERIALIZED (SELECT a.*, (cnt + 39) // 40 AS nsub,
+             ${dMd5Long("a.vec_id::VARCHAR", 12)} % ((cnt + 39) // 40) AS sub
+           FROM asg a JOIN cnts USING (cell)),
+         prs AS (SELECT id_a, id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${dDot("a.v", "b.v")} / sqrt(a.n2 * b.n2), 6) AS cs2
+             FROM ssub a JOIN ssub b
+               ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id)
+           WHERE NOT isnan(cs2) AND cs2 >= $SemDedupEps),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         mem AS (SELECT asg.vec_id, asg.cell, asg.cs, comp.cluster
+           FROM asg LEFT JOIN comp ON asg.vec_id = comp.id),
          kp AS (SELECT cluster, vec_id AS keep_id FROM (
              SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
                ORDER BY cs ASC NULLS LAST, vec_id ASC) AS rn
