@@ -796,16 +796,24 @@ object Similarity {
   }
 
   /** Two-hop assignment under a fitted hierarchical quantizer: route
-    * each vector to its coarse block (broadcast, n x c), then argmax
-    * over ONLY that block's fine centroids (broadcast equi-join,
-    * n x k/c) — rankedCells' exact rule (round-6 score DESC, cid ASC,
-    * no NaN filter) at both hops. Returns (id, v, n2, cell, cs) with
-    * cell the fine centroid id. */
+    * each vector to its `nprobeCoarse` closest coarse blocks
+    * (broadcast, n x c), then argmax over ONLY those blocks' fine
+    * centroids (broadcast equi-join, n x nprobe x k/c) —
+    * rankedCells' exact rule (round-6 score DESC, cid ASC, no NaN
+    * filter) at both hops. nprobeCoarse is the routing-recall knob:
+    * 1 is the cheapest route; 2 re-examines the runner-up block,
+    * buying back vectors near a coarse border for 2x the (still
+    * ~sqrt(k)-bounded) probe cost — q201 measures the agreement gain.
+    * Candidates stay unique across probes (each fine centroid lives
+    * in exactly one block). Returns (id, v, n2, cell, cs) with cell
+    * the fine centroid id. */
   def hierarchicalAssign(corpus: DataFrame, coarse: DataFrame,
-                         fine: DataFrame, idCol: String,
-                         vecCol: String): DataFrame = {
-    val asgC = assignCells(corpus, coarse, idCol, vecCol)
-      .withColumnRenamed("cell", "blk")
+                         fine: DataFrame, idCol: String, vecCol: String,
+                         nprobeCoarse: Int = 1): DataFrame = {
+    require(nprobeCoarse >= 1, "hierarchicalAssign: nprobeCoarse must be >= 1")
+    val asgC = rankedCells(corpus, coarse, idCol, vecCol, spread = true)
+      .filter(col("rnk") <= nprobeCoarse)
+      .select(col("id"), col("v"), col("n2"), col("cid").as("blk"))
     val wf = Window.partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
     asgC.join(broadcast(fine.withColumn("cn2", norm2(col("cv")))), Seq("blk"))
       .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))

@@ -587,27 +587,33 @@ object TrainingData extends QueryGroup {
 
     // The hierarchy's approximation, MEASURED: a vector near a coarse
     // border can land in a different fine cell than the flat argmin
-    // over all k fine centroids would pick. One row: corpus size,
-    // how many vectors the two-hop route assigns to the same fine
-    // cell as the flat route (same fitted fine centroid set), and the
-    // agreement rate in ppm — the routing-recall number that says
-    // whether coarse routing is safe to default at scale.
+    // over all k fine centroids would pick. One row PER ROUTING
+    // WIDTH: how many vectors the two-hop route assigns to the same
+    // fine cell as the flat route (same fitted fine centroid set) at
+    // nprobeCoarse 1 and 2 — the knob's recall gain, measured (the
+    // runner-up coarse block buys back border vectors for 2x the
+    // still-sqrt(k)-bounded probe cost).
     "q201_hier_assign_agree" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val k = Similarity.derivedCells(emb.count(), SemCellTarget)
       val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
         emb, "vec_id", "embedding", k, KmFitIter)
-      val hier = Similarity.hierarchicalAssign(emb, coarse, fine,
-        "vec_id", "embedding").select(col("id"), col("cell").as("cell_h"))
       val flat = Similarity.assignCells(emb,
           fine.select(col("cid").as("vec_id"), col("cv").as("embedding")),
           "vec_id", "embedding")
         .select(col("id"), col("cell").as("cell_f"))
-      hier.join(flat, Seq("id"))
-        .agg(count(lit(1)).as("n_vectors"),
-          sum(when(col("cell_h") === col("cell_f"), 1L).otherwise(0L))
-            .as("n_agree"))
-        .selectExpr("n_vectors", "n_agree",
+      Seq(1, 2).map { np =>
+        Similarity.hierarchicalAssign(emb, coarse, fine,
+            "vec_id", "embedding", nprobeCoarse = np)
+          .select(col("id"), col("cell").as("cell_h"))
+          .join(flat, Seq("id"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("cell_h") === col("cell_f"), 1L).otherwise(0L))
+              .as("n_agree"))
+          .select(lit(np.toLong).as("nprobe"), col("n_vectors"),
+            col("n_agree"))
+      }.reduce(_ unionAll _)
+        .selectExpr("nprobe", "n_vectors", "n_agree",
           "n_agree * 1000000L div n_vectors AS agree_ppm")
     }),
 
@@ -2189,20 +2195,33 @@ object TrainingData extends QueryGroup {
          FROM mem m LEFT JOIN kp ON m.cluster = kp.cluster""",
 
     // flat argmin over ALL fine centroids (rankedCells' rule) vs the
-    // two-hop route, joined per vector — one agreement row
+    // two-hop route at nprobeCoarse 1 and 2 — one agreement row per
+    // routing width
     "q201_hier_assign_agree" ->
       s"""WITH RECURSIVE $hierCtes
+         np2blk AS (SELECT vec_id, v, n2, cid AS blk FROM crk WHERE rnk <= 2),
+         np2sc AS (SELECT a.vec_id, c.cid,
+             round(${dDot("a.v", "c.cv")} / sqrt(a.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+           FROM np2blk a JOIN fcent$KmFitIter c USING (blk)),
+         np2rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM np2sc),
+         np2cell AS (SELECT vec_id, cid AS cell FROM np2rk WHERE rnk = 1),
          flatsc AS (SELECT a.vec_id, c.cid,
              round(${dDot("a.v", "c.cv")} / sqrt(a.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
            FROM asgc a CROSS JOIN fcent$KmFitIter c),
          flatrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
              ORDER BY cs DESC, cid ASC) AS rnk FROM flatsc),
-         flata AS (SELECT vec_id, cid AS cell_f FROM flatrk WHERE rnk = 1)
-         SELECT count(*)::BIGINT AS n_vectors,
-           sum(CASE WHEN h.cell = f.cell_f THEN 1 ELSE 0 END)::BIGINT AS n_agree,
-           ((sum(CASE WHEN h.cell = f.cell_f THEN 1 ELSE 0 END)::BIGINT * 1000000)
-             // count(*)::BIGINT)::BIGINT AS agree_ppm
-         FROM fasg h JOIN flata f USING (vec_id)""",
+         flata AS MATERIALIZED (SELECT vec_id, cid AS cell_f
+           FROM flatrk WHERE rnk = 1),
+         a1 AS (SELECT 1::BIGINT AS nprobe, count(*)::BIGINT AS n_vectors,
+             sum(CASE WHEN h.cell = f.cell_f THEN 1 ELSE 0 END)::BIGINT AS n_agree
+           FROM fasg h JOIN flata f USING (vec_id)),
+         a2 AS (SELECT 2::BIGINT AS nprobe, count(*)::BIGINT AS n_vectors,
+             sum(CASE WHEN h.cell = f.cell_f THEN 1 ELSE 0 END)::BIGINT AS n_agree
+           FROM np2cell h JOIN flata f USING (vec_id))
+         SELECT nprobe, n_vectors, n_agree,
+           ((n_agree * 1000000) // n_vectors)::BIGINT AS agree_ppm
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)""",
 
     // the q33-shaped banding + verification over the OPH signature
     "q194_oph_lsh_pairs" -> q194PairsSql,

@@ -82,6 +82,12 @@ class HierarchicalQuantizerSpec extends SparkSpec {
         "vec_id", "embedding")
       .select("id", "cell").as[(Long, Long)].collect().toMap
     assert(cells === flat)
+    // widening the coarse probe must never change an assignment that
+    // nprobe=1 already got right (it only ADDS candidate blocks)
+    val np2 = Similarity.hierarchicalAssign(corpus16, coarse, fine,
+        "vec_id", "embedding", nprobeCoarse = 2)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(np2 === flat)
   }
 
   test("semDedup tail under the hierarchy: planted dup pair resolves " +
