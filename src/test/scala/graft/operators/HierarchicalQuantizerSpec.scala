@@ -90,6 +90,29 @@ class HierarchicalQuantizerSpec extends SparkSpec {
     assert(np2 === flat)
   }
 
+  test("hier cell-partitioned layout is drop-in for the flat probes") {
+    val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
+      corpus16, "vec_id", "embedding", k = 4, maxIter = 10)
+    val fineFlat = fine.select(col("cid").as("vec_id"),
+      col("cv").as("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_hier_layout")
+    val (pFlat, pHier) = (s"$root/flat", s"$root/hier")
+    Similarity.writeCellPartitioned(corpus16, fineFlat,
+      "vec_id", "embedding", pFlat)
+    Similarity.writeCellPartitionedHier(corpus16, coarse, fine,
+      "vec_id", "embedding", pHier)
+    // same queries, same fine centroids, both layouts: identical
+    // top-k (the fixture is far from every coarse border, so the
+    // routing approximation is exact here)
+    val queries = corpus16.filter(col("vec_id") < 4)
+    def probe(path: String) = Similarity.ivfTopKPartitioned(
+        queries, path, fineFlat, "vec_id", "embedding", k = 3, nprobe = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(_.toSeq).toSet
+    assert(probe(pHier) === probe(pFlat))
+    assert(probe(pHier).nonEmpty)
+  }
+
   test("semDedup tail under the hierarchy: planted dup pair resolves " +
     "by the keep rule, everything else survives") {
     // ids 0 and 4 are cluster-A members 0.0002 apart in one minor dim
