@@ -59,7 +59,10 @@ object PlanAudit {
     "q187_pagerank_centrality" -> "1-row node-count aggregate broadcast cross-joined per power iteration (q110 shape); contribution joins are equi on src/dst",
     "q189_ann_rerank" -> "coarse stage is the int8 brute-force scorer (8-query side broadcast, q70 shape); the rerank join is equi on neighbor_id with a bounded |queries| x pool broadcast",
     "q193_dedup_scorecard" -> "three 1-row count aggregates cross-joined per method row (q110 shape, bounded by construction); the simhash method's own pair join is q144's banded/verified plan",
-    "q195_dedup_funnel" -> "four 1-row stage-count aggregates cross-joined into the stack (q110 shape, bounded by construction); every stage's own joins are keyed"
+    "q195_dedup_funnel" -> "four 1-row stage-count aggregates cross-joined into the stack (q110 shape, bounded by construction); every stage's own joins are keyed",
+    "q200_hier_semdedup" -> "broadcast centroid sets bounded by construction: ceil-sqrt(k) coarse (<=64) in the coarse fit/route, <=k fine seeds per blocked Lloyd round (q94/q183 shape); the fine argmax and eps pair joins are blk/cell-keyed equi ops",
+    "q201_hier_assign_agree" -> "same bounded centroid broadcasts as q200 plus the flat-argmin baseline the agreement is measured AGAINST (k<=4096 fine centroids broadcast, q45 shape); the per-width agreement rows are 1-row aggregates cross-joined (q110 shape)",
+    "q202_capped_semdedup" -> "12 broadcast centroids for cell assignment (q45/q183 shape); the per-cell count table (k rows) is broadcast back for the salt; pair join is (cell, sub)-keyed equi"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by
