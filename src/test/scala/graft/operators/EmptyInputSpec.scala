@@ -48,6 +48,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.ophSignatures(short, "doc_id", "text", 3, 8).count() == 0)
   }
 
+  test("round-6 hierarchical quantizer on empty and degenerate corpora") {
+    // empty corpus: empty coarse fit, empty fine fit, empty output —
+    // never a throw (the documented dense-id seed contract is about
+    // SPARSE ids, not absent rows)
+    val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
+      noVecs, "vec_id", "embedding", k = 4, maxIter = 2)
+    assert(coarse.count() == 0 && fine.count() == 0)
+    assert(Similarity.hierarchicalAssign(noVecs, coarse, fine,
+      "vec_id", "embedding").count() == 0)
+    assert(Similarity.hierarchicalSemDedupAuto(noVecs, "vec_id",
+      "embedding", eps = 0.5, maxIter = 2).count() == 0)
+    val cents = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semDedupCapped(noVecs, cents, "vec_id", "embedding",
+      eps = 0.5, cellCap = 3).count() == 0)
+    // single-vector corpus: it seeds coarse AND fine, assigns to
+    // itself, survives dedup as a singleton
+    val one = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.hierarchicalSemDedupAuto(one, "vec_id",
+      "embedding", eps = 0.5, maxIter = 2)
+    assert(out.count() == 1 && out.filter(col("kept")).count() == 1)
+  }
+
   test("robust outliers on empty and single-row entities") {
     val noEvents = Seq.empty[(Long, String, Double)]
       .toDF("event_id", "user_id", "value")
