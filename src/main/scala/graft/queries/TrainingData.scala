@@ -163,29 +163,37 @@ object TrainingData extends QueryGroup {
     * convergence recompute the same centroids. */
   // one Lloyd round: kmeansIteration filters non-finite scores
   // BEFORE the argmax (unlike rankedCells, which does not); emits
-  // sck$i/asg$i/agg$i/cent$i CTEs reading cent${i-1}. Shared by the
-  // q151 and q183 oracles (both need the fitted centroid set).
-  private def lloydRound(i: Int): String =
-      s"""sck$i AS (SELECT n.vec_id, n.v, c.cid,
+  // ${p}sck$i/${p}asg$i/${p}agg$i/${p}cent$i CTEs reading
+  // ${p}cent${i-1}. Shared by the q151 and q183 oracles (both need
+  // the fitted centroid set, default prefix "") and q203 (which
+  // needs a SECOND independently-named chain, prefix "fl").
+  private def lloydRound(i: Int, p: String = ""): String =
+      s"""${p}sck$i AS (SELECT n.vec_id, n.v, c.cid,
            round(${dDot("c.cv", "n.v")} / sqrt(${dDot("c.cv", "c.cv")} * n.n2), 6) AS cs
-         FROM n CROSS JOIN cent${i - 1} c),
-       asg$i AS (SELECT cid AS cluster_id, v FROM (
+         FROM n CROSS JOIN ${p}cent${i - 1} c),
+       ${p}asg$i AS (SELECT cid AS cluster_id, v FROM (
            SELECT cid, v, row_number() OVER (PARTITION BY vec_id
              ORDER BY cs DESC, cid ASC) AS rn
-           FROM sck$i WHERE cs IS NOT NULL AND NOT isnan(cs)) WHERE rn = 1),
-       agg$i AS (SELECT cluster_id, dim_no,
+           FROM ${p}sck$i WHERE cs IS NOT NULL AND NOT isnan(cs)) WHERE rn = 1),
+       ${p}agg$i AS (SELECT cluster_id, dim_no,
            (CASE WHEN s >= 0 THEN (2 * s + d) // (2 * d)
                  ELSE -((2 * -s + d) // (2 * d)) END) / 1000000.0 AS centroid
          FROM (SELECT cluster_id, dim_no,
                  sum(floor(vv::DOUBLE * 10000000000 + 0.5))::BIGINT AS s,
                  count(*) * 10000 AS d
                FROM (SELECT cluster_id, unnest(generate_series(0, len(v) - 1)) AS dim_no,
-                       unnest(v) AS vv FROM asg$i)
+                       unnest(v) AS vv FROM ${p}asg$i)
                GROUP BY cluster_id, dim_no)),
-       cent$i AS MATERIALIZED (SELECT p.cid, coalesce(nc.cvn, p.cv) AS cv
-         FROM cent${i - 1} p LEFT JOIN (
+       ${p}cent$i AS MATERIALIZED (SELECT p.cid, coalesce(nc.cvn, p.cv) AS cv
+         FROM ${p}cent${i - 1} p LEFT JOIN (
            SELECT cluster_id AS cid, list(centroid::REAL ORDER BY dim_no) AS cvn
-           FROM agg$i GROUP BY cluster_id) nc USING (cid)),"""
+           FROM ${p}agg$i GROUP BY cluster_id) nc USING (cid)),"""
+
+  /** KmFitIter unrolled Lloyd rounds from ${p}cent0 to
+    * ${p}cent$KmFitIter, assuming `n` is already in scope. */
+  private def centChain(seedPred: String, p: String = ""): String =
+    s"""${p}cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE $seedPred),
+       ${(1 to KmFitIter).map(lloydRound(_, p)).mkString("\n")}"""
 
   /** The shared fitted-quantizer CTE chain: `base`/`n` projections,
     * a seed set as cent0 (default: the q45 fixed-12 contract; q183
@@ -195,8 +203,38 @@ object TrainingData extends QueryGroup {
   private def lloydCtes(seedPred: String = "vec_id < 12"): String =
     s"""base AS (SELECT vec_id, embedding AS v FROM embeddings),
        n AS MATERIALIZED (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
-       cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE $seedPred),
-       ${(1 to KmFitIter).map(lloydRound).mkString("\n")}"""
+       ${centChain(seedPred)}"""
+
+  /** The semDedup decision tail as prefixed CTEs: within-cell >= eps
+    * pairs over `asgName` (vec_id, v, n2, cell, cs), connected
+    * components, the lowest-centroid-sim keep rule — ending at
+    * ${p}kept (vec_id, kept). Factored so q203 can run the tail over
+    * BOTH quantizers' assignments in one oracle. Trailing comma. */
+  private def dedupTailCtes(asgName: String, p: String): String =
+    s"""${p}prs AS (SELECT id_a, id_b FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(${dDot("a.v", "b.v")} / sqrt(a.n2 * b.n2), 6) AS cs2
+         FROM $asgName a JOIN $asgName b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       WHERE NOT isnan(cs2) AND cs2 >= $SemDedupEps),
+     ${p}edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM ${p}prs
+               UNION ALL SELECT id_b, id_a FROM ${p}prs),
+     ${p}nodes AS (SELECT DISTINCT a AS id FROM ${p}edges),
+     ${p}reach AS (
+       SELECT id, id AS r FROM ${p}nodes
+       UNION
+       SELECT e.b AS id, ${p}reach.r AS r
+       FROM ${p}reach JOIN ${p}edges e ON e.a = ${p}reach.id),
+     ${p}comp AS (SELECT id, min(r) AS cluster FROM ${p}reach GROUP BY id),
+     ${p}mem AS (SELECT s.vec_id, s.cs, c.cluster
+       FROM $asgName s LEFT JOIN ${p}comp c ON s.vec_id = c.id),
+     ${p}kp AS (SELECT cluster, vec_id AS keep_id FROM (
+         SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+           ORDER BY cs ASC NULLS LAST, vec_id ASC) AS rn
+         FROM ${p}mem WHERE cluster IS NOT NULL) WHERE rn = 1),
+     ${p}kept AS MATERIALIZED (SELECT m.vec_id,
+         (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
+       FROM ${p}mem m LEFT JOIN ${p}kp k ON m.cluster = k.cluster),"""
 
   /** q183's corpus-derived cell count (mirrors Similarity.derivedCells
     * at targetCell=SemCellTarget): ceil(n/target) clamped [4, 4096],
@@ -615,6 +653,34 @@ object TrainingData extends QueryGroup {
       }.reduce(_ unionAll _)
         .selectExpr("nprobe", "n_vectors", "n_agree",
           "n_agree * 1000000L div n_vectors AS agree_ppm")
+    }),
+
+    // Decision-level agreement between the flat and hierarchical
+    // quantizers: q201 measures cell-ROUTING agreement; this measures
+    // what a user actually cares about — do the kept/dropped DEDUP
+    // DECISIONS change when the fit+assignment runs at ~2n*sqrt(k)
+    // instead of n*k? Both paths run end-to-end (same eps, same
+    // corpus-derived k), decisions joined per vector. One row:
+    // corpus size, same-decision count/ppm, and each path's kept
+    // count (so a decision drift shows WHICH way it leans).
+    "q203_hier_dedup_delta" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val flat = Similarity.semDedupAuto(emb, "vec_id", "embedding",
+          eps = SemDedupEps, maxIter = KmFitIter, targetCell = SemCellTarget)
+        .select(col("id"), col("kept").as("kept_flat"))
+      val hier = Similarity.hierarchicalSemDedupAuto(emb, "vec_id",
+          "embedding", eps = SemDedupEps, maxIter = KmFitIter,
+          targetCell = SemCellTarget)
+        .select(col("id"), col("kept").as("kept_hier"))
+      flat.join(hier, Seq("id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("kept_flat") === col("kept_hier"), 1L).otherwise(0L))
+            .as("n_same_decision"),
+          sum(when(col("kept_flat"), 1L).otherwise(0L)).as("n_kept_flat"),
+          sum(when(col("kept_hier"), 1L).otherwise(0L)).as("n_kept_hier"))
+        .selectExpr("n_vectors", "n_same_decision", "n_kept_flat",
+          "n_kept_hier",
+          "n_same_decision * 1000000L div n_vectors AS same_ppm")
     }),
 
     // the SKEW VALVE (the other half of the 100 TB semDedup story):
@@ -2125,6 +2191,30 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // both quantizer chains in one oracle: hierCtes' two-level fasg
+    // plus a SECOND independently-prefixed flat chain (centChain
+    // "fl"), each through the same dedup tail, decisions joined
+    "q203_hier_dedup_delta" ->
+      s"""WITH RECURSIVE $hierCtes
+         ${dedupTailCtes("fasg", "h")}
+         ${centChain(s"vec_id < $dDerivedCells", "fl")}
+         flsc AS (SELECT n.vec_id, n.v, n.n2, c.cid,
+             round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+           FROM n CROSS JOIN flcent$KmFitIter c),
+         flrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM flsc),
+         flasg AS MATERIALIZED (SELECT vec_id, v, n2, cid AS cell, cs
+           FROM flrk WHERE rnk = 1),
+         ${dedupTailCtes("flasg", "g")}
+         x AS (SELECT 1)
+         SELECT count(*)::BIGINT AS n_vectors,
+           sum(CASE WHEN f.kept = h.kept THEN 1 ELSE 0 END)::BIGINT AS n_same_decision,
+           sum(CASE WHEN f.kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_flat,
+           sum(CASE WHEN h.kept THEN 1 ELSE 0 END)::BIGINT AS n_kept_hier,
+           ((sum(CASE WHEN f.kept = h.kept THEN 1 ELSE 0 END)::BIGINT * 1000000)
+             // count(*)::BIGINT)::BIGINT AS same_ppm
+         FROM gkept f JOIN hkept h USING (vec_id)""",
 
     // the q183 dedup tail verbatim, but over the TWO-LEVEL
     // assignment's fine cells (hierCtes ends at fasg)
