@@ -62,7 +62,9 @@ object PlanAudit {
     "q195_dedup_funnel" -> "four 1-row stage-count aggregates cross-joined into the stack (q110 shape, bounded by construction); every stage's own joins are keyed",
     "q200_hier_semdedup" -> "broadcast centroid sets bounded by construction: ceil-sqrt(k) coarse (<=64) in the coarse fit/route, <=k fine seeds per blocked Lloyd round (q94/q183 shape); the fine argmax and eps pair joins are blk/cell-keyed equi ops",
     "q201_hier_assign_agree" -> "same bounded centroid broadcasts as q200 plus the flat-argmin baseline the agreement is measured AGAINST (k<=4096 fine centroids broadcast, q45 shape); the per-width agreement rows are 1-row aggregates cross-joined (q110 shape)",
-    "q202_capped_semdedup" -> "12 broadcast centroids for cell assignment (q45/q183 shape); the per-cell count table (k rows) is broadcast back for the salt; pair join is (cell, sub)-keyed equi"
+    "q202_capped_semdedup" -> "12 broadcast centroids for cell assignment (q45/q183 shape); the per-cell count table (k rows) is broadcast back for the salt; pair join is (cell, sub)-keyed equi",
+    "q203_hier_dedup_delta" -> "both quantizers' bounded centroid broadcasts (q200 + q183 shapes); decision join is vec_id-keyed equi; the agreement row is a single aggregate",
+    "q204_hier_fit_quality" -> "same bounded centroid broadcasts as q203 (flat k<=4096 + coarse/fine chains); quality rows are single aggregates unioned"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

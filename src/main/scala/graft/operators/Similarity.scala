@@ -180,6 +180,17 @@ object Similarity {
       .filter(col("rnk") === 1)
       .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
 
+  /** assignCells keeping the winning round-6 cosine score — the
+    * per-vector quantization-quality signal (what semDedup ranks its
+    * keep rule on, and what q204 aggregates into the fit-distortion
+    * metric). */
+  def assignCellsScored(vecs: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String,
+                        spread: Boolean = true): DataFrame =
+    rankedCells(vecs, centroids, idCol, vecCol, spread)
+      .filter(col("rnk") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
+
   /** IVF top-k: every corpus vector lives in its nearest centroid's
     * cell; a query scans the candidates in its `nprobe` closest cells
     * (nprobe=1: own cell only), ranked by exact cosine over the union.

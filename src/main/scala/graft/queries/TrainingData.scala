@@ -683,6 +683,33 @@ object TrainingData extends QueryGroup {
           "n_same_decision * 1000000L div n_vectors AS same_ppm")
     }),
 
+    // Fit QUALITY under the two quantizers — the distortion metric an
+    // IVF user monitors: mean (and worst) vector-to-own-centroid
+    // cosine, exact micro-units, one row per method. Completes the
+    // hierarchy's measured account: routing agreement (q201), dedup
+    // decisions (q203), and now representation quality — the blocked
+    // fit must not quietly produce worse centroids.
+    "q204_hier_fit_quality" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val k = Similarity.derivedCells(emb.count(), SemCellTarget)
+      val flatCents = Similarity.kmeansFit(emb,
+        emb.filter(col("vec_id") < k), "vec_id", "embedding", KmFitIter)
+      val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
+        emb, "vec_id", "embedding", k, KmFitIter)
+      def quality(asg: org.apache.spark.sql.DataFrame, method: String) =
+        asg.filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
+          .select(floor(col("cs").cast("double") * lit(1e6) + lit(0.5))
+            .cast("long").as("mcs"))
+          .agg(count(lit(1)).as("n_scored"), sum(col("mcs")).as("s"),
+            min(col("mcs")).as("min_cs_micro"))
+          .select(lit(method).as("method"), col("n_scored"),
+            expr("s div n_scored").as("mean_cs_micro"), col("min_cs_micro"))
+      quality(Similarity.assignCellsScored(emb, flatCents,
+          "vec_id", "embedding"), "flat")
+        .unionAll(quality(Similarity.hierarchicalAssign(emb, coarse, fine,
+          "vec_id", "embedding"), "hier"))
+    }),
+
     // the SKEW VALVE (the other half of the 100 TB semDedup story):
     // cluster blocking bounds pair cost only while no cell is huge,
     // and real corpora concentrate. Cells over `cellCap` are salted
@@ -2191,6 +2218,31 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // both chains again (q203 shape), but aggregating each
+    // assignment's round-6 cosine into exact micro-unit quality rows
+    "q204_hier_fit_quality" ->
+      s"""WITH RECURSIVE $hierCtes
+         ${centChain(s"vec_id < $dDerivedCells", "fl")}
+         flsc AS (SELECT n.vec_id, n.n2, c.cid,
+             round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+           FROM n CROSS JOIN flcent$KmFitIter c),
+         flrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM flsc),
+         flasg AS (SELECT vec_id, cs FROM flrk WHERE rnk = 1),
+         qf AS (SELECT 'flat' AS method, count(*)::BIGINT AS n_scored,
+             sum(floor(cs * 1000000 + 0.5)::BIGINT)::BIGINT AS s,
+             min(floor(cs * 1000000 + 0.5)::BIGINT)::BIGINT AS min_cs_micro
+           FROM flasg WHERE cs IS NOT NULL AND NOT isnan(cs)),
+         qh AS (SELECT 'hier' AS method, count(*)::BIGINT AS n_scored,
+             sum(floor(cs * 1000000 + 0.5)::BIGINT)::BIGINT AS s,
+             min(floor(cs * 1000000 + 0.5)::BIGINT)::BIGINT AS min_cs_micro
+           FROM fasg WHERE cs IS NOT NULL AND NOT isnan(cs))
+         SELECT method, n_scored,
+           CASE WHEN s >= 0 THEN s // n_scored
+                ELSE -((-s) // n_scored) END AS mean_cs_micro,
+           min_cs_micro
+         FROM (SELECT * FROM qf UNION ALL SELECT * FROM qh)""",
 
     // both quantizer chains in one oracle: hierCtes' two-level fasg
     // plus a SECOND independently-prefixed flat chain (centChain
