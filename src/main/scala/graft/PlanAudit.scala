@@ -64,7 +64,8 @@ object PlanAudit {
     "q201_hier_assign_agree" -> "same bounded centroid broadcasts as q200 plus the flat-argmin baseline the agreement is measured AGAINST (k<=4096 fine centroids broadcast, q45 shape); the per-width agreement rows are 1-row aggregates cross-joined (q110 shape)",
     "q202_capped_semdedup" -> "12 broadcast centroids for cell assignment (q45/q183 shape); the per-cell count table (k rows) is broadcast back for the salt; pair join is (cell, sub)-keyed equi",
     "q203_hier_dedup_delta" -> "both quantizers' bounded centroid broadcasts (q200 + q183 shapes); decision join is vec_id-keyed equi; the agreement row is a single aggregate",
-    "q204_hier_fit_quality" -> "same bounded centroid broadcasts as q203 (flat k<=4096 + coarse/fine chains); quality rows are single aggregates unioned"
+    "q204_hier_fit_quality" -> "same bounded centroid broadcasts as q203 (flat k<=4096 + coarse/fine chains); quality rows are single aggregates unioned",
+    "q205_maximin_seeding" -> "maximin steps broadcast the <=12-row running seed set (kmeansFit loop discipline); both Lloyd fits are the q94 bounded-seed shape; quality rows are single aggregates unioned"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

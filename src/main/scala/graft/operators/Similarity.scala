@@ -493,6 +493,48 @@ object Similarity {
     (toDf(cents), round)
   }
 
+  /** Deterministic MAXIMIN (farthest-first / Gonzalez 1985) seeding —
+    * the quality-aware alternative to the id-low seed rule (k-means++
+    * without the randomness, so both engines replicate it exactly):
+    * start from the smallest id, then repeatedly add the vector whose
+    * MAXIMUM round-6 cosine to the current seed set is LOWEST (the
+    * farthest point; ties to the smaller id). Zero-norm vectors are
+    * never picked (their cosine is non-finite against everything).
+    *
+    * Scale shape: k-1 bounded driver rounds (the kmeansFit loop
+    * discipline — seeds are broadcast-sized by contract), each a
+    * broadcast score + TakeOrdered(1); the corpus never shuffles.
+    * q205 measures what the seeding buys in fit quality. */
+  def maximinSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, "maximinSeeds: k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("n2", norm2(col("v")))
+    var seeds: Seq[(Long, Seq[Float])] = base.orderBy(col("id").asc).limit(1)
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    var exhausted = seeds.isEmpty
+    while (seeds.length < k && !exhausted) {
+      val sdf = seeds.toDF("sid", "sv").withColumn("sn", norm2(col("sv")))
+      val picked = base
+        .filter(!col("id").isin(seeds.map(_._1): _*))
+        .join(broadcast(sdf), lit(true))
+        .withColumn("cs", cosineScore(col("v"), col("sv"), col("n2"), col("sn")))
+        .filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
+        .groupBy(col("id")).agg(max(col("cs")).as("mx"))
+        .orderBy(col("mx").asc, col("id").asc).limit(1)
+        .join(base, Seq("id"))
+        .select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      if (picked.isEmpty) exhausted = true else seeds ++= picked
+    }
+    seeds.toDF(idCol, vecCol)
+  }
+
   /** Smallest c with c*c >= k (k >= 1): exact integer ceil-sqrt by
     * upward scan from the floor estimate — no floating-point sqrt in
     * the derivation the oracle must replicate (DuckDB mirrors it with

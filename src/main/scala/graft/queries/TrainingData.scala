@@ -236,6 +236,45 @@ object TrainingData extends QueryGroup {
          (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
        FROM ${p}mem m LEFT JOIN ${p}kp k ON m.cluster = k.cluster),"""
 
+  /** 11 unrolled maximin (Gonzalez farthest-first) seed steps over
+    * `n`, mirroring Similarity.maximinSeeds at k=12: ms0 is the
+    * min-id vector; step i adds the candidate whose MAX round-6
+    * cosine to ms(i-1) is LOWEST (ties -> smaller id), non-finite
+    * scores dropped per pair BEFORE the max (the Lloyd filter rule).
+    * Ends at ms11 (up to 12 seed rows). Trailing comma. */
+  private lazy val maximinCtes: String = {
+    val steps = (1 to 11).map { i =>
+      s"""mcand$i AS (SELECT vec_id, max(cs) AS mx FROM (
+           SELECT a.vec_id,
+             round(${dDot("a.v", "s.v")} / sqrt(a.n2 * ${dDot("s.v", "s.v")}), 6) AS cs
+           FROM n a CROSS JOIN ms${i - 1} s
+           WHERE a.vec_id NOT IN (SELECT vec_id FROM ms${i - 1}))
+         WHERE cs IS NOT NULL AND NOT isnan(cs) GROUP BY vec_id),
+       mpick$i AS (SELECT vec_id FROM mcand$i
+         ORDER BY mx ASC, vec_id ASC LIMIT 1),
+       ms$i AS MATERIALIZED (SELECT * FROM ms${i - 1} UNION ALL
+         SELECT vec_id, v FROM n WHERE vec_id IN (SELECT vec_id FROM mpick$i)),"""
+    }.mkString("\n")
+    s"""ms0 AS (SELECT vec_id, v FROM n
+         WHERE vec_id = (SELECT min(vec_id) FROM n)),
+       $steps"""
+  }
+
+  /** Assignment + exact micro-unit quality aggregate under the fitted
+    * centroid set `centName` (the q204 metric as prefixed CTEs):
+    * ends at ${"$"}{p}q (method, n_scored, s, min_cs_micro). */
+  private def dFitQuality(centName: String, p: String, label: String): String =
+    s"""${p}sc AS (SELECT n.vec_id, n.n2, c.cid,
+         round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+       FROM n CROSS JOIN $centName c),
+     ${p}rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         ORDER BY cs DESC, cid ASC) AS rnk FROM ${p}sc),
+     ${p}asg AS (SELECT vec_id, cs FROM ${p}rk WHERE rnk = 1),
+     ${p}q AS (SELECT '$label' AS method, count(*)::BIGINT AS n_scored,
+         sum(floor(cs * 1000000 + 0.5)::BIGINT)::BIGINT AS s,
+         min(floor(cs * 1000000 + 0.5)::BIGINT)::BIGINT AS min_cs_micro
+       FROM ${p}asg WHERE cs IS NOT NULL AND NOT isnan(cs)),"""
+
   /** q183's corpus-derived cell count (mirrors Similarity.derivedCells
     * at targetCell=SemCellTarget): ceil(n/target) clamped [4, 4096],
     * observed from the same embeddings table Spark counts. */
@@ -708,6 +747,33 @@ object TrainingData extends QueryGroup {
           "vec_id", "embedding"), "flat")
         .unionAll(quality(Similarity.hierarchicalAssign(emb, coarse, fine,
           "vec_id", "embedding"), "hier"))
+    }),
+
+    // SEEDING quality, measured: the id-low seed rule (the dense-id
+    // contract's arbitrary choice) vs deterministic MAXIMIN seeding
+    // (Gonzalez farthest-first — k-means++ without the randomness, so
+    // both engines replicate it exactly). Both seed sets Lloyd-fit to
+    // the same round count, both fits scored with the q204 metric —
+    // whether spread-out seeds buy better centroids is a number here,
+    // not folklore. Fixed k=12 (the q45 contract) keeps the oracle's
+    // 11-step maximin unroll static.
+    "q205_maximin_seeding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idLow = Similarity.kmeansFit(emb,
+        emb.filter(col("vec_id") < 12), "vec_id", "embedding", KmFitIter)
+      val mm = Similarity.kmeansFit(emb,
+        Similarity.maximinSeeds(emb, "vec_id", "embedding", 12),
+        "vec_id", "embedding", KmFitIter)
+      def quality(cents: org.apache.spark.sql.DataFrame, method: String) =
+        Similarity.assignCellsScored(emb, cents, "vec_id", "embedding")
+          .filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
+          .select(floor(col("cs").cast("double") * lit(1e6) + lit(0.5))
+            .cast("long").as("mcs"))
+          .agg(count(lit(1)).as("n_scored"), sum(col("mcs")).as("s"),
+            min(col("mcs")).as("min_cs_micro"))
+          .select(lit(method).as("method"), col("n_scored"),
+            expr("s div n_scored").as("mean_cs_micro"), col("min_cs_micro"))
+      quality(idLow, "idlow").unionAll(quality(mm, "maximin"))
     }),
 
     // the SKEW VALVE (the other half of the 100 TB semDedup story):
@@ -2218,6 +2284,23 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // 11-step maximin unroll, then both seed sets through identical
+    // Lloyd chains and the shared quality aggregate
+    "q205_maximin_seeding" ->
+      s"""WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         n AS MATERIALIZED (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+         $maximinCtes
+         ${centChain("vec_id < 12", "il")}
+         ${centChain("vec_id IN (SELECT vec_id FROM ms11)", "mm")}
+         ${dFitQuality(s"ilcent$KmFitIter", "ila", "idlow")}
+         ${dFitQuality(s"mmcent$KmFitIter", "mma", "maximin")}
+         x AS (SELECT 1)
+         SELECT method, n_scored,
+           CASE WHEN s >= 0 THEN s // n_scored
+                ELSE -((-s) // n_scored) END AS mean_cs_micro,
+           min_cs_micro
+         FROM (SELECT * FROM ilaq UNION ALL SELECT * FROM mmaq)""",
 
     // both chains again (q203 shape), but aggregating each
     // assignment's round-6 cosine into exact micro-unit quality rows

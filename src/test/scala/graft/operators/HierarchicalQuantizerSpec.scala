@@ -90,6 +90,35 @@ class HierarchicalQuantizerSpec extends SparkSpec {
     assert(np2 === flat)
   }
 
+  test("maximin seeding: one seed per planted cluster, deterministic") {
+    // three orthogonal clusters; ids interleave so the id-low rule
+    // would pick 3 seeds from ONE cluster, while farthest-first must
+    // cover all three: start = min id (cluster A), then the lowest-id
+    // member of an uncovered orthogonal cluster, twice.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // A
+      (1L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),  // A
+      (2L, Seq(0.98f, 0.15f, 0.0f, 0.0f)), // A
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // B
+      (4L, Seq(0.0f, 0.99f, 0.1f, 0.0f)),  // B
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),   // C
+      (6L, Seq(0.0f, 0.0f, 0.98f, 0.1f))   // C
+    ).toDF("vec_id", "embedding")
+    val seeds = Similarity.maximinSeeds(vecs, "vec_id", "embedding", 3)
+      .select("vec_id").as[Long].collect().toSet
+    // 0 (min id, A), then B and C's lowest-max-cos members: 3 and 5
+    // are exactly orthogonal to everything chosen before them
+    assert(seeds === Set(0L, 3L, 5L))
+    // deterministic: a second run returns the identical set
+    val again = Similarity.maximinSeeds(vecs, "vec_id", "embedding", 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again === seeds)
+    // k > distinct finite candidates: stops at the corpus, no throw
+    val tiny = vecs.filter(col("vec_id") < 2)
+    assert(Similarity.maximinSeeds(tiny, "vec_id", "embedding", 5)
+      .count() === 2L)
+  }
+
   test("hier cell-partitioned layout is drop-in for the flat probes") {
     val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
       corpus16, "vec_id", "embedding", k = 4, maxIter = 10)
