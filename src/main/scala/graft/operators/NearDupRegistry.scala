@@ -39,11 +39,66 @@ import org.apache.spark.sql.functions._
   */
 class NearDupRegistry(path: String, numPerm: Int, bands: Int,
                       rowsPerBand: Int, simThreshold: Double,
-                      nBuckets: Int = 8) {
+                      nBuckets: Int = 8, sigMode: String = "minhash") {
   require(bands * rowsPerBand == numPerm,
     s"NearDupRegistry: bands($bands) * rowsPerBand($rowsPerBand) != numPerm($numPerm)")
   require(simThreshold > 0 && simThreshold <= 1,
     "NearDupRegistry: simThreshold must be in (0, 1]")
+  require(sigMode == "minhash" || sigMode == "oph",
+    s"NearDupRegistry: sigMode must be 'minhash' or 'oph', got '$sigMode'")
+
+  /** Signature scheme sidecar: "minhash" (k independent permutation
+    * mins) and "oph" (one-permutation-hashing with rotation
+    * densification, 32x cheaper to compute — q184/q185) produce
+    * SAME-SHAPE but INCOMPATIBLE signatures: probing one with the
+    * other silently under-counts agreement and forgets dup history.
+    * The mode is pinned on first use and a mismatched open fails
+    * loudly (the EmbedDedupRegistry centroid-fingerprint rule). A
+    * registry with committed signatures but NO sidecar predates the
+    * mode knob and is minhash by definition. */
+  private val modePath = path + "_sig_mode"
+  private var modeChecked = false
+  private def ensureMode(spark: SparkSession): Unit = if (!modeChecked) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mp = new org.apache.hadoop.fs.Path(modePath)
+    val fs = mp.getFileSystem(conf)
+    val stored: Option[String] =
+      if (fs.exists(mp)) {
+        val in = fs.open(mp)
+        Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
+      } else if (RegistryIO.committedDataExists(spark, path)) Some("minhash")
+      else None
+    stored match {
+      case Some(m) =>
+        require(m == sigMode,
+          s"NearDupRegistry at $path was built with sigMode=$m; opening it " +
+            s"with sigMode=$sigMode would silently miss near-dups — use the " +
+            "original mode, or start a new registry path")
+      case None =>
+        // pin the mode BEFORE any signature lands: a crash after this
+        // write but before the first append leaves a sidecar with no
+        // data — harmless (the next run re-asserts the same mode)
+        val tmp = new org.apache.hadoop.fs.Path(
+          modePath + ".tmp-" + java.util.UUID.randomUUID().toString)
+        val os = fs.create(tmp, false)
+        try os.write(sigMode.getBytes("UTF-8")) finally os.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+        fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    modeChecked = true
+  }
+
+  /** The registry's signature function under the pinned mode — both
+    * return (id, sig array<bigint> of length numPerm) over one
+    * shingle pass; the band layout and the exact integer agreement
+    * verdict downstream are scheme-agnostic (OPH slot collisions
+    * estimate jaccard like permutation mins do — recall measured by
+    * q185/q193, not assumed). */
+  private def signatures(sh: DataFrame): DataFrame = sigMode match {
+    case "oph" => Dedup.ophSignaturesFromShingles(sh, numPerm)
+      .select("id", "sig")
+    case _ => Dedup.minhashSignaturesFromShingles(sh, numPerm)
+  }
 
   /** Minimum agreeing permutations for a near-dup verdict (exact
     * integer compare — no double division in the hot predicate). */
@@ -156,8 +211,8 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     * serving layer runs before deciding anything. */
   def probe(batch: DataFrame, idCol: String, textCol: String,
             n: Int = 3): DataFrame = {
-    val sigs = Dedup.minhashSignaturesFromShingles(
-      Dedup.shingleSets(batch, idCol, textCol, n), numPerm)
+    ensureMode(batch.sparkSession)
+    val sigs = signatures(Dedup.shingleSets(batch, idCol, textCol, n))
     matchedIds(batch.sparkSession, sigs).select(col("id").as(idCol))
   }
 
@@ -169,11 +224,11 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
                   n: Int = 3,
                   persist: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
+    ensureMode(spark)
     // one shingle pass; signatures feed in-batch pairs AND the
     // registry probe (multi-consumer rule)
     val sigs = Dedup.DefaultMaterialize(
-      Dedup.minhashSignaturesFromShingles(
-        Dedup.shingleSets(batch, idCol, textCol, n), numPerm))
+      signatures(Dedup.shingleSets(batch, idCol, textCol, n)))
     val batchBands = Dedup.DefaultMaterialize(bandRows(sigs))
 
     // in-batch: LSH candidates -> agreement verify -> connected

@@ -51,6 +51,66 @@ class NearDupRegistrySpec extends SparkSpec {
       == Seq(1L, 3L, 5L))
   }
 
+  test("OPH mode: same gate semantics on the 32x cheaper signature") {
+    // OPH needs docs with >= numPerm-ish shingles (its documented
+    // regime: with most bins occupied, slot agreement estimates
+    // jaccard like permutation mins; a 12-shingle doc in 32 bins is
+    // mostly densified entries and the estimate degrades) — so this
+    // fixture uses paragraph-length docs, the realistic registry load
+    val longA = (1 to 60).map(i => s"token$i").mkString(" ")
+    val longANear = longA.replace("token30", "changed30")
+    val longB = (100 to 160).map(i => s"word$i").mkString(" ")
+    val longC = (200 to 260).map(i => s"item$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_oph").toString + "/reg"
+    val r = new NearDupRegistry(dir, numPerm = 32, bands = 8,
+      rowsPerBand = 4, simThreshold = 0.5, sigMode = "oph")
+    val out1 = r.dedupAppend(
+      Seq((1L, longA), (2L, longA), (3L, longB)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(out1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // cross-run: the near-dup of registered doc 1 is dropped on the
+    // OPH signature too (q185's measured banding recall, exercised)
+    val out2 = r.dedupAppend(
+      Seq((4L, longANear), (5L, longC)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(out2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
+    // replay converges
+    assert(r.dedupAppend(
+      Seq((4L, longANear), (5L, longC)).toDF("doc_id", "text"), "doc_id", "text")
+      .isEmpty)
+  }
+
+  test("signature-mode mismatch fails loudly, never silently mixes") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_mode").toString + "/reg"
+    val r = new NearDupRegistry(dir, numPerm = 32, bands = 8,
+      rowsPerBand = 4, simThreshold = 0.5, sigMode = "oph")
+    r.dedupAppend(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
+    // opening the same path as minhash (the default) must refuse:
+    // same-shape signatures, incompatible semantics
+    val wrong = new NearDupRegistry(dir, numPerm = 32, bands = 8,
+      rowsPerBand = 4, simThreshold = 0.5)
+    val e = intercept[IllegalArgumentException] {
+      wrong.probe(Seq((9L, a)).toDF("doc_id", "text"), "doc_id", "text")
+        .count()
+    }
+    assert(e.getMessage.contains("sigMode"))
+    // a LEGACY registry (committed signatures, no sidecar) is minhash
+    // by definition: opening it as oph must refuse too
+    val legacyDir = java.nio.file.Files.createTempDirectory("neardup_legacy").toString + "/reg"
+    val legacy = new NearDupRegistry(legacyDir, numPerm = 32, bands = 8,
+      rowsPerBand = 4, simThreshold = 0.5)
+    legacy.dedupAppend(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(legacyDir + "_sig_mode")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(legacyDir + "_sig_mode"), false)
+    val asOph = new NearDupRegistry(legacyDir, numPerm = 32, bands = 8,
+      rowsPerBand = 4, simThreshold = 0.5, sigMode = "oph")
+    val e2 = intercept[IllegalArgumentException] {
+      asOph.probe(Seq((9L, a)).toDF("doc_id", "text"), "doc_id", "text")
+        .count()
+    }
+    assert(e2.getMessage.contains("minhash"))
+  }
+
   test("in-batch near-dup CHAIN keeps one representative (components, not greedy)") {
     val dir = java.nio.file.Files.createTempDirectory("neardup_reg2").toString + "/reg"
     // a ~ aNear and a ~ aNear2: a chain that a pairwise greedy drop
