@@ -259,6 +259,23 @@ object ScaleCheck {
       fmtRow("registry seed (full corpus)", "registry_seed", regs.map(_._1))
       fmtRow("registry dedupAppend (fixed 500-doc batch)", "registry_probe",
         regs.map(_._2))
+      // the same registry under the OPH signature mode: one hash
+      // evaluation per shingle instead of 32 — the hash-compute term
+      // of the seed should drop while the band/index shuffle stays
+      // identical (the q184 story, landed in the cross-run gate)
+      val regsOph = mults.map { m =>
+        val reg = new operators.NearDupRegistry(s"$root/regoph$m/r",
+          numPerm = 32, bands = 8, rowsPerBand = 4, simThreshold = 0.5,
+          sigMode = "oph")
+        val seedSecs = time(
+          reg.dedupAppend(Tables.documents(spark, dirs(m)), "doc_id", "text").count())
+        val probeSecs = time(reg.dedupAppend(batch, "doc_id", "text").count())
+        (Some(seedSecs), Some(probeSecs))
+      }
+      fmtRow("registry seed OPH mode (full corpus)", "registry_seed_oph",
+        regsOph.map(_._1))
+      fmtRow("registry dedupAppend OPH mode (fixed batch)",
+        "registry_probe_oph", regsOph.map(_._2))
     }
 
     // incremental CC: fold a FIXED 300-edge batch into the standing
