@@ -116,6 +116,12 @@ object ScaleCheck {
         transform(col("embedding"), x => (x * x).cast("double")).as("sq"))
         .select(aggregate(col("sq"), lit(0.0d), (acc, x) => acc + x).as("ss"),
           col("sq"))
+        // zero-norm guard: ss = 0 would make every weight NaN, and
+        // Spark's total order counts NaN >= threshold as TRUE — a
+        // zero vector would inflate the drift count by every copy
+        // pair it appears in (latent today; the rest of the codebase
+        // guards this case explicitly)
+        .filter(col("ss") > 0)
         .select(transform(col("sq"), x => x / col("ss")).as("w"))
       val cos = w.join(broadcast(patDf), lit(true))
         .select(aggregate(zip_with(col("w"), col("pattern"),
@@ -142,15 +148,22 @@ object ScaleCheck {
     def time2(f: => Unit): Double = math.min(time(f), time(f))
 
     val dirs = mults.map(m => m -> synth(m)).toMap
-    val json = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // JSON cells keep POSITION: a failed/capped middle cell emits
+    // `null`, never silently shifting later timings against the
+    // "mults" list (found by review — flatten misattributed a 100x
+    // timing as the 10x one whenever a middle cell was missing)
+    val json = scala.collection.mutable.LinkedHashMap[String, Seq[Option[Double]]]()
     def fmtRow(name: String, jsonKey: String, times: Seq[Option[Double]]): Unit = {
       val cells = times.map(_.map(t => f"$t%.2f").getOrElse("—"))
-      val ratio = (times.head, times.last) match {
-        case (Some(a), Some(b)) if a > 0 => f"${b / a}%.1fx"
-        case _ => "—"
-      }
+      // ratio between the FIRST and LAST defined cells, labeled with
+      // the mult it reaches (a capped row still reports its 10x ratio)
+      val defined = mults.zip(times).collect { case (m, Some(t)) => (m, t) }
+      val ratio =
+        if (defined.size >= 2 && defined.head._2 > 0)
+          f"${defined.last._2 / defined.head._2}%.1fx@${defined.last._1}x"
+        else "—"
       println(s"| $name | ${cells.mkString(" | ")} | $ratio |")
-      json(jsonKey) = times.flatten
+      json(jsonKey) = times
     }
     /** Measure `f(mult)` at each requested mult <= cap; a failed cell
       * prints as err without killing the run. */
@@ -183,9 +196,24 @@ object ScaleCheck {
     row("q169_prefix_filter_pairs")(q("q169_prefix_filter_pairs"))
     row("q172_winnowing_pairs", cap = 10)(q("q172_winnowing_pairs"))
     row("q184_oph_minhash")(q("q184_oph_minhash"))
-    row("q35_embedding_near_dup (FIXED 16 buckets)", cap = 10)(
-      q("q35_embedding_near_dup"))
-    row("q183_semdedup (FIXED 12 cells)", cap = 10)(q("q183_semdedup"))
+    // genuinely FIXED-width penalty rows: direct operator calls with
+    // the width pinned (the catalog q35/q183 queries moved to
+    // corpus-derived width in round 6, so invoking them here would
+    // re-measure the derived path under a "FIXED" label — found by
+    // review; these call cosinePairs(bits=4) / semDedup(12 fitted
+    // cells) explicitly so the fixed-vs-derived comparison is real)
+    row("cosinePairs FIXED bits=4 (16 buckets)", cap = 10) { m =>
+      operators.Similarity.cosinePairs(Tables.embeddings(spark, dirs(m)),
+        "vec_id", "embedding", dim = 64, threshold = 0.35, bits = 4)
+        .count(): Unit
+    }
+    row("semDedup FIXED 12 cells", cap = 10) { m =>
+      val emb = Tables.embeddings(spark, dirs(m))
+      operators.Similarity.semDedup(emb,
+        operators.Similarity.kmeansFit(emb, emb.filter(col("vec_id") < 12),
+          "vec_id", "embedding", maxIter = 2),
+        "vec_id", "embedding", eps = 0.05).count(): Unit
+    }
 
     // corpus-DERIVED width (the round-6 default path): bits/cells
     // from an observed count, so within-block pair cost stays flat.
@@ -318,7 +346,7 @@ object ScaleCheck {
     println(s"| cross-copy emb pairs >= 0.60 at ${mults.max}x | n=$driftN6 | — | — |")
 
     val qjson = json.map { case (key, ts) =>
-      s""""$key":[${ts.map(t => f"$t%.3f").mkString(",")}]"""
+      s""""$key":[${ts.map(_.map(t => f"$t%.3f").getOrElse("null")).mkString(",")}]"""
     }.mkString(",")
     println(s"""{"scalecheck":{$qjson,""" +
       s""""emb_drift":{"mult":${mults.max},"n":$driftN,"max":${f"$driftMax%.4f"}},""" +

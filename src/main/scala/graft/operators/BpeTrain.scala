@@ -74,21 +74,27 @@ object BpeTrain {
         .withColumn("syms", charSyms(col("word"))))
 
     var cur = base
-    val learned = (1 to rounds).map { r =>
+    val learned = (1 to rounds).iterator.map { r =>
+      // 1-row argmax: TakeOrderedAndProject, never a global sort.
+      // collect (not head) so a corpus that runs OUT of adjacent
+      // pairs before `rounds` (every word fully merged or
+      // single-symbol) ends the trajectory early instead of
+      // throwing on an empty iterator — the EmptyInputSpec rule.
       val pairs = cur
         .select(col("freq"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
           slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
         .groupBy(col("p.l").as("left"), col("p.r").as("right"))
         .agg(sum(col("freq")).as("cnt"))
-        // 1-row argmax: TakeOrderedAndProject, never a global sort
         .orderBy(col("cnt").desc, col("left"), col("right"))
         .limit(1)
-        .head() // bounded by contract: one row
-      val (l, rr, c) = (pairs.getString(0), pairs.getString(1), pairs.getLong(2))
-      cur = cur.withColumn("syms", applyMerge(col("syms"), l, rr))
-      (r, l, rr, c)
-    }
+        .collect()
+      pairs.headOption.map { p =>
+        val (l, rr, c) = (p.getString(0), p.getString(1), p.getLong(2))
+        cur = cur.withColumn("syms", applyMerge(col("syms"), l, rr))
+        (r, l, rr, c)
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
     learned.toDF("round", "left", "right", "cnt")
       .select(col("round").cast("long"), col("left"), col("right"), col("cnt"))
   }

@@ -271,16 +271,38 @@ object Dedup {
     * of minhashLshPairsFromShingles, exposed so a scorecard can pair
     * it with a SHARED verification pass. */
   def minhashBandCandidates(sigs: DataFrame, bands: Int,
-                            rowsPerBand: Int): DataFrame = {
-    // band b (1-based) covers mh_{(b-1)*r+1} .. mh_{b*r}.
-    val bandKeys = (1 to bands).map { b =>
-      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
-        .map(j => col(s"mh_$j").cast("string"))
-      md5(concat_ws(",", cols: _*))
+                            rowsPerBand: Int): DataFrame =
+    // wide (mh_1..mh_k) signatures: pack into the array shape and
+    // reuse the ONE band rule (same comma-joined stringified slots,
+    // same md5 — the key value is representation-independent)
+    sigBandCandidates(sigs.select(col("id"),
+      array((1 to bands * rowsPerBand).map(j => col(s"mh_$j")): _*).as("sig")),
+      bands, rowsPerBand)
+
+  /** THE band rule, in one place (review: three private copies had
+    * grown — here, NearDupRegistry, and the q194 helper — and a
+    * band-key change would have had to land in all three or the
+    * scorecard, the registry, and the catalog would silently drift).
+    * Band b (0-based) keys slots b*rowsPerBand+1 .. (b+1)*rowsPerBand
+    * of an (id, sig array) table as md5 of the comma-joined
+    * stringified slots; returns (id, sig, band, band_key) exploded
+    * one row per band. */
+  def sigBandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val keys = (0 until bands).map { b =>
+      val slots = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand)
+        .map(j => element_at(col("sig"), j).cast("string"))
+      md5(concat_ws(",", slots: _*))
     }
-    val bandRows = sigs.select(col("id"), posexplode(array(bandKeys: _*)))
+    sigs.select(col("id"), col("sig"), posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    bandRows.as("a").join(bandRows.as("b"),
+  }
+
+  /** Banded LSH candidate pairs over an array-signature table: ids
+    * sharing any band key, deduped, id_a < id_b. */
+  def sigBandCandidates(sigs: DataFrame, bands: Int,
+                        rowsPerBand: Int): DataFrame = {
+    val br = sigBandRows(sigs, bands, rowsPerBand)
+    br.as("a").join(br.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

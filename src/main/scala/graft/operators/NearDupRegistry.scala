@@ -177,17 +177,11 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
         lit(s"NearDupRegistry: signature length != numPerm=$numPerm for id "),
         col("id")))).as("sig")
 
-  /** LSH band keys of a signature column: band b (0-based) hashes
-    * elements b*rowsPerBand+1 .. (b+1)*rowsPerBand (1-based). */
-  private def bandRows(sigs: DataFrame): DataFrame = {
-    val keys = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand)
-        .map(j => element_at(col("sig"), j).cast("string"))
-      md5(concat_ws(",", cols: _*))
-    }
-    sigs.select(col("id"), col("sig"), posexplode(array(keys: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-  }
+  /** LSH band keys of a signature column — the shared Dedup band
+    * rule (one definition; the index layout depends on the key
+    * staying byte-stable). */
+  private def bandRows(sigs: DataFrame): DataFrame =
+    Dedup.sigBandRows(sigs, bands, rowsPerBand)
 
   /** Exact integer count of agreeing permutations. */
   private def agreement(a: Column, b: Column): Column =

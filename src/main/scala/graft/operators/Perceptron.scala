@@ -61,9 +61,13 @@ object Perceptron {
       val margin = y * xs.zip(w).map { case (x, wi) => x * lit(wi) }
         .reduce(_ + _)
       // sum(y*x_i) over misclassified + count: ONE row collected
+      // coalesce: sum() over ZERO input rows is NULL, and getLong on
+      // a null delta would NPE — an empty feature table must yield
+      // the zero-weight trajectory, not a crash (EmptyInputSpec rule)
       val aggs = count(when(margin <= 0L, 1L)).as("n_mis") +:
         xs.zipWithIndex.map { case (x, i) =>
-          sum(when(margin <= 0L, y * x).otherwise(0L)).as(s"d$i")
+          coalesce(sum(when(margin <= 0L, y * x).otherwise(0L)), lit(0L))
+            .as(s"d$i")
         }
       val row = f.agg(aggs.head, aggs.tail: _*).head()
       val nMis = row.getLong(0)

@@ -499,7 +499,11 @@ object Similarity {
     * start from the smallest id, then repeatedly add the vector whose
     * MAXIMUM round-6 cosine to the current seed set is LOWEST (the
     * farthest point; ties to the smaller id). Zero-norm vectors are
-    * never picked (their cosine is non-finite against everything).
+    * never picked by the maximin rule (their cosine is non-finite
+    * against everything) — but the START seed is the min id
+    * regardless of norm; a degenerate zero-norm start leaves every
+    * candidate scoreless and the result is that single seed (the
+    * caller's dense-meaningful-id contract, same as kmeansFit's).
     *
     * Scale shape: k-1 bounded driver rounds (the kmeansFit loop
     * discipline — seeds are broadcast-sized by contract), each a
@@ -624,12 +628,28 @@ object Similarity {
   def hierarchicalQuantizerFit(corpus: DataFrame, idCol: String,
                                vecCol: String, k: Int, maxIter: Int)
       : (DataFrame, DataFrame) = {
+    val (coarse, fine, _) = fitWithBlocks(corpus, idCol, vecCol, k, maxIter)
+    (coarse, fine)
+  }
+
+  /** The fit body, also returning the coarse-block assignment it
+    * already computed — hierarchicalSemDedupAuto's final assignment
+    * reuses it instead of re-scoring the coarse hop (found by
+    * review: the assign's first hop is bitwise identical to the
+    * fit's). asgC feeds maxIter blocked Lloyd rounds + the fine
+    * seeding + that final assignment, so it is materialized once
+    * (the multi-consumer rule; DefaultMaterialize's cluster caveat
+    * applies — pass-through recompute was the previous behavior). */
+  private def fitWithBlocks(corpus: DataFrame, idCol: String,
+                            vecCol: String, k: Int, maxIter: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val c = ceilSqrt(k)
     val finePer = (k + c - 1) / c
     val coarse = kmeansFit(corpus, corpus.filter(col(idCol) < c),
       idCol, vecCol, maxIter)
-    val asgC = assignCells(corpus, coarse, idCol, vecCol)
-      .withColumnRenamed("cell", "blk")
+    val asgC = Dedup.DefaultMaterialize(
+      assignCells(corpus, coarse, idCol, vecCol)
+        .withColumnRenamed("cell", "blk"))
     val w = Window.partitionBy("blk").orderBy(col("id").asc)
     val seeds = asgC.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= finePer)
@@ -638,7 +658,7 @@ object Similarity {
       asgC.select(col("id").as("vec_id"), col("v").as("cv"), col("blk")),
       seeds, maxIter)
     (coarse, fine.select(col("seed_id").as("cid"), col("sv").as("cv"),
-      col("blk")))
+      col("blk")), asgC)
   }
 
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding
@@ -863,9 +883,8 @@ object Similarity {
                                vecCol: String, eps: Double, maxIter: Int,
                                targetCell: Long = 64L): DataFrame = {
     val k = derivedCells(corpus.count(), targetCell)
-    val (coarse, fine) = hierarchicalQuantizerFit(corpus, idCol, vecCol,
-      k, maxIter)
-    semDedupTail(hierarchicalAssign(corpus, coarse, fine, idCol, vecCol), eps)
+    val (_, fine, asgC) = fitWithBlocks(corpus, idCol, vecCol, k, maxIter)
+    semDedupTail(hierarchicalAssignFromBlocks(asgC, fine), eps)
   }
 
   /** Two-hop assignment under a fitted hierarchical quantizer: route
@@ -884,11 +903,20 @@ object Similarity {
                          fine: DataFrame, idCol: String, vecCol: String,
                          nprobeCoarse: Int = 1): DataFrame = {
     require(nprobeCoarse >= 1, "hierarchicalAssign: nprobeCoarse must be >= 1")
-    val asgC = rankedCells(corpus, coarse, idCol, vecCol, spread = true)
-      .filter(col("rnk") <= nprobeCoarse)
-      .select(col("id"), col("v"), col("n2"), col("cid").as("blk"))
+    hierarchicalAssignFromBlocks(
+      rankedCells(corpus, coarse, idCol, vecCol, spread = true)
+        .filter(col("rnk") <= nprobeCoarse)
+        .select(col("id"), col("v"), col("n2"), col("cid").as("blk")),
+      fine)
+  }
+
+  /** The fine-argmax hop over a PRECOMPUTED (id, v, n2, blk) coarse
+    * routing — multiple blk rows per id (a widened probe) are fine,
+    * the per-id window picks the best across all probed blocks. */
+  def hierarchicalAssignFromBlocks(blocks: DataFrame,
+                                   fine: DataFrame): DataFrame = {
     val wf = Window.partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
-    asgC.join(broadcast(fine.withColumn("cn2", norm2(col("cv")))), Seq("blk"))
+    blocks.join(broadcast(fine.withColumn("cn2", norm2(col("cv")))), Seq("blk"))
       .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
       .withColumn("rnk", row_number().over(wf))
       .filter(col("rnk") === 1)

@@ -115,7 +115,13 @@ object Learn extends QueryGroup {
     * candidates found gaps-and-islands style (only possible when
     * l = r), odd ranks within a run selected — exactly the fold
     * semantics of BpeTrain.applyMerge. Selected positions take the
-    * merged symbol; the consumed right-half positions drop. */
+    * merged symbol; the consumed right-half positions drop; the
+    * surviving symbols are then RENUMBERED dense per word (without
+    * this, chained merges break: the round-2 "next symbol" of a
+    * round-1 merge site sits at pos+2 in raw positions, so the
+    * pos+1 dead-join would silently keep the consumed half and the
+    * run-grouping would treat overlapping candidates as separate
+    * runs — found by review, fixed by the renumber). */
   private lazy val bpeSql: String = {
     def round(i: Int): String = {
       val prev = s"s${i - 1}"
@@ -136,12 +142,14 @@ object Learn extends QueryGroup {
                pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
              FROM cand$i))
          WHERE rn % 2 = 1),
-       s$i AS (SELECT t.word, t.freq, t.pos,
-           CASE WHEN sel.pos IS NOT NULL THEN b.l || b.r ELSE t.sym END AS sym
-         FROM $prev t CROSS JOIN best$i b
-         LEFT JOIN sel$i sel ON t.word = sel.word AND t.pos = sel.pos
-         LEFT JOIN sel$i dead ON t.word = dead.word AND t.pos = dead.pos + 1
-         WHERE dead.pos IS NULL)"""
+       s$i AS (SELECT word, freq,
+           row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+         FROM (SELECT t.word, t.freq, t.pos,
+             CASE WHEN sel.pos IS NOT NULL THEN b.l || b.r ELSE t.sym END AS sym
+           FROM $prev t CROSS JOIN best$i b
+           LEFT JOIN sel$i sel ON t.word = sel.word AND t.pos = sel.pos
+           LEFT JOIN sel$i dead ON t.word = dead.word AND t.pos = dead.pos + 1
+           WHERE dead.pos IS NULL))"""
     }
     val out = (1 to Rounds).map { i =>
       s"SELECT $i::BIGINT AS round, l AS merge_l, r AS merge_r, cnt FROM best$i"

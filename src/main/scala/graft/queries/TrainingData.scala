@@ -474,18 +474,8 @@ object TrainingData extends QueryGroup {
     * key shape — narrower join keys than 4-long arrays; a md5
     * collision can only ADD a candidate, which the exact-jaccard
     * verify then drops, the same asymmetry q33 accepts). */
-  private def ophBandCandidates(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(1), lit(Bands))).as("bnd"))
-      .select(col("id"), col("bnd"),
-        md5(concat_ws(",", transform(
-          slice(col("sig"), (col("bnd") - 1) * RowsPerBand + 1, lit(RowsPerBand)),
-          x => x.cast("string")))).as("bkey"))
-    bands.as("a").join(bands.as("b"),
-        col("a.bnd") === col("b.bnd") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-  }
+  private def ophBandCandidates(sigs: DataFrame): DataFrame =
+    Dedup.sigBandCandidates(sigs, Bands, RowsPerBand)
 
   /** q144's banded Hamming search over an already-materialized token
     * table — shared by the q144 entry and the q193 scorecard. 64-bit

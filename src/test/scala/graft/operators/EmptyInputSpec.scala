@@ -70,6 +70,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.count() == 1 && out.filter(col("kept")).count() == 1)
   }
 
+  test("round-6 trainers on empty and exhausted inputs") {
+    // empty feature table: every round is (0 misclassified, zero
+    // deltas) — sum() over zero rows is NULL and must coalesce to 0,
+    // not NPE (found by review)
+    val noFeats = Seq.empty[(Long, Long, Int)].toDF("doc_id", "x", "y")
+    val pout = Perceptron.fit(noFeats, Seq("x"), "y", rounds = 2)
+      .orderBy("round").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pout.toSeq == Seq((0L, 0L, 0L), (0L, 0L, 0L)))
+    // a corpus that runs OUT of adjacent pairs before `rounds`:
+    // trajectory ends early instead of throwing on the empty argmax
+    // (found by review). 'ab' fully merges in round 1.
+    val words = Seq(("ab", 3L)).toDF("word", "freq")
+    val merges = BpeTrain.fit(words, rounds = 4).collect()
+    assert(merges.length == 1)
+    assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "b")
+    // no words at all: empty trajectory, right schema
+    val noWords = Seq.empty[(String, Long)].toDF("word", "freq")
+    assert(BpeTrain.fit(noWords, rounds = 2).count() == 0)
+  }
+
   test("robust outliers on empty and single-row entities") {
     val noEvents = Seq.empty[(Long, String, Double)]
       .toDF("event_id", "user_id", "value")
