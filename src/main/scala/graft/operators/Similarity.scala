@@ -202,13 +202,28 @@ object Similarity {
     * vector has exactly ONE home cell. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nprobe: Int = 1): DataFrame = {
+              nprobe: Int = 1): DataFrame =
+    ivfTopKFromAssignment(queries,
+      assignCells(corpus, centroids, idCol, vecCol), centroids,
+      idCol, vecCol, k, nprobe)
+
+  /** The IVF probe half decoupled from the corpus-assignment policy:
+    * `corpusAsg` is any (id, v, n2, cell) assignment — flat argmin
+    * (assignCells, = ivfTopK's behavior) or the two-hop hierarchical
+    * route (hierarchicalAssign) — and the query ranking/scoring is
+    * identical either way, so layouts differ ONLY by where each
+    * corpus vector lives (q206 measures what that difference costs
+    * in recall). */
+  def ivfTopKFromAssignment(queries: DataFrame, corpusAsg: DataFrame,
+                            centroids: DataFrame, idCol: String,
+                            vecCol: String, k: Int,
+                            nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "ivfTopK: nprobe must be >= 1")
     val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
       .filter(col("rnk") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn"), col("cid").as("cell"))
-    val c = assignCells(corpus, centroids, idCol, vecCol)
+    val c = corpusAsg
       .select(col("id").as("neighbor_id"), col("v").as("cv"),
         col("n2").as("cn"), col("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))

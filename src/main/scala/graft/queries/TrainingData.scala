@@ -766,6 +766,42 @@ object TrainingData extends QueryGroup {
       quality(idLow, "idlow").unionAll(quality(mm, "maximin"))
     }),
 
+    // ANN recall under the two corpus layouts — closing the measured
+    // loop on the hierarchy's LAST consumer: does the two-hop ingest
+    // route (writeCellPartitionedHier's assignment) cost recall at
+    // probe time? Same fitted fine centroids, same query routing,
+    // same exact-top-5 truth (the q143 protocol); the layouts differ
+    // ONLY in which cell each corpus vector landed in. One row per
+    // query: hits@5 under the flat layout vs the hierarchical one.
+    "q206_hier_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val k = Similarity.derivedCells(e.count(), SemCellTarget)
+      val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
+        e, "vec_id", "embedding", k, KmFitIter)
+      val fineFlat = fine.select(col("cid").as("vec_id"),
+        col("cv").as("embedding"))
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val exact = Dedup.DefaultMaterialize(
+        Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id"))
+      def hits(asg: org.apache.spark.sql.DataFrame, name: String) =
+        exact.join(
+            Similarity.ivfTopKFromAssignment(qs, asg, fineFlat,
+              "vec_id", "embedding", k = 5)
+              .select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      val flatAsg = Similarity.assignCells(e, fineFlat, "vec_id", "embedding")
+      val hierAsg = Similarity.hierarchicalAssign(e, coarse, fine,
+        "vec_id", "embedding")
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits(flatAsg, "n_hit_flat"), Seq("query_id"), "left")
+        .join(hits(hierAsg, "n_hit_hier"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_flat"), lit(0L)).as("n_hit_flat"),
+          coalesce(col("n_hit_hier"), lit(0L)).as("n_hit_hier"))
+    }),
+
     // the SKEW VALVE (the other half of the 100 TB semDedup story):
     // cluster blocking bounds pair cost only while no cell is huge,
     // and real corpora concentrate. Cells over `cellCap` are salted
@@ -2274,6 +2310,54 @@ object TrainingData extends QueryGroup {
          SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
            (m.cluster IS NULL OR m.vec_id = k.keep_id) AS kept
          FROM mem m LEFT JOIN keep k ON m.cluster = k.cluster""",
+
+    // the q143 probe/hit shape under BOTH corpus assignments: the
+    // flat argmin over the fitted fine centroids (flrk2 rnk=1) and
+    // hierCtes' two-hop fasg; same query routing (qp) and exact
+    // baseline (ex) for both
+    "q206_hier_ivf_recall" ->
+      s"""WITH RECURSIVE $hierCtes
+         flsc2 AS (SELECT a.vec_id, a.v, a.n2, c.cid,
+             round(${dDot("a.v", "c.cv")} / sqrt(a.n2 * ${dDot("c.cv", "c.cv")}), 6) AS cs
+           FROM n a CROSS JOIN fcent$KmFitIter c),
+         flrk2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM flsc2),
+         fla AS (SELECT vec_id AS neighbor_id, v AS cv2, n2 AS cn, cid AS cell
+           FROM flrk2 WHERE rnk = 1),
+         qp AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn, cid AS cell
+           FROM flrk2 WHERE vec_id >= 12 AND vec_id < 20 AND rnk = 1),
+         qq AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn
+           FROM n WHERE vec_id >= 12 AND vec_id < 20),
+         ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, c2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "c2.v")} / sqrt(qn * c2.n2), 6) DESC,
+                          c2.vec_id ASC) AS rnk
+             FROM n c2 JOIN qq ON query_id != c2.vec_id) WHERE rnk <= 5),
+         ivf AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "cv2")} / sqrt(qn * cn), 6) DESC,
+                          neighbor_id ASC) AS rnk
+             FROM fla JOIN qp USING (cell)
+             WHERE query_id != neighbor_id) WHERE rnk <= 5),
+         hasg AS (SELECT vec_id AS neighbor_id, v AS cv2, n2 AS cn, cell
+           FROM fasg),
+         ivh AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "cv2")} / sqrt(qn * cn), 6) DESC,
+                          neighbor_id ASC) AS rnk
+             FROM hasg JOIN qp USING (cell)
+             WHERE query_id != neighbor_id) WHERE rnk <= 5),
+         hf AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_flat
+           FROM ex e JOIN ivf USING (query_id, neighbor_id) GROUP BY 1),
+         hh AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_hier
+           FROM ex e JOIN ivh USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT qq.query_id,
+           coalesce(hf.n_hit_flat, 0)::BIGINT AS n_hit_flat,
+           coalesce(hh.n_hit_hier, 0)::BIGINT AS n_hit_hier
+         FROM qq LEFT JOIN hf USING (query_id) LEFT JOIN hh USING (query_id)""",
 
     // 11-step maximin unroll, then both seed sets through identical
     // Lloyd chains and the shared quality aggregate
