@@ -196,6 +196,10 @@ object ScaleCheck {
     row("q169_prefix_filter_pairs")(q("q169_prefix_filter_pairs"))
     row("q172_winnowing_pairs", cap = 10)(q("q172_winnowing_pairs"))
     row("q184_oph_minhash")(q("q184_oph_minhash"))
+    // the whole lexical funnel end-to-end (exact -> near-dup ->
+    // substring spans): the single number for "would the full
+    // pipeline run at 100x", not just its stages
+    row("q195_dedup_funnel")(q("q195_dedup_funnel"))
     // genuinely FIXED-width penalty rows: direct operator calls with
     // the width pinned (the catalog q35/q183 queries moved to
     // corpus-derived width in round 6, so invoking them here would
