@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   *    is centroid ASSIGNMENT (n x k cross join, k ~ n/target =>
   *    ~n^2/target) — the hierarchical-coarse-quantizer frontier.
   *
-  * runMain graft.ScaleCheck [sfDir] [mults] — mults is a
+  * runMain graft.ScaleCheck [sfDir] [mults] [rowFilter] — mults is a
   * comma-separated multiplier list, default "1,10"; pass "1,10,100"
-  * for the full three-column table. Prints a markdown table plus one
-  * machine-readable JSON line.
+  * for the full three-column table. rowFilter is an optional
+  * comma-separated list of row-name substrings (case-insensitive):
+  * only matching rows run, so a subset can be re-measured without
+  * paying for the whole table. Prints a markdown table plus one
+  * machine-readable JSON line (null = capped/failed cell, positions
+  * align with "mults").
   */
 object ScaleCheck {
 
