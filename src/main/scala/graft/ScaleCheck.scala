@@ -169,11 +169,15 @@ object ScaleCheck {
       println(s"| $name | ${cells.mkString(" | ")} | $ratio |")
       json(jsonKey) = times
     }
+    /** Does the row filter select a row with this name? (The NAME
+      * must contain a filter token — one direction only; review
+      * caught the registry blocks testing the inverse.) */
+    def wantRow(name: String): Boolean =
+      rowFilter.isEmpty || rowFilter.exists(name.toLowerCase.contains)
     /** Measure `f(mult)` at each requested mult <= cap; a failed cell
       * prints as err without killing the run. */
     def row(name: String, cap: Int = Int.MaxValue)(f: Int => Unit): Unit = {
-      if (rowFilter.nonEmpty &&
-        !rowFilter.exists(name.toLowerCase.contains)) return
+      if (!wantRow(name)) return
       fmtRow(name, name.takeWhile(_ != ' ').toLowerCase, mults.map { m =>
         if (m > cap) None
         else try Some(time2(f(m))) catch {
@@ -281,7 +285,10 @@ object ScaleCheck {
     }
 
     // fixed 500-doc probe batch (disjoint content and ids: copy 999)
-    if (rowFilter.isEmpty || rowFilter.exists("registry".contains)) {
+    if (wantRow("registry seed (full corpus)") ||
+      wantRow("registry dedupappend (fixed 500-doc batch)") ||
+      wantRow("registry seed oph mode (full corpus)") ||
+      wantRow("registry dedupappend oph mode (fixed batch)")) {
       val batch = copy(999).filter(pmod(col("doc_id"), lit(10)) === 3)
         .limit(500).localCheckpoint(true)
       val regs = mults.map { m =>
@@ -320,7 +327,7 @@ object ScaleCheck {
     // equi-joins (expected ~flat, like the registry probe). Standing
     // labelings are seeded untimed; capped at 10x (the seeding cost
     // is q31+CC again and the probe's flatness is the claim).
-    if (rowFilter.isEmpty || rowFilter.exists("incremental cc fold".contains)) {
+    if (wantRow("incremental cc fold (fixed 300-edge batch)")) {
       val ccBatch = {
         import spark.implicits._
         (0 until 300).map { i =>

@@ -441,12 +441,25 @@ object Similarity {
     // bitwise identical in both engines; the half-away-from-zero
     // division to 6-dp units is exact bigint DIV (DuckDB BIGINT //
     // matches — both truncate, operands kept non-negative); the final
-    // /1e6 double division is one IEEE op. Parity at ANY cell count.
+    // /1e6 double division is one IEEE op. Parity holds while the
+    // int64 sum has headroom: |ssum| stays under 2^62 for clusters of
+    // up to ~4e8 members at |component| <= 1 (review: the previous
+    // "ANY cell count" claim overstated it — a multi-billion-vector
+    // corpus under the 4096-cell clamp CAN put ~5e8 vectors in one
+    // cell, where a silent non-ANSI wraparound would produce a
+    // garbage centroid; DuckDB's int128 sum would not, so parity
+    // breaks exactly there). The guard below fails LOUDLY at the
+    // bound instead — shard the cell or raise targetCell past it.
     assigned.select(col("cluster_id"), posexplode(col("cv")))
       .groupBy(col("cluster_id"), col("pos"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("col").cast("double") * lit(1e10) + lit(0.5))).as("ssum"))
-      .select(col("cluster_id"), col("pos").as("dim_no"), col("n"),
+      .select(col("cluster_id"), col("pos").as("dim_no"),
+        when(col("n") > lit(400000000L), raise_error(concat(
+          lit("exactCentroidMean: cluster "), col("cluster_id").cast("string"),
+          lit(" has > 4e8 members — int64 micro-unit sum may wrap; "
+            + "shard the cell or raise the cell count"))).cast("long"))
+          .otherwise(col("n")).as("n"),
         (expr("""CASE WHEN ssum >= 0
                  THEN (2 * ssum + n * 10000) DIV (2 * n * 10000)
                  ELSE -((2 * -ssum + n * 10000) DIV (2 * n * 10000)) END""")
@@ -529,10 +542,13 @@ object Similarity {
     require(k >= 1, "maximinSeeds: k must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus
+    // k-1 driver rounds each read this twice (scoring pass + the
+    // picked row's v read-back) — materialize once, the
+    // Perceptron/BpeTrain base discipline
+    val base = Dedup.DefaultMaterialize(corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
-      .withColumn("n2", norm2(col("v")))
+      .withColumn("n2", norm2(col("v"))))
     var seeds: Seq[(Long, Seq[Float])] = base.orderBy(col("id").asc).limit(1)
       .select("id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -806,10 +822,7 @@ object Similarity {
     // consumer here needs the same (id, v, n2, cell, cs) projection,
     // so ReuseExchange already shares the ranked-cells window —
     // A/B-measured at sf0.1: 2.41 s both ways (TimeQuery, min-of-3)
-    val asg = rankedCells(corpus, centroids, idCol, vecCol, spread = true)
-      .filter(col("rnk") === 1)
-      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
-    semDedupTail(asg, eps)
+    semDedupTail(assignCellsScored(corpus, centroids, idCol, vecCol), eps)
   }
 
   /** semDedup with a HARD per-block population cap — the skew valve.
@@ -835,9 +848,7 @@ object Similarity {
                      idCol: String, vecCol: String, eps: Double,
                      cellCap: Int): DataFrame = {
     require(cellCap >= 1, "semDedupCapped: cellCap must be >= 1")
-    val asg = rankedCells(corpus, centroids, idCol, vecCol, spread = true)
-      .filter(col("rnk") === 1)
-      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
+    val asg = assignCellsScored(corpus, centroids, idCol, vecCol)
     val counts = asg.groupBy("cell").agg(count(lit(1)).as("cnt"))
     val salted = asg.join(broadcast(counts), Seq("cell"))
       .withColumn("nsub", expr(s"(cnt + ${cellCap - 1}) div $cellCap"))

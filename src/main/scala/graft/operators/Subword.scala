@@ -99,8 +99,15 @@ object Subword {
           .filter(col("pos") <= length(col("word"))))
       active = state.count()
     }
-    require(rounds.nonEmpty, "Subword.encodeWords: empty word set")
-    rounds.reduce(_ unionByName _)
+    // empty word set -> empty encoding with the right schema, never a
+    // throw (the EmptyInputSpec rule — a corpus whose documents
+    // tokenize to nothing is a degenerate input, not an error)
+    if (rounds.isEmpty)
+      words.sparkSession.createDataFrame(
+        words.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "word STRING, spos BIGINT, subword_id BIGINT"))
+    else rounds.reduce(_ unionByName _)
   }
 
   /** Corpus encode in LONG form: (id, wpos 0-based, spos, subword_id).

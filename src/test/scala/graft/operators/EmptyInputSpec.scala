@@ -88,6 +88,13 @@ class EmptyInputSpec extends SparkSpec {
     // no words at all: empty trajectory, right schema
     val noWords = Seq.empty[(String, Long)].toDF("word", "freq")
     assert(BpeTrain.fit(noWords, rounds = 2).count() == 0)
+    // subword encode over a corpus that tokenizes to nothing: empty
+    // encodings and zero counts, never a throw (found by review)
+    val punct = Seq((1L, "!!! ??? ...")).toDF("doc_id", "text")
+    val vocab = Subword.vocabulary(noDocs, "doc_id", "text", 50)
+    assert(Subword.encodeCorpus(noDocs, "doc_id", "text", vocab).count() == 0)
+    assert(Subword.encodeCorpus(punct, "doc_id", "text", vocab).count() == 0)
+    assert(Subword.docCounts(punct, "doc_id", "text", vocab).count() == 0)
   }
 
   test("robust outliers on empty and single-row entities") {
