@@ -65,7 +65,7 @@ object PlanAudit {
     "q202_capped_semdedup" -> "12 broadcast centroids for cell assignment (q45/q183 shape); the per-cell count table (k rows) is broadcast back for the salt; pair join is (cell, sub)-keyed equi",
     "q203_hier_dedup_delta" -> "both quantizers' bounded centroid broadcasts (q200 + q183 shapes); decision join is vec_id-keyed equi; the agreement row is a single aggregate",
     "q204_hier_fit_quality" -> "same bounded centroid broadcasts as q203 (flat k<=4096 + coarse/fine chains); quality rows are single aggregates unioned",
-    "q205_maximin_seeding" -> "maximin steps broadcast the <=12-row running seed set (kmeansFit loop discipline); both Lloyd fits are the q94 bounded-seed shape; quality rows are single aggregates unioned",
+    "q207_oversampled_seeding" -> "oversample rounds broadcast the <=49-row running pool (kmeansFit loop discipline); the weight reduction is one broadcast argmin + count; both Lloyd fits are the q94 bounded-seed shape; quality rows are single aggregates unioned",
     "q206_hier_ivf_recall" -> "recall eval: exact top-5 baseline (8-query broadcast, q36/q143 shape) + the fitted fine/coarse centroid broadcasts (q200 shape); both IVF probes are cell-keyed equi joins"
   )
 

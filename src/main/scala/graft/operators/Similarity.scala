@@ -262,6 +262,37 @@ object Similarity {
     writeAssigned(hierarchicalAssign(corpus, coarse, fine, idCol, vecCol,
       nprobeCoarse).drop("cs"), path)
 
+  /** The DEFAULT ingest entry (VERDICT r6 #1): derive the cell count
+    * from the observed corpus size, fit the quantizer, write the
+    * (id, v, n2, vq) PARTITIONED BY cell layout, and return the cell
+    * centroid set as (idCol, vecCol) — the probe side's coarse
+    * quantizer. Above `hierAboveCells` derived cells the fit AND the
+    * corpus assignment run coarse->fine (the two-level path the
+    * ScaleCheck table measures at ~sqrt(k) of the flat cost); flat
+    * below. Either way the written layout is drop-in for
+    * ivfTopKPartitioned / ivfQuantizedTopKPartitioned probes against
+    * the RETURNED centroids — cells are that set's ids in both
+    * routes, and the only behavioral difference is the hierarchy's
+    * measured routing approximation (q201/q206). */
+  def writeCellPartitionedAuto(corpus: DataFrame, idCol: String,
+                               vecCol: String, path: String, maxIter: Int,
+                               targetCell: Long = 64L,
+                               hierAboveCells: Int = HierRoutingCells)
+      : DataFrame = {
+    val k = derivedCells(corpus.count(), targetCell)
+    if (k > hierAboveCells) {
+      val (_, fine, asgC) = fitWithBlocks(corpus, idCol, vecCol, k, maxIter)
+      writeAssigned(
+        hierarchicalAssignFromBlocks(asgC, fine).drop("cs"), path)
+      fine.select(col("cid").as(idCol), col("cv").as(vecCol))
+    } else {
+      val fitted = kmeansFit(corpus, corpus.filter(col(idCol) < k),
+        idCol, vecCol, maxIter)
+      writeCellPartitioned(corpus, fitted, idCol, vecCol, path)
+      fitted
+    }
+  }
+
   private def writeAssigned(assigned: DataFrame, path: String): Unit =
     assigned
       .select(col("id"), col("v"), col("n2"),
@@ -399,7 +430,16 @@ object Similarity {
     * partial aggregation reduces the k-fanout to one row per vector
     * before anything shuffles, then the centroid sums shuffle only
     * (k x dim) cells. Vectors with a NULL/NaN score against every
-    * seed (zero-norm) are dropped. */
+    * seed (zero-norm) are dropped.
+    *
+    * INPUT CONTRACT (ADVICE r6): embedding components are expected in
+    * [-1, 1] (normalized or near-normalized vectors — every q-entry
+    * corpus satisfies this). The exact-integer centroid mean's
+    * overflow guard is calibrated to that contract: at |component|
+    * <= c the int64 micro-unit sum is safe to ~4e8/c members per
+    * cluster, so feeding vectors with components of magnitude ~10
+    * shrinks the safe cluster bound 10x below where the guard fires.
+    * Rescale such corpora before fitting. */
   def kmeansIteration(corpus: DataFrame, seeds: DataFrame,
                       idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
@@ -450,20 +490,28 @@ object Similarity {
     // garbage centroid; DuckDB's int128 sum would not, so parity
     // breaks exactly there). The guard below fails LOUDLY at the
     // bound instead — shard the cell or raise targetCell past it.
+    // The guard is folded INTO the `centroid` expression (not a
+    // separate guarded `n` column): the fit loops select only
+    // (cluster_id, dim_no, centroid), so a guard riding the `n`
+    // column would be REMOVED by column pruning exactly where the
+    // overflow matters (ADVICE r6) — every consumer that can see a
+    // wrapped sum reads `centroid`, so this placement is un-prunable.
+    // The 4e8 bound assumes |component| <= 1 (the documented input
+    // contract on kmeansFit / kmeansIteration): at |component| <= c
+    // the safe bound is ~4e8/c members.
     assigned.select(col("cluster_id"), posexplode(col("cv")))
       .groupBy(col("cluster_id"), col("pos"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("col").cast("double") * lit(1e10) + lit(0.5))).as("ssum"))
-      .select(col("cluster_id"), col("pos").as("dim_no"),
+      .select(col("cluster_id"), col("pos").as("dim_no"), col("n"),
         when(col("n") > lit(400000000L), raise_error(concat(
           lit("exactCentroidMean: cluster "), col("cluster_id").cast("string"),
           lit(" has > 4e8 members — int64 micro-unit sum may wrap; "
-            + "shard the cell or raise the cell count"))).cast("long"))
-          .otherwise(col("n")).as("n"),
-        (expr("""CASE WHEN ssum >= 0
+            + "shard the cell or raise the cell count"))).cast("double"))
+          .otherwise(expr("""CASE WHEN ssum >= 0
                  THEN (2 * ssum + n * 10000) DIV (2 * n * 10000)
                  ELSE -((2 * -ssum + n * 10000) DIV (2 * n * 10000)) END""")
-          .cast("double") / lit(1e6)).as("centroid"))
+            .cast("double") / lit(1e6)).as("centroid"))
   }
 
   /** Lloyd's algorithm to CONVERGENCE: iterate kmeansIteration until
@@ -481,7 +529,9 @@ object Similarity {
     * lets a fixed-round unrolled SQL oracle certify a
     * convergence-stopped fit (q151). Empty clusters carry their
     * previous centroid forward. Returns (idCol, vecCol) float
-    * vectors — k rows, broadcast-sized by contract. */
+    * vectors — k rows, broadcast-sized by contract. Input contract:
+    * components in [-1, 1] (kmeansIteration's overflow-guard
+    * calibration). */
   def kmeansFit(corpus: DataFrame, seeds: DataFrame,
                 idCol: String, vecCol: String, maxIter: Int): DataFrame =
     kmeansFitWithRounds(corpus, seeds, idCol, vecCol, maxIter)._1
@@ -536,7 +586,9 @@ object Similarity {
     * Scale shape: k-1 bounded driver rounds (the kmeansFit loop
     * discipline — seeds are broadcast-sized by contract), each a
     * broadcast score + TakeOrdered(1); the corpus never shuffles.
-    * q205 measures what the seeding buys in fit quality. */
+    * q207's predecessor (retired q205) measured what it buys in fit
+    * quality; `oversampledSeeds` below is the default-seeding shape
+    * at scale (rounds+2 passes instead of k-1). */
   def maximinSeeds(corpus: DataFrame, idCol: String, vecCol: String,
                    k: Int): DataFrame = {
     require(k >= 1, "maximinSeeds: k must be >= 1")
@@ -568,6 +620,79 @@ object Similarity {
       if (picked.isEmpty) exhausted = true else seeds ++= picked
     }
     seeds.toDF(idCol, vecCol)
+  }
+
+  /** Deterministic OVERSAMPLED seeding — the k-means‖ idea (Bahmani
+    * et al. 2012, "Scalable k-means++") with every random draw
+    * replaced by an exact total order, so both engines replicate it
+    * bit-for-bit (VERDICT r6 #2, the round-count fix for maximin):
+    *
+    *  1. pool starts at the min-id vector (maximinSeeds' start rule);
+    *  2. each of `rounds` rounds adds the `ell` candidates whose MAX
+    *     round-6 cosine to the current pool is lowest (the farthest
+    *     BATCH — ties to the smaller id; non-finite scores dropped
+    *     per pair, the Lloyd filter rule), where maximin adds ONE;
+    *  3. the pool (<= 1 + rounds*ell rows, broadcast-sized) is
+    *     reduced to k seeds by DATA WEIGHT: assign every corpus
+    *     vector to its nearest pool member (rankedCells' exact
+    *     (cs DESC, id ASC) rule, non-finite assignments excluded)
+    *     and keep the k most-populated members (count DESC, id ASC)
+    *     — the deterministic analogue of k-means‖'s weighted
+    *     reduction, which favors candidates that actually represent
+    *     mass over the lone outliers farthest-first chases.
+    *
+    * Scale shape: `rounds` + 2 bounded driver rounds TOTAL (each one
+    * broadcast score + TakeOrdered(ell) / one count aggregate)
+    * versus maximin's k-1 sequential corpus passes — the fixed
+    * per-job scheduling latency that dominates a k-pass Gonzalez
+    * loop at any scale shrinks by ~k/(rounds+2), and each remaining
+    * pass is the same corpus-never-shuffles broadcast shape. q207
+    * measures what the seeding buys in fit quality. */
+  def oversampledSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, ell: Int = 0, rounds: Int = 2): DataFrame = {
+    require(k >= 1, "oversampledSeeds: k must be >= 1")
+    require(rounds >= 1, "oversampledSeeds: rounds must be >= 1")
+    val l = if (ell > 0) ell else 2 * k
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = Dedup.DefaultMaterialize(corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("n2", norm2(col("v"))))
+    var pool: Seq[(Long, Seq[Float])] = base.orderBy(col("id").asc).limit(1)
+      .select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    var round = 0
+    var exhausted = pool.isEmpty
+    while (round < rounds && !exhausted) {
+      val sdf = pool.toDF("sid", "sv").withColumn("sn", norm2(col("sv")))
+      val picked = base
+        .filter(!col("id").isin(pool.map(_._1): _*))
+        .join(broadcast(sdf), lit(true))
+        .withColumn("cs", cosineScore(col("v"), col("sv"), col("n2"), col("sn")))
+        .filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
+        .groupBy(col("id")).agg(max(col("cs")).as("mx"))
+        .orderBy(col("mx").asc, col("id").asc).limit(l)
+        .join(base, Seq("id"))
+        .select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      if (picked.isEmpty) exhausted = true
+      else pool ++= picked.sortBy(_._1)
+      round += 1
+    }
+    if (pool.length <= k) pool.toDF(idCol, vecCol)
+    else {
+      val poolDf = pool.toDF(idCol, vecCol)
+      // one bounded job: per-pool-member data weight, top-k members
+      val keep = rankedCells(base.select(col("id").as(idCol),
+          col("v").as(vecCol)), poolDf, idCol, vecCol, spread = true)
+        .filter(col("rnk") === 1)
+        .filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
+        .groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("cid").asc).limit(k)
+        .select(col("cid")).collect().map(_.getLong(0)).toSet
+      pool.filter(p => keep.contains(p._1)).toDF(idCol, vecCol)
+    }
   }
 
   /** Smallest c with c*c >= k (k >= 1): exact integer ceil-sqrt by
@@ -755,20 +880,58 @@ object Similarity {
     cosinePairs(df, idCol, vecCol, dim, threshold,
       bits = derivedLshBits(df.count(), targetBucket))
 
-  /** semDedup with a CORPUS-DERIVED cell count: observes n, fits
-    * derivedCells(n, targetCell) centroids seeded from the lowest
-    * ids (dense-ish id space assumed — the explicit-seed semDedup +
-    * kmeansFit path remains for arbitrary id spaces), then runs the
-    * cluster-blocked dedup. Cell population stays ~targetCell as the
-    * corpus grows, so the within-cell pair cost stays flat. */
+  /** Routing threshold for the default semantic-dedup / IVF-ingest
+    * paths (VERDICT r6 #1): above this many derived cells the flat
+    * n x k assignment is the measured scale cliff (k ~ n/targetCell
+    * makes it ~n²/targetCell — ScaleCheck: assignFlat 362x time at
+    * 100x input, flat semDedupAuto 589.8 s where the two-level path
+    * does the same job in 35.8 s), so `semDedupAuto` and
+    * `writeCellPartitionedAuto` switch to the coarse->fine quantizer
+    * there. Below it the flat fit is cheaper in absolute terms (no
+    * second Lloyd chain) and exactly matches the q183 oracle. At
+    * targetCell=64 the switch point is ~16k vectors. */
+  val HierRoutingCells = 256
+
+  /** semDedup with a CORPUS-DERIVED cell count: observes n, derives
+    * k = derivedCells(n, targetCell) (dense-ish id space assumed —
+    * the explicit-seed semDedup + kmeansFit path remains for
+    * arbitrary id spaces), then runs the cluster-blocked dedup. Cell
+    * population stays ~targetCell as the corpus grows, so the
+    * within-cell pair cost stays flat — and the FIT+ASSIGNMENT cost
+    * is kept off the n x k cliff by routing: above `hierAboveCells`
+    * derived cells the fit and assignment run coarse->fine
+    * (~2n*sqrt(k) per round, hierarchicalSemDedupAuto's exact path),
+    * flat below. The routed paths differ only by the hierarchy's
+    * measured routing approximation (q201: 93-98.6% cell agreement;
+    * q203: dedup-decision delta) — callers that need the flat
+    * reference behavior at ANY size use semDedupFlatAuto. */
   def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
                    eps: Double, maxIter: Int,
-                   targetCell: Long = 64L): DataFrame = {
+                   targetCell: Long = 64L,
+                   hierAboveCells: Int = HierRoutingCells): DataFrame = {
     val cells = derivedCells(corpus.count(), targetCell)
-    val fitted = kmeansFit(corpus, corpus.filter(col(idCol) < cells),
-      idCol, vecCol, maxIter)
-    semDedup(corpus, fitted, idCol, vecCol, eps)
+    if (cells > hierAboveCells) {
+      val (_, fine, asgC) = fitWithBlocks(corpus, idCol, vecCol, cells, maxIter)
+      semDedupTail(hierarchicalAssignFromBlocks(asgC, fine), eps)
+    } else semDedupFlat(corpus, idCol, vecCol, eps, maxIter, cells)
   }
+
+  /** The FLAT reference implementation at any corpus size — the
+    * explicit comparison arm (q203) and the path small-k callers
+    * keep. The default entry point (`semDedupAuto`) routes away from
+    * this above HierRoutingCells derived cells. */
+  def semDedupFlatAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                       eps: Double, maxIter: Int,
+                       targetCell: Long = 64L): DataFrame =
+    semDedupFlat(corpus, idCol, vecCol, eps, maxIter,
+      derivedCells(corpus.count(), targetCell))
+
+  private def semDedupFlat(corpus: DataFrame, idCol: String, vecCol: String,
+                           eps: Double, maxIter: Int, cells: Int): DataFrame =
+    semDedup(corpus,
+      kmeansFit(corpus, corpus.filter(col(idCol) < cells), idCol, vecCol,
+        maxIter),
+      idCol, vecCol, eps)
 
   /** TWO-STAGE retrieval: a cheap coarse scorer proposes candidates,
     * the exact float cosine re-ranks them and keeps k — the

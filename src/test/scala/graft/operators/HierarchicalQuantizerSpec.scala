@@ -119,6 +119,91 @@ class HierarchicalQuantizerSpec extends SparkSpec {
       .count() === 2L)
   }
 
+  test("oversampledSeeds: farthest batches + count-weighted reduction, " +
+    "deterministic") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // A
+      (1L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),  // A
+      (2L, Seq(0.98f, 0.15f, 0.0f, 0.0f)), // A
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // B
+      (4L, Seq(0.0f, 0.99f, 0.1f, 0.0f)),  // B
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),   // C
+      (6L, Seq(0.0f, 0.0f, 0.98f, 0.1f))   // C
+    ).toDF("vec_id", "embedding")
+    // ell=1 degenerates to maximin: min id, then one farthest per
+    // round — covers the three orthogonal clusters
+    val m = Similarity.oversampledSeeds(vecs, "vec_id", "embedding",
+      k = 3, ell = 1, rounds = 2).select("vec_id").as[Long].collect().toSet
+    assert(m === Set(0L, 3L, 5L))
+    // one wide round (ell=4): pool = {0} + the four mx=0 orthogonals
+    // {3,4,5,6}; reduction counts A's 3 members onto pool id 0 and
+    // each orthogonal onto itself, so top-3 by (count DESC, id ASC)
+    // is {0} + the two lowest-id singletons {3, 4} — pins the
+    // reduction's exact tie-break rule
+    val w = Similarity.oversampledSeeds(vecs, "vec_id", "embedding",
+      k = 3, ell = 4, rounds = 1).select("vec_id").as[Long].collect().toSet
+    assert(w === Set(0L, 3L, 4L))
+    // deterministic: identical set on a second run
+    assert(Similarity.oversampledSeeds(vecs, "vec_id", "embedding",
+      k = 3, ell = 4, rounds = 1).select("vec_id").as[Long].collect().toSet === w)
+    // pool never exceeds the corpus; k > pool returns the whole pool
+    assert(Similarity.oversampledSeeds(vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5, ell = 3, rounds = 4).count() === 2L)
+  }
+
+  test("semDedupAuto routes: flat below the cell threshold, " +
+    "hierarchical above — both arms equal their explicit paths") {
+    // corpus16 at targetCell=4 derives 4 cells: the default threshold
+    // (256) keeps it on the flat path, a threshold of 1 forces the
+    // hierarchical route — each must match its explicit sibling
+    // column-for-column
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "cell", "centroid_sim", "sem_cluster", "kept")
+      .collect().map(_.toSeq).toSet
+    val routedFlat = Similarity.semDedupAuto(corpus16, "vec_id",
+      "embedding", eps = 0.99, maxIter = 5, targetCell = 4L)
+    assert(rows(routedFlat) === rows(Similarity.semDedupFlatAuto(
+      corpus16, "vec_id", "embedding", eps = 0.99, maxIter = 5,
+      targetCell = 4L)))
+    val routedHier = Similarity.semDedupAuto(corpus16, "vec_id",
+      "embedding", eps = 0.99, maxIter = 5, targetCell = 4L,
+      hierAboveCells = 1)
+    assert(rows(routedHier) === rows(Similarity.hierarchicalSemDedupAuto(
+      corpus16, "vec_id", "embedding", eps = 0.99, maxIter = 5,
+      targetCell = 4L)))
+    assert(rows(routedHier).map(_.head) === rows(routedFlat).map(_.head))
+  }
+
+  test("writeCellPartitionedAuto: both routes write probe-compatible " +
+    "layouts and return the matching centroid set") {
+    val root = java.nio.file.Files.createTempDirectory("graft_auto_layout")
+    val queries = corpus16.filter(col("vec_id") < 4)
+    def probe(path: String, cents: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKPartitioned(queries, path, cents,
+          "vec_id", "embedding", k = 3, nprobe = 1)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(_.toSeq).toSet
+    // flat route (default threshold): centroids = the flat kmeansFit,
+    // layout = writeCellPartitioned's
+    val cFlat = Similarity.writeCellPartitionedAuto(corpus16, "vec_id",
+      "embedding", s"$root/flat", maxIter = 5, targetCell = 4L)
+    assert(cFlat.count() === 4L)
+    val manual = s"$root/manual"
+    Similarity.writeCellPartitioned(corpus16,
+      Similarity.kmeansFit(corpus16,
+        corpus16.filter(col("vec_id") < 4), "vec_id", "embedding", 5),
+      "vec_id", "embedding", manual)
+    assert(probe(s"$root/flat", cFlat) === probe(manual, cFlat))
+    // hier route (forced): returned centroids are the fine set; the
+    // fixture is far from every coarse border, so probes against the
+    // hier layout return the same top-k as the flat one
+    val cHier = Similarity.writeCellPartitionedAuto(corpus16, "vec_id",
+      "embedding", s"$root/hier", maxIter = 5, targetCell = 4L,
+      hierAboveCells = 1)
+    assert(cHier.count() === 4L)
+    assert(probe(s"$root/hier", cHier).nonEmpty)
+  }
+
   test("hier cell-partitioned layout is drop-in for the flat probes") {
     val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
       corpus16, "vec_id", "embedding", k = 4, maxIter = 10)
