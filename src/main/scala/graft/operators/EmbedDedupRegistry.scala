@@ -36,15 +36,19 @@ import org.apache.spark.sql.functions._
   * WRITE ORDER is the delivery guarantee (DedupRegistry's rule): the
   * corpus sink runs BEFORE the signature append, never the reverse —
   * so a crash can only ever duplicate, never silently lose. The
-  * at-least-once window is ASYMMETRIC, though (ADVICE r5): a crash
-  * AFTER the signature append replays with every row matched (the
-  * replay self-dedups, zero duplicates), but a crash BETWEEN
-  * persist() and the append replays with NO registry match — the
-  * whole surviving batch double-lands in the corpus sink. Callers
-  * that cannot tolerate a full-batch duplicate window must make
-  * persist() idempotent per batch (the streaming/IdempotentSink
-  * batch-id layout: overwrite a batch-keyed directory, so the replay
-  * lands on the same key instead of appending twice).
+  * at-least-once window is ASYMMETRIC (ADVICE r5): a crash AFTER the
+  * signature append replays with every row matched (the replay
+  * self-dedups, zero duplicates), but a crash BETWEEN persist() and
+  * the append replays with NO registry match — under a blind
+  * append-mode persist the whole surviving batch double-lands in the
+  * corpus sink. `dedupAppendBatch` CLOSES that window (VERDICT r6
+  * #4): it routes the sink through the streaming/IdempotentSink
+  * batch-id layout (overwrite `sinkPath/batch_id=<id>/`, dynamic
+  * partition mode), so the replay — whose survivor set is
+  * deterministic given the same batch and registry state — lands on
+  * its own partition byte-identically and delivery is exactly-once.
+  * The raw `persist` callback remains for sinks with their own
+  * idempotence story.
   *
   * REFIT lifecycle: `refit(newCentroids)` migrates the registry to a
   * larger fitted centroid set as the corpus grows (the corpus-derived
@@ -218,6 +222,49 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       .write.mode("append").partitionBy("cell").parquet(activeDir(fs))
     out
   }
+
+  /** ANN top-k served DIRECTLY from the registry's persisted int8
+    * signature store — every vector ever accepted is probeable
+    * without re-reading or re-quantizing the corpus (the
+    * Similarity.ivfQuantizedTopKFromSignatures shape over read()).
+    * The centroid set must be the registry's pinned identity — same
+    * guard as dedupAppend: probing a cell layout with foreign
+    * centroids silently misses cross-cell neighbors. q208 measures
+    * this probe's recall across a refit. */
+  def probeTopK(queries: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nprobe: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val (fp, _) = centroidInfo(centroids, idCol, vecCol)
+    val fs = new org.apache.hadoop.fs.Path(metaPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMeta(fs).foreach { case (stored, _) =>
+      require(stored == fp,
+        s"EmbedDedupRegistry at $path was built with centroid set $stored; " +
+          s"probing with $fp would silently miss cross-cell neighbors")
+    }
+    Similarity.ivfQuantizedTopKFromSignatures(queries, read(spark),
+      centroids, idCol, vecCol, k, nprobe)
+  }
+
+  /** dedupAppend with the corpus sink made IDEMPOTENT PER BATCH (the
+    * class doc's closed crash window): survivors land at
+    * `sinkPath/batch_id=<batchId>/` by dynamic-partition overwrite,
+    * so an at-least-once replay of the SAME (batch, batchId) —
+    * whether the crash hit before or after the signature append —
+    * leaves exactly one copy of every surviving row in the sink.
+    * A replay after the append survives too: its survivor set is
+    * empty (everything self-matches), an empty dynamic overwrite
+    * touches no partitions, and the first run's rows stand.
+    * `batchId` is the caller's ingest sequence number — the same
+    * contract as foreachBatch's batch id, which is exactly what to
+    * pass when this runs inside the streaming curation loop. */
+  def dedupAppendBatch(batch: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String,
+                       sinkPath: String, batchId: Long): DataFrame =
+    dedupAppend(batch, centroids, idCol, vecCol,
+      persist = out =>
+        graft.streaming.IdempotentSink.parquetByBatch(sinkPath)(out, batchId))
 
   /** Migrate the registry to a NEW centroid set (see class doc):
     * re-assign every stored signature to its nearest new centroid,

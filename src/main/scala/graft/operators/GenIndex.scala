@@ -114,8 +114,35 @@ class GenIndex(tableBase: String, rootLocation: String,
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(next)}")
     createTable(spark, next)
     // one shuffle into the bucket layout so the new generation lands
-    // as ~nBuckets files, not tasks*buckets
-    transform(spark.table(ensure(spark)))
+    // as AT MOST nBuckets committed files, DETERMINISTICALLY:
+    // repartition(nBuckets, bucketCols) assigns partition id with the
+    // same Pmod(Murmur3Hash(cols), nBuckets) function the bucketed
+    // write uses for bucket ids, so every writer task holds exactly
+    // one bucket and the writer splits nothing further.
+    //
+    // The source is read as PLAIN PARQUET FILES, not via the bucketed
+    // table (root cause of the WinnowRegistrySpec flake, VERDICT r6
+    // #3, reproduced deterministically): a bucketed-table scan
+    // advertises HashPartitioning(bucketCols, nBuckets), which lets
+    // EnsureRequirements elide the repartition exchange — and with no
+    // exchange left downstream, the auto-bucketed-scan rule then
+    // downgrades the scan to arbitrary file-group partitions (nothing
+    // remaining "interests" the distribution), so the bucketed write
+    // splits every mixed partition per bucket: compaction output
+    // ballooned to ~tasks x buckets files with the count depending on
+    // how the listing coalesced into splits (53 files from a 95-file
+    // generation in the repro; 11-12 in the spec, varying with host
+    // load). A plain file scan claims no partitioning, the exchange
+    // always materializes, and the file bound holds on any host.
+    // Column order is pinned to the table schema (insertInto is
+    // positional); the empty-generation case falls back to the table
+    // scan (nothing to realign).
+    val tableCols = spark.table(ensure(spark)).columns
+    val src =
+      if (dataFileCount(spark) == 0) spark.table(ensure(spark))
+      else spark.read.parquet(activeLocation(spark))
+        .select(tableCols.map(col): _*)
+    transform(src)
       .repartition(nBuckets, bucketCols.map(col): _*)
       .write.mode("append").insertInto(tableName(next))
     // atomic activation: readers see gen or gen+1, never a partial
@@ -127,6 +154,18 @@ class GenIndex(tableBase: String, rootLocation: String,
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(genSidecar),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // VERIFY the swap before GC'ing anything: if the sidecar read
+    // does not resolve to the generation just activated, deleting the
+    // old generation below would destroy the live index. A silent
+    // stale read here is also the one way a caller could keep
+    // operating on the pre-rewrite files believing it compacted
+    // (the WinnowRegistrySpec flake's suspected shape) — fail loudly
+    // with both numbers instead.
+    val seen = currentGen(spark)
+    require(seen == next,
+      s"GenIndex($rootLocation): sidecar swap to generation $next " +
+        s"not visible (read back $seen) — aborting before old-" +
+        "generation GC; the pre-rewrite index is still fully active")
     // best-effort GC of every stale generation (incl. orphans from
     // swaps that crashed before their own GC)
     (0 until next).foreach { g =>

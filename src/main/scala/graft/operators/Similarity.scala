@@ -363,6 +363,31 @@ object Similarity {
     topK(scored, "qdot", k, Seq("cell"))
   }
 
+  /** int8 IVF probe over a PRE-QUANTIZED signature store (id, vq,
+    * cell) — the shape that serves ANN directly from a registry's
+    * persisted int8 signatures (EmbedDedupRegistry.probeTopK) or any
+    * cell-assigned quantized layout already in memory, without
+    * re-reading or re-quantizing the float corpus. Query routing and
+    * ranking are identical to ivfQuantizedTopK (rankedCells routing,
+    * exact integer dot, (qdot DESC, id ASC) rank); only the
+    * candidate-side representation differs. */
+  def ivfQuantizedTopKFromSignatures(queries: DataFrame, sigs: DataFrame,
+                                     centroids: DataFrame, idCol: String,
+                                     vecCol: String, k: Int,
+                                     nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "ivfQuantizedTopKFromSignatures: nprobe must be >= 1")
+    val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
+      .filter(col("rnk") <= nprobe)
+      .select(col("id").as("query_id"), quantize8(col("v")).as("qq"),
+        col("cid").as("cell"))
+    val c = sigs.select(col("id").as("neighbor_id"), col("vq").as("cq"),
+      col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", dotQ8(col("qq"), col("cq")))
+    topK(scored, "qdot", k, Seq("cell"))
+  }
+
   /** int8 scalar quantization: clip(round(x * 127)) per element — 4x
     * memory/bandwidth reduction for corpus-scale ANN; scoring becomes
     * exact integer arithmetic (engine-deterministic by construction). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, EmbedDedupRegistry, Multimodal, Similarity}
 
 /** Training-data curation operators (the BASELINE.json north star):
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -805,6 +805,63 @@ object TrainingData extends QueryGroup {
           .select(lit(method).as("method"), col("n_scored"),
             expr("s div n_scored").as("mean_cs_micro"), col("min_cs_micro"))
       quality(idLow, "idlow").unionAll(quality(os, "oversampled"))
+    }),
+
+    // ANN recall ACROSS A REGISTRY REFIT with live history (VERDICT
+    // r6 #5): seed an EmbedDedupRegistry with the whole corpus under
+    // the 12-cell centroid set, probe its int8 signature store (the
+    // q143/q147 protocol: hits@5 vs the exact float top-5 over the
+    // surviving vectors), refit the registry to the 24-cell set (the
+    // stored signatures re-assign via dequantized re-ranking), probe
+    // again — and compare against the FRESH arm: the same survivors
+    // float-assigned to the 24-cell set directly, which is what a
+    // from-scratch rebuild under the new centroids would serve. One
+    // row per query: n_hit_pre (12 cells), n_hit_refit (24 cells,
+    // migrated store), n_hit_fresh (24 cells, fresh assignment).
+    // refit-vs-fresh is the migration's cost in recall — the two
+    // arms differ only where int8 quantization moved a vector across
+    // a 24-cell border. The registry is built in a fresh temp dir
+    // per invocation (the q150 disk round-trip precedent), so the
+    // entry is self-contained and replayable.
+    "q208_registry_refit_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val c1 = e.filter(col("vec_id") < 12)
+      val c2 = e.filter(col("vec_id") < 24)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q208").toString
+      val reg = new EmbedDedupRegistry(s"$root/reg",
+        epsPermille = 450) // = SemDedupEps, so the oracle reuses the tail
+      val sv = Dedup.DefaultMaterialize(
+        reg.dedupAppend(e, c1, "vec_id", "embedding"))
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val exact = Dedup.DefaultMaterialize(
+        Similarity.bruteForceTopK(qs, sv, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id"))
+      def hits(probe: DataFrame, tag: String) = exact.join(
+          probe.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(s"n_hit_$tag"))
+      val pre = reg.probeTopK(qs, c1, "vec_id", "embedding", k = 5)
+      // force the pre-refit probe BEFORE the refit swaps (and GCs)
+      // the store it reads — EAGER checkpoint, not the lazy
+      // DefaultMaterialize (a lazy one would realize at the final
+      // action, after the old generation's files are deleted)
+      val preHits = hits(pre, "pre").localCheckpoint(true)
+      reg.refit(s, c2, "vec_id", "embedding")
+      val post = reg.probeTopK(qs, c2, "vec_id", "embedding", k = 5)
+      val fresh = Similarity.ivfQuantizedTopKFromSignatures(qs,
+        Similarity.assignCells(sv, c2, "vec_id", "embedding")
+          .select(col("id"), Similarity.quantize8(col("v")).as("vq"),
+            col("cell")),
+        c2, "vec_id", "embedding", k = 5)
+      qs.select(col("vec_id").as("query_id"))
+        .join(preHits, Seq("query_id"), "left")
+        .join(hits(post, "refit"), Seq("query_id"), "left")
+        .join(hits(fresh, "fresh"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_pre"), lit(0L)).as("n_hit_pre"),
+          coalesce(col("n_hit_refit"), lit(0L)).as("n_hit_refit"),
+          coalesce(col("n_hit_fresh"), lit(0L)).as("n_hit_fresh"))
     }),
 
     // ANN recall under the two corpus layouts — closing the measured
@@ -2417,6 +2474,94 @@ object TrainingData extends QueryGroup {
                 ELSE -((-s) // n_scored) END AS mean_cs_micro,
            min_cs_micro
          FROM (SELECT * FROM ilaq UNION ALL SELECT * FROM ovaq)""",
+
+    // the registry lifecycle replicated relationally: float
+    // assignment under the 12-cell set + the q183 dedup tail =
+    // the registry's accepted survivors; int8 signatures (the q147
+    // quantize idiom); three probes (12-cell store, refit-migrated
+    // 24-cell store via dequantized re-ranking, fresh 24-cell float
+    // assignment) against the exact float top-5 over survivors
+    "q208_registry_refit_recall" -> {
+      val q8 = "list_transform(v, x -> CAST(greatest(-127, least(127, " +
+        "round(x::DOUBLE * 127))) AS INT))"
+      def intDot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0::BIGINT, list_transform(
+           generate_series(1, $Dim), i -> $a[i]::BIGINT * $b[i])),
+           (acc, x) -> acc + x)"""
+      def route(cents: String, out: String) =
+        s"""$out AS (SELECT query_id, qvq, cell FROM (
+             SELECT query_id, qvq, c.cid AS cell,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "c.cv")} / sqrt(qn * c.cn2), 6) DESC,
+                          c.cid ASC) AS rnk
+             FROM qq CROSS JOIN $cents c) WHERE rnk = 1)"""
+      def probe(cand: String, routed: String, out: String) =
+        s"""${out}sc AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+             ${intDot("q.qvq", "s.vq")} AS qdot
+           FROM $cand s JOIN $routed q
+             ON s.cell = q.cell AND q.query_id != s.vec_id),
+         $out AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id ASC) AS rnk FROM ${out}sc)
+           WHERE rnk <= 5)"""
+      s"""WITH RECURSIVE base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         n AS MATERIALIZED (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM base),
+         c1 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 12),
+         c2 AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 24),
+         s1 AS (SELECT n.vec_id, n.v, n.n2, c.cid,
+             round(${dDot("n.v", "c.cv")} / sqrt(n.n2 * c.cn2), 6) AS cs
+           FROM n CROSS JOIN c1 c),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM s1),
+         asg1 AS (SELECT vec_id, v, n2, cid AS cell, cs FROM r1 WHERE rnk = 1),
+         ${dedupTailCtes("asg1", "g")}
+         sv AS MATERIALIZED (SELECT a.vec_id, a.v, a.n2, a.cell
+           FROM asg1 a JOIN gkept k ON a.vec_id = k.vec_id AND k.kept),
+         sig AS MATERIALIZED (SELECT vec_id, $q8 AS vq, cell FROM sv),
+         qq AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn, $q8 AS qvq
+           FROM n WHERE vec_id >= 12 AND vec_id < 20),
+         ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, s.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dDot("qv", "s.v")} / sqrt(qn * s.n2), 6) DESC,
+                          s.vec_id ASC) AS rnk
+             FROM sv s JOIN qq ON query_id != s.vec_id) WHERE rnk <= 5),
+         ${route("c1", "qr1")},
+         ${route("c2", "qr2")},
+         ${probe("sig", "qr1", "pre")},
+         deq AS (SELECT vec_id, vq,
+             list_transform(vq, q -> (q::REAL / 127.0::REAL)::REAL) AS dv
+           FROM sig),
+         dn AS (SELECT vec_id, vq, dv, ${dDot("dv", "dv")} AS dn2 FROM deq),
+         rsc AS (SELECT d.vec_id, d.vq, c.cid,
+             round(${dDot("d.dv", "c.cv")} / sqrt(d.dn2 * c.cn2), 6) AS cs
+           FROM dn d CROSS JOIN c2 c),
+         rasg AS (SELECT vec_id, vq, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cid ASC) AS rnk FROM rsc) WHERE rnk = 1),
+         ${probe("rasg", "qr2", "post")},
+         f2 AS (SELECT s.vec_id, c.cid,
+             round(${dDot("s.v", "c.cv")} / sqrt(s.n2 * c.cn2), 6) AS cs
+           FROM sv s CROSS JOIN c2 c),
+         fasg2 AS (SELECT f.vec_id, g.vq, f.cell FROM (
+             SELECT vec_id, cid AS cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid ASC) AS rnk FROM f2) WHERE rnk = 1) f
+           JOIN sig g USING (vec_id)),
+         ${probe("fasg2", "qr2", "fre")},
+         hp AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_pre
+           FROM ex e JOIN pre USING (query_id, neighbor_id) GROUP BY 1),
+         hr AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_refit
+           FROM ex e JOIN post USING (query_id, neighbor_id) GROUP BY 1),
+         hf AS (SELECT e.query_id, count(*)::BIGINT AS n_hit_fresh
+           FROM ex e JOIN fre USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT qq.query_id,
+           coalesce(hp.n_hit_pre, 0)::BIGINT AS n_hit_pre,
+           coalesce(hr.n_hit_refit, 0)::BIGINT AS n_hit_refit,
+           coalesce(hf.n_hit_fresh, 0)::BIGINT AS n_hit_fresh
+         FROM qq LEFT JOIN hp USING (query_id)
+           LEFT JOIN hr USING (query_id) LEFT JOIN hf USING (query_id)"""
+    },
 
     // both chains again (q203 shape), but aggregating each
     // assignment's round-6 cosine into exact micro-unit quality rows

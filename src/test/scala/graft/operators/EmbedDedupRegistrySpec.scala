@@ -62,6 +62,62 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     assert(reg.read(spark).count() == 1)
   }
 
+  test("crash between sink write and signature append: batch-keyed " +
+    "persist replays to zero duplicates (append-mode persist does not)") {
+    // VERDICT r6 #4 — the asymmetric at-least-once window, closed.
+    // The simulated crash: persist completes its sink write, then the
+    // job dies BEFORE the signature append (persist throws after
+    // writing — dedupAppend runs persist first, so nothing reaches
+    // the registry).
+    val root = Files.createTempDirectory("graft_eregc_").toString
+    val b = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    final class SimCrash extends RuntimeException("simulated crash")
+
+    // 1. the CLOSED window: IdempotentSink batch-keyed persist
+    val reg = new EmbedDedupRegistry(s"$root/reg", epsPermille = 980)
+    val sink = s"$root/sink"
+    intercept[SimCrash] {
+      reg.dedupAppend(b, cents, "vec_id", "embedding", persist = out => {
+        graft.streaming.IdempotentSink.parquetByBatch(sink)(out, 7L)
+        throw new SimCrash
+      })
+    }
+    assert(reg.read(spark).count() == 0, "crash must precede the append")
+    // replay the SAME (batch, batchId): overwrites its own partition
+    val out = reg.dedupAppendBatch(b, cents, "vec_id", "embedding", sink, 7L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(1L, 9L))
+    val sunk = spark.read.parquet(sink)
+      .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
+    assert(sunk == Map(1L -> 1L, 9L -> 1L),
+      s"batch-keyed sink must hold exactly one copy per survivor, got $sunk")
+    assert(reg.read(spark).count() == 2)
+    // a replay AFTER the append self-matches to empty and leaves the
+    // sink untouched (empty dynamic overwrite touches no partitions)
+    assert(reg.dedupAppendBatch(b, cents, "vec_id", "embedding", sink, 7L)
+      .count() == 0)
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // 2. the OPEN window it replaces, demonstrated: a blind
+    // append-mode persist double-lands the batch on replay
+    val reg2 = new EmbedDedupRegistry(s"$root/reg2", epsPermille = 980)
+    val sink2 = s"$root/sink2"
+    def appendPersist(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.mode("append").parquet(sink2)
+    intercept[SimCrash] {
+      reg2.dedupAppend(b, cents, "vec_id", "embedding", persist = out => {
+        appendPersist(out); throw new SimCrash
+      })
+    }
+    reg2.dedupAppend(b, cents, "vec_id", "embedding", persist = appendPersist)
+    assert(spark.read.parquet(sink2).count() == 4,
+      "append-mode persist replays as duplicates — the window the " +
+        "batch-keyed layout closes")
+  }
+
   test("centroid-identity guard refuses a mismatched probe") {
     val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
     val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
