@@ -80,10 +80,17 @@ object BpeTrain {
       // pairs before `rounds` (every word fully merged or
       // single-symbol) ends the trajectory early instead of
       // throwing on an empty iterator — the EmptyInputSpec rule.
+      // greatest(..., 0) guard as in applyMerge (ADVICE r6): fit is
+      // public and takes ANY (word, freq) table, and an empty-string
+      // word has zero symbols — slice with a negative length is a
+      // runtime error, where "no adjacent pairs" is the correct
+      // reading
       val pairs = cur
         .select(col("freq"), explode(arrays_zip(
-          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
-          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+          slice(col("syms"), lit(1),
+            greatest(size(col("syms")) - 1, lit(0))).as("l"),
+          slice(col("syms"), lit(2),
+            greatest(size(col("syms")) - 1, lit(0))).as("r"))).as("p"))
         .groupBy(col("p.l").as("left"), col("p.r").as("right"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("left"), col("right"))

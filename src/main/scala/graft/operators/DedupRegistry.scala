@@ -17,8 +17,35 @@ import org.apache.spark.sql.functions._
   * duplicates resolve FIRST (keep the smallest id per fingerprint,
   * exactDedup's rule) so one batch can never register a fingerprint
   * twice.
+  *
+  * LIFECYCLE (VERDICT r6 #6 — one compaction + crash-window policy
+  * across the registry family): appends, compaction, and forget run
+  * through the same GenIndex generation machinery as NearDupRegistry
+  * and WinnowRegistry — per-batch appends fragment one file group per
+  * batch, `compactIndex` rewrites the active generation into
+  * ~nBuckets files behind an atomic sidecar swap (a crash leaves the
+  * old generation fully active), and `forget` removes fingerprints by
+  * the same swap. READS stay plain-parquet on the active location
+  * rather than going through the bucketed catalog table: the ADVICE
+  * r5 policy requires files written or compacted by another tool to
+  * be READ, and a bucketed table scan would reject foreign file
+  * names — the probe's anti-join ships only the one fp column, so
+  * the bucket-locality a table scan would buy is the smallest win in
+  * the family (the structural indexes that probe by key every batch,
+  * NearDup bands and Winnow fingerprints, do use it). Compaction
+  * itself reads plain files too (the GenIndex contract), so a
+  * foreign-compacted generation migrates INTO the bucketed layout on
+  * its next rewrite instead of being rejected.
   */
-class DedupRegistry(path: String) {
+class DedupRegistry(path: String, nBuckets: Int = 8) {
+
+  private val index = new GenIndex(
+    "graft_dedup_reg_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString,
+    path, "fp STRING", Seq("fp"), nBuckets)
+
+  /** Where the active generation's files live (for specs/tools). */
+  def indexLocation(spark: SparkSession): String = index.activeLocation(spark)
 
   def read(spark: SparkSession): DataFrame = {
     val empty = spark.createDataFrame(
@@ -31,16 +58,31 @@ class DedupRegistry(path: String) {
     // dedup history and silently re-admitting duplicates is the
     // worst possible failure mode, so schema errors propagate
     // (ADVICE r4, same rule as NearDupRegistry.read).
-    if (!RegistryIO.committedDataExists(spark, path)) empty
+    val loc = indexLocation(spark)
+    if (!RegistryIO.committedDataExists(spark, loc)) empty
     else {
-      val d = spark.read.parquet(path)
+      val d = spark.read.parquet(loc)
       require(d.columns.contains("fp"),
-        s"DedupRegistry at $path exists but has no 'fp' column " +
+        s"DedupRegistry at $loc exists but has no 'fp' column " +
           s"(found: ${d.columns.mkString(", ")}) — refusing to treat " +
           "a corrupt registry as empty")
       d.select("fp")
     }
   }
+
+  /** Maintenance: rewrite the fingerprint index into ~nBuckets files
+    * when per-batch appends have fragmented it past `maxFiles`.
+    * Probe verdicts are unchanged (same fingerprints); crash-safe by
+    * the GenIndex generation-swap contract. */
+  def compactIndex(spark: SparkSession,
+                   maxFiles: Int = 4 * nBuckets): Boolean =
+    index.compact(spark, maxFiles)
+
+  /** Right-to-be-forgotten: remove the given fingerprints, so content
+    * hashing to them is admissible again — a GenIndex generation
+    * swap, same crash contract as compaction. */
+  def forget(spark: SparkSession, fps: Seq[String]): Unit =
+    index.rewrite(spark, _.filter(!col("fp").isin(fps: _*)))
 
   /** Dedup `batch` against the registry AND within itself, persist
     * the survivors via `persist`, THEN append their fingerprints, and
@@ -74,8 +116,7 @@ class DedupRegistry(path: String) {
     val pinned = fresh.localCheckpoint(true)
     val out = pinned.drop(fpCol)
     persist(out)
-    pinned.select(col(fpCol).as("fp"))
-      .write.mode("append").parquet(path)
+    index.append(pinned.select(col(fpCol).as("fp")))
     out
   }
 }

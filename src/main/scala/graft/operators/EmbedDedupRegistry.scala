@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * DedupRegistry; lexical near-dup: NearDupRegistry; passage
   * overlap: WinnowRegistry; semantic: this). A parquet store of
   * every accepted vector's signature — (id, vq int8 vector, nq its
-  * squared norm) PARTITIONED BY IVF cell — so a new batch dedups
-  * against everything ever accepted at cluster-blocked cost:
+  * squared norm) partitioned by a BOUNDED bucket of its IVF cell
+  * (see DirBuckets) — so a new batch dedups against everything ever
+  * accepted at cluster-blocked cost:
   *
   *  1. in-batch semantic dups resolve FIRST (Similarity.semDedup,
   *     the SemDeDup keep rule) so one batch can never register two
@@ -17,14 +18,19 @@ import org.apache.spark.sql.functions._
   *  2. survivors probe ONLY their own cells of the registry — the
   *     batch's cell set is a bounded literal IN list (<= |centroids|
   *     by contract, the ivfTopKPartitioned argument), so the scan is
-  *     directory-pruned and history size enters through a columnar
-  *     read of the probed cells only, never a shuffle of the
-  *     registry;
+  *     directory-pruned to those cells' buckets (row-group stats
+  *     carry the within-bucket cut) and history size enters through
+  *     a columnar read, never a shuffle of the registry;
   *  3. the eps decision is an exact integer cross-multiply over
   *     int8 dots — qdot >= 0 AND qdot^2 * 10^6 >= eps_pm^2 * nq_a *
   *     nq_b — no doubles, no rounding hazard (exact for dim <= ~180
   *     at int8: qdot^2*10^6 <= 2.6e14*dim^2 must stay under 2^63);
-  *  4. fresh signatures append, partitioned by cell.
+  *  4. fresh signatures append into a STAGING tier (one file per
+  *     batch; probes scan it alongside the pruned main store) and
+  *     `compactStaging` folds the tier back into the
+  *     cell-partitioned layout on the maintenance cadence — the
+  *     LSM/delta pattern that keeps per-batch append cost O(batch)
+  *     instead of O(touched cells) files.
   *
   * The centroid set is part of the registry's IDENTITY (the numPerm
   * lesson, NearDupRegistry): probing with centroids other than the
@@ -69,6 +75,18 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
   require(epsPermille > 0 && epsPermille < 1000,
     "EmbedDedupRegistry: epsPermille must be in (0, 1000)")
 
+  /** On-disk partition cardinality of the compacted store: the main
+    * tier partitions by `cellb = pmod(cell, DirBuckets)` (cell rides
+    * as a data column), NOT by raw cell id — bounded partition
+    * cardinality is the classic lakehouse rule, and here it was
+    * measured, not assumed: at 6250 derived cells the per-probe
+    * partition DISCOVERY (spark.read listing the directory tree)
+    * cost 8.0 s of a 12.6 s probe; 256 directories list in
+    * milliseconds at any cell count. Probes prune directories by the
+    * bucket of each probed cell and row-filter on cell inside them —
+    * parquet row-group stats carry the within-bucket selectivity. */
+  private val DirBuckets = 256
+
   private val metaPath = path + "_centroid_fp"
 
   /** Sidecar state: centroid fingerprint + active data directory.
@@ -103,6 +121,21 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
   private def activeDir(fs: org.apache.hadoop.fs.FileSystem): String =
     readMeta(fs).map(_._2).getOrElse(path)
 
+  /** The active generation's STAGING sibling — where per-batch
+    * appends land as single unpartitioned files (the LSM/delta-tier
+    * pattern). Writing a small batch into the cell-PARTITIONED main
+    * store costs one file per touched cell (~batch-size files of a
+    * few rows each), and at derived cell counts in the thousands that
+    * per-file constant dominated the measured steady-state probe
+    * (ScaleCheck: ~12 s of a 19 s probe was the partitioned append).
+    * A staging append is ONE file; probes read the directory-pruned
+    * main store plus the small staging scan (bounded by compaction
+    * cadence); `compactStaging` folds the tier into a fresh
+    * partitioned generation behind the same atomic sidecar swap the
+    * refit uses. A sibling (not child) directory keeps the main
+    * parquet read from seeing it. */
+  private def stagingDir(dataDir: String): String = dataDir + "_staged"
+
   /** Bounded collect (k rows by contract): a stable fingerprint of
     * the centroid set — ids and float-exact vector values, sorted —
     * plus the vector dimension (for the overflow guard). */
@@ -126,24 +159,95 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * with committed data that cannot be read is corruption and
     * propagates (the fail-loudly rule: forgetting semantic history
     * re-admits every near-dup). */
+  /** One tier's raw frame (schema-checked), or None when never
+    * committed. */
+  private def readTierRaw(spark: SparkSession, d: String): Option[DataFrame] =
+    if (!RegistryIO.committedDataExists(spark, d)) None
+    else {
+      val t = spark.read.parquet(d)
+      val missing = Seq("id", "vq", "nq", "cell").filterNot(t.columns.contains)
+      require(missing.isEmpty,
+        s"EmbedDedupRegistry at $d exists but lacks ${missing.mkString(", ")} " +
+          "— refusing to treat a corrupt registry as empty")
+      Some(t)
+    }
+
+  /** Signature projection shared by the tiers: legacy generations
+    * partitioned by raw cell read it back as a (possibly INT)
+    * partition column; current ones carry it as a data column —
+    * normalize either to BIGINT. */
+  private def sigCols(t: DataFrame): DataFrame =
+    t.select(col("id"), col("vq"), col("nq"), col("cell").cast("long"))
+
+  private def emptySigs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, vq ARRAY<INT>, nq BIGINT, cell BIGINT"))
+
   def read(spark: SparkSession): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = activeDir(fs)
-    if (!RegistryIO.committedDataExists(spark, dir))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "id BIGINT, vq ARRAY<INT>, nq BIGINT, cell BIGINT"))
+    val tiers = Seq(readTierRaw(spark, dir),
+      readTierRaw(spark, stagingDir(dir))).flatten.map(sigCols)
+    if (tiers.isEmpty) emptySigs(spark) else tiers.reduce(_ unionAll _)
+  }
+
+  /** The PROBE-shaped read: only the given cells' signatures, with
+    * the compacted tier directory-pruned to those cells' `cellb`
+    * buckets (see DirBuckets — listing and scan bounded at any cell
+    * count) and the staging tier row-filtered (bounded by compaction
+    * cadence). Legacy raw-cell-partitioned generations prune on the
+    * cell IN list itself. */
+  def probeRead(spark: SparkSession, cells: Seq[Long]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = activeDir(fs)
+    val bks = cells.map(c => ((c % DirBuckets) + DirBuckets) % DirBuckets)
+      .distinct
+    val main = readTierRaw(spark, dir).map { t =>
+      if (t.columns.contains("cellb")) t.filter(col("cellb").isin(bks: _*))
+      else t
+    }
+    val tiers = (main.toSeq ++ readTierRaw(spark, stagingDir(dir)).toSeq)
+      .map(t => sigCols(t).filter(col("cell").isin(cells: _*)))
+    if (tiers.isEmpty) emptySigs(spark) else tiers.reduce(_ unionAll _)
+  }
+
+  /** Fold the staging tier into a fresh cell-PARTITIONED generation
+    * (atomic sidecar swap, the refit discipline): per-batch appends
+    * land in staging as single files — cheap to write, a small full
+    * scan to probe — and this maintenance call restores the fully
+    * directory-pruned layout once staging has accrued enough batches.
+    * Returns whether a fold ran (no-op when staging is empty). Crash
+    * anywhere before the swap leaves the old generation + staging
+    * fully active; after it, the new generation holds every row and
+    * the old directories are deleted best-effort (orphans are
+    * garbage, never corruption — signature rows are idempotent
+    * facts). */
+  def compactStaging(spark: SparkSession): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs)
+    val dir = activeDir(fs)
+    if (!RegistryIO.committedDataExists(spark, stagingDir(dir))) false
     else {
-      val d = spark.read.parquet(dir)
-      val missing = Seq("id", "vq", "nq", "cell").filterNot(d.columns.contains)
-      require(missing.isEmpty,
-        s"EmbedDedupRegistry at $dir exists but lacks ${missing.mkString(", ")} " +
-          "— refusing to treat a corrupt registry as empty")
-      // partition-column type inference may narrow cell to INT;
-      // normalize so the empty and non-empty schemas agree
-      d.select(col("id"), col("vq"), col("nq"), col("cell").cast("long"))
+      val fp = meta.map(_._1).getOrElse(
+        sys.error(s"EmbedDedupRegistry at $path has staged data but no " +
+          "sidecar — the first dedupAppend always pins one"))
+      val newDir = s"${path}_gen_${fp}_c${System.nanoTime()}"
+      val all = read(spark)
+      all.withColumn("cellb", pmod(col("cell"), lit(DirBuckets.toLong)))
+        .repartition(col("cellb"))
+        .write.mode("overwrite").partitionBy("cellb").parquet(newDir)
+      writeMeta(spark, fp, newDir) // the atomic cutover
+      Seq(dir, stagingDir(dir)).filter(_ != newDir).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        try { if (fs.exists(p)) fs.delete(p, true) }
+        catch { case _: java.io.IOException => }
+      }
+      true
     }
   }
 
@@ -195,7 +299,7 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     // literal IN list -> directory-pruned scan; same contract as
     // ivfTopKPartitioned's probe-cell collect)
     val cells = winners.select("cell").distinct().collect().map(_.getLong(0))
-    val reg = read(spark).filter(col("cell").isin(cells: _*))
+    val reg = probeRead(spark, cells.toSeq)
       .select(col("vq").as("rvq"), col("nq").as("rnq"), col("cell"))
     val e2 = epsPermille.toLong * epsPermille
     val matched = winners
@@ -218,8 +322,15 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     val out = pinned.drop("vq", "nq", "cell")
     persist(out)
     if (readMeta(fs).isEmpty) writeMeta(spark, fp, path)
+    // appends land in the STAGING tier as ONE file (see stagingDir):
+    // writing a batch into the cell-partitioned store costs a file
+    // per touched cell — measured ~12 s of a 19 s probe at thousands
+    // of derived cells — where a staging append is one sequential
+    // write bounded by the batch. compactStaging folds the tier back
+    // into the pruned layout on the maintenance cadence.
     pinned.select(col(idCol).as("id"), col("vq"), col("nq"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(activeDir(fs))
+      .coalesce(1)
+      .write.mode("append").parquet(stagingDir(activeDir(fs)))
     out
   }
 
@@ -311,10 +422,16 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       .select(col("id"), col("cell"))
     cur.drop("cell").join(re, Seq("id"))
       .select(col("id"), col("vq"), col("nq"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(newDir)
+      // bounded partition cardinality + one file per bucket (see
+      // DirBuckets): cell rides as a data column
+      .withColumn("cellb", pmod(col("cell"), lit(DirBuckets.toLong)))
+      .repartition(col("cellb"))
+      .write.mode("overwrite").partitionBy("cellb").parquet(newDir)
     writeMeta(spark, fp, newDir) // the atomic cutover
-    if (oldDir != newDir) { // old generation is now unreachable
-      val op = new org.apache.hadoop.fs.Path(oldDir)
+    // old generation AND its staging tier are now unreachable (the
+    // rewrite read both — cur = read() spans the tiers)
+    Seq(oldDir, stagingDir(oldDir)).filter(_ != newDir).foreach { d =>
+      val op = new org.apache.hadoop.fs.Path(d)
       if (fs.exists(op)) fs.delete(op, true)
     }
   }

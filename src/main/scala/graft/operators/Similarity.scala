@@ -173,12 +173,45 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
   }
 
+  /** The corpus-side argmax as a STRUCT-MAX AGGREGATE, not a window
+    * (the lloydArgmax discipline, extended here in r7): ranking the
+    * n x k scored join through row_number shuffles every scored row
+    * WITH ITS VECTOR attached — at 200k vectors x 3125 derived
+    * centroids that is a ~190 GB exchange, measured killing the
+    * driver where the aggregate form runs in seconds: map-side
+    * partial max collapses the k-fanout to ONE row per vector per
+    * input partition before anything shuffles. Ordering semantics
+    * are identical to the rnk=1 window row under Spark's total
+    * order (struct compare: NaN greatest — exactly as NaN sorts
+    * FIRST under the window's cs DESC — and a NULL field smallest,
+    * matching desc-nulls-last, so an all-null vector still lands
+    * deterministically on its smallest cid): max by
+    * (cs, -cid) == first by (cs DESC, cid ASC); the (v, n2) payload
+    * fields are never compared because cid is unique per vector. */
+  private def argmaxCells(scored: DataFrame): DataFrame =
+    scored.groupBy(col("id"))
+      .agg(max(struct(col("cs"), (-col("cid")).as("neg_cid"),
+        col("v").as("v"), col("n2").as("n2"))).as("best"))
+      .select(col("id"), col("best.v").as("v"), col("best.n2").as("n2"),
+        (-col("best.neg_cid")).as("cell"), col("best.cs").as("cs"))
+
+  private def scoredCells(vecs: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String,
+                          spread: Boolean): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = (if (spread) base.transform(Spread.byKey("id")) else base)
+      .withColumn("n2", norm2(col("v")))
+    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn2", norm2(col("cv")))
+    v.join(broadcast(c))
+      .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
+  }
+
   def assignCells(vecs: DataFrame, centroids: DataFrame,
                   idCol: String, vecCol: String,
                   spread: Boolean = true): DataFrame =
-    rankedCells(vecs, centroids, idCol, vecCol, spread)
-      .filter(col("rnk") === 1)
-      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"))
+    argmaxCells(scoredCells(vecs, centroids, idCol, vecCol, spread))
+      .drop("cs")
 
   /** assignCells keeping the winning round-6 cosine score — the
     * per-vector quantization-quality signal (what semDedup ranks its
@@ -187,9 +220,7 @@ object Similarity {
   def assignCellsScored(vecs: DataFrame, centroids: DataFrame,
                         idCol: String, vecCol: String,
                         spread: Boolean = true): DataFrame =
-    rankedCells(vecs, centroids, idCol, vecCol, spread)
-      .filter(col("rnk") === 1)
-      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
+    argmaxCells(scoredCells(vecs, centroids, idCol, vecCol, spread))
 
   /** IVF top-k: every corpus vector lives in its nearest centroid's
     * cell; a query scans the candidates in its `nprobe` closest cells
@@ -708,14 +739,15 @@ object Similarity {
     if (pool.length <= k) pool.toDF(idCol, vecCol)
     else {
       val poolDf = pool.toDF(idCol, vecCol)
-      // one bounded job: per-pool-member data weight, top-k members
-      val keep = rankedCells(base.select(col("id").as(idCol),
+      // one bounded job: per-pool-member data weight, top-k members —
+      // the assignment argmax is the struct-max AGGREGATE
+      // (argmaxCells), so only one row per corpus vector shuffles
+      val keep = assignCellsScored(base.select(col("id").as(idCol),
           col("v").as(vecCol)), poolDf, idCol, vecCol, spread = true)
-        .filter(col("rnk") === 1)
         .filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
-        .groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("cid").asc).limit(k)
-        .select(col("cid")).collect().map(_.getLong(0)).toSet
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("cell").asc).limit(k)
+        .select(col("cell")).collect().map(_.getLong(0)).toSet
       pool.filter(p => keep.contains(p._1)).toDF(idCol, vecCol)
     }
   }
@@ -1128,12 +1160,13 @@ object Similarity {
     * routing — multiple blk rows per id (a widened probe) are fine,
     * the per-id window picks the best across all probed blocks. */
   def hierarchicalAssignFromBlocks(blocks: DataFrame,
-                                   fine: DataFrame): DataFrame = {
-    val wf = Window.partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
-    blocks.join(broadcast(fine.withColumn("cn2", norm2(col("cv")))), Seq("blk"))
-      .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
-      .withColumn("rnk", row_number().over(wf))
-      .filter(col("rnk") === 1)
-      .select(col("id"), col("v"), col("n2"), col("cid").as("cell"), col("cs"))
-  }
+                                   fine: DataFrame): DataFrame =
+    // struct-max aggregate, not a window (the argmaxCells shuffle
+    // argument): the per-id best across all probed blocks' fine
+    // candidates, same (cs DESC, cid ASC) rule
+    argmaxCells(
+      blocks.join(broadcast(fine.withColumn("cn2", norm2(col("cv")))),
+          Seq("blk"))
+        .withColumn("cs",
+          cosineScore(col("v"), col("cv"), col("n2"), col("cn2"))))
 }

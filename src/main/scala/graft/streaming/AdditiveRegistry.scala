@@ -24,6 +24,21 @@ import org.apache.spark.sql.functions._
   * CONCURRENTLY with compact land above the horizon and survive
   * untouched (the write is a dynamic overwrite of the single new
   * base partition, never the whole tree).
+  *
+  * Why this family does NOT ride the GenIndex generation lifecycle
+  * the membership registries (Dedup/NearDup/Winnow) share (VERDICT
+  * r6 #6, considered and rejected): those registries' rows are
+  * IDEMPOTENT facts — re-appending a fingerprint changes no verdict,
+  * so replay safety is free and the only lifecycle problem is file
+  * fragmentation, which a whole-index generation swap solves. Here
+  * the fold is a NON-idempotent sum: replay safety comes from the
+  * batch_id partition keying itself (a replayed batch overwrites its
+  * own partition), so the layout IS the correctness mechanism, and a
+  * generation swap that rewrote the tree as one unkeyed table would
+  * destroy exactly that. The horizon-encoded base gives this family
+  * the same two guarantees by different means: bounded file count
+  * (absorbed partitions collapse into one base) and no crash window
+  * (readers ignore a partially-GC'd state by construction).
   */
 object AdditiveRegistry {
 

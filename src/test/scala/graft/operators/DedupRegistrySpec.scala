@@ -39,6 +39,42 @@ class DedupRegistrySpec extends SparkSpec {
     assert(reg.read(spark).distinct().count() == 3)
   }
 
+  test("index compaction is invisible to the gate; forget re-admits " +
+    "(the shared GenIndex contract)") {
+    // VERDICT r6 #6: the exact-fingerprint registry runs the same
+    // generation lifecycle as NearDup/Winnow — per-batch appends
+    // fragment, compaction swaps generations with a deterministic
+    // <= nBuckets file count, forget rewrites behind the same swap.
+    val dir = Files.createTempDirectory("graft_regc_").toString + "/reg"
+    val reg = new DedupRegistry(dir)
+    def fp = md5(col("text"))
+    reg.dedupAppend(Seq((1L, "doc A")).toDF("doc_id", "text"), "doc_id", fp)
+    reg.dedupAppend(Seq((2L, "doc B")).toDF("doc_id", "text"), "doc_id", fp)
+    reg.dedupAppend(Seq((3L, "doc C")).toDF("doc_id", "text"), "doc_id", fp)
+    def files(loc: String): Int =
+      new java.io.File(loc).listFiles.count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val locBefore = reg.indexLocation(spark)
+    assert(files(locBefore) >= 3)
+    assert(!reg.compactIndex(spark, maxFiles = 100)) // under threshold
+    assert(reg.compactIndex(spark, maxFiles = 2))
+    val locAfter = reg.indexLocation(spark)
+    assert(locAfter !== locBefore, "compaction must swap generations")
+    assert(files(locAfter) <= 8)
+    // verdicts unchanged from a FRESH instance (sidecar resolution)
+    val reg2 = new DedupRegistry(dir)
+    val out = reg2.dedupAppend(
+      Seq((10L, "doc A"), (11L, "doc D")).toDF("doc_id", "text"),
+      "doc_id", fp).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L))
+    // forget doc A's fingerprint: a repost is admissible again
+    val fpA = Seq(Tuple1("doc A")).toDF("text")
+      .select(md5(col("text"))).as[String].head()
+    reg2.forget(spark, Seq(fpA))
+    assert(reg2.dedupAppend(Seq((12L, "doc A")).toDF("doc_id", "text"),
+      "doc_id", fp).count() == 1)
+  }
+
   test("read: never-written path is empty; corrupt registry fails loudly") {
     val base = Files.createTempDirectory("graft_reg_").toString
     assert(new DedupRegistry(base + "/never_written").read(spark).count() == 0)

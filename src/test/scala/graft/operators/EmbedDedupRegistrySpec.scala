@@ -223,7 +223,9 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     }
   }
 
-  test("registry probe is a directory-pruned scan (PartitionFilters on cell)") {
+  test("appends land in the staging tier as one file; compaction folds " +
+    "them into a directory-pruned store (PartitionFilters on cell) " +
+    "with verdicts unchanged") {
     val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
     val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
     val b = Seq(
@@ -231,11 +233,32 @@ class EmbedDedupRegistrySpec extends SparkSpec {
       (9L, Array(0.0f, 1.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     reg.dedupAppend(b, cents, "vec_id", "embedding")
-    // the probe shape dedupAppend builds: literal cell IN list
-    val probe = reg.read(spark).filter(col("cell").isin(100L))
+    // the batch append is ONE staging file, not a file per cell (the
+    // O(batch)-not-O(cells) append contract)
+    val staged = new java.io.File(dir + "_staged").listFiles
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(staged == 1, s"expected one staged file, found $staged")
+    // probe verdicts read the staging tier too (before any compaction)
+    assert(reg.read(spark).count() == 2)
+    assert(reg.dedupAppend(b, cents, "vec_id", "embedding").count() == 0)
+
+    // compaction folds staging into a fresh BUCKET-partitioned
+    // generation (bounded partition cardinality — see DirBuckets):
+    // the probe prunes directories by the probed cells' buckets and
+    // row-filters on cell inside them
+    assert(reg.compactStaging(spark))
+    assert(!reg.compactStaging(spark)) // staging now empty: no-op
+    val probe = reg.probeRead(spark, Seq(100L))
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
-    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+    assert("PartitionFilters: \\[[^\\]]*cellb".r.findFirstIn(plan).isDefined, plan)
     assert(probe.select("id").as[Long].collect().toSet == Set(1L))
+    // verdicts unchanged across the fold, and post-compaction appends
+    // stage against the NEW generation
+    assert(reg.dedupAppend(b, cents, "vec_id", "embedding").count() == 0)
+    val b2 = Seq((20L, Array(0.7f, 0.7f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(reg.dedupAppend(b2, cents, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet == Set(20L))
+    assert(reg.read(spark).count() == 3)
   }
 }

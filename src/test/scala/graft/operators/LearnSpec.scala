@@ -45,6 +45,20 @@ class LearnSpec extends SparkSpec {
       (3L, "h", "ug", 5L), (4L, "b", "un", 4L)))
   }
 
+  test("bpe: empty-string and single-symbol words contribute no pairs " +
+    "instead of erroring") {
+    // fit is public and takes ANY (word, freq) table (ADVICE r6): an
+    // empty word has zero symbols — the pair slice must read as "no
+    // adjacent pairs", not a negative-length runtime error
+    val words = df("word STRING, freq BIGINT", Seq(
+      Row("", 9L), Row("x", 9L), Row("un", 6L)))
+    val out = BpeTrain.fit(words, rounds = 3)
+      .orderBy("round").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // only "un" holds a pair; the trajectory ends after absorbing it
+    assert(out === Seq((1L, "u", "n", 6L)))
+  }
+
   test("bpe: identical-symbol runs count overlapping pairs but merge greedily") {
     // "aaaa": round 1 counts (a,a)=3 (overlapping zip), merges to
     // [aa, aa] (greedy non-overlap); round 2 merges (aa,aa)=1.

@@ -55,6 +55,25 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 0, 2L, 0.0), (1L, 1, 2L, 1.5)))
   }
 
+  test("kmeansIteration: the centroid overflow guard survives the fit " +
+    "path's column pruning") {
+    import org.apache.spark.sql.functions.col
+    // ADVICE r6: the >4e8-member guard used to ride the `n` column,
+    // which the fit loops prune away — so the one consumer that can
+    // see a wrapped int64 sum never ran the check. It now lives
+    // INSIDE the `centroid` expression; pin that by asserting the
+    // OPTIMIZED plan of the fit path's exact projection still
+    // carries the raise_error.
+    val data = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val fitProjection = graft.operators.Similarity.kmeansIteration(
+        data, data.filter(col("vec_id") < 2), "vec_id", "embedding")
+      .select("cluster_id", "dim_no", "centroid") // what the fit loop keeps
+    val optimized = fitProjection.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("raise_error"),
+      "overflow guard was pruned out of the fit projection:\n" + optimized)
+  }
+
   test("kmeansFit: converges to the cluster means, early-stops, and carries empty clusters") {
     import org.apache.spark.sql.functions.col
     // two tight clusters around the axes + one far-off seed that
