@@ -225,7 +225,11 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * fully active; after it, the new generation holds every row and
     * the old directories are deleted best-effort (orphans are
     * garbage, never corruption — signature rows are idempotent
-    * facts). */
+    * facts). Like `refit` and GenIndex.rewrite, this is a
+    * maintenance op under the family's exclusive-writer contract
+    * (GenIndex class doc): an append racing the fold could land in
+    * the outgoing staging dir after the fold's scan and be lost with
+    * its GC. */
   def compactStaging(spark: SparkSession): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -31,6 +31,24 @@ import org.apache.spark.sql.functions.col
   * `<rootLocation>_gen` holds the active generation number. Catalog
   * names are per-generation (`<tableBase>` / `<tableBase>_gN`)
   * because a datasource table's location is fixed at CREATE time.
+  *
+  * CONCURRENCY CONTRACT (whole lifecycle family — this class,
+  * EmbedDedupRegistry's refit/compactStaging, and every registry
+  * built on them): maintenance (`rewrite`) requires an EXCLUSIVE
+  * writer. An `append` racing a rewrite can land its file group in
+  * the outgoing generation after the rewrite's source scan and
+  * before its GC — those rows would be silently lost. This is the
+  * same assumption Spark's own INSERT OVERWRITE makes; a deployment
+  * that needs concurrent writers puts a commit protocol (a
+  * transactional table format) in front, it does not get one from a
+  * directory swap. Crash-safety (this class's generation contract)
+  * and replay-safety (each registry's idempotent-append algebra) are
+  * separate properties and DO hold without coordination. The one
+  * family member that genuinely supports appends concurrent with its
+  * compaction is AdditiveRegistry — by construction, not by luck:
+  * its horizon-encoded base only ever absorbs batches BELOW an
+  * explicit id, so concurrent appends land above the horizon and
+  * survive (see its object doc).
   */
 class GenIndex(tableBase: String, rootLocation: String,
                schemaDDL: String, bucketCols: Seq[String], nBuckets: Int) {
