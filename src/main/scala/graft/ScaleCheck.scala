@@ -388,10 +388,18 @@ object ScaleCheck {
             epsPermille = 450)
           sem.dedupAppend(embM, c1, "vec_id", "embedding").count()
           sem.refit(spark, c2, "vec_id", "embedding")
-          // the steady state probes a COMPACTED store (the registry's
-          // documented maintenance cadence), plus whatever staging the
-          // probe batch itself adds
-          sem.compactStaging(spark)
+          // exercise the LSM fold for real (review: a refit's output
+          // is ALREADY compacted with no staging tier, so a bare
+          // compactStaging right after it is a guaranteed no-op): one
+          // untimed warm append lands a staged file on the refit
+          // generation, and the fold is REQUIRED to run — the timed
+          // probe below then hits a store that has lived the full
+          // maintenance cadence (seed -> refit -> append -> fold),
+          // plus whatever staging the probe batch itself adds.
+          sem.dedupAppend(copyEmb(998).localCheckpoint(true), c2,
+            "vec_id", "embedding").count()
+          require(sem.compactStaging(spark),
+            "steady-state setup: compactStaging must fold the staged append")
           // time() once, not time2: a second pass would measure the
           // replay (everything self-matches, nothing appends) — a
           // different, cheaper operation than the steady-state probe

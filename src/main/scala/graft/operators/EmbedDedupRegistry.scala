@@ -285,7 +285,19 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
           "refit(newCentroids) to migrate, or pass the original centroids")
     }
 
-    // 1. in-batch semantic dedup (cluster-blocked, SemDeDup keep rule)
+    // 1. in-batch semantic dedup (cluster-blocked, SemDeDup keep
+    // rule). The assignment here is DELIBERATELY the flat argmax,
+    // not the hierarchical route semDedupAuto defaults to above 256
+    // cells: (a) cell membership is part of the registry's identity —
+    // history was assigned flat under this centroid set, and a
+    // two-hop assignment disagrees on 1.4-7% of vectors (q201), so
+    // switching policy mid-registry would silently miss history
+    // matches for exactly those border vectors; (b) the flat
+    // ASSIGNMENT is bounded post-argmax-fix (struct-max aggregate:
+    // 0.57 s at 200k x 3125, vs 1.31 s two-hop — the cliff was the
+    // window shuffle and the flat FIT's Lloyd rounds, neither of
+    // which runs here: centroids arrive fitted), and the 4096-cell
+    // derivedCells clamp caps it at ~4096 scores/vector forever.
     val sd = Similarity.semDedup(batch, centroids, idCol, vecCol,
       eps = epsPermille / 1000.0)
     val keptCells = sd.filter(col("kept"))
@@ -341,7 +353,12 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
   /** ANN top-k served DIRECTLY from the registry's persisted int8
     * signature store — every vector ever accepted is probeable
     * without re-reading or re-quantizing the corpus (the
-    * Similarity.ivfQuantizedTopKFromSignatures shape over read()).
+    * Similarity.ivfQuantizedTopKFromSignatures shape). The store is
+    * read through probeRead pruned to the QUERY batch's routed cells
+    * (Similarity.probeCells — the same (cs DESC, cid ASC) routing
+    * the probe join uses, so pruning can never drop a joined cell;
+    * review: an unpruned read() here made every probe O(history),
+    * exactly the regression the bucketed layout exists to prevent).
     * The centroid set must be the registry's pinned identity — same
     * guard as dedupAppend: probing a cell layout with foreign
     * centroids silently misses cross-cell neighbors. q208 measures
@@ -358,7 +375,8 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         s"EmbedDedupRegistry at $path was built with centroid set $stored; " +
           s"probing with $fp would silently miss cross-cell neighbors")
     }
-    Similarity.ivfQuantizedTopKFromSignatures(queries, read(spark),
+    val cells = Similarity.probeCells(queries, centroids, idCol, vecCol, nprobe)
+    Similarity.ivfQuantizedTopKFromSignatures(queries, probeRead(spark, cells),
       centroids, idCol, vecCol, k, nprobe)
   }
 

@@ -162,14 +162,8 @@ object Similarity {
   private def rankedCells(vecs: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,
                           spread: Boolean): DataFrame = {
-    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val v = (if (spread) base.transform(Spread.byKey("id")) else base)
-      .withColumn("n2", norm2(col("v")))
-    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .withColumn("cn2", norm2(col("cv")))
     val w = Window.partitionBy("id").orderBy(col("cs").desc, col("cid").asc)
-    v.join(broadcast(c))
-      .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
+    scoredCells(vecs, centroids, idCol, vecCol, spread)
       .withColumn("rnk", row_number().over(w))
   }
 
@@ -205,6 +199,22 @@ object Similarity {
       .withColumn("cn2", norm2(col("cv")))
     v.join(broadcast(c))
       .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
+  }
+
+  /** The query batch's probe-cell set as a bounded driver-side list
+    * (<= |queries| x nprobe entries, <= |centroids| distinct) — what
+    * a partitioned/bucketed signature store prunes its scan by
+    * BEFORE the probe join (ivfTopKPartitioned's probe-cell collect,
+    * exposed for stores that do their own pruned read, e.g.
+    * EmbedDedupRegistry.probeTopK). Same (cs DESC, cid ASC) routing
+    * as the probe itself, so the pruned scan can never drop a cell
+    * the probe would join. */
+  def probeCells(queries: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String, nprobe: Int): Seq[Long] = {
+    require(nprobe >= 1, "probeCells: nprobe must be >= 1")
+    rankedCells(queries, centroids, idCol, vecCol, spread = false)
+      .filter(col("rnk") <= nprobe)
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
   }
 
   def assignCells(vecs: DataFrame, centroids: DataFrame,
@@ -741,13 +751,21 @@ object Similarity {
       val poolDf = pool.toDF(idCol, vecCol)
       // one bounded job: per-pool-member data weight, top-k members —
       // the assignment argmax is the struct-max AGGREGATE
-      // (argmaxCells), so only one row per corpus vector shuffles
-      val keep = assignCellsScored(base.select(col("id").as(idCol),
+      // (argmaxCells), so only one row per corpus vector shuffles.
+      // The count collect is bounded by the pool size (<= 1+rounds*l).
+      val cntMap = assignCellsScored(base.select(col("id").as(idCol),
           col("v").as(vecCol)), poolDf, idCol, vecCol, spread = true)
         .filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
         .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("cell").asc).limit(k)
-        .select(col("cell")).collect().map(_.getLong(0)).toSet
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // rank EVERY pool member, zero-vote members included (review:
+      // a pool member whose votes all go to a lower-id twin — exact
+      // duplicates in a dedup-shaped corpus — has no count row at
+      // all, and a top-k over the count table alone would silently
+      // return FEWER than k seeds; ranking by (coalesce(cnt,0) DESC,
+      // id ASC) keeps the exactly-k contract maximinSeeds has)
+      val keep = pool.map(_._1)
+        .sortBy(id => (-cntMap.getOrElse(id, 0L), id)).take(k).toSet
       pool.filter(p => keep.contains(p._1)).toDF(idCol, vecCol)
     }
   }

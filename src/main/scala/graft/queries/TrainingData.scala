@@ -245,7 +245,11 @@ object TrainingData extends QueryGroup {
     * the reduction assigns every vector to its nearest pool member
     * (cs DESC, pid ASC — rankedCells' rule, non-finite assignments
     * excluded) and keeps the 12 most-populated members (count DESC,
-    * pid ASC). Ends at osel (12 pool ids). Trailing comma. */
+    * pid ASC) — ranking EVERY pool member with coalesce(cnt, 0), so
+    * a zero-vote member (its votes all went to a lower-id twin)
+    * ranks by id instead of silently shrinking the seed set below k
+    * (mirrors oversampledSeeds' exactly-k contract). Ends at osel
+    * (12 pool ids). Trailing comma. */
   private lazy val oversampleCtes: String = {
     val steps = (1 to 3).map { i =>
       s"""ocand$i AS (SELECT vec_id, max(cs) AS mx FROM (
@@ -269,7 +273,9 @@ object TrainingData extends QueryGroup {
            ORDER BY cs DESC, pid ASC) AS rnk FROM osc),
        ocnt AS (SELECT pid, count(*) AS cnt FROM ork
          WHERE rnk = 1 AND cs IS NOT NULL AND NOT isnan(cs) GROUP BY pid),
-       osel AS MATERIALIZED (SELECT pid FROM ocnt
+       osel AS MATERIALIZED (SELECT pid FROM (
+           SELECT p.vec_id AS pid, coalesce(c.cnt, 0) AS cnt
+           FROM os3 p LEFT JOIN ocnt c ON p.vec_id = c.pid)
          ORDER BY cnt DESC, pid ASC LIMIT 12),"""
   }
 
@@ -770,7 +776,7 @@ object TrainingData extends QueryGroup {
     // sets Lloyd-fit to the same round count, both fits scored with
     // the q204 metric — whether quality-aware seeds buy better
     // centroids is a number here, not folklore. Fixed k=12 (the q45
-    // contract) keeps the oracle's 2-round unroll static.
+    // contract) keeps the oracle's 3-round unroll static.
     //
     // SUCCEEDS q205_maximin_seeding (retired, VERDICT r6 #2): the
     // 11-round Gonzalez loop cost 25 sequential driver-scheduled
@@ -2457,7 +2463,7 @@ object TrainingData extends QueryGroup {
            coalesce(hh.n_hit_hier, 0)::BIGINT AS n_hit_hier
          FROM qq LEFT JOIN hf USING (query_id) LEFT JOIN hh USING (query_id)""",
 
-    // 2-round oversample unroll + count-weighted reduction, then both
+    // 3-round oversample unroll + count-weighted reduction, then both
     // seed sets through identical Lloyd chains and the shared quality
     // aggregate (succeeds the retired q205's 11-step maximin unroll)
     "q207_oversampled_seeding" ->
