@@ -261,4 +261,39 @@ class EmbedDedupRegistrySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet == Set(20L))
     assert(reg.read(spark).count() == 3)
   }
+
+  test("probeTopK's pruned read returns exactly the unpruned answer " +
+    "across a mixed compacted+staging store") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 995)
+    // two vectors per cell, far enough apart to all be accepted
+    val b1 = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.4f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    reg.dedupAppend(b1, cents, "vec_id", "embedding")
+    assert(reg.compactStaging(spark)) // -> bucket-partitioned main tier
+    val b2 = Seq((10L, Array(0.4f, 0.9f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    reg.dedupAppend(b2, cents, "vec_id", "embedding") // -> staging tier
+    // queries route to ONE cell each at nprobe=1; the pruned read
+    // (review: probeTopK used to scan the whole store) must return
+    // the identical top-k as the same probe over the unpruned read()
+    val qs = Seq(
+      (50L, Array(0.95f, 0.2f, 0.0f, 0.0f)),
+      (60L, Array(0.1f, 0.95f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(_.toSeq).toSet
+    Seq(1, 2).foreach { np =>
+      val pruned = rows(reg.probeTopK(qs, cents, "vec_id", "embedding",
+        k = 2, nprobe = np))
+      val full = rows(Similarity.ivfQuantizedTopKFromSignatures(qs,
+        reg.read(spark), cents, "vec_id", "embedding", k = 2, nprobe = np))
+      assert(pruned === full, s"nprobe=$np")
+      assert(pruned.nonEmpty)
+    }
+  }
 }

@@ -151,6 +151,29 @@ class HierarchicalQuantizerSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, ell = 3, rounds = 4).count() === 2L)
   }
 
+  test("oversampledSeeds: exactly k seeds even when zero-vote twins " +
+    "sit in the pool") {
+    // ids 4 and 5 are EXACT copies of id 0 — the dedup-shaped corpus
+    // this seeding exists for. ell=5, rounds=1 pools all six vectors;
+    // in the reduction 4's and 5's votes go to pool id 0 (cs ties at
+    // 1.0 resolve to the smallest pid), so only FOUR pool members
+    // have a count row at all. A top-k over the count table alone
+    // returned k-1 seeds here (review); ranking every pool member by
+    // (coalesce(cnt,0) DESC, id ASC) keeps the exactly-k contract:
+    // {0,1,2,3} by count, then 4 (zero votes, lowest id) pads to 5.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (4L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val s = Similarity.oversampledSeeds(vecs, "vec_id", "embedding",
+      k = 5, ell = 5, rounds = 1).select("vec_id").as[Long].collect().toSet
+    assert(s === Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("semDedupAuto routes: flat below the cell threshold, " +
     "hierarchical above — both arms equal their explicit paths") {
     // corpus16 at targetCell=4 derives 4 cells: the default threshold
