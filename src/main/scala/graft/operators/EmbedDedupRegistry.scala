@@ -355,12 +355,16 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * without re-reading or re-quantizing the corpus (the
     * Similarity.ivfQuantizedTopKFromSignatures shape). The store is
     * read through probeRead pruned to the QUERY batch's routed cells
-    * (Similarity.probeCells — the same (cs DESC, cid ASC) routing
-    * the probe join uses, so pruning can never drop a joined cell;
-    * review: an unpruned read() here made every probe O(history),
+    * (review: an unpruned read() here made every probe O(history),
     * exactly the regression the bucketed layout exists to prevent).
-    * The centroid set must be the registry's pinned identity — same
-    * guard as dedupAppend: probing a cell layout with foreign
+    * The routed query frame is PINNED with one eager checkpoint and
+    * feeds BOTH the cell collect and the probe join (second review:
+    * routing in one job and joining a re-evaluated queries plan in
+    * another would let a nondeterministic queries frame — sample(),
+    * unordered limit() — route cells the join never sees; the pin
+    * also halves the routing work, which the old shape computed
+    * twice). The centroid set must be the registry's pinned identity
+    * — same guard as dedupAppend: probing a cell layout with foreign
     * centroids silently misses cross-cell neighbors. q208 measures
     * this probe's recall across a refit. */
   def probeTopK(queries: DataFrame, centroids: DataFrame,
@@ -375,9 +379,12 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         s"EmbedDedupRegistry at $path was built with centroid set $stored; " +
           s"probing with $fp would silently miss cross-cell neighbors")
     }
-    val cells = Similarity.probeCells(queries, centroids, idCol, vecCol, nprobe)
-    Similarity.ivfQuantizedTopKFromSignatures(queries, probeRead(spark, cells),
-      centroids, idCol, vecCol, k, nprobe)
+    val routed = Similarity.routeQuantizedQueries(queries, centroids,
+      idCol, vecCol, nprobe).localCheckpoint(true)
+    val cells = routed.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: <= |centroids|
+    Similarity.ivfQuantizedTopKFromRoutedQueries(routed,
+      probeRead(spark, cells), k)
   }
 
   /** dedupAppend with the corpus sink made IDEMPOTENT PER BATCH (the

@@ -201,22 +201,6 @@ object Similarity {
       .withColumn("cs", cosineScore(col("v"), col("cv"), col("n2"), col("cn2")))
   }
 
-  /** The query batch's probe-cell set as a bounded driver-side list
-    * (<= |queries| x nprobe entries, <= |centroids| distinct) — what
-    * a partitioned/bucketed signature store prunes its scan by
-    * BEFORE the probe join (ivfTopKPartitioned's probe-cell collect,
-    * exposed for stores that do their own pruned read, e.g.
-    * EmbedDedupRegistry.probeTopK). Same (cs DESC, cid ASC) routing
-    * as the probe itself, so the pruned scan can never drop a cell
-    * the probe would join. */
-  def probeCells(queries: DataFrame, centroids: DataFrame,
-                 idCol: String, vecCol: String, nprobe: Int): Seq[Long] = {
-    require(nprobe >= 1, "probeCells: nprobe must be >= 1")
-    rankedCells(queries, centroids, idCol, vecCol, spread = false)
-      .filter(col("rnk") <= nprobe)
-      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
-  }
-
   def assignCells(vecs: DataFrame, centroids: DataFrame,
                   idCol: String, vecCol: String,
                   spread: Boolean = true): DataFrame =
@@ -415,15 +399,39 @@ object Similarity {
   def ivfQuantizedTopKFromSignatures(queries: DataFrame, sigs: DataFrame,
                                      centroids: DataFrame, idCol: String,
                                      vecCol: String, k: Int,
-                                     nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1, "ivfQuantizedTopKFromSignatures: nprobe must be >= 1")
-    val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
+                                     nprobe: Int = 1): DataFrame =
+    ivfQuantizedTopKFromRoutedQueries(
+      routeQuantizedQueries(queries, centroids, idCol, vecCol, nprobe),
+      sigs, k)
+
+  /** The query-side ROUTING of a quantized signature probe on its
+    * own: one (query_id, qq int8, cell) row per (query, probed
+    * cell), rankedCells' (cs DESC, cid ASC) rule at rnk <= nprobe.
+    * Callers that prune a signature store by the routed cells
+    * materialize THIS frame once and pass it to both the cell
+    * collect and the probe join (ivfQuantizedTopKFromRoutedQueries)
+    * — a nondeterministic queries plan must not be allowed to route
+    * one way and join another. */
+  def routeQuantizedQueries(queries: DataFrame, centroids: DataFrame,
+                            idCol: String, vecCol: String,
+                            nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "routeQuantizedQueries: nprobe must be >= 1")
+    rankedCells(queries, centroids, idCol, vecCol, spread = false)
       .filter(col("rnk") <= nprobe)
       .select(col("id").as("query_id"), quantize8(col("v")).as("qq"),
         col("cid").as("cell"))
+  }
+
+  /** The probe half over a pre-routed query frame (see
+    * routeQuantizedQueries): exact integer dot over the store's int8
+    * signatures, (qdot DESC, id ASC) rank — identical scoring to
+    * ivfQuantizedTopK, with the routing factored out so it is
+    * evaluated exactly once however the store is read. */
+  def ivfQuantizedTopKFromRoutedQueries(routed: DataFrame, sigs: DataFrame,
+                                        k: Int): DataFrame = {
     val c = sigs.select(col("id").as("neighbor_id"), col("vq").as("cq"),
       col("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(broadcast(routed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", dotQ8(col("qq"), col("cq")))
     topK(scored, "qdot", k, Seq("cell"))
