@@ -40,8 +40,7 @@ import org.apache.spark.sql.functions._
 class DedupRegistry(path: String, nBuckets: Int = 8) {
 
   private val index = new GenIndex(
-    "graft_dedup_reg_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString,
+    GenIndex.tableBaseFor("graft_dedup_reg_", path),
     path, "fp STRING", Seq("fp"), nBuckets)
 
   /** Where the active generation's files live (for specs/tools). */

@@ -240,18 +240,47 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       val fp = meta.map(_._1).getOrElse(
         sys.error(s"EmbedDedupRegistry at $path has staged data but no " +
           "sidecar — the first dedupAppend always pins one"))
-      val newDir = s"${path}_gen_${fp}_c${System.nanoTime()}"
-      val all = read(spark)
-      all.withColumn("cellb", pmod(col("cell"), lit(DirBuckets.toLong)))
-        .repartition(col("cellb"))
-        .write.mode("overwrite").partitionBy("cellb").parquet(newDir)
-      writeMeta(spark, fp, newDir) // the atomic cutover
-      Seq(dir, stagingDir(dir)).filter(_ != newDir).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        try { if (fs.exists(p)) fs.delete(p, true) }
-        catch { case _: java.io.IOException => }
-      }
+      // DETERMINISTIC generation name (review: a nanoTime suffix made
+      // every crash-between-write-and-swap orphan a fresh full
+      // registry copy no retry ever cleared): the counter derives
+      // from the ACTIVE dir, so a retry after a crash recomputes the
+      // same target and swapGeneration's clear-before-build removes
+      // the orphan — the refit/GenIndex discipline.
+      val cSuffix = """_c(\d+)$""".r
+      val nextN =
+        if (dir.startsWith(s"${path}_gen_${fp}_c"))
+          cSuffix.findFirstMatchIn(dir).map(_.group(1).toLong + 1).getOrElse(1L)
+        else 1L
+      swapGeneration(spark, fp, s"${path}_gen_${fp}_c$nextN", read(spark),
+        gcDirs = Seq(dir, stagingDir(dir)))
       true
+    }
+  }
+
+  /** The shared generation cutover (refit + compactStaging — review:
+    * the bucket layout and swap-then-GC sequence were written twice
+    * with drift): clear-before-build the target (a stale dir from a
+    * crashed earlier attempt is inactive garbage — the sidecar never
+    * pointed at it), write `sigs` bucket-partitioned (bounded
+    * cardinality, one file per bucket; cell rides as a data column),
+    * atomically swap the sidecar, then best-effort-delete the
+    * now-unreachable dirs (a transient delete failure must not fail
+    * a swap that already committed — orphans are garbage, never
+    * corruption). */
+  private def swapGeneration(spark: SparkSession, fp: String, newDir: String,
+                             sigs: DataFrame, gcDirs: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ndp = new org.apache.hadoop.fs.Path(newDir)
+    if (fs.exists(ndp)) fs.delete(ndp, true)
+    sigs.withColumn("cellb", pmod(col("cell"), lit(DirBuckets.toLong)))
+      .repartition(col("cellb"))
+      .write.mode("overwrite").partitionBy("cellb").parquet(newDir)
+    writeMeta(spark, fp, newDir) // the atomic cutover
+    gcDirs.filter(_ != newDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      try { if (fs.exists(p)) fs.delete(p, true) }
+      catch { case _: java.io.IOException => }
     }
   }
 
@@ -401,10 +430,19 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * pass when this runs inside the streaming curation loop. */
   def dedupAppendBatch(batch: DataFrame, centroids: DataFrame,
                        idCol: String, vecCol: String,
-                       sinkPath: String, batchId: Long): DataFrame =
+                       sinkPath: String, batchId: Long): DataFrame = {
+    // batch_id is reserved HERE (not in dedupAppend, whose sinks are
+    // caller-defined): IdempotentSink keys the sink on a batch_id
+    // column it adds, so a data column of that name would be silently
+    // overwritten in the sink while the returned rows keep the
+    // original values — corruption the caller cannot see
+    require(!batch.columns.contains("batch_id"),
+      "EmbedDedupRegistry.dedupAppendBatch: batch must not contain a " +
+        "batch_id column (the idempotent sink keys its partitions on it)")
     dedupAppend(batch, centroids, idCol, vecCol,
       persist = out =>
         graft.streaming.IdempotentSink.parquetByBatch(sinkPath)(out, batchId))
+  }
 
   /** Migrate the registry to a NEW centroid set (see class doc):
     * re-assign every stored signature to its nearest new centroid,
@@ -430,11 +468,6 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         "nothing to refit (the first dedupAppend pins its centroid set)")
     val (oldFp, oldDir) = current.get
     if (oldFp == fp) return // identity refit: same centroid identity
-    val newDir = s"${path}_gen_$fp"
-    val newDirPath = new org.apache.hadoop.fs.Path(newDir)
-    // a stale dir from an abandoned earlier refit to this same set is
-    // inactive garbage (the sidecar never pointed at it) — clear it
-    if (fs.exists(newDirPath)) fs.delete(newDirPath, true)
     val cur = read(spark)
     // dequantize (exact: every int8 signature value is q/127 by
     // construction) and re-rank under the new centroids with
@@ -449,19 +482,11 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         newCentroids.select(col(idCol).as("id"), col(vecCol).as("v")),
         "id", "v", spread = true)
       .select(col("id"), col("cell"))
-    cur.drop("cell").join(re, Seq("id"))
-      .select(col("id"), col("vq"), col("nq"), col("cell"))
-      // bounded partition cardinality + one file per bucket (see
-      // DirBuckets): cell rides as a data column
-      .withColumn("cellb", pmod(col("cell"), lit(DirBuckets.toLong)))
-      .repartition(col("cellb"))
-      .write.mode("overwrite").partitionBy("cellb").parquet(newDir)
-    writeMeta(spark, fp, newDir) // the atomic cutover
-    // old generation AND its staging tier are now unreachable (the
-    // rewrite read both — cur = read() spans the tiers)
-    Seq(oldDir, stagingDir(oldDir)).filter(_ != newDir).foreach { d =>
-      val op = new org.apache.hadoop.fs.Path(d)
-      if (fs.exists(op)) fs.delete(op, true)
-    }
+    // old generation AND its staging tier are unreachable after the
+    // swap (the rewrite read both — cur = read() spans the tiers)
+    swapGeneration(spark, fp, s"${path}_gen_$fp",
+      cur.drop("cell").join(re, Seq("id"))
+        .select(col("id"), col("vq"), col("nq"), col("cell")),
+      gcDirs = Seq(oldDir, stagingDir(oldDir)))
   }
 }

@@ -50,6 +50,18 @@ import org.apache.spark.sql.functions.col
   * explicit id, so concurrent appends land above the horizon and
   * survive (see its object doc).
   */
+object GenIndex {
+  /** Catalog table-base for a registry index at `path`: a stable
+    * per-path suffix (md5 prefix — catalog names can't hold slashes)
+    * under the registry family's prefix. One definition (review: the
+    * idiom was copy-pasted into three registries; a naming-scheme
+    * change applied to fewer than all of them would silently diverge
+    * their catalog tables). */
+  def tableBaseFor(prefix: String, path: String): String =
+    prefix + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+}
+
 class GenIndex(tableBase: String, rootLocation: String,
                schemaDDL: String, bucketCols: Seq[String], nBuckets: Int) {
   require(bucketCols.nonEmpty && nBuckets > 0)

@@ -112,8 +112,7 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     * part of the identity: an existing index keeps its layout; size
     * it for the target cluster up front. */
   private val index = new GenIndex(
-    "graft_neardup_idx_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString,
+    GenIndex.tableBaseFor("graft_neardup_idx_", path),
     path + "_band_idx",
     "id BIGINT, sig ARRAY<BIGINT>, band INT, band_key STRING",
     Seq("band", "band_key"), nBuckets)

@@ -727,6 +727,14 @@ object Similarity {
     require(k >= 1, "oversampledSeeds: k must be >= 1")
     require(rounds >= 1, "oversampledSeeds: rounds must be >= 1")
     val l = if (ell > 0) ell else 2 * k
+    // the pool is capped at 1 + rounds*l rows by construction; if the
+    // PARAMETERS cannot reach k the caller gets a silently degraded
+    // quantizer (fewer-than-k seeds on an arbitrarily large corpus) —
+    // fail loudly instead. A pool short of k because the CORPUS ran
+    // out (exhausted) remains the legitimate maximinSeeds contract.
+    require(1L + rounds.toLong * l >= k,
+      s"oversampledSeeds: 1 + rounds*ell = ${1L + rounds.toLong * l} can " +
+        s"never reach k=$k — raise ell or rounds")
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = Dedup.DefaultMaterialize(corpus

@@ -42,8 +42,7 @@ class WinnowRegistry(path: String, n: Int, w: Int, minShared: Int,
     * in-place INSERT OVERWRITE could lose the whole index to a
     * crash between delete and rewrite). */
   private val index = new GenIndex(
-    "graft_winnow_idx_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString,
+    GenIndex.tableBaseFor("graft_winnow_idx_", path),
     path + "_fp_idx", "id BIGINT, h BIGINT", Seq("h"), nBuckets)
   /** Where the bucketed fingerprint-index files currently live
     * (generation-aware; public so specs can assert the persistence). */

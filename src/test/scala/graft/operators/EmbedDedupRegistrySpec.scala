@@ -159,6 +159,14 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       reg.dedupAppend(bigB, bigCents, "vec_id", "embedding")
     }
+    // batch_id is reserved by the BATCH-KEYED sink path only: the
+    // idempotent sink would silently overwrite a data column of that
+    // name (review) — refused up front; plain dedupAppend, whose
+    // sinks are caller-defined, accepts it
+    intercept[IllegalArgumentException] {
+      reg.dedupAppendBatch(b.withColumn("batch_id", lit(5L)), cents,
+        "vec_id", "embedding", dir + "_sink", batchId = 1L)
+    }
   }
 
   test("refit migrates to a larger centroid set; probes are replay-equivalent") {
@@ -259,6 +267,17 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     val b2 = Seq((20L, Array(0.7f, 0.7f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     assert(reg.dedupAppend(b2, cents, "vec_id", "embedding")
       .select("vec_id").as[Long].collect().toSet == Set(20L))
+    assert(reg.read(spark).count() == 3)
+    // generation names are DETERMINISTIC counters (_c1, _c2, ...) and
+    // each fold GCs its predecessor: after this second fold exactly
+    // one _gen_ directory remains — a crashed attempt's orphan would
+    // be reclaimed by the retry's clear-before-build on the same name
+    assert(reg.compactStaging(spark))
+    val parent = new java.io.File(dir).getParentFile
+    val gens = parent.listFiles.map(_.getName)
+      .filter(n => n.startsWith("reg_gen_") && !n.endsWith("_staged"))
+    assert(gens.length == 1, gens.mkString(", "))
+    assert(gens.head.endsWith("_c2"), gens.head)
     assert(reg.read(spark).count() == 3)
   }
 
