@@ -363,10 +363,22 @@ object ScaleCheck {
     // the refit are setup (untimed); the timed number is the
     // steady-state per-batch cost a production ingest loop pays,
     // which must stay ~flat as history grows.
-    if (wantRow("registry steady-state probe (oph lexical + refit semantic)")) {
+    // the ANN-serving row shares this block's seeded registries (the
+    // wantMinhashPair pattern: setup runs when EITHER row is wanted,
+    // each measurement and fmtRow gates individually). probeTopK is
+    // read-only, so it is timed BEFORE the mutating steady append —
+    // a fixed 8-query batch against 1x/10x/100x history must stay
+    // ~flat now that the probe prunes the store to its routed cells
+    // (the review fix this row exists to measure).
+    val wantSteady =
+      wantRow("registry steady-state probe (oph lexical + refit semantic)")
+    val wantAnn = wantRow("registry ann probe (probetopk, fixed 8 queries)")
+    if (wantSteady || wantAnn) {
       val embBatch = copyEmb(999).localCheckpoint(true)
-      fmtRow("registry steady-state probe (OPH lexical + refit semantic)",
-        "registry_probe_steady", mults.map { m =>
+      val qs8 = copyEmb(0)
+        .filter(col("vec_id") >= 12 && col("vec_id") < 20)
+        .localCheckpoint(true)
+      val pairs = mults.map { m =>
         try {
           val lex = new operators.NearDupRegistry(s"$root/sslex$m/r",
             numPerm = 32, bands = 8, rowsPerBand = 4, simThreshold = 0.5,
@@ -400,19 +412,30 @@ object ScaleCheck {
             "vec_id", "embedding").count()
           require(sem.compactStaging(spark),
             "steady-state setup: compactStaging must fold the staged append")
+          // read-only, so min-of-two; must run before the steady
+          // append mutates the store
+          val tAnn = if (!wantAnn) None else Some(time2(
+            sem.probeTopK(qs8, c2, "vec_id", "embedding", k = 5).count()))
           // time() once, not time2: a second pass would measure the
           // replay (everything self-matches, nothing appends) — a
           // different, cheaper operation than the steady-state probe
-          Some(time {
+          val tSteady = if (!wantSteady) None else Some(time {
             lex.dedupAppend(batch, "doc_id", "text").count()
             sem.dedupAppend(embBatch, c2, "vec_id", "embedding").count()
           })
+          (tSteady, tAnn)
         } catch {
           case e: Exception =>
             System.err.println(s"[scalecheck] steady-state x$m: ${e.getMessage}")
-            None
+            (None, None)
         }
-      })
+      }
+      if (wantSteady)
+        fmtRow("registry steady-state probe (OPH lexical + refit semantic)",
+          "registry_probe_steady", pairs.map(_._1))
+      if (wantAnn)
+        fmtRow("registry ANN probe (probeTopK, fixed 8 queries)",
+          "registry_ann_probe", pairs.map(_._2))
     }
 
     // incremental CC: fold a FIXED 300-edge batch into the standing
