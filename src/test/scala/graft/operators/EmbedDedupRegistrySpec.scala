@@ -281,6 +281,35 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     assert(reg.read(spark).count() == 3)
   }
 
+  test("compactStaging retry reclaims a crashed attempt's orphan " +
+    "generation (deterministic target name)") {
+    val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    val b = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    reg.dedupAppend(b, cents, "vec_id", "embedding")
+    assert(reg.compactStaging(spark)) // -> ..._c1
+    val parent = new java.io.File(dir).getParentFile
+    val gen1 = parent.listFiles.map(_.getName)
+      .find(n => n.startsWith("reg_gen_") && n.endsWith("_c1")).get
+    // simulate a crash between the c2 write and the sidecar swap:
+    // the DETERMINISTIC next target already exists with stale content
+    val orphan = new java.io.File(parent, gen1.stripSuffix("_c1") + "_c2")
+    assert(orphan.mkdirs())
+    val junk = new java.io.File(orphan, "part-junk.parquet")
+    java.nio.file.Files.writeString(junk.toPath, "not parquet")
+    // the retry: stage another row, fold — must land on the SAME _c2
+    // name (clear-before-build reclaims the orphan), swap, and read
+    // back exactly the two real rows
+    val b2 = Seq((9L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    reg.dedupAppend(b2, cents, "vec_id", "embedding")
+    assert(reg.compactStaging(spark))
+    assert(!junk.exists())
+    val gens = parent.listFiles.map(_.getName)
+      .filter(n => n.startsWith("reg_gen_") && !n.endsWith("_staged"))
+    assert(gens.toSeq == Seq(gen1.stripSuffix("_c1") + "_c2"), gens.mkString(", "))
+    assert(reg.read(spark).select("id").as[Long].collect().toSet == Set(1L, 9L))
+  }
+
   test("probeTopK's pruned read returns exactly the unpruned answer " +
     "across a mixed compacted+staging store") {
     val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"

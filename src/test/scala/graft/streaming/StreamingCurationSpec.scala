@@ -127,12 +127,16 @@ class StreamingCurationSpec extends SparkSpec {
     val reg = new graft.operators.EmbedDedupRegistry(
       s"$dir/registry", epsPermille = 980)
     val in = MemoryStream[(Long, Seq[Float])]
+    // the PRODUCTION wiring: foreachBatch's id goes straight into
+    // dedupAppendBatch, so the corpus sink is batch-keyed and
+    // exactly-once (the class-doc contract) — not the raw append-mode
+    // persist whose crash window the batch-keyed layout closes
     val q = MicroBatchPipeline.start(
       in.toDF().toDF("vec_id", "embedding"),
       identity,
-      (batch, _) => {
-        reg.dedupAppend(batch, cents, "vec_id", "embedding",
-          persist = out => out.write.mode("append").parquet(corpus))
+      (batch, id) => {
+        reg.dedupAppendBatch(batch, cents, "vec_id", "embedding",
+          sinkPath = corpus, batchId = id)
         ()
       },
       intervalMs = 100)
