@@ -999,12 +999,22 @@ object Similarity {
   def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
                    eps: Double, maxIter: Int,
                    targetCell: Long = 64L,
-                   hierAboveCells: Int = HierRoutingCells): DataFrame = {
+                   hierAboveCells: Int = HierRoutingCells,
+                   cellCap: Int = 0): DataFrame = {
+    // cellCap > 0 arms the skew valve (semDedupCapped's salting) on
+    // WHICHEVER assignment the router picks — a skewed corpus
+    // concentrates one cell regardless of how the cell was chosen;
+    // 0 (default) keeps the exact uncapped tail and oracle parity
+    val tail = (asg: DataFrame) =>
+      if (cellCap > 0) cappedTail(asg, eps, cellCap)
+      else semDedupTail(asg, eps)
     val cells = derivedCells(corpus.count(), targetCell)
     if (cells > hierAboveCells) {
       val (_, fine, asgC) = fitWithBlocks(corpus, idCol, vecCol, cells, maxIter)
-      semDedupTail(hierarchicalAssignFromBlocks(asgC, fine), eps)
-    } else semDedupFlat(corpus, idCol, vecCol, eps, maxIter, cells)
+      tail(hierarchicalAssignFromBlocks(asgC, fine))
+    } else tail(assignCellsScored(corpus,
+      kmeansFit(corpus, corpus.filter(col(idCol) < cells), idCol, vecCol,
+        maxIter), idCol, vecCol))
   }
 
   /** The FLAT reference implementation at any corpus size — the
@@ -1100,9 +1110,20 @@ object Similarity {
     * back. */
   def semDedupCapped(corpus: DataFrame, centroids: DataFrame,
                      idCol: String, vecCol: String, eps: Double,
-                     cellCap: Int): DataFrame = {
+                     cellCap: Int): DataFrame =
+    cappedTail(assignCellsScored(corpus, centroids, idCol, vecCol),
+      eps, cellCap)
+
+  /** The skew valve applied to ANY (id, v, n2, cell, cs) assignment —
+    * flat or hierarchical (the salting never looks at how `cell` was
+    * chosen): count cells, salt over-cap cells into deterministic
+    * sub-cells, run the blocked tail on (cell, sub). Factored out so
+    * the ROUTED default path keeps the valve (review preemption: the
+    * hierarchy fixed the assignment cliff, but a skewed corpus
+    * concentrates one fine cell just the same). */
+  private def cappedTail(asg: DataFrame, eps: Double,
+                         cellCap: Int): DataFrame = {
     require(cellCap >= 1, "semDedupCapped: cellCap must be >= 1")
-    val asg = assignCellsScored(corpus, centroids, idCol, vecCol)
     val counts = asg.groupBy("cell").agg(count(lit(1)).as("cnt"))
     val salted = asg.join(broadcast(counts), Seq("cell"))
       .withColumn("nsub", expr(s"(cnt + ${cellCap - 1}) div $cellCap"))
@@ -1161,10 +1182,13 @@ object Similarity {
     * would pick; q201 measures the agreement rate). */
   def hierarchicalSemDedupAuto(corpus: DataFrame, idCol: String,
                                vecCol: String, eps: Double, maxIter: Int,
-                               targetCell: Long = 64L): DataFrame = {
+                               targetCell: Long = 64L,
+                               cellCap: Int = 0): DataFrame = {
     val k = derivedCells(corpus.count(), targetCell)
     val (_, fine, asgC) = fitWithBlocks(corpus, idCol, vecCol, k, maxIter)
-    semDedupTail(hierarchicalAssignFromBlocks(asgC, fine), eps)
+    val asg = hierarchicalAssignFromBlocks(asgC, fine)
+    if (cellCap > 0) cappedTail(asg, eps, cellCap)
+    else semDedupTail(asg, eps)
   }
 
   /** Two-hop assignment under a fitted hierarchical quantizer: route

@@ -922,6 +922,20 @@ object TrainingData extends QueryGroup {
           col("sem_cluster"), col("kept"))
     }),
 
+    // the skew valve COMPOSED with the two-level quantizer — the
+    // 100 TB default path under a skewed corpus: q200's coarse->fine
+    // assignment, q202's salting on its fine cells (the valve never
+    // looks at how `cell` was chosen), one verdict per vector. This
+    // is the configuration a production run of the routed default
+    // would arm (semDedupAuto(cellCap=...)); oracle replays the same
+    // hier CTE chain + the salted tail.
+    "q209_capped_hier_semdedup" -> ((s, dir) =>
+      Similarity.hierarchicalSemDedupAuto(Tables.embeddings(s, dir),
+          "vec_id", "embedding", eps = SemDedupEps, maxIter = KmFitIter,
+          targetCell = SemCellTarget, cellCap = 40)
+        .select(col("id").as("vec_id"), col("cell"), col("centroid_sim"),
+          col("sem_cluster"), col("kept"))),
+
     // ONE-permutation-hashing MinHash (Li et al. 2012; rotation
     // densification per Shrivastava & Li 2014): the 32-entry
     // signature from ONE hash evaluation per shingle instead of 32 —
@@ -2678,6 +2692,38 @@ object TrainingData extends QueryGroup {
          comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
          mem AS (SELECT asg.vec_id, asg.cell, asg.cs, comp.cluster
            FROM asg LEFT JOIN comp ON asg.vec_id = comp.id),
+         kp AS (SELECT cluster, vec_id AS keep_id FROM (
+             SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+               ORDER BY cs ASC NULLS LAST, vec_id ASC) AS rn
+             FROM mem WHERE cluster IS NOT NULL) WHERE rn = 1)
+         SELECT m.vec_id, m.cell, m.cs AS centroid_sim, m.cluster AS sem_cluster,
+           (m.cluster IS NULL OR m.vec_id = kp.keep_id) AS kept
+         FROM mem m LEFT JOIN kp ON m.cluster = kp.cluster""",
+
+    // q200's hier assignment + q202's salted tail: cells over cap 40
+    // split into md5-deterministic sub-cells, pairs within (cell, sub)
+    "q209_capped_hier_semdedup" ->
+      s"""WITH RECURSIVE $hierCtes
+         cnts AS (SELECT cell, count(*) AS cnt FROM fasg GROUP BY 1),
+         ssub AS MATERIALIZED (SELECT a.*, (cnt + 39) // 40 AS nsub,
+             ${dMd5Long("a.vec_id::VARCHAR", 12)} % ((cnt + 39) // 40) AS sub
+           FROM fasg a JOIN cnts USING (cell)),
+         prs AS (SELECT id_a, id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${dDot("a.v", "b.v")} / sqrt(a.n2 * b.n2), 6) AS cs2
+             FROM ssub a JOIN ssub b
+               ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id)
+           WHERE NOT isnan(cs2) AND cs2 >= $SemDedupEps),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         mem AS (SELECT fasg.vec_id, fasg.cell, fasg.cs, comp.cluster
+           FROM fasg LEFT JOIN comp ON fasg.vec_id = comp.id),
          kp AS (SELECT cluster, vec_id AS keep_id FROM (
              SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
                ORDER BY cs ASC NULLS LAST, vec_id ASC) AS rn

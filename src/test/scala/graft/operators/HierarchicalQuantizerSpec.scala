@@ -250,6 +250,37 @@ class HierarchicalQuantizerSpec extends SparkSpec {
     assert(probe(pHier).nonEmpty)
   }
 
+  test("the skew valve composes with the router: cap above every cell " +
+    "is byte-identical to uncapped on both arms, and the capped flat " +
+    "route equals explicit semDedupCapped") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "cell", "centroid_sim", "sem_cluster", "kept")
+      .collect().map(_.toSeq).toSet
+    // cap 100 >= every cell population (4): the salting is nsub = 1
+    // everywhere, so both routed arms must equal their uncapped paths
+    assert(rows(Similarity.semDedupAuto(corpus16, "vec_id", "embedding",
+        eps = 0.99, maxIter = 5, targetCell = 4L, cellCap = 100)) ===
+      rows(Similarity.semDedupFlatAuto(corpus16, "vec_id", "embedding",
+        eps = 0.99, maxIter = 5, targetCell = 4L)))
+    assert(rows(Similarity.semDedupAuto(corpus16, "vec_id", "embedding",
+        eps = 0.99, maxIter = 5, targetCell = 4L, hierAboveCells = 1,
+        cellCap = 100)) ===
+      rows(Similarity.hierarchicalSemDedupAuto(corpus16, "vec_id",
+        "embedding", eps = 0.99, maxIter = 5, targetCell = 4L)))
+    // a binding cap (2 < pop 4): the routed flat arm must match the
+    // explicit semDedupCapped over the same fitted centroids exactly
+    val fitted = Similarity.kmeansFit(corpus16,
+      corpus16.filter(col("vec_id") < 4), "vec_id", "embedding", 5)
+    assert(rows(Similarity.semDedupAuto(corpus16, "vec_id", "embedding",
+        eps = 0.99, maxIter = 5, targetCell = 4L, cellCap = 2)) ===
+      rows(Similarity.semDedupCapped(corpus16, fitted, "vec_id",
+        "embedding", eps = 0.99, cellCap = 2)))
+    // and the capped hier arm still emits one verdict per vector
+    assert(Similarity.hierarchicalSemDedupAuto(corpus16, "vec_id",
+      "embedding", eps = 0.99, maxIter = 5, targetCell = 4L,
+      cellCap = 2).count() === 16L)
+  }
+
   test("semDedup tail under the hierarchy: planted dup pair resolves " +
     "by the keep rule, everything else survives") {
     // ids 0 and 4 are cluster-A members 0.0002 apart in one minor dim
