@@ -412,20 +412,29 @@ object ScaleCheck {
             "vec_id", "embedding").count()
           require(sem.compactStaging(spark),
             "steady-state setup: compactStaging must fold the staged append")
+          // each measurement fails ALONE (review: one shared catch
+          // threw away a completed ANN timing when the later steady
+          // append OOM'd — exactly the 100x cell that matters most)
+          def guard(tag: String)(f: => Double): Option[Double] =
+            try Some(f) catch {
+              case e: Exception =>
+                System.err.println(s"[scalecheck] $tag x$m: ${e.getMessage}")
+                None
+            }
           // read-only, so min-of-two; must run before the steady
           // append mutates the store
-          val tAnn = if (!wantAnn) None else Some(time2(
+          val tAnn = if (!wantAnn) None else guard("ann-probe")(time2(
             sem.probeTopK(qs8, c2, "vec_id", "embedding", k = 5).count()))
           // time() once, not time2: a second pass would measure the
           // replay (everything self-matches, nothing appends) — a
           // different, cheaper operation than the steady-state probe
-          val tSteady = if (!wantSteady) None else Some(time {
+          val tSteady = if (!wantSteady) None else guard("steady-state")(time {
             lex.dedupAppend(batch, "doc_id", "text").count()
             sem.dedupAppend(embBatch, c2, "vec_id", "embedding").count()
           })
           (tSteady, tAnn)
         } catch {
-          case e: Exception =>
+          case e: Exception => // shared SETUP failed — nothing measured
             System.err.println(s"[scalecheck] steady-state x$m: ${e.getMessage}")
             (None, None)
         }

@@ -294,8 +294,10 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     val spark = batch.sparkSession
     // reserved columns (the DedupRegistry _reg_fp rule): a batch
     // carrying vq/nq/cell would be silently clobbered or fail with
-    // an ambiguous-column error deep in the plan
-    val reserved = Seq("vq", "nq", "cell").filter(batch.columns.contains)
+    // an ambiguous-column error deep in the plan. Case-INSENSITIVE:
+    // Spark resolution is, so a "Cell" column collides just the same
+    val reserved = Seq("vq", "nq", "cell")
+      .filter(r => batch.columns.exists(_.equalsIgnoreCase(r)))
     require(reserved.isEmpty,
       s"EmbedDedupRegistry: batch must not contain reserved column(s) ${reserved.mkString(", ")}")
     val (fp, dim) = centroidInfo(centroids, idCol, vecCol)
@@ -436,7 +438,9 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     // column it adds, so a data column of that name would be silently
     // overwritten in the sink while the returned rows keep the
     // original values — corruption the caller cannot see
-    require(!batch.columns.contains("batch_id"),
+    // case-insensitive like the vq/nq/cell guard: withColumn resolves
+    // case-insensitively, so "Batch_ID" would be clobbered just the same
+    require(!batch.columns.exists(_.equalsIgnoreCase("batch_id")),
       "EmbedDedupRegistry.dedupAppendBatch: batch must not contain a " +
         "batch_id column (the idempotent sink keys its partitions on it)")
     dedupAppend(batch, centroids, idCol, vecCol,

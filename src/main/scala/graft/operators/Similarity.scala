@@ -1004,17 +1004,39 @@ object Similarity {
     // cellCap > 0 arms the skew valve (semDedupCapped's salting) on
     // WHICHEVER assignment the router picks — a skewed corpus
     // concentrates one cell regardless of how the cell was chosen;
-    // 0 (default) keeps the exact uncapped tail and oracle parity
-    val tail = (asg: DataFrame) =>
-      if (cellCap > 0) cappedTail(asg, eps, cellCap)
-      else semDedupTail(asg, eps)
+    // 0 (default) keeps the exact uncapped tail and oracle parity.
+    // Both arms are THE shared helpers (review: an inlined copy here
+    // would silently drift from the explicit-sibling parity the
+    // routing spec and the q183/q200 oracles assume).
     val cells = derivedCells(corpus.count(), targetCell)
-    if (cells > hierAboveCells) {
-      val (_, fine, asgC) = fitWithBlocks(corpus, idCol, vecCol, cells, maxIter)
-      tail(hierarchicalAssignFromBlocks(asgC, fine))
-    } else tail(assignCellsScored(corpus,
+    if (cells > hierAboveCells)
+      hierArm(corpus, idCol, vecCol, eps, maxIter, cells, cellCap)
+    else flatArm(corpus, idCol, vecCol, eps, maxIter, cells, cellCap)
+  }
+
+  /** The flat route at a KNOWN cell count: id-low-seed fit, flat
+    * struct-max assignment, (optionally capped) blocked tail —
+    * shared verbatim by semDedupAuto's below-threshold arm and
+    * semDedupFlatAuto. */
+  private def flatArm(corpus: DataFrame, idCol: String, vecCol: String,
+                      eps: Double, maxIter: Int, cells: Int,
+                      cellCap: Int): DataFrame = {
+    val asg = assignCellsScored(corpus,
       kmeansFit(corpus, corpus.filter(col(idCol) < cells), idCol, vecCol,
-        maxIter), idCol, vecCol))
+        maxIter), idCol, vecCol)
+    if (cellCap > 0) cappedTail(asg, eps, cellCap)
+    else semDedupTail(asg, eps)
+  }
+
+  /** The two-level route at a KNOWN cell count — shared verbatim by
+    * semDedupAuto's above-threshold arm and hierarchicalSemDedupAuto. */
+  private def hierArm(corpus: DataFrame, idCol: String, vecCol: String,
+                      eps: Double, maxIter: Int, k: Int,
+                      cellCap: Int): DataFrame = {
+    val (_, fine, asgC) = fitWithBlocks(corpus, idCol, vecCol, k, maxIter)
+    val asg = hierarchicalAssignFromBlocks(asgC, fine)
+    if (cellCap > 0) cappedTail(asg, eps, cellCap)
+    else semDedupTail(asg, eps)
   }
 
   /** The FLAT reference implementation at any corpus size — the
@@ -1024,15 +1046,8 @@ object Similarity {
   def semDedupFlatAuto(corpus: DataFrame, idCol: String, vecCol: String,
                        eps: Double, maxIter: Int,
                        targetCell: Long = 64L): DataFrame =
-    semDedupFlat(corpus, idCol, vecCol, eps, maxIter,
-      derivedCells(corpus.count(), targetCell))
-
-  private def semDedupFlat(corpus: DataFrame, idCol: String, vecCol: String,
-                           eps: Double, maxIter: Int, cells: Int): DataFrame =
-    semDedup(corpus,
-      kmeansFit(corpus, corpus.filter(col(idCol) < cells), idCol, vecCol,
-        maxIter),
-      idCol, vecCol, eps)
+    flatArm(corpus, idCol, vecCol, eps, maxIter,
+      derivedCells(corpus.count(), targetCell), cellCap = 0)
 
   /** TWO-STAGE retrieval: a cheap coarse scorer proposes candidates,
     * the exact float cosine re-ranks them and keeps k — the
@@ -1183,13 +1198,9 @@ object Similarity {
   def hierarchicalSemDedupAuto(corpus: DataFrame, idCol: String,
                                vecCol: String, eps: Double, maxIter: Int,
                                targetCell: Long = 64L,
-                               cellCap: Int = 0): DataFrame = {
-    val k = derivedCells(corpus.count(), targetCell)
-    val (_, fine, asgC) = fitWithBlocks(corpus, idCol, vecCol, k, maxIter)
-    val asg = hierarchicalAssignFromBlocks(asgC, fine)
-    if (cellCap > 0) cappedTail(asg, eps, cellCap)
-    else semDedupTail(asg, eps)
-  }
+                               cellCap: Int = 0): DataFrame =
+    hierArm(corpus, idCol, vecCol, eps, maxIter,
+      derivedCells(corpus.count(), targetCell), cellCap)
 
   /** Two-hop assignment under a fitted hierarchical quantizer: route
     * each vector to its `nprobeCoarse` closest coarse blocks
