@@ -257,6 +257,20 @@ object ScaleCheck {
         Tables.embeddings(spark, dirs(m)), "vec_id", "embedding",
         eps = 0.05, maxIter = 2).count(): Unit
     }
+    // the routed default with the skew valve ARMED (q209's
+    // configuration, cellCap=64 ~ targetCell): on this near-uniform
+    // synthetic corpus the cap barely binds, so the honest claim
+    // this row carries is "arming the valve costs ~nothing when the
+    // data is not skewed" — the worst-case ~cap^2 bound under real
+    // skew is structural (semDedupCapped's salting argument, spec'd)
+    // one-word name prefix differs from the uncapped row's: row()'s
+    // json key is the first word, and identical keys silently
+    // overwrite each other in the machine-readable line
+    row("semDedupAutoCapped (routed + skew valve, cellCap=64)") { m =>
+      operators.Similarity.semDedupAuto(
+        Tables.embeddings(spark, dirs(m)), "vec_id", "embedding",
+        eps = 0.05, maxIter = 2, cellCap = 64).count(): Unit
+    }
     // the EXPLICIT flat arm, uncapped — after the argmax-aggregate
     // fix (r7: the 362x assignFlat cliff was the window's
     // vector-carrying n x k shuffle, not the scoring flops) this
