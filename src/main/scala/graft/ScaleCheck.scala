@@ -394,11 +394,18 @@ object ScaleCheck {
         .localCheckpoint(true)
       val pairs = mults.map { m =>
         try {
-          val lex = new operators.NearDupRegistry(s"$root/sslex$m/r",
-            numPerm = 32, bands = 8, rowsPerBand = 4, simThreshold = 0.5,
-            sigMode = "oph")
-          lex.dedupAppend(Tables.documents(spark, dirs(m)), "doc_id", "text")
-            .count()
+          // the lexical seed costs a full Nx-corpus signature pass
+          // and ONLY the steady row consumes it — an ANN-only
+          // rowFilter must not pay it (the per-row gating discipline
+          // the measurements below follow)
+          val lexOpt = if (!wantSteady) None else {
+            val lex = new operators.NearDupRegistry(s"$root/sslex$m/r",
+              numPerm = 32, bands = 8, rowsPerBand = 4, simThreshold = 0.5,
+              sigMode = "oph")
+            lex.dedupAppend(Tables.documents(spark, dirs(m)), "doc_id",
+              "text").count()
+            Some(lex)
+          }
           val embM = Tables.embeddings(spark, dirs(m))
           val k1 = operators.Similarity.derivedCells(embM.count())
           // seed/refit centroid sets by SORTED-id prefix, not an id
@@ -443,7 +450,7 @@ object ScaleCheck {
           // replay (everything self-matches, nothing appends) — a
           // different, cheaper operation than the steady-state probe
           val tSteady = if (!wantSteady) None else guard("steady-state")(time {
-            lex.dedupAppend(batch, "doc_id", "text").count()
+            lexOpt.get.dedupAppend(batch, "doc_id", "text").count()
             sem.dedupAppend(embBatch, c2, "vec_id", "embedding").count()
           })
           (tSteady, tAnn)

@@ -271,11 +271,16 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
                              sigs: DataFrame, gcDirs: Seq[String]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ndp = new org.apache.hadoop.fs.Path(newDir)
-    if (fs.exists(ndp)) fs.delete(ndp, true)
+    // STATIC overwrite pinned per-write: it replaces the WHOLE
+    // destination dir, which is also what reclaims a crashed earlier
+    // attempt's junk files (a session-level dynamic
+    // partitionOverwriteMode would only replace the buckets this
+    // write produces — pinning here keeps one reclamation mechanism
+    // independent of ambient config)
     sigs.withColumn("cellb", pmod(col("cell"), lit(DirBuckets.toLong)))
       .repartition(col("cellb"))
-      .write.mode("overwrite").partitionBy("cellb").parquet(newDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cellb").parquet(newDir)
     writeMeta(spark, fp, newDir) // the atomic cutover
     gcDirs.filter(_ != newDir).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
@@ -347,7 +352,8 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     // ivfTopKPartitioned's probe-cell collect)
     val cells = winners.select("cell").distinct().collect().map(_.getLong(0))
     val reg = probeRead(spark, cells.toSeq)
-      .select(col("vq").as("rvq"), col("nq").as("rnq"), col("cell"))
+      .select(col("id").as("rid"), col("vq").as("rvq"),
+        col("nq").as("rnq"), col("cell"))
     val e2 = epsPermille.toLong * epsPermille
     val matched = winners
       .join(reg, Seq("cell"))
@@ -358,8 +364,21 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       // vector in its cell as a dup — one degenerate embedding must
       // not silently poison a cell. cos >= eps > 0 implies qdot > 0
       // for any real match, so nothing true is lost.
-      .filter(col("qdot") > 0 &&
-        col("qdot") * col("qdot") * 1000000L >= lit(e2) * col("nq") * col("rnq"))
+      // ID SELF-MATCH alongside the cosine test: ids are unique in a
+      // registry by construction (one signature per accepted vector),
+      // so an incoming id already present in the probed cells is
+      // definitionally a replay of an appended batch — including the
+      // zero-norm vector the qdot > 0 guard excludes from cosine
+      // matching. Without it, a post-append replay's survivor set is
+      // {the degenerate rows} (nonempty), and the batch-keyed
+      // dynamic overwrite would REPLACE the batch partition with just
+      // those rows — deleting the first run's survivors from the
+      // sink. Cell routing is deterministic even at nq = 0 (argmax
+      // tie-breaks on centroid id), so the replayed row always probes
+      // the cell its first-run signature landed in.
+      .filter(col(idCol) === col("rid") ||
+        (col("qdot") > 0 &&
+          col("qdot") * col("qdot") * 1000000L >= lit(e2) * col("nq") * col("rnq")))
       .select(col(idCol)).distinct()
     val fresh = winners.join(matched, Seq(idCol), "left_anti")
 
@@ -425,8 +444,10 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * whether the crash hit before or after the signature append —
     * leaves exactly one copy of every surviving row in the sink.
     * A replay after the append survives too: its survivor set is
-    * empty (everything self-matches), an empty dynamic overwrite
-    * touches no partitions, and the first run's rows stand.
+    * empty (everything self-matches — zero-norm vectors, which the
+    * cosine test cannot see, by the id self-match in dedupAppend),
+    * an empty dynamic overwrite touches no partitions, and the
+    * first run's rows stand.
     * `batchId` is the caller's ingest sequence number — the same
     * contract as foreachBatch's batch id, which is exactly what to
     * pass when this runs inside the streaming curation loop. */

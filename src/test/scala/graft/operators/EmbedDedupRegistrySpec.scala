@@ -118,6 +118,40 @@ class EmbedDedupRegistrySpec extends SparkSpec {
         "batch-keyed layout closes")
   }
 
+  test("zero-norm survivor: post-append replay leaves the batch's " +
+    "other survivors in the sink (id self-match covers what the " +
+    "cosine test cannot)") {
+    // A near-zero embedding quantizes to all-zero int8 (|x|*127 <
+    // 0.5 rounds to 0): nq = 0, so its stored signature is invisible
+    // to the qdot > 0 cosine match. Before the id self-match, a
+    // replay AFTER the signature append re-survived exactly that row
+    // — a NONEMPTY survivor set — and the batch-keyed dynamic
+    // overwrite replaced partition batch_id=3 with it alone,
+    // silently deleting the first run's other survivors from the
+    // corpus sink. Off-axis from every other member so the in-batch
+    // float-cosine SemDeDup pass (which sees the unquantized vector)
+    // keeps all three.
+    val root = Files.createTempDirectory("graft_eregz_").toString
+    val reg = new EmbedDedupRegistry(s"$root/reg", epsPermille = 980)
+    val sink = s"$root/sink"
+    val b = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 0.003f, 0.0f)),
+      (9L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out1 = reg.dedupAppendBatch(b, cents, "vec_id", "embedding", sink, 3L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out1 == Set(1L, 5L, 9L))
+    assert(reg.read(spark).count() == 3)
+    // the post-append replay must self-match COMPLETELY
+    assert(reg.dedupAppendBatch(b, cents, "vec_id", "embedding", sink, 3L)
+      .count() == 0)
+    val sunk = spark.read.parquet(sink)
+      .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
+    assert(sunk == Map(1L -> 1L, 5L -> 1L, 9L -> 1L),
+      s"replay must leave the first run's survivors standing, got $sunk")
+  }
+
   test("centroid-identity guard refuses a mismatched probe") {
     val dir = Files.createTempDirectory("graft_ereg_").toString + "/reg"
     val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
