@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   */
 class DedupRegistry(path: String, nBuckets: Int = 8) {
 
-  private val index = new GenIndex(
+  private[operators] val index = new GenIndex(
     GenIndex.tableBaseFor("graft_dedup_reg_", path),
     path, "fp STRING", Seq("fp"), nBuckets)
 

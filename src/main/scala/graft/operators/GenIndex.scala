@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions.col
   * then swaps a one-line sidecar by atomic rename — the
   * EmbedDedupRegistry refit discipline. A crash before the swap
   * leaves generation N fully active (the half-built N+1 is garbage,
-  * cleared on the next attempt); after the swap, N+1 is active and
-  * the old directories are deleted best-effort (an orphaned old
-  * generation is garbage, never corruption).
+  * cleared on the next attempt); after the swap, N+1 is active,
+  * generations OLDER than N are deleted best-effort (an orphaned old
+  * generation is garbage, never corruption), and N itself is
+  * retained for in-flight readers until the next rewrite GCs it.
   *
   * Layout: generation 0 lives at `rootLocation` itself (the legacy
   * layout — pre-generation registries resolve with no migration),
@@ -34,21 +35,37 @@ import org.apache.spark.sql.functions.col
   *
   * CONCURRENCY CONTRACT (whole lifecycle family — this class,
   * EmbedDedupRegistry's refit/compactStaging, and every registry
-  * built on them): maintenance (`rewrite`) requires an EXCLUSIVE
-  * writer. An `append` racing a rewrite can land its file group in
-  * the outgoing generation after the rewrite's source scan and
-  * before its GC — those rows would be silently lost. This is the
-  * same assumption Spark's own INSERT OVERWRITE makes; a deployment
-  * that needs concurrent writers puts a commit protocol (a
-  * transactional table format) in front, it does not get one from a
-  * directory swap. Crash-safety (this class's generation contract)
-  * and replay-safety (each registry's idempotent-append algebra) are
-  * separate properties and DO hold without coordination. The one
-  * family member that genuinely supports appends concurrent with its
-  * compaction is AdditiveRegistry — by construction, not by luck:
-  * its horizon-encoded base only ever absorbs batches BELOW an
-  * explicit id, so concurrent appends land above the horizon and
-  * survive (see its object doc).
+  * built on them): maintenance (`rewrite`) still WANTS an exclusive
+  * writer — that is the same assumption Spark's own INSERT OVERWRITE
+  * makes, and a deployment that needs genuinely concurrent writers
+  * puts a commit protocol (a transactional table format) in front.
+  * But silent loss is no longer the failure mode when a scheduler
+  * bug breaks the assumption (VERDICT r7 #3): `rewrite` snapshots
+  * the outgoing generation's committed file list, reads EXACTLY that
+  * list as its source, and after the sidecar swap re-lists the
+  * outgoing directory — any file group a racing `append` landed
+  * after the snapshot is ABSORBED into the new generation (the
+  * transform re-applied to just those files). This is sound because
+  * every transform this family passes is ROW-LOCAL (identity
+  * compaction, per-row forget filters — see `rewrite`'s doc); the
+  * absorbed rows see the same per-row rule they would have seen had
+  * they arrived before the snapshot. Crash-safety (the generation
+  * contract) and replay-safety (each registry's idempotent-append
+  * algebra) are separate properties and hold without coordination.
+  * The one family member that supports concurrent appends WITHOUT
+  * any detection is AdditiveRegistry — by construction: its
+  * horizon-encoded base only ever absorbs batches BELOW an explicit
+  * id, so concurrent appends land above the horizon and survive
+  * (see its object doc).
+  *
+  * READER-vs-GC (VERDICT r7 #4): a rewrite RETAINS the outgoing
+  * generation's directory (and catalog entry) instead of deleting it
+  * post-swap — a long-running reader whose plan was built over
+  * generation N keeps executing against N's files across the swap to
+  * N+1. The retained generation is garbage-collected by the NEXT
+  * rewrite, so disk holds at most one stale generation at a time
+  * (generations older than the outgoing one ARE deleted immediately,
+  * including orphans from crashed swaps).
   */
 object GenIndex {
   /** Catalog table-base for a registry index at `path`: a stable
@@ -67,6 +84,15 @@ class GenIndex(tableBase: String, rootLocation: String,
   require(bucketCols.nonEmpty && nBuckets > 0)
 
   private val genSidecar = rootLocation + "_gen"
+
+  /** TEST SEAM (lifecycle contract spec only — production never sets
+    * it): invoked synchronously right after `rewrite` captures its
+    * source snapshot and before it builds the new generation — the
+    * exact window where a racing `append` lands a file group the
+    * rewrite's scan never saw. Lets the spec interleave a real
+    * registry dedupAppend deterministically instead of racing
+    * threads. */
+  @volatile private[operators] var onSourceSnapshot: () => Unit = () => ()
 
   private def hadoopFs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(rootLocation)
@@ -118,20 +144,36 @@ class GenIndex(tableBase: String, rootLocation: String,
   /** Where the active generation's files live (for specs/tools). */
   def activeLocation(spark: SparkSession): String = location(currentGen(spark))
 
-  /** Committed data files in the active generation. */
-  def dataFileCount(spark: SparkSession): Int = {
+  /** Committed data files under `loc` (full paths, sorted for
+    * deterministic set algebra). */
+  private def listDataFiles(spark: SparkSession, loc: String): Seq[String] = {
     val fs = hadoopFs(spark)
-    val p = new org.apache.hadoop.fs.Path(activeLocation(spark))
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    val p = new org.apache.hadoop.fs.Path(loc)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).collect {
+      case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") => s.getPath.toString
+    }.toSeq.sorted
   }
 
+  /** Committed data files in the active generation. */
+  def dataFileCount(spark: SparkSession): Int =
+    listDataFiles(spark, activeLocation(spark)).size
+
   /** Generation-swap rewrite: build gen N+1 from `transform` of the
-    * active rows, atomically repoint the sidecar, GC old dirs. The
-    * crash-window contract is the class doc's. */
+    * active rows, atomically repoint the sidecar, absorb any file
+    * groups a racing `append` landed in the outgoing generation
+    * after the source snapshot, GC generations OLDER than the
+    * outgoing one (the outgoing generation itself is retained until
+    * the next rewrite — the reader-vs-GC contract in the class doc).
+    *
+    * `transform` MUST be row-local (each output row a function of
+    * one input row — identity and per-row filters qualify; every
+    * transform in this family is one of those): the racing-append
+    * absorption re-applies it to just the late files, which is only
+    * equivalent to having scanned them in the main pass when no
+    * cross-row state exists. A transform that aggregates across rows
+    * would need the exclusive-writer discipline for real. */
   def rewrite(spark: SparkSession,
               transform: DataFrame => DataFrame = identity): Unit = {
     val fs = hadoopFs(spark)
@@ -165,13 +207,27 @@ class GenIndex(tableBase: String, rootLocation: String,
     // load). A plain file scan claims no partitioning, the exchange
     // always materializes, and the file bound holds on any host.
     // Column order is pinned to the table schema (insertInto is
-    // positional); the empty-generation case falls back to the table
-    // scan (nothing to realign).
+    // positional); the empty-snapshot case uses a literal empty frame
+    // of the table schema — NOT the table scan, whose file listing
+    // happens at action time and would also see a racing append's
+    // files, double-counting them with the late-file absorption
+    // below.
+    //
+    // The source is an EXPLICIT file-list snapshot, not a directory
+    // read: the same file set diffed against the post-swap re-listing
+    // below, so a racing append's files are detected exactly — no
+    // TOCTOU between "what the rewrite read" and "what the directory
+    // held" (VERDICT r7 #3).
     val tableCols = spark.table(ensure(spark)).columns
+    val outgoingLoc = activeLocation(spark)
+    val srcFiles = listDataFiles(spark, outgoingLoc)
     val src =
-      if (dataFileCount(spark) == 0) spark.table(ensure(spark))
-      else spark.read.parquet(activeLocation(spark))
+      if (srcFiles.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.table(ensure(spark)).schema)
+      else spark.read.parquet(srcFiles: _*)
         .select(tableCols.map(col): _*)
+    onSourceSnapshot()
     transform(src)
       .repartition(nBuckets, bucketCols.map(col): _*)
       .write.mode("append").insertInto(tableName(next))
@@ -196,9 +252,30 @@ class GenIndex(tableBase: String, rootLocation: String,
       s"GenIndex($rootLocation): sidecar swap to generation $next " +
         s"not visible (read back $seen) — aborting before old-" +
         "generation GC; the pre-rewrite index is still fully active")
-    // best-effort GC of every stale generation (incl. orphans from
-    // swaps that crashed before their own GC)
-    (0 until next).foreach { g =>
+    // RACING-APPEND DETECTION (VERDICT r7 #3): an `append` that read
+    // the sidecar before the swap lands its file group in the
+    // OUTGOING generation; anything there that was not in the source
+    // snapshot was invisible to the rewrite's scan and would have
+    // been silently lost at GC. Re-list and absorb those rows into
+    // the new generation — `transform` re-applied (row-local, see
+    // method doc), same bucket-aligned repartition so the file-count
+    // bound degrades by at most nBuckets, not by the raw late files.
+    // Appends that land AFTER this re-listing read the swapped
+    // sidecar and go to the new generation directly.
+    val lateFiles =
+      (listDataFiles(spark, outgoingLoc).toSet -- srcFiles.toSet).toSeq.sorted
+    if (lateFiles.nonEmpty) {
+      transform(spark.read.parquet(lateFiles: _*)
+          .select(tableCols.map(col): _*))
+        .repartition(nBuckets, bucketCols.map(col): _*)
+        .write.mode("append").insertInto(tableName(next))
+    }
+    // GC generations OLDER than the outgoing one (incl. orphans from
+    // swaps that crashed before their own GC). The outgoing
+    // generation `gen` is RETAINED — already-planned readers keep
+    // executing over its files — and becomes GC-eligible at the next
+    // rewrite, so disk holds at most one stale generation.
+    (0 until gen).foreach { g =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(g)}")
       val p = new org.apache.hadoop.fs.Path(location(g))
       try { if (fs.exists(p)) fs.delete(p, true) } catch { case _: java.io.IOException => }

@@ -111,7 +111,7 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     * table; the Bucketing.scala tag discipline). nBuckets is NOT
     * part of the identity: an existing index keeps its layout; size
     * it for the target cluster up front. */
-  private val index = new GenIndex(
+  private[operators] val index = new GenIndex(
     GenIndex.tableBaseFor("graft_neardup_idx_", path),
     path + "_band_idx",
     "id BIGINT, sig ARRAY<BIGINT>, band INT, band_key STRING",

@@ -41,7 +41,7 @@ class WinnowRegistry(path: String, n: Int, w: Int, minShared: Int,
     * a rewrite path with no forget-history crash window (the old
     * in-place INSERT OVERWRITE could lose the whole index to a
     * crash between delete and rewrite). */
-  private val index = new GenIndex(
+  private[operators] val index = new GenIndex(
     GenIndex.tableBaseFor("graft_winnow_idx_", path),
     path + "_fp_idx", "id BIGINT, h BIGINT", Seq("h"), nBuckets)
   /** Where the bucketed fingerprint-index files currently live

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** The shared GenIndex lifecycle contracts added in round 8 (VERDICT
+  * r7 #3/#4), exercised across the whole registry family — the three
+  * registries share ONE rewrite implementation, and these tests pin
+  * it through each registry's real append path:
+  *
+  *  1. RACING APPEND: a `dedupAppend` that interleaves into a
+  *     `rewrite` (after the rewrite's source snapshot, before its
+  *     swap) lands a file group the rewrite never scanned. The old
+  *     behavior silently lost those rows at GC; the contract now is
+  *     full absorption — the post-rewrite index still gates content
+  *     the raced batch registered. The interleaving is deterministic
+  *     via GenIndex.onSourceSnapshot (a synchronous test seam at the
+  *     exact window), not thread timing.
+  *
+  *  2. READER vs GC: a reader DataFrame planned over generation N
+  *     keeps executing across the swap to N+1 — the outgoing
+  *     generation is retained until the NEXT rewrite GCs it, so disk
+  *     holds at most one stale generation.
+  */
+class GenIndexLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val passage = (1 to 20).map(i => s"gp$i").mkString(" ")
+
+  /** Run `race` inside the window after reg's index snapshots its
+    * rewrite source; always uninstalls the seam. */
+  private def withRaceWindow(index: GenIndex)(race: => Unit)(rewrite: => Unit): Unit = {
+    index.onSourceSnapshot = () => race
+    try rewrite finally index.onSourceSnapshot = () => ()
+  }
+
+  test("DedupRegistry: a dedupAppend racing compactIndex is absorbed, not lost") {
+    val dir = Files.createTempDirectory("graft_race_dd_").toString
+    val reg = new DedupRegistry(s"$dir/reg")
+    def app(id: Long, text: String) =
+      reg.dedupAppend(Seq((id, text)).toDF("doc_id", "text"), "doc_id",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+    // three fragmenting appends so compaction has something to do
+    app(1L, "alpha content one")
+    app(2L, "beta content two")
+    app(3L, "gamma content three")
+    // the RACE: doc 7 registers between the compaction's source
+    // snapshot and its swap — its fp file group lands in the
+    // outgoing generation, invisible to the compaction scan
+    withRaceWindow(reg.index) {
+      assert(app(7L, "raced content seven").count() === 1L)
+    } {
+      assert(reg.compactIndex(spark, maxFiles = 2))
+    }
+    // zero silently-lost rows: the post-compaction index must still
+    // hold doc 7's fingerprint, so a byte-identical re-post is dropped
+    assert(app(8L, "raced content seven").count() === 0L,
+      "racing append's fingerprint was lost by the rewrite")
+    // and the pre-race fingerprints survived the compaction as usual
+    assert(app(9L, "beta content two").count() === 0L)
+  }
+
+  test("NearDupRegistry: a dedupAppend racing compactIndex is absorbed") {
+    val dir = Files.createTempDirectory("graft_race_nd_").toString
+    def mk() = new NearDupRegistry(s"$dir/reg", numPerm = 32, bands = 8,
+      rowsPerBand = 4, simThreshold = 0.5)
+    val reg = mk()
+    val a = "spark engine scans parquet files with vectorized readers and pushes filters down today"
+    reg.dedupAppend(Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
+    reg.dedupAppend(Seq((2L, "entirely different prose about cooking pasta with garlic butter and basil leaves"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    reg.dedupAppend(Seq((3L, "third unrelated document describing mountain hiking trails and alpine weather patterns"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val raced = "completely novel raced material concerning deep sea currents and bioluminescent squid colonies"
+    withRaceWindow(reg.index) {
+      assert(reg.dedupAppend(Seq((7L, raced)).toDF("doc_id", "text"),
+        "doc_id", "text").count() === 1L)
+    } {
+      assert(reg.compactIndex(spark, maxFiles = 2))
+    }
+    // the raced doc's bands survived: a byte-identical re-post probes
+    // as a duplicate from a FRESH instance (exact text, so every band
+    // collides — the test pins absorption, not near-match recall)
+    val hit = mk().probe(
+      Seq((9L, raced)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(col1[Long](hit) == Seq(9L),
+      "racing append's band signatures were lost by the rewrite")
+  }
+
+  test("WinnowRegistry: a dedupAppend racing forget's rewrite is absorbed " +
+    "and still passes the forget filter") {
+    val dir = Files.createTempDirectory("graft_race_wr_").toString
+    val reg = new WinnowRegistry(s"$dir/reg", n = 3, w = 4, minShared = 2)
+    reg.dedupAppend(Seq((1L, s"intro $passage outro")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val p2 = (1 to 20).map(i => s"rr$i").mkString(" ")
+    // the race interleaves into a FORGET rewrite — the row-local
+    // transform case: the absorbed rows run through the same
+    // id-filter the scanned rows did (doc 7 is not a forgotten id,
+    // so every one of its fingerprints must survive)
+    withRaceWindow(reg.index) {
+      assert(reg.dedupAppend(Seq((7L, s"raced $p2 tail"))
+        .toDF("doc_id", "text"), "doc_id", "text").count() === 1L)
+    } {
+      reg.forget(spark, Seq(1L))
+    }
+    // doc 1 forgotten -> its passage admissible again
+    assert(reg.dedupAppend(Seq((8L, s"re post $passage again"))
+      .toDF("doc_id", "text"), "doc_id", "text").count() === 1L)
+    // doc 7's raced fingerprints absorbed -> its passage still gates
+    assert(reg.dedupAppend(Seq((9L, s"quote $p2 frame"))
+      .toDF("doc_id", "text"), "doc_id", "text").count() === 0L,
+      "racing append's fingerprints were lost by the forget rewrite")
+  }
+
+  test("reader planned over the outgoing generation survives the swap; " +
+    "the retained generation is GC'd by the NEXT rewrite") {
+    val dir = Files.createTempDirectory("graft_retain_").toString
+    val reg = new DedupRegistry(s"$dir/reg")
+    def app(id: Long, text: String) =
+      reg.dedupAppend(Seq((id, text)).toDF("doc_id", "text"), "doc_id",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+    app(1L, "one"); app(2L, "two"); app(3L, "three")
+    val genN = reg.indexLocation(spark)
+    // plan (and file-list) a reader over generation N BEFORE the swap
+    val reader = spark.read.parquet(genN)
+    assert(reg.compactIndex(spark, maxFiles = 2))
+    val genN1 = reg.indexLocation(spark)
+    assert(genN1 !== genN)
+    // generation N is retained: the pre-swap plan still executes
+    assert(reader.count() === 3L,
+      "pre-swap reader must keep executing over the retained generation")
+    assert(new java.io.File(new java.net.URI(
+        if (genN.startsWith("file:")) genN else "file://" + genN).getPath)
+      .exists(), "outgoing generation directory must be retained")
+    // the NEXT rewrite GCs exactly the retained generation
+    app(4L, "four"); app(5L, "five"); app(6L, "six")
+    assert(reg.compactIndex(spark, maxFiles = 2))
+    assert(!new java.io.File(new java.net.URI(
+        if (genN.startsWith("file:")) genN else "file://" + genN).getPath)
+      .exists(), "generation N must be GC'd by the N+1 -> N+2 rewrite")
+    // and the N+1 generation is now the retained one
+    assert(new java.io.File(new java.net.URI(
+        if (genN1.startsWith("file:")) genN1 else "file://" + genN1).getPath)
+      .exists(), "generation N+1 must be retained until the next rewrite")
+    // verdicts unchanged throughout
+    assert(app(9L, "two").count() === 0L)
+    assert(app(10L, "genuinely new").count() === 1L)
+  }
+}
