@@ -257,12 +257,13 @@ object ScaleCheck {
         Tables.embeddings(spark, dirs(m)), "vec_id", "embedding",
         eps = 0.05, maxIter = 2).count(): Unit
     }
-    // the routed default with the skew valve ARMED (q209's
-    // configuration, cellCap=64 ~ targetCell): on this near-uniform
-    // synthetic corpus the cap barely binds, so the honest claim
-    // this row carries is "arming the valve costs ~nothing when the
-    // data is not skewed" — the worst-case ~cap^2 bound under real
-    // skew is structural (semDedupCapped's salting argument, spec'd)
+    // the routed default with a TIGHT explicit valve (q209's
+    // configuration, cellCap=64 ~ targetCell — 16x tighter than the
+    // r8 armed default): on this near-uniform synthetic corpus even
+    // this cap barely binds, so the honest claim this row carries is
+    // "arming the valve costs ~nothing when the data is not skewed" —
+    // the worst-case ~cap^2 bound under real skew is MEASURED on the
+    // skewed rows below.
     // one-word name prefix differs from the uncapped row's: row()'s
     // json key is the first word, and identical keys silently
     // overwrite each other in the machine-readable line
@@ -270,6 +271,44 @@ object ScaleCheck {
       operators.Similarity.semDedupAuto(
         Tables.embeddings(spark, dirs(m)), "vec_id", "embedding",
         eps = 0.05, maxIter = 2, cellCap = 64).count(): Unit
+    }
+    // DELIBERATELY SKEWED corpus (VERDICT r7 #2's done-criterion):
+    // ~30% of vectors (within-copy ids >= 1400, every copy — the
+    // overwrite ignores the copy sign flips, so the hot mass is ONE
+    // mode across the whole Nx corpus) are replaced by a SINGLE
+    // identical vector — the boilerplate-duplicate mode every real
+    // corpus carries. Hot ids sit above the id-low seed ranges, so
+    // no initial seed is hot (the realistic failure: a mode
+    // unrepresented in the seed sample); Lloyd drags one centroid
+    // onto the mode and, because identical points score identically
+    // against every centroid (ties break cid ASC), the fit CANNOT
+    // split it even when the coarse drag purifies a block and hands
+    // the fine fit hot seeds — measured: one cell holds all ~30% at
+    // 10x under the routed default. (A hot mode with per-row noise
+    // DOES get split by the fine fit — measured ~6 cells — which is
+    // the hierarchy mitigating mild skew by itself; the valve exists
+    // for the mode the fit cannot separate.) At eps=0.95 the
+    // identical rows are all mutual dups, so the uncapped hot cell
+    // pays ~pop^2/2 pair rows AND a pop-clique CC, all under one
+    // block key = one task. The ARMED DEFAULT (derived cap = 1024)
+    // salts the cell: pairs bounded at ~pop x cap (linear in corpus
+    // size at every mult, whatever the router/fit did), components
+    // bounded by the sub-cell — its row must stay in the lexical
+    // band. The UNCAPPED arm is capped at 10x (18M pair rows in one
+    // task there already make the point; 100x would be 1.8G).
+    def skewEmb(m: Int): DataFrame =
+      Tables.embeddings(spark, dirs(m)).withColumn("embedding",
+        when(pmod(col("vec_id"), lit(10000000L)) >= 1400,
+          expr("transform(sequence(0, 63), d -> CAST(" +
+            "CASE WHEN d = 0 THEN 4.0 ELSE 0.0 END AS FLOAT))"))
+          .otherwise(col("embedding")))
+    row("skewSemDedupDefault (armed derived cap, 30% hot cell)") { m =>
+      operators.Similarity.semDedupAuto(skewEmb(m), "vec_id", "embedding",
+        eps = 0.95, maxIter = 2).count(): Unit
+    }
+    row("skewSemDedupUncapped (cellCap=0, 30% hot cell)", cap = 10) { m =>
+      operators.Similarity.semDedupAuto(skewEmb(m), "vec_id", "embedding",
+        eps = 0.95, maxIter = 2, cellCap = 0).count(): Unit
     }
     // the EXPLICIT flat arm, uncapped — after the argmax-aggregate
     // fix (r7: the 362x assignFlat cliff was the window's

@@ -983,6 +983,27 @@ object Similarity {
     * targetCell=64 the switch point is ~16k vectors. */
   val HierRoutingCells = 256
 
+  /** Default skew-valve cap for the routed semantic-dedup paths
+    * (VERDICT r7 #2): `cellCap = DerivedCellCap` (the default) arms
+    * semDedupCapped's salting at 16 x targetCell. Why this is safe
+    * as a DEFAULT: cells at or under the cap run nsub = 1 — byte-
+    * identical output to the uncapped tail (q202's spec'd contract) —
+    * so on any corpus whose cells stay within 16x of the target
+    * population nothing changes; on a skewed corpus (one dominant
+    * language/domain concentrating a cell) the per-block pair cost is
+    * bounded at ~cap² instead of ~pop². 16x is deliberately loose:
+    * k-means cells on real data routinely run a few x over target,
+    * and the valve should only bind where the uncapped path is
+    * headed for a quadratic cliff, not trim ordinary imbalance.
+    * `cellCap = 0` keeps the exact uncapped tail for callers that
+    * want unconditional semDedup parity at any skew. */
+  val DerivedCellCap = -1
+  private val DerivedCellCapMultiplier = 16L
+  private def resolveCellCap(cellCap: Int, targetCell: Long): Int =
+    if (cellCap != DerivedCellCap) cellCap
+    else math.min(Int.MaxValue.toLong,
+      DerivedCellCapMultiplier * math.max(1L, targetCell)).toInt
+
   /** semDedup with a CORPUS-DERIVED cell count: observes n, derives
     * k = derivedCells(n, targetCell) (dense-ish id space assumed —
     * the explicit-seed semDedup + kmeansFit path remains for
@@ -1000,18 +1021,22 @@ object Similarity {
                    eps: Double, maxIter: Int,
                    targetCell: Long = 64L,
                    hierAboveCells: Int = HierRoutingCells,
-                   cellCap: Int = 0): DataFrame = {
+                   cellCap: Int = DerivedCellCap): DataFrame = {
     // cellCap > 0 arms the skew valve (semDedupCapped's salting) on
     // WHICHEVER assignment the router picks — a skewed corpus
-    // concentrates one cell regardless of how the cell was chosen;
-    // 0 (default) keeps the exact uncapped tail and oracle parity.
-    // Both arms are THE shared helpers (review: an inlined copy here
-    // would silently drift from the explicit-sibling parity the
-    // routing spec and the q183/q200 oracles assume).
+    // concentrates one cell regardless of how the cell was chosen.
+    // The DEFAULT is the derived cap (16 x targetCell, DerivedCellCap
+    // doc): byte-identical to uncapped wherever no cell exceeds it,
+    // bounded ~cap² per block where one does. cellCap = 0 keeps the
+    // unconditionally-uncapped tail. Both arms are THE shared helpers
+    // (review: an inlined copy here would silently drift from the
+    // explicit-sibling parity the routing spec and the q183/q200
+    // oracles assume).
+    val cap = resolveCellCap(cellCap, targetCell)
     val cells = derivedCells(corpus.count(), targetCell)
     if (cells > hierAboveCells)
-      hierArm(corpus, idCol, vecCol, eps, maxIter, cells, cellCap)
-    else flatArm(corpus, idCol, vecCol, eps, maxIter, cells, cellCap)
+      hierArm(corpus, idCol, vecCol, eps, maxIter, cells, cap)
+    else flatArm(corpus, idCol, vecCol, eps, maxIter, cells, cap)
   }
 
   /** The flat route at a KNOWN cell count: id-low-seed fit, flat
@@ -1198,9 +1223,10 @@ object Similarity {
   def hierarchicalSemDedupAuto(corpus: DataFrame, idCol: String,
                                vecCol: String, eps: Double, maxIter: Int,
                                targetCell: Long = 64L,
-                               cellCap: Int = 0): DataFrame =
+                               cellCap: Int = DerivedCellCap): DataFrame =
     hierArm(corpus, idCol, vecCol, eps, maxIter,
-      derivedCells(corpus.count(), targetCell), cellCap)
+      derivedCells(corpus.count(), targetCell),
+      resolveCellCap(cellCap, targetCell))
 
   /** Two-hop assignment under a fitted hierarchical quantizer: route
     * each vector to its `nprobeCoarse` closest coarse blocks

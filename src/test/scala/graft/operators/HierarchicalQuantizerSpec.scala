@@ -197,6 +197,50 @@ class HierarchicalQuantizerSpec extends SparkSpec {
     assert(rows(routedHier).map(_.head) === rows(routedFlat).map(_.head))
   }
 
+  test("routing boundary is pinned EXACTLY at HierRoutingCells: " +
+    "256 derived cells stay flat, 257 go hierarchical") {
+    // VERDICT r7 #7: the router is `cells > hierAboveCells` — this
+    // test holds the exact edge so a future threshold edit (>= for >,
+    // an off-by-one in derivedCells) cannot silently invert it. At
+    // targetCell=4: n=1024 derives ceil(1024/4)=256 cells (== the
+    // threshold -> flat arm), n=1025 derives 257 (> threshold ->
+    // hier arm). First the pure derivation, then the routed output
+    // against each explicit sibling arm on real corpora of exactly
+    // those sizes.
+    assert(Similarity.derivedCells(1024L, 4L) === 256)
+    assert(Similarity.derivedCells(1025L, 4L) === 257)
+    assert(Similarity.derivedCells(1024L, 4L) === Similarity.HierRoutingCells)
+
+    // deterministic pseudo-random corpus, dim 4, nonzero norms
+    // (murmur3 hash per (id, dim) — a modular form here collapsed to
+    // 19 distinct vectors and degenerate duplicate centroids)
+    def corpusN(n: Int) = spark.range(n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 3), d -> CAST(pmod(hash(id, d), 19) + 1 AS FLOAT)) AS embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "cell", "centroid_sim", "sem_cluster", "kept")
+      .collect().map(_.toSeq).toSet
+    val at = corpusN(1024); val above = corpusN(1025)
+    val flatExplicit = rows(Similarity.semDedupFlatAuto(at, "vec_id",
+      "embedding", eps = 0.999, maxIter = 1, targetCell = 4L))
+    val hierExplicit = rows(Similarity.hierarchicalSemDedupAuto(above,
+      "vec_id", "embedding", eps = 0.999, maxIter = 1, targetCell = 4L))
+    // guard: the two arms genuinely disagree on this corpus (some
+    // vector lands in a different fine cell under two-hop routing) —
+    // otherwise the boundary assertions below could not distinguish
+    // an inverted router. Deterministic fixture, checked once here.
+    val hierAt = rows(Similarity.hierarchicalSemDedupAuto(at, "vec_id",
+      "embedding", eps = 0.999, maxIter = 1, targetCell = 4L))
+    assert(hierAt !== flatExplicit,
+      "fixture must make the arms distinguishable at n=1024")
+    // AT the threshold (cells == 256): routed == flat arm
+    assert(rows(Similarity.semDedupAuto(at, "vec_id", "embedding",
+      eps = 0.999, maxIter = 1, targetCell = 4L)) === flatExplicit)
+    // ONE ABOVE (cells == 257): routed == hier arm
+    assert(rows(Similarity.semDedupAuto(above, "vec_id", "embedding",
+      eps = 0.999, maxIter = 1, targetCell = 4L)) === hierExplicit)
+  }
+
   test("writeCellPartitionedAuto: both routes write probe-compatible " +
     "layouts and return the matching centroid set") {
     val root = java.nio.file.Files.createTempDirectory("graft_auto_layout")
