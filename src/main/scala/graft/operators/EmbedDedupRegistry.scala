@@ -407,16 +407,20 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * read through probeRead pruned to the QUERY batch's routed cells
     * (review: an unpruned read() here made every probe O(history),
     * exactly the regression the bucketed layout exists to prevent).
-    * The routed query frame is PINNED with one eager checkpoint and
-    * feeds BOTH the cell collect and the probe join (second review:
-    * routing in one job and joining a re-evaluated queries plan in
-    * another would let a nondeterministic queries frame — sample(),
-    * unordered limit() — route cells the join never sees; the pin
-    * also halves the routing work, which the old shape computed
-    * twice). The centroid set must be the registry's pinned identity
-    * — same guard as dedupAppend: probing a cell layout with foreign
-    * centroids silently misses cross-cell neighbors. q208 measures
-    * this probe's recall across a refit. */
+    * The routed query frame is PINNED by collecting it to the driver
+    * ONCE and re-presenting it as a local relation to the probe join
+    * (second review: routing in one job and joining a re-evaluated
+    * queries plan in another would let a nondeterministic queries
+    * frame — sample(), unordered limit() — route cells the join
+    * never sees). The collect is bounded by |queries| x nprobe int8
+    * rows — the SAME driver footprint the probe join's broadcast of
+    * this frame already pays — and costs one job where the previous
+    * eager-checkpoint-then-collect shape cost two; serving latency
+    * is job count at this batch size (VERDICT r7 #1). The centroid
+    * set must be the registry's pinned identity — same guard as
+    * dedupAppend: probing a cell layout with foreign centroids
+    * silently misses cross-cell neighbors. q208 measures this
+    * probe's recall across a refit. */
   def probeTopK(queries: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String, k: Int,
                 nprobe: Int = 1): DataFrame = {
@@ -429,10 +433,39 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         s"EmbedDedupRegistry at $path was built with centroid set $stored; " +
           s"probing with $fp would silently miss cross-cell neighbors")
     }
-    val routed = Similarity.routeQuantizedQueries(queries, centroids,
-      idCol, vecCol, nprobe).localCheckpoint(true)
+    val routedPlan = Similarity.routeQuantizedQueries(queries, centroids,
+      idCol, vecCol, nprobe)
+    val routedRows = routedPlan.collect() // one job; the pin
+    probeTopKRouted(spark.createDataFrame(
+      java.util.Arrays.asList(routedRows: _*), routedPlan.schema),
+      centroids, idCol, vecCol, k)
+  }
+
+  /** The probe half of `probeTopK` over an ALREADY-REALIZED routed
+    * query frame (routeQuantizedQueries' output collected by the
+    * caller into a local relation): route one query batch ONCE and
+    * serve it against several stores or consumers — q208's recall
+    * evaluation probes the refit-migrated store and the fresh
+    * assignment with the same routed frame, exactly as its oracle
+    * shares one routing CTE across arms. The caller owns the pin
+    * (`routed` must be realized, not a live plan — a local relation
+    * costs no job here, and deriving the pruned cells from it below
+    * is a LocalTableScan, also job-free); the centroid-identity
+    * guard is the same as probeTopK's, trusting the caller to have
+    * routed with the centroids it passes. */
+  def probeTopKRouted(routed: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = routed.sparkSession
+    val (fp, _) = centroidInfo(centroids, idCol, vecCol)
+    val fs = new org.apache.hadoop.fs.Path(metaPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMeta(fs).foreach { case (stored, _) =>
+      require(stored == fp,
+        s"EmbedDedupRegistry at $path was built with centroid set $stored; " +
+          s"probing with $fp would silently miss cross-cell neighbors")
+    }
     val cells = routed.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq // bounded: <= |centroids|
+      .collect().map(_.getLong(0)).toSeq // local relation: no job
     Similarity.ivfQuantizedTopKFromRoutedQueries(routed,
       probeRead(spark, cells), k)
   }
