@@ -210,6 +210,12 @@ object ScaleCheck {
     // substring spans): the single number for "would the full
     // pipeline run at 100x", not just its stages
     row("q195_dedup_funnel")(q("q195_dedup_funnel"))
+    // the MEDIA near-dup funnel end-to-end (VERDICT r7 #5): payloads
+    // are the synthesized documents' bytes (the q210 adapter), so
+    // the kernel features ride the same Nx corpus; the banded
+    // candidate stage is bounded by the maxBandDf hot-key guard, so
+    // the row must stay in the lexical band
+    row("q210_media_neardup")(q("q210_media_neardup"))
     // genuinely FIXED-width penalty rows: direct operator calls with
     // the width pinned (the catalog q35/q183 queries moved to
     // corpus-derived width in round 6, so invoking them here would

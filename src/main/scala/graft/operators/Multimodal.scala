@@ -149,4 +149,93 @@ object Multimodal {
     media.select("media_id", "kind", "payload").as[MediaRow]
       .mapPartitions(rows => kernel.features(rows, dim))
   }
+
+  /** MEDIA NEAR-DUP FUNNEL, post-kernel half (VERDICT r7 #5 — the
+    * multimodal analogue of the q195 text funnel): feature vectors →
+    * per-dim quantized fingerprint (floor(value / bucketWidth)) →
+    * BANDED candidates (radius+1 bands over the dims: by pigeonhole
+    * a pair differing in <= radius dims leaves at least one band
+    * untouched, so band-equality candidates are COMPLETE for the
+    * radius, the q144 argument) → exact differing-dim verify →
+    * connected components → min-id keeper. One row per media:
+    * (media_id, kind, n_bytes, nd_cluster, kept).
+    *
+    * `maxBandDf` (the q31 inverted-index discipline): band keys
+    * matching more than this many media are DROPPED before pair
+    * generation — a boilerplate mode would otherwise generate
+    * ~df²/2 candidates under one key; dropping hot keys bounds
+    * per-key work at ~maxBandDf² and loses only pairs whose EVERY
+    * shared band is hot (documented approximation, same trade as
+    * the shingle maxDf guard). 100 TB: pair generation is blocked by
+    * (band_no, band_key) equi-joins with hot keys capped, the verify
+    * is candidate-bounded, CC is sparse by the radius — no all-pairs
+    * stage.
+    *
+    * `features` is any (media_id, kind, n_bytes, feature) frame —
+    * the kernel seam's output (nearDupFunnel) or a synthesized
+    * feature table (the ScaleCheck 100x row). All post-quantization
+    * arithmetic is exact integers, so the DuckDB oracle replays it
+    * from the q44-hash-checked feature values. */
+  def nearDupFunnelFromFeatures(features: DataFrame, dim: Int,
+                                bucketWidth: Double, radius: Int,
+                                maxBandDf: Int): DataFrame = {
+    require(radius >= 0 && bucketWidth > 0 && maxBandDf > 0)
+    val bands = radius + 1
+    val w = (dim + bands - 1) / bands
+    val fq = Dedup.DefaultMaterialize(features.select(
+      col("media_id"), col("kind"), col("n_bytes"),
+      transform(col("feature"),
+        v => floor(v.cast("double") / lit(bucketWidth)).cast("long"))
+        .as("buckets")))
+    val banded = fq.select(col("media_id"), posexplode(
+        array((0 until bands).map(b =>
+          concat_ws(":", slice(col("buckets"), b * w + 1, w))): _*)))
+      .select(col("media_id"), col("pos").as("band_no"),
+        col("col").as("band_key"))
+    // hot-key guard: per-(band, key) document frequency, keys over
+    // the cap dropped on BOTH sides of the self-join
+    val ok = banded.groupBy("band_no", "band_key")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBandDf)
+      .select("band_no", "band_key")
+    val bandedOk = Dedup.DefaultMaterialize(
+      banded.join(ok, Seq("band_no", "band_key")))
+    val cand = bandedOk.as("a").join(bandedOk.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(fq.select(col("media_id").as("id_a"), col("buckets").as("ba")),
+        Seq("id_a"))
+      .join(fq.select(col("media_id").as("id_b"), col("buckets").as("bb")),
+        Seq("id_b"))
+      .withColumn("nd_diff", aggregate(
+        zip_with(col("ba"), col("bb"),
+          (x, y) => when(x === y, 0).otherwise(1)),
+        lit(0), (acc, x) => acc + x))
+      .filter(col("nd_diff") <= radius)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val member = fq.select(col("media_id"), col("kind"), col("n_bytes"))
+      .join(cc.withColumnRenamed("id", "media_id"), Seq("media_id"), "left")
+    val keeper = member.filter(col("cluster").isNotNull)
+      .groupBy("cluster").agg(min(col("media_id")).as("keep_id"))
+    member.join(keeper, Seq("cluster"), "left")
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("cluster").as("nd_cluster"),
+        (col("cluster").isNull || col("media_id") === col("keep_id"))
+          .as("kept"))
+  }
+
+  /** The full media near-dup funnel: payload bytes through the
+    * decode/featurize kernel seam, then the banded near-dup half —
+    * media's q195, one composed plan. */
+  def nearDupFunnel(media: DataFrame, dim: Int, bucketWidth: Double,
+                    radius: Int, maxBandDf: Int,
+                    kernel: MediaKernel = StubMediaKernel): DataFrame =
+    nearDupFunnelFromFeatures(
+      extractFeatures(media, dim, kernel).toDF(),
+      dim, bucketWidth, radius, maxBandDf)
 }

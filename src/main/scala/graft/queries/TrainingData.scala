@@ -46,6 +46,12 @@ object TrainingData extends QueryGroup {
   private val PrIters = 5 // q187 power iterations (oracle unrolls exactly these)
   private val SpanGram = 8 // q188 substring-span gram width (tokens)
   private val RerankPool = 20 // q189 coarse-stage pool size
+  // q210 media near-dup funnel: bucket width over byte-mean features
+  // (4.0 = exact power-of-two division on the q44-identical floats),
+  // Hamming radius in dims, and the banded hot-key cap
+  private val MediaNdWidth = 4.0
+  private val MediaNdRadius = 1
+  private val MediaNdMaxDf = 64
   private val LshBits = 4
   // q35 / q183 corpus-derived blocking targets (expected bucket/cell
   // population; width = f(observed corpus count) in BOTH engines)
@@ -1034,6 +1040,21 @@ object TrainingData extends QueryGroup {
           targetCell = SemCellTarget, cellCap = 40)
         .select(col("id").as("vec_id"), col("cell"), col("centroid_sim"),
           col("sem_cluster"), col("kept"))),
+
+    // the MEDIA near-dup funnel (VERDICT r7 #5 — media's q195): bytes
+    // -> kernel features (q44's hash-checked stub arithmetic) ->
+    // per-dim quantized fingerprint -> banded Hamming candidates with
+    // the q31 hot-key guard -> exact verify -> CC -> min-id keeper,
+    // ONE composed plan. The kernel is deterministic, so the oracle
+    // replays the whole post-kernel algebra from the q44 feature
+    // values (ord/substr byte arithmetic) in exact integers; the
+    // ImageIoKernel variant of the same funnel is spec-gated on real
+    // PNGs (MultimodalSpec).
+    "q210_media_neardup" -> ((s, dir) =>
+      Multimodal.nearDupFunnel(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+        dim = 8, bucketWidth = MediaNdWidth, radius = MediaNdRadius,
+        maxBandDf = MediaNdMaxDf)),
 
     // ONE-permutation-hashing MinHash (Li et al. 2012; rotation
     // densification per Shrivastava & Li 2014): the 32-entry
@@ -3779,6 +3800,67 @@ object TrainingData extends QueryGroup {
            unnest(generate_series(0, duration_ms // 1000)) AS frame_no,
            unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
          FROM media WHERE kind = 'video'""",
+
+    // the q44 feature replay, then the whole post-kernel near-dup
+    // algebra in exact integers: floor-quantized buckets, 2 banded
+    // keys of 4 dims (radius 1 -> pigeonhole-complete), the df<=64
+    // hot-key guard, exact differing-dim verify, reach-CC, min-id
+    // keeper — mirrors Multimodal.nearDupFunnelFromFeatures
+    "q210_media_neardup" ->
+      s"""WITH RECURSIVE media AS (
+           SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+             CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+             text
+           FROM documents),
+         d AS (SELECT unnest(generate_series(0, 7)) AS dim_no),
+         spans AS (
+           SELECT media_id, kind, n_bytes, text, CAST(dim_no AS INT) AS dim_no,
+             CAST(dim_no AS INT) * greatest(1, n_bytes // 8) AS lo,
+             least(CAST(dim_no AS INT) * greatest(1, n_bytes // 8)
+                     + greatest(1, n_bytes // 8), n_bytes) AS hi
+           FROM media CROSS JOIN d),
+         fq AS MATERIALIZED (SELECT media_id, kind, n_bytes, dim_no,
+             floor((CASE WHEN lo >= hi THEN CAST(0 AS FLOAT)
+               ELSE CAST(list_sum(list_transform(generate_series(lo + 1, hi),
+                      i -> ord(substr(text, i, 1))))::DOUBLE / (hi - lo) AS FLOAT)
+               END)::DOUBLE / $MediaNdWidth)::BIGINT AS bucket
+           FROM spans),
+         bk AS (SELECT media_id, dim_no // 4 AS band_no,
+             string_agg(bucket::VARCHAR, ':' ORDER BY dim_no) AS band_key
+           FROM fq GROUP BY media_id, dim_no // 4),
+         bok AS (SELECT band_no, band_key FROM bk
+           GROUP BY band_no, band_key HAVING count(*) <= $MediaNdMaxDf),
+         bkk AS (SELECT bk.media_id, bk.band_no, bk.band_key
+           FROM bk JOIN bok USING (band_no, band_key)),
+         cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+           FROM bkk a JOIN bkk b
+             ON a.band_no = b.band_no AND a.band_key = b.band_key
+               AND a.media_id < b.media_id),
+         prs AS (SELECT id_a, id_b FROM (
+             SELECT c.id_a, c.id_b,
+               sum(CASE WHEN fa.bucket != fb.bucket THEN 1 ELSE 0 END) AS nd
+             FROM cand c
+               JOIN fq fa ON fa.media_id = c.id_a
+               JOIN fq fb ON fb.media_id = c.id_b AND fb.dim_no = fa.dim_no
+             GROUP BY c.id_a, c.id_b) WHERE nd <= $MediaNdRadius),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r
+           FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         m AS (SELECT f.media_id, f.kind, f.n_bytes, c.cluster
+           FROM (SELECT DISTINCT media_id, kind, n_bytes FROM fq) f
+           LEFT JOIN comp c ON f.media_id = c.id),
+         kp AS (SELECT cluster, min(media_id) AS keep_id FROM m
+           WHERE cluster IS NOT NULL GROUP BY cluster)
+         SELECT m.media_id, m.kind, m.n_bytes, m.cluster AS nd_cluster,
+           (m.cluster IS NULL OR m.media_id = kp.keep_id) AS kept
+         FROM m LEFT JOIN kp ON m.cluster = kp.cluster""",
 
     "q68_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (

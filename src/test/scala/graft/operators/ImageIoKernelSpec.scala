@@ -95,4 +95,40 @@ class ImageIoKernelSpec extends SparkSpec {
       Iterator(MediaRow(3L, "image", junk)), 4).next()
     assert(out.feature.toSeq == stub.feature.toSeq && out.n_bytes == junk.length)
   }
+
+  test("media near-dup funnel over REAL decoded pixels: one-pixel edit " +
+    "clusters with its original, a different image survives alone") {
+    // q210 runs this funnel with the stub kernel (oracle-replayable);
+    // here the SAME composed plan runs the real PNG decode path. A
+    // one-pixel edit perturbs exactly one column strip's mean — one
+    // feature dim — so it is inside Hamming radius 1 REGARDLESS of
+    // bucket boundaries; the vertical-gradient image shares no strip
+    // profile with the horizontal one.
+    val base = testImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    val edited = testImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    edited.setRGB(5, 7, 0xff000000) // one pixel blacked out
+    val other = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48) {
+        val v = (y * 255) / 47
+        img.setRGB(x, y, (0xff << 24) | (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val df = mediaDf(Seq((1L, encode(base, "png")),
+      (2L, encode(edited, "png")), (3L, encode(other, "png"))))
+    val out = Multimodal.nearDupFunnel(df, dim = 8, bucketWidth = 8.0,
+        radius = 1, maxBandDf = 10, ImageIoKernel)
+      .select("media_id", "nd_cluster", "kept").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // 1 and 2 are one component; min-id keeper keeps 1, drops 2
+    assert(out(1L)._1.nonEmpty && out(1L)._1 == out(2L)._1,
+      s"original and one-pixel edit must share a component, got $out")
+    assert(out(1L)._2 && !out(2L)._2)
+    // 3 is no near-dup of either: kept, outside their component
+    assert(out(3L)._2 && out(3L)._1 != out(1L)._1)
+  }
 }
