@@ -455,7 +455,19 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * routed with the centroids it passes. */
   def probeTopKRouted(routed: DataFrame, centroids: DataFrame,
                       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val spark = routed.sparkSession
+    val cells = routed.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // local relation: no job
+    Similarity.ivfQuantizedTopKFromRoutedQueries(routed,
+      probeSigs(routed.sparkSession, cells, centroids, idCol, vecCol), k)
+  }
+
+  /** The routed probe's SIGNATURE FRAME (fp-guarded, cell-pruned) —
+    * the serving half's building block for callers that fuse several
+    * probe pipelines into one plan (q208 tags three arms' frames and
+    * ranks them under a single window): same guard and pruning as
+    * probeTopKRouted, with the scoring/ranking left to the caller. */
+  def probeSigs(spark: SparkSession, cells: Seq[Long], centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
     val (fp, _) = centroidInfo(centroids, idCol, vecCol)
     val fs = new org.apache.hadoop.fs.Path(metaPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -464,10 +476,7 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         s"EmbedDedupRegistry at $path was built with centroid set $stored; " +
           s"probing with $fp would silently miss cross-cell neighbors")
     }
-    val cells = routed.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq // local relation: no job
-    Similarity.ivfQuantizedTopKFromRoutedQueries(routed,
-      probeRead(spark, cells), k)
+    probeRead(spark, cells)
   }
 
   /** dedupAppend with the corpus sink made IDEMPOTENT PER BATCH (the

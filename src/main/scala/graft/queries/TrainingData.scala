@@ -913,9 +913,23 @@ object TrainingData extends QueryGroup {
       val regPre = new EmbedDedupRegistry(preRoot, epsPermille = 450)
       val regPost = new EmbedDedupRegistry(postRoot, epsPermille = 450)
       val e = Tables.embeddings(s, dir)
-      val c1 = e.filter(col("vec_id") < 12)
-      val c2 = e.filter(col("vec_id") < 24)
-      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      // ONE table-scan job feeds every small frame: centroids (both
+      // sets — c1's ids are a prefix of c2's) and the 8-query batch
+      // all live under vec_id < 24, so a single pruned collect plus
+      // driver-side slicing replaces three separate scans; the local
+      // frames then make the routing/guard/assignment broadcasts
+      // job-free (a LocalRelation broadcasts without a scan job).
+      // Bounded by construction: 24 rows.
+      val small = e.filter(col("vec_id") < 24)
+        .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+      val smallSchema = org.apache.spark.sql.types.StructType(
+        e.select("vec_id", "embedding").schema.fields)
+      def localOf(rows: Seq[org.apache.spark.sql.Row]) =
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), smallSchema)
+      val c1 = localOf(small.filter(_.getLong(0) < 12))
+      val c2 = localOf(small.toSeq)
+      val qs = localOf(small.filter(r =>
+        r.getLong(0) >= 12 && r.getLong(0) < 20))
       // route the 8-query batch against BOTH centroid sets in ONE
       // job (the oracle's qr1/qr2 CTEs), split the collected rows
       // into two pinned local frames: the 12-cell routing serves the
@@ -934,39 +948,68 @@ object TrainingData extends QueryGroup {
           .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.init)): _*),
         r1Plan.schema)
       val (r1, r2) = (armFrame(1), armFrame(2))
+      // probe cells come straight off the already-collected routing —
+      // a distinct() on the local frame would still launch a job
+      def cellsFor(arm: Int) = bothRouted.toSeq
+        .filter(_.getAs[Int]("arm") == arm)
+        .map(_.getAs[Long]("cell")).distinct
       // survivors: the store's accepted ids re-joined to their float
       // vectors (the store holds int8 signatures; the exact arm and
-      // the fresh assignment need the floats)
+      // the fresh assignment need the floats). localCheckpoint: two
+      // consumers (the exact truth's corpus and the fresh assignment)
       val sv = Dedup.DefaultMaterialize(
         regPre.read(s).select(col("id").as("vec_id"))
           .join(e, Seq("vec_id")).select("vec_id", "embedding"))
-      val exact = Dedup.DefaultMaterialize(
-        Similarity.bruteForceTopK(qs, sv, "vec_id", "embedding", k = 5)
-          .select("query_id", "neighbor_id"))
-      val pre = regPre.probeTopKRouted(r1, c1, "vec_id", "embedding", k = 5)
-      val post = regPost.probeTopKRouted(r2, c2, "vec_id", "embedding", k = 5)
-      // spread = false: sv is ~2k rows here; the anti-skew
-      // repartition is a pure extra exchange at this size
-      val fresh = Similarity.ivfQuantizedTopKFromRoutedQueries(r2,
-        Similarity.assignCells(sv, c2, "vec_id", "embedding",
-            spread = false)
-          .select(col("id"), Similarity.quantize8(col("v")).as("vq"),
-            col("cell")), k = 5)
-      // ONE tagged union -> ONE join against the exact truth -> ONE
-      // conditional aggregate, instead of per-arm semi-join +
-      // groupBy + join-back trees: the per-arm shape cost ~9 extra
-      // broadcast/shuffle jobs whose scheduling latency dominated
-      // the probe algebra at this batch size (21 jobs measured; the
-      // oracle's hp/hr/hf CTEs compute the same counts)
-      def tag(df: DataFrame, arm: String) =
-        df.select(col("query_id"), col("neighbor_id"), lit(arm).as("arm"))
-      val hitCounts = tag(pre, "pre").unionByName(tag(post, "refit"))
-        .unionByName(tag(fresh, "fresh"))
+      // single consumer (the hit join below): no materialize barrier
+      val exact = Similarity.bruteForceTopK(qs, sv, "vec_id", "embedding",
+          k = 5)
+        .select("query_id", "neighbor_id")
+      // ONE probe pipeline for all three arms (r7 #1 continued: the
+      // per-arm probeTopKRouted trees each paid their own broadcast +
+      // window exchange + planning round — 21 driver-side jobs whose
+      // scheduling gaps, not execution, dominated at this batch
+      // size). Arms are made join-disjoint by OFFSETTING query_id AND
+      // cell by arm*ArmOff on both the routed side and the signature
+      // side: cell ids overlap across the stores (both are centroid
+      // vec_ids), so the offset is what keeps a pre-store signature
+      // from serving an arm-2 query; one window over the composite
+      // query_id then ranks every arm at once. The oracle's pre/post/
+      // fre CTEs replay the same three probes.
+      val ArmOff = 1000000L // >> any vec_id or cell id in the tables
+      def offR(df: DataFrame, arm: Int) = df.select(
+        (col("query_id") + lit(arm * ArmOff)).as("query_id"), col("qq"),
+        (col("cell") + lit(arm * ArmOff)).as("cell"))
+      // id is offset too: the probe's self-match exclusion compares
+      // query_id to neighbor_id, which must stay arm-consistent
+      def offS(df: DataFrame, arm: Int) = df.select(
+        (col("id") + lit(arm * ArmOff)).as("id"), col("vq"),
+        (col("cell") + lit(arm * ArmOff)).as("cell"))
+      val sigsAll = offS(
+          regPre.probeSigs(s, cellsFor(1), c1, "vec_id", "embedding"), 1)
+        .unionByName(offS(
+          regPost.probeSigs(s, cellsFor(2), c2, "vec_id", "embedding"), 2))
+        // spread = false: sv is ~2k rows here; the anti-skew
+        // repartition is a pure extra exchange at this size
+        .unionByName(offS(
+          Similarity.assignCells(sv, c2, "vec_id", "embedding",
+              spread = false)
+            .select(col("id"), Similarity.quantize8(col("v")).as("vq"),
+              col("cell")), 3))
+      val routedAll = offR(r1, 1).unionByName(offR(r2, 2))
+        .unionByName(offR(r2, 3))
+      val top = Similarity.ivfQuantizedTopKFromRoutedQueries(
+        routedAll, sigsAll, k = 5)
+      // decode the arm, then ONE join against the exact truth -> ONE
+      // conditional aggregate (the oracle's hp/hr/hf CTEs)
+      val hitCounts = top.select(
+          (col("query_id") % lit(ArmOff)).as("query_id"),
+          (col("query_id") / lit(ArmOff)).cast("int").as("arm"),
+          (col("neighbor_id") % lit(ArmOff)).as("neighbor_id"))
         .join(broadcast(exact), Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(
-          sum(when(col("arm") === "pre", 1L).otherwise(0L)).as("n_hit_pre"),
-          sum(when(col("arm") === "refit", 1L).otherwise(0L)).as("n_hit_refit"),
-          sum(when(col("arm") === "fresh", 1L).otherwise(0L)).as("n_hit_fresh"))
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_hit_pre"),
+          sum(when(col("arm") === 2, 1L).otherwise(0L)).as("n_hit_refit"),
+          sum(when(col("arm") === 3, 1L).otherwise(0L)).as("n_hit_fresh"))
       qs.select(col("vec_id").as("query_id"))
         .join(broadcast(hitCounts), Seq("query_id"), "left")
         .select(col("query_id"),
