@@ -44,7 +44,12 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     s"NearDupRegistry: bands($bands) * rowsPerBand($rowsPerBand) != numPerm($numPerm)")
   require(simThreshold > 0 && simThreshold <= 1,
     "NearDupRegistry: simThreshold must be in (0, 1]")
-  require(sigMode == "minhash" || sigMode == "oph",
+  // "media:*" modes are constructed ONLY by MediaDupRegistry (same
+  // banded core, quantized-bucket signatures): the text entry points
+  // below refuse them, and the sidecar pin keeps a media registry and
+  // a text registry from ever being opened as each other
+  require(sigMode == "minhash" || sigMode == "oph" ||
+      sigMode.startsWith("media:"),
     s"NearDupRegistry: sigMode must be 'minhash' or 'oph', got '$sigMode'")
 
   /** Signature scheme sidecar: "minhash" (k independent permutation
@@ -97,6 +102,9 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
   private def signatures(sh: DataFrame): DataFrame = sigMode match {
     case "oph" => Dedup.ophSignaturesFromShingles(sh, numPerm)
       .select("id", "sig")
+    case m if m.startsWith("media:") => throw new IllegalArgumentException(
+      s"NearDupRegistry at $path is a media-fingerprint registry " +
+        "(use MediaDupRegistry's probe/dedupAppend, not the text entry points)")
     case _ => Dedup.minhashSignaturesFromShingles(sh, numPerm)
   }
 
@@ -206,7 +214,17 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
             n: Int = 3): DataFrame = {
     ensureMode(batch.sparkSession)
     val sigs = signatures(Dedup.shingleSets(batch, idCol, textCol, n))
-    matchedIds(batch.sparkSession, sigs).select(col("id").as(idCol))
+    probeFromSignatures(batch.sparkSession, sigs).select(col("id").as(idCol))
+  }
+
+  /** The probe over an already-built (id, sig) frame — the
+    * signature-agnostic core (MediaDupRegistry routes its quantized
+    * bucket fingerprints through here; the text probe above is the
+    * shingle-signature instantiation). */
+  private[operators] def probeFromSignatures(spark: SparkSession,
+                                             sigs: DataFrame): DataFrame = {
+    ensureMode(spark)
+    matchedIds(spark, sigs)
   }
 
   /** Near-dup-gate `batch` against the registry AND within itself,
@@ -215,13 +233,21 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     * the survivors. */
   def dedupAppend(batch: DataFrame, idCol: String, textCol: String,
                   n: Int = 3,
-                  persist: DataFrame => Unit = _ => ()): DataFrame = {
+                  persist: DataFrame => Unit = _ => ()): DataFrame =
+    dedupAppendFromSignatures(batch, idCol,
+      signatures(Dedup.shingleSets(batch, idCol, textCol, n)), persist)
+
+  /** dedupAppend over an already-built (id, sig) frame — the
+    * signature-agnostic core shared with MediaDupRegistry. `sigs0`
+    * must hold one length-numPerm signature per batch id. */
+  private[operators] def dedupAppendFromSignatures(
+      batch: DataFrame, idCol: String, sigs0: DataFrame,
+      persist: DataFrame => Unit): DataFrame = {
     val spark = batch.sparkSession
     ensureMode(spark)
-    // one shingle pass; signatures feed in-batch pairs AND the
-    // registry probe (multi-consumer rule)
-    val sigs = Dedup.DefaultMaterialize(
-      signatures(Dedup.shingleSets(batch, idCol, textCol, n)))
+    // one signature pass; it feeds in-batch pairs AND the registry
+    // probe (multi-consumer rule)
+    val sigs = Dedup.DefaultMaterialize(sigs0)
     val batchBands = Dedup.DefaultMaterialize(bandRows(sigs))
 
     // in-batch: LSH candidates -> agreement verify -> connected

@@ -172,6 +172,51 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MEDIA near-dup gate across micro-batches: an edited re-upload " +
+    "never lands") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cur5_").toString
+    val corpus = s"$dir/corpus"
+    // the media analogue of the lexical gate above: the registry holds
+    // quantized fingerprints only — batch N+1's payloads are gated
+    // against batch N's media without re-reading any payload
+    val reg = new graft.operators.MediaDupRegistry(
+      s"$dir/registry", dim = 8, bucketWidth = 4.0, radius = 1)
+    def payload(vals: Int*): Array[Byte] =
+      vals.flatMap(v => Array.fill(8)(v.toByte)).toArray
+    val base = payload(100, 100, 100, 100, 100, 100, 100, 100)
+    val edited = payload(110, 100, 100, 100, 100, 100, 100, 100) // Hamming 1
+    val other = payload(200, 200, 200, 200, 200, 200, 200, 200)
+    val fresh = payload(50, 50, 50, 50, 50, 50, 50, 50)
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val q = MicroBatchPipeline.start(
+      in.toDF().toDF("media_id", "kind", "payload"),
+      identity,
+      (batch, _) => {
+        reg.dedupAppend(batch,
+          persist = out => out.select("media_id", "kind")
+            .write.mode("append").parquet(corpus))
+        ()
+      },
+      intervalMs = 100)
+    try {
+      in.addData((1L, "image", base), (2L, "image", other))
+      q.processAllAvailable()
+      // 3 is a one-strip edit of batch-1's media 1 -> dropped; 4 is new
+      in.addData((3L, "image", edited), (4L, "image", fresh))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpus)
+        .select("media_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L),
+        s"expected media gate survivors {1,2,4}, got $kept")
+      // at-least-once replay self-matches the registered fingerprints
+      in.addData((3L, "image", edited), (4L, "image", fresh))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).count() == 3,
+        "replayed media micro-batch must not re-land survivors")
+    } finally q.stop()
+  }
+
   test("REFIT MID-STREAM (VERDICT r7 #6): centroid migration between " +
     "micro-batches keeps the cross-batch gate, the sink equals the batch " +
     "replay, and crash-retry spans the refit") {
