@@ -68,6 +68,51 @@ class WavKernelSpec extends SparkSpec {
     assert(viaKernel.feature.toSeq == viaStub.feature.toSeq)
   }
 
+  /** 16-bit PCM mono WAV from explicit sample values. */
+  private def wavOf(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("media near-dup funnel over REAL decoded PCM: a last-quarter " +
+    "overdub clusters with its original, a different recording survives") {
+    // the audio twin of the ImageIoKernelSpec funnel test: q210's
+    // composed plan, WavKernel decode. The overdub touches ONLY the
+    // last quarter's samples, so dims 0-2 are byte-identical and the
+    // edit is within Hamming radius 1 REGARDLESS of bucket
+    // boundaries; the quiet full-length recording differs from both
+    // in (at least) the two loud quarters.
+    val rate = 8000; val n = 4000
+    def sine(amp: Int, hz: Int)(i: Int): Int =
+      (math.sin(2 * math.Pi * hz * i / rate) * amp).toInt
+    val baseS = Array.tabulate(n)(i => if (i < n / 2) sine(20000, 440)(i) else 0)
+    val editS = baseS.clone()
+    for (i <- 3 * n / 4 until n) editS(i) = sine(10000, 220)(i)
+    val otherS = Array.tabulate(n)(sine(5000, 330))
+    val df = Seq((1L, wavOf(baseS, rate)), (2L, wavOf(editS, rate)),
+      (3L, wavOf(otherS, rate))).toDF("media_id", "payload")
+      .withColumn("kind", lit("audio"))
+    val out = Multimodal.nearDupFunnel(df, dim = 4, bucketWidth = 0.125,
+        radius = 1, maxBandDf = 10, WavKernel)
+      .select("media_id", "nd_cluster", "kept").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2)))
+      .toMap
+    assert(out(1L)._1.nonEmpty && out(1L)._1 == out(2L)._1,
+      s"original and overdub must share a component, got $out")
+    assert(out(1L)._2 && !out(2L)._2) // min-id keeper
+    assert(out(3L)._2 && out(3L)._1 != out(1L)._1)
+  }
+
   test("imageMeta composes with the real image kernel") {
     val img = new java.awt.image.BufferedImage(
       40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
