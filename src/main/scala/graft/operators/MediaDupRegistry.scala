@@ -60,6 +60,11 @@ class MediaDupRegistry(path: String, dim: Int, bucketWidth: Double,
   /** Where the bucketed band-index files currently live. */
   def indexLocation(spark: SparkSession): String = core.indexLocation(spark)
 
+  /** The underlying GenIndex (operability specs assert the shared
+    * lifecycle contract — racing-append absorption, retained
+    * generation — against THIS family member too). */
+  private[operators] def index: GenIndex = core.index
+
   /** Registered (id, sig) fingerprints. */
   def read(spark: SparkSession): DataFrame = core.read(spark)
 

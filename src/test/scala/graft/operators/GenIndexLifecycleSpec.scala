@@ -89,6 +89,30 @@ class GenIndexLifecycleSpec extends SparkSpec {
       "racing append's band signatures were lost by the rewrite")
   }
 
+  test("MediaDupRegistry: a dedupAppend racing compactIndex is absorbed") {
+    val dir = Files.createTempDirectory("graft_race_md_").toString
+    def mk() = new MediaDupRegistry(s"$dir/reg", dim = 8, bucketWidth = 4.0,
+      radius = 1)
+    def pay(v: Int): Array[Byte] = Array.fill(64)(v.toByte)
+    def media(id: Long, p: Array[Byte]) =
+      Seq((id, "image", p)).toDF("media_id", "kind", "payload")
+    val reg = mk()
+    reg.dedupAppend(media(1L, pay(100)))
+    reg.dedupAppend(media(2L, pay(200)))
+    reg.dedupAppend(media(3L, pay(50)))
+    val raced = pay(150)
+    withRaceWindow(reg.index) {
+      assert(reg.dedupAppend(media(7L, raced)).count() === 1L)
+    } {
+      assert(reg.compactIndex(spark, maxFiles = 2))
+    }
+    // the raced fingerprint survived the rewrite: a byte-identical
+    // re-upload probes as a duplicate from a FRESH instance
+    val hit = mk().probe(media(9L, raced))
+    assert(col1[Long](hit) == Seq(9L),
+      "racing append's fingerprint bands were lost by the rewrite")
+  }
+
   test("WinnowRegistry: a dedupAppend racing forget's rewrite is absorbed " +
     "and still passes the forget filter") {
     val dir = Files.createTempDirectory("graft_race_wr_").toString
