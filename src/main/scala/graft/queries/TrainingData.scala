@@ -2337,13 +2337,18 @@ object TrainingData extends QueryGroup {
     // both engines rank the identical floats.
     "q155_jl_projection" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // one codegen'd float_dot against a ±1f literal row per output
+      // dim: the earlier 64-term unrolled sum, repeated 32x, blew
+      // janino's 64 KB generated-method limit and dropped the whole
+      // projection stage out of whole-stage codegen (interpreted
+      // fallback, an ERROR in every bench log). Multiplying by ±1.0f
+      // is IEEE-exact negation and float_dot folds in index order
+      // seeded at 0.0 — the oracle replays the same seeded fold.
       def proj(v: String): org.apache.spark.sql.Column =
         array((0 until JlDim).map { j =>
-        (0 until Dim).map { i =>
-          val t = element_at(col(v), i + 1).cast("double")
-          if (jlSign(i, j) > 0) t else -t
-        }.reduceLeft(_ + _).cast("float")
-      }: _*)
+          Similarity.dot(col(v), array((0 until Dim).map(i =>
+            lit(jlSign(i, j).toFloat)): _*)).cast("float")
+        }: _*)
       val p = Dedup.DefaultMaterialize(
         e.select(col("vec_id"), proj("embedding").as("pv"),
           col("embedding").as("v")))
@@ -3569,13 +3574,15 @@ object TrainingData extends QueryGroup {
 
     // the ±1 matrix is emitted as literals by the same jlSign() that
     // built the Spark plan; projected values are ::REAL-narrowed so
-    // both engines rank the identical floats
+    // both engines rank the identical floats. The fold is SEEDED at
+    // 0.0 to mirror the Spark side's float_dot accumulator exactly
+    // (negation == multiplication by -1.0, both IEEE-exact).
     "q155_jl_projection" -> {
       def term(i: Int, j: Int) =
         if (jlSign(i, j) > 0) s"(embedding[${i + 1}]::DOUBLE)"
         else s"(-(embedding[${i + 1}]::DOUBLE))"
       val projList = (0 until JlDim).map { j =>
-        "CAST(" + (0 until Dim).map(i => term(i, j))
+        "CAST(" + ("0.0::DOUBLE" +: (0 until Dim).map(i => term(i, j)))
           .reduceLeft((a, b) => s"($a + $b)") + " AS REAL)"
       }.mkString("[", ", ", "]")
       def dotJ(a: String, b: String) =
