@@ -66,6 +66,23 @@ import org.apache.spark.sql.functions.col
   * rewrite, so disk holds at most one stale generation at a time
   * (generations older than the outgoing one ARE deleted immediately,
   * including orphans from crashed swaps).
+  *
+  * STRADDLING APPEND (the residual race the re-list alone leaves): an
+  * append can read the sidecar BEFORE the swap yet commit its files
+  * to the outgoing directory AFTER the rewrite's re-listing — those
+  * files are in neither the source snapshot nor the late-file diff.
+  * So the rewrite records what it DID account for in an `_accounted`
+  * manifest inside the retired directory (src snapshot + absorbed
+  * late files, by name), and the NEXT rewrite's GC diffs each
+  * manifest-carrying directory against it before deletion: any
+  * unaccounted file group is absorbed into the generation being
+  * built, closing the loss window entirely — a straddler would now
+  * have to hold its stale sidecar read across TWO full rewrite
+  * cycles, i.e. not a race but a stopped process, and its rows still
+  * land the moment its files are seen. A directory WITHOUT a manifest
+  * at GC time is pre-upgrade garbage or a crashed swap's leftovers —
+  * every file it held when it was retired was carried forward — and
+  * is deleted outright (absorbing it would double rows).
   */
 object GenIndex {
   /** Catalog table-base for a registry index at `path`: a stable
@@ -159,6 +176,35 @@ class GenIndex(tableBase: String, rootLocation: String,
   /** Committed data files in the active generation. */
   def dataFileCount(spark: SparkSession): Int =
     listDataFiles(spark, activeLocation(spark)).size
+
+  /** Accounting manifest a rewrite leaves in the directory it
+    * retires: the data-file NAMES (dir-local, scheme-independent) the
+    * rewrite carried into the new generation. The next rewrite's GC
+    * absorbs anything beyond this set — the straddling-append
+    * contract in the class doc. */
+  private val AccountedManifest = "_accounted"
+
+  private def writeAccounted(fs: org.apache.hadoop.fs.FileSystem,
+                             loc: String, names: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(loc, AccountedManifest)
+    val os = fs.create(p, true)
+    try os.write(names.sorted.mkString("\n").getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private def readAccounted(fs: org.apache.hadoop.fs.FileSystem,
+                            loc: String): Option[Set[String]] = {
+    val p = new org.apache.hadoop.fs.Path(loc, AccountedManifest)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
+  private def fileName(path: String): String =
+    new org.apache.hadoop.fs.Path(path).getName
 
   /** Generation-swap rewrite: build gen N+1 from `transform` of the
     * active rows, atomically repoint the sidecar, absorb any file
@@ -270,14 +316,42 @@ class GenIndex(tableBase: String, rootLocation: String,
         .repartition(nBuckets, bucketCols.map(col): _*)
         .write.mode("append").insertInto(tableName(next))
     }
-    // GC generations OLDER than the outgoing one (incl. orphans from
-    // swaps that crashed before their own GC). The outgoing
+    // ACCOUNTING MANIFEST: record in the retired directory exactly
+    // which data files this rewrite carried forward (snapshot + late
+    // absorption). A STRADDLING append — sidecar read before the
+    // swap, file commit after the re-listing above — lands files in
+    // the retired directory beyond this set; the NEXT rewrite's GC
+    // below diffs against the manifest and absorbs them, so even that
+    // window loses nothing (class doc).
+    writeAccounted(fs, outgoingLoc, (srcFiles ++ lateFiles).map(fileName))
+    // GC generations OLDER than the outgoing one. The outgoing
     // generation `gen` is RETAINED — already-planned readers keep
     // executing over its files — and becomes GC-eligible at the next
-    // rewrite, so disk holds at most one stale generation.
+    // rewrite, so disk holds at most one stale generation. Before
+    // deleting a manifest-carrying directory, absorb any file group
+    // beyond its manifest (a straddling append's rows — see above;
+    // applying only the CURRENT transform is correct because in
+    // serialization order that append happened after the rewrite
+    // whose scan missed it, so earlier per-row filters do not apply
+    // to it, same as any post-rewrite append). A directory with NO
+    // manifest is pre-upgrade garbage or a crashed swap's leftovers:
+    // everything it held was already carried forward, absorb nothing.
+    // Absorb errors propagate (fail loud before delete); the delete
+    // itself stays best-effort.
     (0 until gen).foreach { g =>
+      val loc = location(g)
+      readAccounted(fs, loc).foreach { accounted =>
+        val stragglers = listDataFiles(spark, loc)
+          .filterNot(f => accounted(fileName(f)))
+        if (stragglers.nonEmpty) {
+          transform(spark.read.parquet(stragglers: _*)
+              .select(tableCols.map(col): _*))
+            .repartition(nBuckets, bucketCols.map(col): _*)
+            .write.mode("append").insertInto(tableName(next))
+        }
+      }
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(g)}")
-      val p = new org.apache.hadoop.fs.Path(location(g))
+      val p = new org.apache.hadoop.fs.Path(loc)
       try { if (fs.exists(p)) fs.delete(p, true) } catch { case _: java.io.IOException => }
     }
   }

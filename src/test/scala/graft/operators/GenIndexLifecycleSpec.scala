@@ -139,6 +139,41 @@ class GenIndexLifecycleSpec extends SparkSpec {
       "racing append's fingerprints were lost by the forget rewrite")
   }
 
+  test("STRADDLING append (sidecar read before the swap, file commit " +
+    "after the re-list) is absorbed by the NEXT rewrite's manifest-diff " +
+    "GC — and the manifest prevents double-absorption of carried rows") {
+    val dir = Files.createTempDirectory("graft_straddle_").toString
+    val reg = new DedupRegistry(s"$dir/reg")
+    def app(id: Long, text: String) =
+      reg.dedupAppend(Seq((id, text)).toDF("doc_id", "text"), "doc_id",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+    app(1L, "one"); app(2L, "two"); app(3L, "three")
+    val genN = reg.indexLocation(spark)
+    assert(reg.compactIndex(spark, maxFiles = 2)) // gen N retired, manifest written
+    // the straddler: an append whose sidecar read predated the swap
+    // commits its file group into the RETIRED directory after the
+    // rewrite's re-listing — beyond the manifest. Its on-disk
+    // artifact is exactly a plain fp file group in gen N's dir.
+    Seq("raced content seven").toDF("text")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .write.mode("append").parquet(genN)
+    app(4L, "four"); app(5L, "five"); app(6L, "six")
+    assert(reg.compactIndex(spark, maxFiles = 2)) // GCs gen N: diff + absorb
+    // the straddler's fingerprint survived into the live generation
+    assert(app(7L, "raced content seven").count() === 0L,
+      "straddling append's fingerprint was lost by the manifest GC")
+    // and the manifest kept the 6 carried rows from being re-absorbed:
+    // 6 appends + 1 straddler, nothing doubled
+    assert(reg.index.df(spark).count() === 7L,
+      "manifest-diff GC must absorb ONLY the unaccounted file groups")
+    // gen N's directory is gone after its straggler was carried
+    assert(!new java.io.File(new java.net.URI(
+        if (genN.startsWith("file:")) genN else "file://" + genN).getPath)
+      .exists(), "the straddled generation is still GC'd after absorption")
+  }
+
   test("reader planned over the outgoing generation survives the swap; " +
     "the retained generation is GC'd by the NEXT rewrite") {
     val dir = Files.createTempDirectory("graft_retain_").toString
