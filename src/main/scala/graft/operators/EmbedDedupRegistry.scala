@@ -65,11 +65,15 @@ import org.apache.spark.sql.functions._
   * original float's only within quantization distance of a cell
   * border, the same approximation the int8 eps test already accepts),
   * rewritten partitioned by new cell into a GENERATION directory, and
-  * the fingerprint sidecar — now (fp, dataDir) — is swapped by an
-  * atomic rename. A crash anywhere before the swap leaves the old
-  * generation fully active; after it, the new one. The old data dir
-  * is deleted only after the swap (best-effort; an orphaned
-  * generation is garbage, never corruption).
+  * the fingerprint sidecar — (fp, dataDir, retired dirs...) — is
+  * swapped by an atomic rename. A crash anywhere before the swap
+  * leaves the old generation fully active; after it, the new one.
+  * The cutover follows the SAME lifecycle contract as
+  * GenIndex.rewrite (one family, one discipline — see
+  * swapGeneration): the outgoing directories are snapshot-read and
+  * re-listed so racing appends are absorbed, RETAINED for in-flight
+  * readers until the next cutover, and GC'd there through an
+  * `_accounted` manifest diff that also absorbs straddling appends.
   */
 class EmbedDedupRegistry(path: String, epsPermille: Int) {
   require(epsPermille > 0 && epsPermille < 1000,
@@ -87,32 +91,55 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * parquet row-group stats carry the within-bucket selectivity. */
   private val DirBuckets = 256
 
+  /** TEST SEAM (lifecycle contract spec only — production never sets
+    * it): invoked synchronously right after a cutover captures its
+    * source file snapshot, the window where a racing `dedupAppend`
+    * lands a staging file the cutover's scan never saw (GenIndex's
+    * seam, mirrored here so the contract spec family covers this
+    * member too). */
+  @volatile private[operators] var onSourceSnapshot: () => Unit = () => ()
+
   private val metaPath = path + "_centroid_fp"
 
-  /** Sidecar state: centroid fingerprint + active data directory.
-    * Legacy single-line sidecars (fp only) resolve to `path`. */
-  private def readMeta(fs: org.apache.hadoop.fs.FileSystem): Option[(String, String)] = {
+  /** Sidecar state, line-oriented: centroid fingerprint, active data
+    * directory, then zero or more RETIRED directories awaiting GC at
+    * the next cutover (the GenIndex retention contract — see
+    * swapGeneration). Legacy single-line sidecars (fp only) resolve
+    * to `path` with nothing retired. */
+  private def readMetaLines(fs: org.apache.hadoop.fs.FileSystem): Option[Seq[String]] = {
     val mp = new org.apache.hadoop.fs.Path(metaPath)
     if (!fs.exists(mp)) None
     else {
       val in = fs.open(mp)
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val lines = txt.split("\n", 2)
-      Some((lines(0).trim, if (lines.length > 1 && lines(1).trim.nonEmpty) lines(1).trim else path))
+      Some(txt.split("\n").map(_.trim).toSeq)
     }
   }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem): Option[(String, String)] =
+    readMetaLines(fs).map { ls =>
+      (ls.head, if (ls.length > 1 && ls(1).nonEmpty) ls(1) else path)
+    }
+
+  /** Directories a previous cutover retired (still on disk for
+    * in-flight readers); GC'd — with a manifest diff for straddling
+    * appends — by the next cutover. */
+  private def readRetired(fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
+    readMetaLines(fs).map(_.drop(2).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
   /** Atomic sidecar replace: write a tmp file, rename OVERWRITE onto
     * the live name — readers see the old pointer or the new one,
     * never a partial write. */
-  private def writeMeta(spark: SparkSession, fp: String, dataDir: String): Unit = {
+  private def writeMeta(spark: SparkSession, fp: String, dataDir: String,
+                        retired: Seq[String] = Seq.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val mp = new org.apache.hadoop.fs.Path(metaPath)
     val fs = mp.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(
       metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
     val os = fs.create(tmp, false)
-    try os.write(s"$fp\n$dataDir".getBytes("UTF-8")) finally os.close()
+    try os.write((Seq(fp, dataDir) ++ retired).mkString("\n").getBytes("UTF-8"))
+    finally os.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
     fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
@@ -222,14 +249,12 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * directory-pruned layout once staging has accrued enough batches.
     * Returns whether a fold ran (no-op when staging is empty). Crash
     * anywhere before the swap leaves the old generation + staging
-    * fully active; after it, the new generation holds every row and
-    * the old directories are deleted best-effort (orphans are
-    * garbage, never corruption — signature rows are idempotent
-    * facts). Like `refit` and GenIndex.rewrite, this is a
-    * maintenance op under the family's exclusive-writer contract
-    * (GenIndex class doc): an append racing the fold could land in
-    * the outgoing staging dir after the fold's scan and be lost with
-    * its GC. */
+    * fully active; after it, the new generation holds every row.
+    * Like `refit` and GenIndex.rewrite, this is a maintenance op
+    * under the family's lifecycle contract (GenIndex class doc): an
+    * append racing the fold is detected by the post-swap re-list and
+    * absorbed; the outgoing dirs are retained for in-flight readers
+    * and manifest-diff-GC'd at the next cutover (swapGeneration). */
   def compactStaging(spark: SparkSession): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -251,38 +276,130 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         if (dir.startsWith(s"${path}_gen_${fp}_c"))
           cSuffix.findFirstMatchIn(dir).map(_.group(1).toLong + 1).getOrElse(1L)
         else 1L
-      swapGeneration(spark, fp, s"${path}_gen_${fp}_c$nextN", read(spark),
-        gcDirs = Seq(dir, stagingDir(dir)))
+      // identity fold (fpAgnostic = false: the rows' cells are kept
+      // as-is, which is only valid for rows written under this fp)
+      swapGeneration(spark, dirFp = fp, fp = fp,
+        newDir = s"${path}_gen_${fp}_c$nextN",
+        srcDirs0 = Seq(dir, stagingDir(dir)),
+        migrate = identity, fpAgnostic = false)
       true
     }
   }
 
+  /** Accounting manifest a cutover leaves in each directory it
+    * retires (the GenIndex `_accounted` discipline): line 0 is the
+    * centroid FINGERPRINT the directory's rows were written under,
+    * the rest are the data-file names the cutover carried forward.
+    * The next cutover's GC diffs the directory against it and
+    * absorbs anything beyond — a straddling append's rows. */
+  private val AccountedManifest = "_accounted"
+
+  private def sigsOfFiles(spark: SparkSession, byDir: Seq[(String, Seq[String])]): DataFrame = {
+    // per-dir reads with basePath so a LEGACY generation's partition
+    // column (raw cell) survives the explicit-file read; current
+    // layouts carry cell as a data column either way
+    val tiers = byDir.filter(_._2.nonEmpty).map { case (d, files) =>
+      sigCols(spark.read.option("basePath", d).parquet(files: _*))
+    }
+    if (tiers.isEmpty) emptySigs(spark) else tiers.reduce(_ unionAll _)
+  }
+
   /** The shared generation cutover (refit + compactStaging — review:
     * the bucket layout and swap-then-GC sequence were written twice
-    * with drift): clear-before-build the target (a stale dir from a
-    * crashed earlier attempt is inactive garbage — the sidecar never
-    * pointed at it), write `sigs` bucket-partitioned (bounded
-    * cardinality, one file per bucket; cell rides as a data column),
-    * atomically swap the sidecar, then best-effort-delete the
-    * now-unreachable dirs (a transient delete failure must not fail
-    * a swap that already committed — orphans are garbage, never
-    * corruption). */
-  private def swapGeneration(spark: SparkSession, fp: String, newDir: String,
-                             sigs: DataFrame, gcDirs: Seq[String]): Unit = {
+    * with drift), under the SAME lifecycle contract as
+    * GenIndex.rewrite — one family, one discipline:
+    *
+    *  - SNAPSHOT source: the outgoing tiers are read as an explicit
+    *    file list, so what the cutover scanned and what the
+    *    directories held are diffable with no TOCTOU.
+    *  - Clear-before-build the target (a stale dir from a crashed
+    *    earlier attempt is inactive garbage — the sidecar never
+    *    pointed at it), write `migrate(snapshot)` bucket-partitioned
+    *    (bounded cardinality; cell rides as a data column).
+    *  - Atomic sidecar swap; the outgoing dirs are RETAINED (recorded
+    *    in the sidecar) so in-flight readers planned over them keep
+    *    executing — GC happens at the NEXT cutover.
+    *  - RE-LIST the outgoing dirs: file groups a racing append landed
+    *    after the snapshot are absorbed through the same `migrate`,
+    *    and an `_accounted` manifest records everything carried.
+    *  - GC the PREVIOUSLY retired dirs: manifest-diff for straddling
+    *    appends (absorbed via `migrate` when it is fp-agnostic — the
+    *    refit re-derives cells from vq; a compactStaging fold is
+    *    identity and refuses loudly on a foreign-fp straggler), then
+    *    best-effort delete (a transient failure must not fail a swap
+    *    that already committed; the stale sidecar entry is dropped
+    *    once the dir is observed gone at a later cutover).
+    *
+    * `migrate` must be row-local in the GenIndex.rewrite sense: each
+    * output row a function of one input row (the refit's assignment
+    * join is per-id onto the row's own derived cell, so any subset
+    * migrates identically). `dirFp` is the fingerprint the OUTGOING
+    * rows were written under (== `fp` for a fold, the pre-refit fp
+    * for a refit); `fpAgnostic` says `migrate` re-derives cells from
+    * the signature itself and can absorb rows written under ANY
+    * centroid set. */
+  private def swapGeneration(spark: SparkSession, dirFp: String, fp: String,
+                             newDir: String, srcDirs0: Seq[String],
+                             migrate: DataFrame => DataFrame,
+                             fpAgnostic: Boolean): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcDirs = srcDirs0.filter(_ != newDir)
+    val prevRetired = readRetired(fs).filterNot(srcDirs.contains)
+    val srcByDir = srcDirs.map(d => d -> RegistryIO.listDataFiles(spark, d))
+    onSourceSnapshot()
     // STATIC overwrite pinned per-write: it replaces the WHOLE
     // destination dir, which is also what reclaims a crashed earlier
     // attempt's junk files (a session-level dynamic
     // partitionOverwriteMode would only replace the buckets this
     // write produces — pinning here keeps one reclamation mechanism
     // independent of ambient config)
-    sigs.withColumn("cellb", pmod(col("cell"), lit(DirBuckets.toLong)))
-      .repartition(col("cellb"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("cellb").parquet(newDir)
-    writeMeta(spark, fp, newDir) // the atomic cutover
-    gcDirs.filter(_ != newDir).foreach { d =>
+    def writeTo(sigs: DataFrame, mode: String): Unit =
+      sigs.withColumn("cellb", pmod(col("cell"), lit(DirBuckets.toLong)))
+        .repartition(col("cellb"))
+        .write.mode(mode).option("partitionOverwriteMode", "static")
+        .partitionBy("cellb").parquet(newDir)
+    writeTo(migrate(sigsOfFiles(spark, srcByDir)), "overwrite")
+    // the atomic cutover; the outgoing dirs (and any still-on-disk
+    // previously-retired stragglers a crashed GC left) are recorded
+    // for the NEXT cutover's GC
+    writeMeta(spark, fp, newDir,
+      retired = srcDirs ++ prevRetired.filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d))))
+    // RACING-APPEND absorption: re-list the outgoing dirs against the
+    // snapshot; anything new was invisible to the build scan above
+    val lateByDir = srcDirs.map(d => d ->
+      (RegistryIO.listDataFiles(spark, d).toSet -- srcByDir.toMap.apply(d)).toSeq.sorted)
+    if (lateByDir.exists(_._2.nonEmpty))
+      writeTo(migrate(sigsOfFiles(spark, lateByDir)), "append")
+    // accounting manifests into every retired dir (created when the
+    // dir never existed — e.g. a staging tier with no appends yet —
+    // so a straddler that CREATES it later is still detected)
+    (srcByDir.toMap.keySet ++ lateByDir.toMap.keySet).foreach { d =>
+      val names = (srcByDir.toMap.apply(d) ++ lateByDir.toMap.apply(d))
+        .map(RegistryIO.fileName).sorted
+      RegistryIO.writeLines(fs, d + "/" + AccountedManifest, dirFp +: names)
+    }
+    // GC the PREVIOUSLY retired dirs: straddling appends absorbed via
+    // the manifest diff, then delete
+    prevRetired.foreach { d =>
+      RegistryIO.readLines(fs, d + "/" + AccountedManifest).foreach { lines =>
+        val (mFp, accounted) = (lines.head, lines.drop(1).toSet)
+        val stragglers = RegistryIO.listDataFiles(spark, d)
+          .filterNot(f => accounted(RegistryIO.fileName(f)))
+        if (stragglers.nonEmpty) {
+          require(fpAgnostic || mFp == fp,
+            s"EmbedDedupRegistry at $path: retired dir $d holds rows " +
+              s"appended under centroid set $mFp (current $fp) that this " +
+              "fold cannot migrate — run refit with the current centroids " +
+              "to absorb them, or the rows would route to wrong cells")
+          writeTo(migrate(sigsOfFiles(spark, Seq(d -> stragglers))), "append")
+          // accounted BEFORE delete: a crash between the absorb and
+          // the delete must not re-absorb on retry
+          RegistryIO.writeLines(fs, d + "/" + AccountedManifest,
+            mFp +: (accounted ++ stragglers.map(RegistryIO.fileName)).toSeq.sorted)
+        }
+      }
       val p = new org.apache.hadoop.fs.Path(d)
       try { if (fs.exists(p)) fs.delete(p, true) }
       catch { case _: java.io.IOException => }
@@ -535,25 +652,34 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         "nothing to refit (the first dedupAppend pins its centroid set)")
     val (oldFp, oldDir) = current.get
     if (oldFp == fp) return // identity refit: same centroid identity
-    val cur = read(spark)
+    // the migration, as a function of the outgoing signature rows so
+    // the cutover can re-apply it to racing/straddling appends:
     // dequantize (exact: every int8 signature value is q/127 by
     // construction) and re-rank under the new centroids with
     // assignCells' (cs DESC, cid ASC) discipline — the same ranking
-    // future float batches get, up to quantization distance
-    val deq = cur.withColumn("v",
-      transform(col("vq"), x => (x.cast("float") / lit(127.0f)).cast("float")))
-    // spread = true: the refit is a full registry rewrite — repartition
-    // by id so a few large cells don't serialize the re-ranking
-    // (assignCells reads the same column names from both frames)
-    val re = Similarity.assignCells(deq,
-        newCentroids.select(col(idCol).as("id"), col(vecCol).as("v")),
-        "id", "v", spread = true)
-      .select(col("id"), col("cell"))
-    // old generation AND its staging tier are unreachable after the
-    // swap (the rewrite read both — cur = read() spans the tiers)
-    swapGeneration(spark, fp, s"${path}_gen_$fp",
+    // future float batches get, up to quantization distance. The
+    // assignment join is per-id onto the row's own derived cell, so
+    // any subset of rows migrates identically (row-local in the
+    // lifecycle-contract sense) — and it reads nothing but vq, so it
+    // is fp-AGNOSTIC: rows written under any centroid set land on
+    // their correct new cell.
+    val migrate: DataFrame => DataFrame = { cur =>
+      val deq = cur.withColumn("v",
+        transform(col("vq"), x => (x.cast("float") / lit(127.0f)).cast("float")))
+      // spread = true: the refit is a full registry rewrite —
+      // repartition by id so a few large cells don't serialize the
+      // re-ranking (assignCells reads the same column names from both
+      // frames)
+      val re = Similarity.assignCells(deq,
+          newCentroids.select(col(idCol).as("id"), col(vecCol).as("v")),
+          "id", "v", spread = true)
+        .select(col("id"), col("cell"))
       cur.drop("cell").join(re, Seq("id"))
-        .select(col("id"), col("vq"), col("nq"), col("cell")),
-      gcDirs = Seq(oldDir, stagingDir(oldDir)))
+        .select(col("id"), col("vq"), col("nq"), col("cell"))
+    }
+    swapGeneration(spark, dirFp = oldFp, fp = fp,
+      newDir = s"${path}_gen_$fp",
+      srcDirs0 = Seq(oldDir, stagingDir(oldDir)),
+      migrate = migrate, fpAgnostic = true)
   }
 }

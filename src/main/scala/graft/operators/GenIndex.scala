@@ -161,17 +161,8 @@ class GenIndex(tableBase: String, rootLocation: String,
   /** Where the active generation's files live (for specs/tools). */
   def activeLocation(spark: SparkSession): String = location(currentGen(spark))
 
-  /** Committed data files under `loc` (full paths, sorted for
-    * deterministic set algebra). */
-  private def listDataFiles(spark: SparkSession, loc: String): Seq[String] = {
-    val fs = hadoopFs(spark)
-    val p = new org.apache.hadoop.fs.Path(loc)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).collect {
-      case s if s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith(".") => s.getPath.toString
-    }.toSeq.sorted
-  }
+  private def listDataFiles(spark: SparkSession, loc: String): Seq[String] =
+    RegistryIO.listDataFiles(spark, loc)
 
   /** Committed data files in the active generation. */
   def dataFileCount(spark: SparkSession): Int =
@@ -181,30 +172,20 @@ class GenIndex(tableBase: String, rootLocation: String,
     * retires: the data-file NAMES (dir-local, scheme-independent) the
     * rewrite carried into the new generation. The next rewrite's GC
     * absorbs anything beyond this set — the straddling-append
-    * contract in the class doc. */
+    * contract in the class doc. Shared line-file helpers: RegistryIO
+    * (EmbedDedupRegistry's cutover keeps the same manifest discipline
+    * — one implementation of the listing/manifest primitives). */
   private val AccountedManifest = "_accounted"
 
   private def writeAccounted(fs: org.apache.hadoop.fs.FileSystem,
-                             loc: String, names: Seq[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(loc, AccountedManifest)
-    val os = fs.create(p, true)
-    try os.write(names.sorted.mkString("\n").getBytes("UTF-8"))
-    finally os.close()
-  }
+                             loc: String, names: Seq[String]): Unit =
+    RegistryIO.writeLines(fs, loc + "/" + AccountedManifest, names.sorted)
 
   private def readAccounted(fs: org.apache.hadoop.fs.FileSystem,
-                            loc: String): Option[Set[String]] = {
-    val p = new org.apache.hadoop.fs.Path(loc, AccountedManifest)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
-    }
-  }
+                            loc: String): Option[Set[String]] =
+    RegistryIO.readLines(fs, loc + "/" + AccountedManifest).map(_.toSet)
 
-  private def fileName(path: String): String =
-    new org.apache.hadoop.fs.Path(path).getName
+  private def fileName(path: String): String = RegistryIO.fileName(path)
 
   /** Generation-swap rewrite: build gen N+1 from `transform` of the
     * active rows, atomically repoint the sidecar, absorb any file
@@ -348,6 +329,12 @@ class GenIndex(tableBase: String, rootLocation: String,
               .select(tableCols.map(col): _*))
             .repartition(nBuckets, bucketCols.map(col): _*)
             .write.mode("append").insertInto(tableName(next))
+          // mark the absorbed files accounted BEFORE deleting the
+          // directory: a crash between this absorb and the delete
+          // would otherwise re-absorb them on the retry (the rows are
+          // idempotent facts, but doubled index rows are still wrong)
+          writeAccounted(fs, loc,
+            (accounted ++ stragglers.map(fileName)).toSeq)
         }
       }
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(g)}")

@@ -39,4 +39,54 @@ object RegistryIO {
       scan(p)
     }
   }
+
+  /** All committed data files under `path`, recursively (partition
+    * subdirectories included), as full paths sorted for deterministic
+    * set algebra — the lifecycle family's snapshot/re-list primitive
+    * (GenIndex.rewrite and EmbedDedupRegistry's cutover both diff
+    * these lists to detect racing/straddling appends). Markers and
+    * `_`/`.`-prefixed directories are skipped — the same classes as
+    * `committedDataExists`. */
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      def scan(dir: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(dir).toSeq.flatMap { s =>
+          val n = s.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+          else if (s.isDirectory) scan(s.getPath)
+          else Seq(s.getPath.toString)
+        }
+      scan(p).sorted
+    }
+  }
+
+  /** Dir-local (scheme-independent) name of a data-file path —
+    * manifests record names, not full paths. */
+  def fileName(path: String): String =
+    new org.apache.hadoop.fs.Path(path).getName
+
+  /** Overwrite a small line-file (lifecycle manifests). Creates the
+    * parent directory when absent — writing a manifest into a
+    * retired-but-never-created staging dir is what lets a straddling
+    * append into that dir be detected later. */
+  def writeLines(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                 lines: Seq[String]): Unit = {
+    val os = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try os.write(lines.mkString("\n").getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Read a small line-file; None when absent. Blank lines dropped. */
+  def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                path: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+  }
 }

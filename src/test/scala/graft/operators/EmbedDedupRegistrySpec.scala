@@ -302,17 +302,22 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     assert(reg.dedupAppend(b2, cents, "vec_id", "embedding")
       .select("vec_id").as[Long].collect().toSet == Set(20L))
     assert(reg.read(spark).count() == 3)
-    // generation names are DETERMINISTIC counters (_c1, _c2, ...) and
-    // each fold GCs its predecessor: after this second fold exactly
-    // one _gen_ directory remains — a crashed attempt's orphan would
-    // be reclaimed by the retry's clear-before-build on the same name
+    // generation names are DETERMINISTIC counters (_c1, _c2, ...);
+    // each fold RETAINS its immediate predecessor for in-flight
+    // readers (the GenIndex retention contract) and GCs the one
+    // before that: after this second fold c1 (retained) and c2
+    // (active) are on disk; a THIRD fold GCs c1
     assert(reg.compactStaging(spark))
     val parent = new java.io.File(dir).getParentFile
-    val gens = parent.listFiles.map(_.getName)
-      .filter(n => n.startsWith("reg_gen_") && !n.endsWith("_staged"))
-    assert(gens.length == 1, gens.mkString(", "))
-    assert(gens.head.endsWith("_c2"), gens.head)
+    def gens() = parent.listFiles.map(_.getName)
+      .filter(n => n.startsWith("reg_gen_") && !n.endsWith("_staged")).sorted
+    assert(gens().toSeq.map(_.takeRight(3)) == Seq("_c1", "_c2"), gens().mkString(", "))
     assert(reg.read(spark).count() == 3)
+    val b3 = Seq((30L, Array(0.0f, 0.0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    reg.dedupAppend(b3, cents, "vec_id", "embedding")
+    assert(reg.compactStaging(spark))
+    assert(gens().toSeq.map(_.takeRight(3)) == Seq("_c2", "_c3"), gens().mkString(", "))
+    assert(reg.read(spark).count() == 4)
   }
 
   test("compactStaging retry reclaims a crashed attempt's orphan " +
@@ -339,8 +344,11 @@ class EmbedDedupRegistrySpec extends SparkSpec {
     assert(reg.compactStaging(spark))
     assert(!junk.exists())
     val gens = parent.listFiles.map(_.getName)
-      .filter(n => n.startsWith("reg_gen_") && !n.endsWith("_staged"))
-    assert(gens.toSeq == Seq(gen1.stripSuffix("_c1") + "_c2"), gens.mkString(", "))
+      .filter(n => n.startsWith("reg_gen_") && !n.endsWith("_staged")).sorted
+    // c1 is RETAINED (reader contract); c2 is active and holds only
+    // the two real rows — the orphan junk was cleared before build
+    assert(gens.toSeq == Seq(gen1, gen1.stripSuffix("_c1") + "_c2"),
+      gens.mkString(", "))
     assert(reg.read(spark).select("id").as[Long].collect().toSet == Set(1L, 9L))
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 /** The shared GenIndex lifecycle contracts added in round 8 (VERDICT
   * r7 #3/#4), exercised across the whole registry family — the three
@@ -137,6 +138,101 @@ class GenIndexLifecycleSpec extends SparkSpec {
     assert(reg.dedupAppend(Seq((9L, s"quote $p2 frame"))
       .toDF("doc_id", "text"), "doc_id", "text").count() === 0L,
       "racing append's fingerprints were lost by the forget rewrite")
+  }
+
+  // ---- EmbedDedupRegistry: the semantic member rides its own cutover
+  // (cell-partitioned store, fp-pinned sidecar) but the SAME lifecycle
+  // contract — racing-append absorption, retention, manifest GC ----
+
+  private val embCents = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  private def embApp(reg: EmbedDedupRegistry, id: Long, v: Array[Float]) =
+    reg.dedupAppend(Seq((id, v)).toDF("vec_id", "embedding"), embCents,
+      "vec_id", "embedding")
+
+  test("EmbedDedupRegistry: a dedupAppend racing compactStaging is absorbed") {
+    val dir = Files.createTempDirectory("graft_race_em_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    embApp(reg, 1L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    embApp(reg, 2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    val raced = Array(0.6f, 0.8f, 0.0f, 0.0f)
+    // the race: vector 7 registers (a staging file) between the
+    // fold's source snapshot and its swap
+    reg.onSourceSnapshot = () => assert(embApp(reg, 7L, raced).count() === 1L)
+    try assert(reg.compactStaging(spark))
+    finally reg.onSourceSnapshot = () => ()
+    // zero silently-lost rows: an identical re-post gates
+    assert(embApp(reg, 9L, raced).count() === 0L,
+      "racing append's signature was lost by the fold")
+    // and genuinely fresh content still lands
+    assert(embApp(reg, 10L, Array(0.0f, 0.0f, 1.0f, 0.0f)).count() === 1L)
+  }
+
+  test("EmbedDedupRegistry: a STRADDLING append into the retired staging " +
+    "tier is absorbed by the next cutover's manifest-diff GC; a foreign-fp " +
+    "straggler is refused by a fold and absorbed by a refit") {
+    val dir = Files.createTempDirectory("graft_straddle_em_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    embApp(reg, 1L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    embApp(reg, 2L, Array(0.8f, 0.6f, 0.0f, 0.0f))
+    val parent = new java.io.File(dir).getParentFile
+    // the straddler: an append whose sidecar read predated the swap
+    // commits its staging file into a RETIRED staging dir, beyond the
+    // manifest — built with the registry's own signature rules
+    def plantStraggler(target: String, id: Long, v: Array[Float],
+                       cell: Long): Unit =
+      Seq((id, v)).toDF("id", "embedding")
+        .select(col("id"),
+          Similarity.quantize8(col("embedding")).as("vq"))
+        .withColumn("nq", Similarity.dotQ8(col("vq"), col("vq")))
+        .withColumn("cell", org.apache.spark.sql.functions.lit(cell))
+        .coalesce(1).write.mode("append").parquet(target)
+
+    val oldStaging = dir + "_staged" // staging of the original active dir
+    assert(reg.compactStaging(spark)) // retires (reg, reg_staged) + manifests
+    plantStraggler(oldStaging, 7L, Array(0.0f, 1.0f, 0.0f, 0.0f), cell = 1L)
+    embApp(reg, 3L, Array(0.0f, 0.0f, 1.0f, 0.0f)) // stages against gen c1
+    assert(reg.compactStaging(spark)) // GCs the straddled dirs: diff + absorb
+    assert(embApp(reg, 9L, Array(0.0f, 1.0f, 0.0f, 0.0f)).count() === 0L,
+      "straddling append's signature was lost by the manifest GC")
+    // manifest kept the carried rows from re-absorption: 1,2,3,7 only
+    assert(reg.read(spark).count() === 4L,
+      "manifest-diff GC must absorb ONLY the unaccounted file groups")
+    assert(!new java.io.File(oldStaging).exists(),
+      "the straddled staging dir is still GC'd after absorption")
+
+    // FOREIGN-FP straggler: a refit (fp changes) retires the c2
+    // generation under the OLD fp; a straggler landing there can NOT
+    // be identity-folded (its cells belong to the old centroid set)
+    val activeC2 = parent.listFiles.map(_.getName)
+      .find(n => n.startsWith("reg_gen_") && n.endsWith("_c2")).get
+    val c2Staging = new java.io.File(parent, activeC2 + "_staged").toString
+    val cents3 = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    reg.refit(spark, cents3, "vec_id", "embedding") // retires (c2, c2_staged)
+    plantStraggler(c2Staging, 21L, Array(0.0f, 0.0f, 0.0f, 1.0f), cell = 0L)
+    reg.dedupAppend(Seq((4L, Array(0.5f, 0.5f, 0.70710678f, 0.0f)))
+      .toDF("vec_id", "embedding"), cents3, "vec_id", "embedding")
+    // a FOLD refuses the foreign-fp straggler loudly (identity
+    // migration cannot re-cell rows written under another fp) ...
+    val err = intercept[IllegalArgumentException] { reg.compactStaging(spark) }
+    assert(err.getMessage.contains("refit"), err.getMessage)
+    // ... and a REFIT absorbs it (fp-agnostic: cells re-derived from
+    // the signature itself), after which the straggler's content gates
+    val cents4 = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    reg.refit(spark, cents4, "vec_id", "embedding")
+    assert(reg.dedupAppend(Seq((29L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), cents4, "vec_id", "embedding")
+      .count() === 0L,
+      "foreign-fp straggler was not absorbed by the refit's manifest GC")
   }
 
   test("STRADDLING append (sidecar read before the swap, file commit " +
