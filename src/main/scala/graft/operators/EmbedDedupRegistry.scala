@@ -360,6 +360,15 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
         .write.mode(mode).option("partitionOverwriteMode", "static")
         .partitionBy("cellb").parquet(newDir)
     writeTo(migrate(sigsOfFiles(spark, srcByDir)), "overwrite")
+    // snapshot manifests go down BEFORE the swap (the GenIndex
+    // ordering): a crash between the swap and a post-swap manifest
+    // write would leave retired dirs the no-manifest GC rule deletes
+    // outright — losing any straddler. Pre-swap they are inert (the
+    // dirs are still active; updated with late files below).
+    srcByDir.foreach { case (d, files) =>
+      RegistryIO.writeLines(fs, d + "/" + AccountedManifest,
+        dirFp +: files.map(RegistryIO.fileName).sorted)
+    }
     // the atomic cutover; the outgoing dirs (and any still-on-disk
     // previously-retired stragglers a crashed GC left) are recorded
     // for the NEXT cutover's GC
@@ -372,11 +381,12 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       (RegistryIO.listDataFiles(spark, d).toSet -- srcByDir.toMap.apply(d)).toSeq.sorted)
     if (lateByDir.exists(_._2.nonEmpty))
       writeTo(migrate(sigsOfFiles(spark, lateByDir)), "append")
-    // accounting manifests into every retired dir (created when the
-    // dir never existed — e.g. a staging tier with no appends yet —
-    // so a straddler that CREATES it later is still detected)
-    (srcByDir.toMap.keySet ++ lateByDir.toMap.keySet).foreach { d =>
-      val names = (srcByDir.toMap.apply(d) ++ lateByDir.toMap.apply(d))
+    // fold the absorbed late files into the affected manifests (the
+    // pre-swap snapshot manifests already cover everything else;
+    // writing one into a never-created staging dir above is what lets
+    // a straddler that CREATES the dir later still be detected)
+    lateByDir.filter(_._2.nonEmpty).foreach { case (d, late) =>
+      val names = (srcByDir.toMap.apply(d) ++ late)
         .map(RegistryIO.fileName).sorted
       RegistryIO.writeLines(fs, d + "/" + AccountedManifest, dirFp +: names)
     }

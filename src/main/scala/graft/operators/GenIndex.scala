@@ -258,6 +258,14 @@ class GenIndex(tableBase: String, rootLocation: String,
     transform(src)
       .repartition(nBuckets, bucketCols.map(col): _*)
       .write.mode("append").insertInto(tableName(next))
+    // the snapshot manifest goes down BEFORE the swap: were it
+    // written only after, a crash in between would leave a retired
+    // generation with no manifest — which the no-manifest GC rule
+    // reads as "everything was carried forward" and deletes, losing
+    // any straddler. Pre-swap the manifest is inert (the generation
+    // is still active; appends landing now are caught by the re-list
+    // below or, post-crash, by the next attempt's fresh snapshot).
+    writeAccounted(fs, outgoingLoc, srcFiles.map(fileName))
     // atomic activation: readers see gen or gen+1, never a partial
     val tmp = new org.apache.hadoop.fs.Path(
       genSidecar + ".tmp-" + java.util.UUID.randomUUID().toString)
