@@ -170,6 +170,29 @@ class GenIndexLifecycleSpec extends SparkSpec {
     assert(embApp(reg, 10L, Array(0.0f, 0.0f, 1.0f, 0.0f)).count() === 1L)
   }
 
+  test("EmbedDedupRegistry: reader planned over the outgoing tier survives " +
+    "the cutover (retention); the retained dirs are GC'd by the NEXT one") {
+    val dir = Files.createTempDirectory("graft_retain_em_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    embApp(reg, 1L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    embApp(reg, 2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    val oldStaging = dir + "_staged"
+    // plan (and file-list) a reader over the outgoing staging tier
+    val reader = spark.read.parquet(oldStaging)
+    assert(reg.compactStaging(spark))
+    // retention: the pre-swap plan still executes over the retired tier
+    assert(reader.count() === 2L,
+      "pre-swap reader must keep executing over the retained tier")
+    assert(new java.io.File(oldStaging).exists())
+    // the NEXT cutover GCs exactly the retained dirs
+    embApp(reg, 3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    assert(reg.compactStaging(spark))
+    assert(!new java.io.File(oldStaging).exists(),
+      "retained tier must be GC'd by the following cutover")
+    // verdicts unchanged throughout
+    assert(embApp(reg, 9L, Array(0.0f, 1.0f, 0.0f, 0.0f)).count() === 0L)
+  }
+
   test("EmbedDedupRegistry: a STRADDLING append into the retired staging " +
     "tier is absorbed by the next cutover's manifest-diff GC; a foreign-fp " +
     "straggler is refused by a fold and absorbed by a refit") {
