@@ -271,20 +271,29 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       // from the ACTIVE dir, so a retry after a crash recomputes the
       // same target and swapGeneration's clear-before-build removes
       // the orphan — the refit/GenIndex discipline.
-      val cSuffix = """_c(\d+)$""".r
-      val nextN =
-        if (dir.startsWith(s"${path}_gen_${fp}_c"))
-          cSuffix.findFirstMatchIn(dir).map(_.group(1).toLong + 1).getOrElse(1L)
-        else 1L
       // identity fold (fpAgnostic = false: the rows' cells are kept
       // as-is, which is only valid for rows written under this fp)
       swapGeneration(spark, dirFp = fp, fp = fp,
-        newDir = s"${path}_gen_${fp}_c$nextN",
+        newDir = s"${path}_gen_${fp}_c${genCounter(dir) + 1}",
         srcDirs0 = Seq(dir, stagingDir(dir)),
         migrate = identity, fpAgnostic = false)
       true
     }
   }
+
+  /** Monotonic generation counter along the active-dir chain: the
+    * trailing `_c<N>` (fold) or `_g<N>` (refit) suffix, 0 for the
+    * legacy layouts (`path` itself, counter-less `path_gen_<fp>`).
+    * Every cutover targets counter+1, so a target name can never
+    * collide with the outgoing or a retained directory — the GenIndex
+    * monotonic-generation immunity, re-derived for fp-named dirs
+    * (swapGeneration's require documents the failure this prevents).
+    * The counter derives from the ACTIVE dir, so a crash-retry
+    * recomputes the same target and clear-before-build reclaims the
+    * orphan (the existing deterministic-name contract). */
+  private def genCounter(dir: String): Long =
+    """_[cg](\d+)$""".r.findFirstMatchIn(dir)
+      .map(_.group(1).toLong).getOrElse(0L)
 
   /** Accounting manifest a cutover leaves in each directory it
     * retires (the GenIndex `_accounted` discipline): line 0 is the
@@ -344,8 +353,21 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
                              fpAgnostic: Boolean): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val srcDirs = srcDirs0.filter(_ != newDir)
+    val srcDirs = srcDirs0
     val prevRetired = readRetired(fs).filterNot(srcDirs.contains)
+    // the target must be FRESH — never the outgoing store, never a
+    // retained one (review: refit naming used to reuse path_gen_<fp>
+    // verbatim, so refitting BACK to a previously-used centroid set
+    // targeted a dir sitting in the retired list: the overwrite wiped
+    // its manifest, writeMeta recorded the new ACTIVE dir as retired,
+    // and the GC loop deleted the live store — total silent loss.
+    // genCounter naming makes collisions structurally impossible; this
+    // require turns any future naming regression into a loud abort
+    // BEFORE anything is written).
+    require(!srcDirs.contains(newDir) && !prevRetired.contains(newDir),
+      s"EmbedDedupRegistry at $path: cutover target $newDir collides " +
+        "with the outgoing or a retained generation dir — generation " +
+        "naming must be monotonic")
     val srcByDir = srcDirs.map(d => d -> RegistryIO.listDataFiles(spark, d))
     onSourceSnapshot()
     // STATIC overwrite pinned per-write: it replaces the WHOLE
@@ -687,8 +709,12 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       cur.drop("cell").join(re, Seq("id"))
         .select(col("id"), col("vq"), col("nq"), col("cell"))
     }
+    // counter-suffixed target (genCounter doc): `path_gen_<fp>` alone
+    // is NOT unique across the registry's lifetime — a refit BACK to
+    // a previously-used centroid set would reuse the retained dir's
+    // name and the cutover would delete the live store at GC
     swapGeneration(spark, dirFp = oldFp, fp = fp,
-      newDir = s"${path}_gen_$fp",
+      newDir = s"${path}_gen_${fp}_g${genCounter(oldDir) + 1}",
       srcDirs0 = Seq(oldDir, stagingDir(oldDir)),
       migrate = migrate, fpAgnostic = true)
   }

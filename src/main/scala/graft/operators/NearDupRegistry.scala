@@ -50,7 +50,8 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
   // a text registry from ever being opened as each other
   require(sigMode == "minhash" || sigMode == "oph" ||
       sigMode.startsWith("media:"),
-    s"NearDupRegistry: sigMode must be 'minhash' or 'oph', got '$sigMode'")
+    s"NearDupRegistry: sigMode must be 'minhash', 'oph', or 'media:*' " +
+      s"(MediaDupRegistry-constructed), got '$sigMode'")
 
   /** Signature scheme sidecar: "minhash" (k independent permutation
     * mins) and "oph" (one-permutation-hashing with rotation

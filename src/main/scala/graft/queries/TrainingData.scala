@@ -975,7 +975,15 @@ object TrainingData extends QueryGroup {
       // from serving an arm-2 query; one window over the composite
       // query_id then ranks every arm at once. The oracle's pre/post/
       // fre CTEs replay the same three probes.
-      val ArmOff = 1000000L // >> any vec_id or cell id in the tables
+      // arm-encoding offset DERIVED from the data (review: a fixed
+      // 1e6 would silently miscount hits on any corpus whose ids
+      // reach it — e.g. the ScaleCheck copy convention offsets ids by
+      // c*1e7): strictly greater than every vec_id that enters the
+      // fused plan (cells are centroid vec_ids < 24), so the %/÷
+      // decode is exact at any scale. One tiny agg on the
+      // already-materialized survivor frame.
+      val ArmOff = math.max(1000000L,
+        sv.agg(max(col("vec_id"))).head.getLong(0) + 1L)
       def offR(df: DataFrame, arm: Int) = df.select(
         (col("query_id") + lit(arm * ArmOff)).as("query_id"), col("qq"),
         (col("cell") + lit(arm * ArmOff)).as("cell"))

@@ -170,6 +170,38 @@ class GenIndexLifecycleSpec extends SparkSpec {
     assert(embApp(reg, 10L, Array(0.0f, 0.0f, 1.0f, 0.0f)).count() === 1L)
   }
 
+  test("EmbedDedupRegistry: refit BACK to a previously-used centroid set " +
+    "keeps all history (rollback names a fresh generation, never a " +
+    "retained dir)") {
+    val dir = Files.createTempDirectory("graft_rollback_em_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    val centsB = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    embApp(reg, 1L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    embApp(reg, 2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    // A -> B -> A -> B: the LAST refit re-targets centroid set B,
+    // whose generation dir (from the first B refit) is exactly the
+    // dir the previous cutover retired — the regression that used to
+    // overwrite-and-GC the live store (pre-fix: read() resolved to a
+    // deleted dir and every dup was silently re-admitted)
+    reg.refit(spark, centsB, "vec_id", "embedding")
+    reg.refit(spark, embCents, "vec_id", "embedding")
+    reg.refit(spark, centsB, "vec_id", "embedding")
+    assert(reg.read(spark).count() === 2L,
+      "rollback refit must not lose the registry's history")
+    assert(reg.dedupAppend(Seq((9L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"), centsB, "vec_id", "embedding")
+      .count() === 0L,
+      "a duplicate must still gate after the rollback refit")
+    // the fp guard still enforces the CURRENT set after the rollback
+    intercept[IllegalArgumentException] {
+      reg.dedupAppend(Seq((11L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), embCents, "vec_id", "embedding")
+    }
+  }
+
   test("EmbedDedupRegistry: reader planned over the outgoing tier survives " +
     "the cutover (retention); the retained dirs are GC'd by the NEXT one") {
     val dir = Files.createTempDirectory("graft_retain_em_").toString + "/reg"
