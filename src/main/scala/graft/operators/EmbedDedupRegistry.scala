@@ -295,13 +295,12 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     """_[cg](\d+)$""".r.findFirstMatchIn(dir)
       .map(_.group(1).toLong).getOrElse(0L)
 
-  /** Accounting manifest a cutover leaves in each directory it
-    * retires (the GenIndex `_accounted` discipline): line 0 is the
-    * centroid FINGERPRINT the directory's rows were written under,
-    * the rest are the data-file names the cutover carried forward.
-    * The next cutover's GC diffs the directory against it and
-    * absorbs anything beyond — a straddling append's rows. */
-  private val AccountedManifest = "_accounted"
+  // Accounting manifests ride the shared RegistryIO format (one
+  // implementation across the lifecycle family): header = the
+  // centroid FINGERPRINT the directory's rows were written under,
+  // then the carried data-file names. The next cutover's GC diffs
+  // the directory against it and absorbs anything beyond — a
+  // straddling append's rows.
 
   private def sigsOfFiles(spark: SparkSession, byDir: Seq[(String, Seq[String])]): DataFrame = {
     // per-dir reads with basePath so a LEGACY generation's partition
@@ -388,8 +387,7 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     // outright — losing any straddler. Pre-swap they are inert (the
     // dirs are still active; updated with late files below).
     srcByDir.foreach { case (d, files) =>
-      RegistryIO.writeLines(fs, d + "/" + AccountedManifest,
-        dirFp +: files.map(RegistryIO.fileName).sorted)
+      RegistryIO.writeAccounted(fs, d, dirFp, files.map(RegistryIO.fileName))
     }
     // the atomic cutover; the outgoing dirs (and any still-on-disk
     // previously-retired stragglers a crashed GC left) are recorded
@@ -408,18 +406,14 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     // writing one into a never-created staging dir above is what lets
     // a straddler that CREATES the dir later still be detected)
     lateByDir.filter(_._2.nonEmpty).foreach { case (d, late) =>
-      val names = (srcByDir.toMap.apply(d) ++ late)
-        .map(RegistryIO.fileName).sorted
-      RegistryIO.writeLines(fs, d + "/" + AccountedManifest, dirFp +: names)
+      RegistryIO.writeAccounted(fs, d, dirFp,
+        (srcByDir.toMap.apply(d) ++ late).map(RegistryIO.fileName))
     }
     // GC the PREVIOUSLY retired dirs: straddling appends absorbed via
     // the manifest diff, then delete
     prevRetired.foreach { d =>
-      RegistryIO.readLines(fs, d + "/" + AccountedManifest).foreach { lines =>
-        val (mFp, accounted) = (lines.head, lines.drop(1).toSet)
-        val stragglers = RegistryIO.listDataFiles(spark, d)
-          .filterNot(f => accounted(RegistryIO.fileName(f)))
-        if (stragglers.nonEmpty) {
+      RegistryIO.stragglersIn(spark, fs, d).foreach {
+        case (mFp, accounted, stragglers) if stragglers.nonEmpty =>
           require(fpAgnostic || mFp == fp,
             s"EmbedDedupRegistry at $path: retired dir $d holds rows " +
               s"appended under centroid set $mFp (current $fp) that this " +
@@ -428,9 +422,9 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
           writeTo(migrate(sigsOfFiles(spark, Seq(d -> stragglers))), "append")
           // accounted BEFORE delete: a crash between the absorb and
           // the delete must not re-absorb on retry
-          RegistryIO.writeLines(fs, d + "/" + AccountedManifest,
-            mFp +: (accounted ++ stragglers.map(RegistryIO.fileName)).toSeq.sorted)
-        }
+          RegistryIO.writeAccounted(fs, d, mFp,
+            accounted ++ stragglers.map(RegistryIO.fileName))
+        case _ => ()
       }
       val p = new org.apache.hadoop.fs.Path(d)
       try { if (fs.exists(p)) fs.delete(p, true) }

@@ -168,22 +168,15 @@ class GenIndex(tableBase: String, rootLocation: String,
   def dataFileCount(spark: SparkSession): Int =
     listDataFiles(spark, activeLocation(spark)).size
 
-  /** Accounting manifest a rewrite leaves in the directory it
-    * retires: the data-file NAMES (dir-local, scheme-independent) the
-    * rewrite carried into the new generation. The next rewrite's GC
-    * absorbs anything beyond this set — the straddling-append
-    * contract in the class doc. Shared line-file helpers: RegistryIO
-    * (EmbedDedupRegistry's cutover keeps the same manifest discipline
-    * — one implementation of the listing/manifest primitives). */
-  private val AccountedManifest = "_accounted"
-
-  private def writeAccounted(fs: org.apache.hadoop.fs.FileSystem,
+  /** Accounting manifests ride the shared RegistryIO format (ONE
+    * implementation across the lifecycle family — review: the algebra
+    * written twice had already drifted once): header = the generation
+    * number being retired, then the carried data-file names. The next
+    * rewrite's GC absorbs anything beyond the set — the
+    * straddling-append contract in the class doc. */
+  private def writeAccounted(fs: org.apache.hadoop.fs.FileSystem, gen: Int,
                              loc: String, names: Seq[String]): Unit =
-    RegistryIO.writeLines(fs, loc + "/" + AccountedManifest, names.sorted)
-
-  private def readAccounted(fs: org.apache.hadoop.fs.FileSystem,
-                            loc: String): Option[Set[String]] =
-    RegistryIO.readLines(fs, loc + "/" + AccountedManifest).map(_.toSet)
+    RegistryIO.writeAccounted(fs, loc, s"gen=$gen", names)
 
   private def fileName(path: String): String = RegistryIO.fileName(path)
 
@@ -265,7 +258,7 @@ class GenIndex(tableBase: String, rootLocation: String,
     // any straddler. Pre-swap the manifest is inert (the generation
     // is still active; appends landing now are caught by the re-list
     // below or, post-crash, by the next attempt's fresh snapshot).
-    writeAccounted(fs, outgoingLoc, srcFiles.map(fileName))
+    writeAccounted(fs, gen, outgoingLoc, srcFiles.map(fileName))
     // atomic activation: readers see gen or gen+1, never a partial
     val tmp = new org.apache.hadoop.fs.Path(
       genSidecar + ".tmp-" + java.util.UUID.randomUUID().toString)
@@ -312,7 +305,9 @@ class GenIndex(tableBase: String, rootLocation: String,
     // the retired directory beyond this set; the NEXT rewrite's GC
     // below diffs against the manifest and absorbs them, so even that
     // window loses nothing (class doc).
-    writeAccounted(fs, outgoingLoc, (srcFiles ++ lateFiles).map(fileName))
+    if (lateFiles.nonEmpty)
+      writeAccounted(fs, gen, outgoingLoc,
+        (srcFiles ++ lateFiles).map(fileName))
     // GC generations OLDER than the outgoing one. The outgoing
     // generation `gen` is RETAINED — already-planned readers keep
     // executing over its files — and becomes GC-eligible at the next
@@ -329,10 +324,8 @@ class GenIndex(tableBase: String, rootLocation: String,
     // itself stays best-effort.
     (0 until gen).foreach { g =>
       val loc = location(g)
-      readAccounted(fs, loc).foreach { accounted =>
-        val stragglers = listDataFiles(spark, loc)
-          .filterNot(f => accounted(fileName(f)))
-        if (stragglers.nonEmpty) {
+      RegistryIO.stragglersIn(spark, fs, loc).foreach {
+        case (_, accounted, stragglers) if stragglers.nonEmpty =>
           transform(spark.read.parquet(stragglers: _*)
               .select(tableCols.map(col): _*))
             .repartition(nBuckets, bucketCols.map(col): _*)
@@ -341,9 +334,9 @@ class GenIndex(tableBase: String, rootLocation: String,
           // directory: a crash between this absorb and the delete
           // would otherwise re-absorb them on the retry (the rows are
           // idempotent facts, but doubled index rows are still wrong)
-          writeAccounted(fs, loc,
+          writeAccounted(fs, g, loc,
             (accounted ++ stragglers.map(fileName)).toSeq)
-        }
+        case _ => ()
       }
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(g)}")
       val p = new org.apache.hadoop.fs.Path(loc)

@@ -68,6 +68,43 @@ object RegistryIO {
   def fileName(path: String): String =
     new org.apache.hadoop.fs.Path(path).getName
 
+  /** THE accounting-manifest format, shared by every lifecycle root
+    * (GenIndex.rewrite and EmbedDedupRegistry's cutover — review: the
+    * manifest algebra written twice had already drifted once): line 0
+    * is a non-empty HEADER (the generation number for GenIndex, the
+    * centroid fingerprint for the semantic store — whatever identifies
+    * what the directory's rows were written under), the rest are the
+    * data-file NAMES the retiring rewrite carried forward. The next
+    * rewrite's GC diffs the directory against it and absorbs anything
+    * beyond — a straddling append's rows. */
+  val AccountedManifest = "_accounted"
+
+  def writeAccounted(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                     header: String, names: Iterable[String]): Unit = {
+    require(header.trim.nonEmpty,
+      "accounting manifest header must be non-empty (blank lines are dropped on read)")
+    writeLines(fs, dir + "/" + AccountedManifest,
+      header +: names.toSeq.sorted)
+  }
+
+  /** (header, accounted names) of a retired dir's manifest; None when
+    * the dir was retired pre-upgrade (everything it held was carried
+    * forward — absorb nothing, delete outright). */
+  def readAccounted(fs: org.apache.hadoop.fs.FileSystem,
+                    dir: String): Option[(String, Set[String])] =
+    readLines(fs, dir + "/" + AccountedManifest)
+      .map(ls => (ls.head, ls.tail.toSet))
+
+  /** Manifest-diff of a retired dir: (header, accounted, straggler
+    * file paths beyond the manifest) — the GC-time primitive both
+    * lifecycle roots absorb from. */
+  def stragglersIn(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                   dir: String): Option[(String, Set[String], Seq[String])] =
+    readAccounted(fs, dir).map { case (header, accounted) =>
+      (header, accounted,
+        listDataFiles(spark, dir).filterNot(f => accounted(fileName(f))))
+    }
+
   /** Overwrite a small line-file (lifecycle manifests). Creates the
     * parent directory when absent — writing a manifest into a
     * retired-but-never-created staging dir is what lets a straddling
