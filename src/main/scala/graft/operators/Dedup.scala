@@ -28,12 +28,25 @@ object Dedup {
   /** Exact dedup on an arbitrary key expression: keeps the smallest
     * `idCol` per key and reports the group size. One shuffle on the
     * (high-cardinality) hash key; partial aggregation does the rest.
-    */
+    *
+    * NULL keys never deduplicate against each other (review): a
+    * null-propagating key expression — md5(concat(title, body)) with
+    * a NULL title — would otherwise land every null-key row in ONE
+    * window partition (SQL PARTITION BY groups NULLs together) and
+    * silently drop all but the min-id one. An unknown key is not
+    * evidence of duplication, so each null-key row keeps itself
+    * (dup_count 1) via a per-row null discriminator; dedup_key stays
+    * null so callers can count/inspect the unkeyed population. */
   def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame = {
-    val w = Window.partitionBy("dedup_key").orderBy(idCol)
+    // (key, null) for keyed rows: one group per key. (null, id) for
+    // unkeyed rows: one group per ROW. Two partition columns, so no
+    // surrogate string can ever collide with a real key.
+    val nullDisc = when(col("dedup_key").isNull, col(idCol))
+    val w = Window.partitionBy(col("dedup_key"), nullDisc).orderBy(idCol)
     df.withColumn("dedup_key", key)
       .withColumn("rn", row_number().over(w))
-      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy("dedup_key")))
+      .withColumn("dup_count", count(lit(1))
+        .over(Window.partitionBy(col("dedup_key"), nullDisc)))
       .filter(col("rn") === 1)
       .drop("rn")
   }
@@ -52,7 +65,12 @@ object Dedup {
     *    10x cost); downstream explode() drops empty arrays itself. */
   def shingleSets(df: DataFrame, idCol: String,
                   textCol: String, n: Int): DataFrame =
-    shingleSetsFromTokens(tokenTable(df, idCol, textCol), n)
+    // tokenTable is ALREADY id-hash-partitioned at defaultParallelism
+    // and the shingle projection preserves that physical
+    // partitioning, so the composed path skips the public entry's
+    // trailing Spread — the second exchange bought nothing on this
+    // path and cost a full (id, shingles) shuffle per call (review)
+    shingleProjection(tokenTable(df, idCol, textCol), n)
 
   /** Shared (id, toks) token table: the tokenizer regex is the one
     * text pass every lexical family needs (shingles, simhash token
@@ -66,15 +84,20 @@ object Dedup {
 
   /** Shingle sets over an already-built (id, toks) token table. */
   def shingleSetsFromTokens(tok: DataFrame, n: Int): DataFrame =
+    // keyed exchange AFTER the expensive projection: callers
+    // materialize this table (localCheckpoint preserves the physical
+    // partitioning), so id-keyed consumers — the minhash signature
+    // aggregation above all — read it already partitioned and skip
+    // their own shuffle. (ReuseExchange alone does NOT deduplicate
+    // the consumers: column pruning rewrites each subtree below the
+    // exchange — hence the explicit materialize() in the pair ops.)
+    // This PUBLIC entry keeps the Spread for externally-built,
+    // arbitrarily-partitioned token tables; the composed shingleSets
+    // path arrives pre-partitioned from tokenTable and skips it.
+    shingleProjection(tok, n).transform(Spread.byKey("id"))
+
+  private def shingleProjection(tok: DataFrame, n: Int): DataFrame =
     tok.select(col("id"), Text.shingles(col("toks"), n).as("shingles"))
-      // keyed exchange AFTER the expensive projection: callers
-      // materialize this table (localCheckpoint preserves the physical
-      // partitioning), so id-keyed consumers — the minhash signature
-      // aggregation above all — read it already partitioned and skip
-      // their own shuffle. (ReuseExchange alone does NOT deduplicate
-      // the consumers: column pruning rewrites each subtree below the
-      // exchange — hence the explicit materialize() in the pair ops.)
-      .transform(Spread.byKey("id"))
 
   /** All document pairs (idA < idB) with n-gram Jaccard similarity
     * >= threshold, via an inverted shingle index:
@@ -666,14 +689,13 @@ object Dedup {
                                  rowsPerBand: Int,
                                  threshold: Double): DataFrame = {
     val numPerm = bands * rowsPerBand
-    val sigs = minhashSigTable(sh, numPerm)
-    val bandKeys = (1 to bands).map { b =>
-      val cols = ((b - 1) * rowsPerBand + 1 to b * rowsPerBand)
-        .map(j => col(s"mh_$j").cast("string"))
-      md5(concat_ws(",", cols: _*))
-    }
-    val bandRows = sigs.select(col("id"), posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    // THE band rule via sigBandRows (review: this method had grown a
+    // FOURTH inline copy of the band-key construction — the exact
+    // drift sigBandRows' doc warns about; the minhashBandCandidates
+    // pack-to-array pattern applies here verbatim)
+    val bandRows = sigBandRows(
+        minhashSignaturesFromShingles(sh, numPerm), bands, rowsPerBand)
+      .select(col("id"), col("band"), col("band_key"))
       .withColumn("is_new", isNew)
     val cand = bandRows.filter(col("is_new")).as("a")
       .join(bandRows.filter(!col("is_new")).as("b"),
@@ -703,12 +725,12 @@ object Dedup {
     * (documents sharing the exact fingerprint). */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String,
                     bits: Int): DataFrame =
-    df.select(col(idCol).as("id"), col(textCol).as("doc_text"))
-      .transform(Spread.byKey("id"))
-      .select(col("id"), Text.tokens(col("doc_text")).as("toks"))
-      .select(col("id"),
-        transform(col("toks"), t => Text.md5Long(t, 4)).as("hashes"))
-      .select(col("id"), Text.simhashFromHashes(col("hashes"), bits).as("simhash"))
+    // tokenTable + Text.simhash, not inline copies (review: this
+    // method had re-derived both — a tokenizer or hash-width change
+    // in the shared helpers would have silently forked these
+    // fingerprints from the rest of the lexical family)
+    tokenTable(df, idCol, textCol)
+      .select(col("id"), Text.simhash(col("toks"), bits).as("simhash"))
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("simhash")))
 
   /** 64-bit SimHash per document — the production fingerprint width —

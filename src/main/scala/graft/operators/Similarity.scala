@@ -113,10 +113,20 @@ object Similarity {
   def hardNegatives(anchors: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, labelCol: String,
                     k: Int): DataFrame = {
-    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    // Unlabeled rows are excluded EXPLICITLY on both sides (review):
+    // they were already excluded implicitly — NULL =!= x is NULL, so
+    // the join dropped every pair touching a NULL label — but
+    // silently, so a partially-labeled corpus yielded anchors with
+    // zero negatives and no signal why. An unknown label is not
+    // evidence of a different class, so the exclusion is the right
+    // semantics; the filters make it visible in the plan and in
+    // .count() diffs instead of buried in join-null algebra.
+    val q = anchors.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col(labelCol).as("query_label"))
       .withColumn("qn", norm2(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(labelCol).as("neighbor_label"))
       .transform(Spread.byKey("neighbor_id"))
       .withColumn("cn", norm2(col("cv")))
@@ -340,15 +350,25 @@ object Similarity {
                          centroids: DataFrame, idCol: String, vecCol: String,
                          k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "ivfTopKPartitioned: nprobe must be >= 1")
+    // PINNED routing (the routeQuantizedQueries invariant, review):
+    // the routed frame feeds BOTH the partition-filter collect and
+    // the probe join — un-pinned, a nondeterministic queries plan
+    // could route to cell A in the join while only cell B survived
+    // the filter (silently zero candidates), and even a deterministic
+    // one would pay the |Q| x |centroids| ranking twice.
     val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
       .filter(col("rnk") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn"), col("cid").as("cell"))
+      .localCheckpoint(true)
     val probeCells = q.select("cell").distinct().collect().map(_.getLong(0))
     val c = queries.sparkSession.read.parquet(corpusPath)
       .filter(col("cell").isin(probeCells: _*))
+      // partition-column read-back infers INT for small cell ids;
+      // cast restores the long the in-memory stack (and oracle) emits
+      // — the same parity cast the quantized sibling applies
       .select(col("id").as("neighbor_id"), col("v").as("cv"),
-        col("n2").as("cn"), col("cell"))
+        col("n2").as("cn"), col("cell").cast("long").as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
@@ -369,10 +389,11 @@ object Similarity {
                                   vecCol: String, k: Int,
                                   nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "ivfQuantizedTopKPartitioned: nprobe must be >= 1")
-    val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
-      .filter(col("rnk") <= nprobe)
-      .select(col("id").as("query_id"), quantize8(col("v")).as("qq"),
-        col("cid").as("cell"))
+    // PINNED routing — same invariant and reason as
+    // ivfTopKPartitioned's (routing feeds the filter collect AND the
+    // join; evaluate it exactly once)
+    val q = routeQuantizedQueries(queries, centroids, idCol, vecCol, nprobe)
+      .localCheckpoint(true)
     // bounded-by-contract driver-side cell list, exactly as
     // ivfTopKPartitioned (|queries| x nprobe literals)
     val probeCells = q.select("cell").distinct().collect().map(_.getLong(0))
@@ -1090,7 +1111,13 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .transform(Spread.byKey("neighbor_id"))
       .withColumn("cn", norm2(col("cv")))
-    val probe = candidates.select("query_id", "neighbor_id").join(q, "query_id")
+    // distinct BEFORE scoring: "stages compose freely" includes a
+    // caller pooling proposals from two stages — a (query, neighbor)
+    // pair proposed by both would otherwise be scored twice and
+    // occupy TWO ranks in the final top-k, displacing the true k-th
+    // neighbor (review)
+    val probe = candidates.select("query_id", "neighbor_id").distinct()
+      .join(q, "query_id")
     val scored = c.join(broadcast(probe), Seq("neighbor_id"))
       .withColumn("score", cosineScore(col("qv"), col("cv"), col("qn"), col("cn")))
     topK(scored, "score", k)

@@ -22,6 +22,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("exactDedup: NULL keys never deduplicate against each other " +
+    "(a null-propagating key expression must not collapse the unkeyed rows)") {
+    // key = md5(title): rows 10/11 have NULL titles (key NULL) and
+    // DIFFERENT bodies — both must survive, each its own group
+    val df = Seq(
+      (10L, Option.empty[String], "body one"),
+      (11L, Option.empty[String], "body two"),
+      (12L, Some("t"), "x"), (13L, Some("t"), "y")
+    ).toDF("doc_id", "title", "body")
+    val out = Dedup.exactDedup(df, "doc_id", md5(col("title")))
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L, 12L -> 2L))
+  }
+
   test("jaccardPairs finds the exact-dup and the near-dup pair, not the unrelated doc") {
     val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.3)
       .select("id_a", "id_b", "jaccard").collect()

@@ -92,6 +92,44 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((2L, "B"), (3L, "B")))
   }
 
+  test("rerankTopK: a (query, neighbor) pair proposed by TWO stages " +
+    "occupies ONE rank (pooled proposals dedup before scoring)") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.7f, 0.3f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0)
+    // two "stages" both propose neighbor 1; neighbor 2 and 3 appear
+    // once each — without dedup, 1 would take ranks 1 AND 2 and
+    // displace 2 from the top-2
+    val pooled = Seq((0L, 1L), (0L, 2L), (0L, 1L), (0L, 3L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.rerankTopK(pooled, q, corpus,
+        "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L),
+      s"duplicate proposal must not occupy two ranks, got $out")
+  }
+
+  test("hardNegatives: unlabeled rows are excluded on both sides " +
+    "(explicitly, not by join-null accident)") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), Some("A")),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), Option.empty[String]), // unlabeled
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), Some("B")),
+      (7L, Array(0.5f, 0.5f, 0.0f, 0.0f), Option.empty[String])  // unlabeled anchor
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        labeled.filter(col("vec_id").isin(0L, 7L)), labeled,
+        "vec_id", "embedding", "label", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // anchor 7 (unlabeled) produces nothing; anchor 0's only negative
+    // is labeled B — the unlabeled corpus row 1 is never a candidate
+    assert(out == Set((0L, 2L)), s"got $out")
+  }
+
   test("ivfTopK nprobe=2 recovers the cell-border neighbor nprobe=1 misses") {
     // query 0's home cell is c100's (x-leaning), but its TRUE nearest
     // neighbor 1 lives just over the border in c101's cell (y-leaning);
