@@ -105,6 +105,23 @@ object RegistryIO {
         listDataFiles(spark, dir).filterNot(f => accounted(fileName(f))))
     }
 
+  /** Create-or-verify a parameter sidecar (the sig-mode discipline
+    * generalized): the FIRST writer pins `value`; every later open
+    * with a different value fails loudly instead of silently mixing
+    * incompatible cells/sketches (CMS d/w, KMV k — same-shape rows,
+    * incompatible semantics). Crash between data write and pin:
+    * the next call re-pins the same value, a no-op. */
+  def pinParams(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                value: String, what: String): Unit =
+    readLines(fs, path) match {
+      case None => writeLines(fs, path, Seq(value))
+      case Some(lines) if lines.mkString(",") == value => ()
+      case Some(lines) => throw new IllegalArgumentException(
+        s"$what: registry is pinned to '${lines.mkString(",")}' but was " +
+          s"opened with '$value' — parameter drift would silently corrupt " +
+          "every estimate; migrate explicitly instead")
+    }
+
   /** Overwrite a small line-file (lifecycle manifests). Creates the
     * parent directory when absent — writing a manifest into a
     * retired-but-never-created staging dir is what lets a straddling

@@ -65,9 +65,16 @@ object AdditiveRegistry {
 
   /** The folded registry: key-wise sum of the newest base plus every
     * live partition above its horizon (the merge law of whatever
-    * sketch the cells encode). */
+    * sketch the cells encode). `like` supplies the typed EMPTY result
+    * for a never-committed path (review: a probe racing the stream's
+    * first batch used to throw PATH_NOT_FOUND where the membership
+    * family's readOrEmpty bootstrap returns empty — same discipline
+    * here; the schema is the family's to declare, not inferable from
+    * a directory that does not exist). */
   def fold(spark: SparkSession, path: String, keys: Seq[String],
-           valueCol: String): DataFrame = {
+           valueCol: String, like: DataFrame): DataFrame = {
+    if (!graft.operators.RegistryIO.committedDataExists(spark, path))
+      return like.limit(0)
     val all = readAll(spark, path)
     valid(all, horizon(all))
       .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
@@ -96,9 +103,13 @@ object AdditiveRegistry {
       .partitionBy("batch_id").parquet(path)
     // GC: drop absorbed live partitions and superseded bases — pure
     // cleanup, readers already ignore them
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM THE PATH (review): FileSystem.get
+    // returns fs.defaultFS, which throws "Wrong FS" for a registry on
+    // any other scheme (s3a://, file:/ under an hdfs default) — the
+    // GC would then fail on every compact and the file count grows
+    // unbounded. Same idiom as RegistryIO/GenIndex/Bucketing.
     val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("batch_id=")) {

@@ -40,7 +40,13 @@ object ClusterRegistry {
     ParquetState.pinAndOverwrite(updated, path)
   }
 
-  /** The standing labeling (empty before the first batch). */
-  def clusters(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** The standing labeling — empty (typed) before the first batch,
+    * as documented: the readOrEmpty bootstrap the merge path already
+    * uses (review: a bare parquet read threw PATH_NOT_FOUND when a
+    * monitor called this before the first micro-batch committed). */
+  def clusters(spark: SparkSession, path: String): DataFrame = {
+    val template = spark.range(0)
+      .select(col("id").as("id"), col("id").as("cluster"))
+    ParquetState.readOrEmpty(path, template).select("id", "cluster")
+  }
 }

@@ -35,18 +35,47 @@ object CmsRegistry {
       .withColumn("bucket", Text.cmsBucket(col("i"), col("term"), w))
       .groupBy("i", "bucket").agg(sum("cnt").as("cell"))
 
+  /** (d, w) is the sketch's semantic identity: cells hashed under
+    * one (d, w) are meaningless under another, and a mismatched
+    * probe/append silently UNDER-estimates (probe buckets mostly miss
+    * -> coalesce 0 -> min 0) — violating the >= contract with no
+    * error. First appendBatch pins the pair in a sidecar; later
+    * appends and the verifying `sketch` overload fail loudly on
+    * drift (review; the KmvRegistry/SketchRegistry fail-loudly rule). */
+  private def pin(spark: SparkSession, path: String, d: Int, w: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "_params")
+    graft.operators.RegistryIO.pinParams(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p.toString, s"d=$d,w=$w", "CmsRegistry")
+  }
+
   /** foreachBatch handler: write this batch's deltas under
-    * batch_id=<id>, replacing that partition on replay. */
+    * batch_id=<id>, replacing that partition on replay. Pins (d, w)
+    * on first use; a later append under different parameters fails
+    * loudly instead of mixing incompatible cells. */
   def appendBatch(path: String, textCol: String, d: Int, w: Int)(
-      batch: DataFrame, batchId: Long): Unit =
+      batch: DataFrame, batchId: Long): Unit = {
+    pin(batch.sparkSession, path, d, w)
     IdempotentSink.parquetByBatch(path)(
       batchCells(batch, textCol, d, w), batchId)
+  }
 
   /** The folded sketch: cell-wise sum of the newest base plus every
     * live partition above its horizon (the CMS merge law, same as
-    * q161's merge_law_ok). */
+    * q161's merge_law_ok). Empty (typed) before the first committed
+    * batch — the readOrEmpty bootstrap discipline. */
   def sketch(spark: SparkSession, path: String): DataFrame =
-    AdditiveRegistry.fold(spark, path, Keys, "cell")
+    AdditiveRegistry.fold(spark, path, Keys, "cell",
+      spark.range(0).select(col("id").cast("int").as("i"),
+        col("id").as("bucket"), col("id").as("cell")))
+
+  /** The verified fold: checks the caller's (d, w) against the
+    * registry's pinned identity before folding, so a probe written
+    * for the wrong geometry cannot silently under-estimate. */
+  def sketch(spark: SparkSession, path: String, d: Int, w: Int): DataFrame = {
+    pin(spark, path, d, w)
+    sketch(spark, path)
+  }
 
   /** Compact batches <= upToBatchId into one base partition
     * (AdditiveRegistry.compact with the CMS cell keys). */

@@ -31,6 +31,11 @@ object HistRegistry {
     * streaming cells land in exactly q181's cells. */
   def batchHist(events: DataFrame, valueCol: String): DataFrame =
     events.select(col(valueCol).as("value"))
+      // NULL values never enter the registry (review): they would
+      // persist as a bucket=null cell forever, and quantileEstimates'
+      // cumsum window orders nulls FIRST — every quantile would shift
+      // down as if null were smaller than every real value, silently
+      .filter(col("value").isNotNull)
       .select(expr(Hist.MicroSql).as("micro"))
       .select(expr(Hist.BucketSql).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
@@ -41,9 +46,11 @@ object HistRegistry {
       batch: DataFrame, batchId: Long): Unit =
     IdempotentSink.parquetByBatch(path)(batchHist(batch, valueCol), batchId)
 
-  /** The folded histogram of everything ever ingested. */
+  /** The folded histogram of everything ever ingested (empty, typed,
+    * before the first committed batch). */
   def histogram(spark: SparkSession, path: String): DataFrame =
-    AdditiveRegistry.fold(spark, path, Seq("bucket"), "n")
+    AdditiveRegistry.fold(spark, path, Seq("bucket"), "n",
+      spark.range(0).select(col("id").as("bucket"), col("id").as("n")))
 
   /** Compact batches <= upToBatchId into one base partition. */
   def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit =

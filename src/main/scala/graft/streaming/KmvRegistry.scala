@@ -43,6 +43,17 @@ object KmvRegistry {
     * (the SketchRegistry numPerm-guard rule). */
   def mergeIntoRegistry(path: String, sourceCol: String, textCol: String,
                         k: Int)(batch: DataFrame, batchId: Long): Unit = {
+    // k is the sketch's semantic identity, pinned in a sidecar on
+    // first use (review): the in-plan size guard below only catches a
+    // SHRUNK k — a registry written at a smaller k passes size <= k
+    // and merges silently, but its sources already discarded every
+    // hash above their old kth minimum, so the refilled kth minimum
+    // is biased and estimates permanently undercount. Raising OR
+    // lowering k on a lived-in registry now fails loudly.
+    val pp = new org.apache.hadoop.fs.Path(path + "_params")
+    graft.operators.RegistryIO.pinParams(
+      pp.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration),
+      pp.toString, s"k=$k", "KmvRegistry")
     val sketches = batchSketches(batch, sourceCol, textCol, k)
     val empty = array().cast("array<bigint>")
     val merged = ParquetState.readOrEmpty(path, sketches)

@@ -47,8 +47,17 @@ object StreamOps {
             val sent = state.getOption.getOrElse(0)
             val take = rows.toSeq.sortBy(_.ts.getTime).take(math.max(0, maxPerDay - sent))
             state.update(sent + take.size)
-            // drop state once the watermark passes the end of this day
-            state.setTimeoutTimestamp((day + 1) * MsPerDay)
+            // drop state once the watermark passes the end of this
+            // day — CLAMPED past the current watermark (the
+            // FunnelState guard, review): a valid on-time row for a
+            // day whose end the eviction watermark already passed
+            // would otherwise set a timeout in the past, which
+            // Spark >= 3.4 rejects with an IllegalArgumentException
+            // that kills the query and crash-loops the restart
+            // (replay recreates the same batch). The clamp only makes
+            // the state's removal LATER, never its emission.
+            state.setTimeoutTimestamp(math.max((day + 1) * MsPerDay,
+              state.getCurrentWatermarkMs() + 1))
             take.iterator
           }
       }
@@ -106,17 +115,26 @@ object StreamOps {
     * watermarks from the range), so state stays
     * O(in-flight interval), not O(stream). Inner join: left rows
     * with no right match within the interval are dropped once the
-    * watermark passes (use the batch AsOfJoin.forward for
-    * left-outer semantics over bounded data).
+    * watermark passes (intervalJoinLeftOuter below keeps them).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   leftTs: String, rightTs: String, tolerance: String): DataFrame = {
+                   leftTs: String, rightTs: String, tolerance: String): DataFrame =
+    intervalJoinTyped(left, right, keys, leftTs, rightTs, tolerance, "inner")
+
+  /** The one interval-join construction (review: the inner and
+    * left-outer variants had copy-pasted the key/range conditions and
+    * the right-key drop fold — a range fix landing in one would
+    * silently miss the other). */
+  private def intervalJoinTyped(left: DataFrame, right: DataFrame,
+                                keys: Seq[String], leftTs: String,
+                                rightTs: String, tolerance: String,
+                                joinType: String): DataFrame = {
     val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
     val rangeCond = right(rightTs) >= left(leftTs) &&
       right(rightTs) <= left(leftTs) + expr(s"INTERVAL $tolerance")
     // drop the right-side key copies: both sides carry the key under
     // the same name and any downstream reference would be ambiguous
-    keys.foldLeft(left.join(right, keyCond && rangeCond, "inner"))(
+    keys.foldLeft(left.join(right, keyCond && rangeCond, joinType))(
       (d, k) => d.drop(right(k)))
   }
 
@@ -132,13 +150,9 @@ object StreamOps {
     * condition derives both state watermarks. */
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
                             keys: Seq[String], leftTs: String,
-                            rightTs: String, tolerance: String): DataFrame = {
-    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
-    val rangeCond = right(rightTs) >= left(leftTs) &&
-      right(rightTs) <= left(leftTs) + expr(s"INTERVAL $tolerance")
-    keys.foldLeft(left.join(right, keyCond && rangeCond, "left_outer"))(
-      (d, k) => d.drop(right(k)))
-  }
+                            rightTs: String, tolerance: String): DataFrame =
+    intervalJoinTyped(left, right, keys, leftTs, rightTs, tolerance,
+      "left_outer")
 
   /** Streaming CDC COMPACTION (the streaming form of q105): maintain
     * the latest version per key as an update-mode aggregate —

@@ -20,6 +20,12 @@ class ClusterRegistrySpec extends SparkSpec {
   private val b2 = Seq((2L, 3L), (8L, 9L))
   private val b3 = Seq((6L, 2L))
 
+  test("clusters() is empty (typed) before the first batch, as documented") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccreg2_").toString
+    val out = ClusterRegistry.clusters(spark, s"$dir/registry")
+    assert(out.columns.toSeq == Seq("id", "cluster") && out.count() == 0L)
+  }
+
   test("fold across batches == one-pass CC; replay is a fixpoint") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft_ccreg_").toString

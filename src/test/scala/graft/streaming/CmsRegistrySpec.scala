@@ -22,6 +22,35 @@ class CmsRegistrySpec extends SparkSpec {
     "spark pushes filters down",
     "parquet files parquet").map(Tuple1(_))
 
+  test("(d, w) is pinned on first append: a different geometry fails " +
+    "loudly instead of silently under-estimating; the fold is empty " +
+    "(typed) before the first committed batch") {
+    val dir = Files.createTempDirectory("graft_cms3_").toString
+    val reg = s"$dir/registry"
+    // bootstrap: probing a never-written registry returns EMPTY, not
+    // PATH_NOT_FOUND — estimates come back exact-zero
+    val est0 = CmsRegistry.estimate(Seq("spark").toDF("term"), "term",
+      CmsRegistry.sketch(spark, reg), D, W)
+    assert(est0.select("est").as[Long].collect().toSeq == Seq(0L))
+    CmsRegistry.appendBatch(reg, "text", D, W)(b1.toDF("text"), 0L)
+    // a mismatched append OR verified fold fails loudly (probe
+    // buckets hashed mod a different w would mostly miss -> min 0)
+    val ex1 = intercept[IllegalArgumentException] {
+      CmsRegistry.appendBatch(reg, "text", D, W / 2)(b2.toDF("text"), 1L)
+    }
+    assert(ex1.getMessage.contains("pinned"), ex1.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      CmsRegistry.sketch(spark, reg, D + 1, W)
+    }
+    assert(ex2.getMessage.contains("pinned"), ex2.getMessage)
+    // the matching geometry keeps working, verified fold included
+    CmsRegistry.appendBatch(reg, "text", D, W)(b2.toDF("text"), 1L)
+    val est = CmsRegistry.estimate(Seq("spark").toDF("term"), "term",
+        CmsRegistry.sketch(spark, reg, D, W), D, W)
+      .select("est").as[Long].collect().toSeq
+    assert(est == Seq(4L), s"got $est")
+  }
+
   test("fold equals one pass; replay overwrites instead of double-counting") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft_cms_").toString

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, sum}
 import java.nio.file.Files
 
 /** The streaming histogram registry folds by addition — NOT
@@ -18,6 +19,26 @@ class HistRegistrySpec extends SparkSpec {
   // union is 50.0 (micro 50000), p99 is 99.0 (micro 99000)
   private val b1 = (1 to 60).map(i => Tuple1(i.toDouble))
   private val b2 = (61 to 100).map(i => Tuple1(i.toDouble))
+
+  test("NULL values never enter the registry (a persisted null bucket " +
+    "would shift every quantile down via the nulls-first cumsum); the " +
+    "fold is empty (typed) before the first committed batch") {
+    val dir = Files.createTempDirectory("graft_hist2_").toString
+    val reg = s"$dir/registry"
+    // bootstrap: reading a never-written registry is empty, not a throw
+    assert(HistRegistry.histogram(spark, reg).count() == 0L)
+    val withNulls = (Seq(Some(10.0), None, Some(20.0), None) map Tuple1.apply)
+      .toDF("value")
+    HistRegistry.appendBatch(reg, "value")(withNulls, 0L)
+    val hist = HistRegistry.histogram(spark, reg)
+    assert(hist.filter(col("bucket").isNull).count() == 0L,
+      "null values must not persist as a bucket=null cell")
+    assert(hist.agg(sum("n")).as[Long].head() == 2L)
+    // quantiles over the two real values: p50 brackets 10.0
+    val p50 = HistRegistry.quantileEstimates(hist, Seq(50))
+      .select("bucket_lo").as[Long].head()
+    assert(p50 <= 10000 && 10000 < p50 + graft.operators.Hist.BucketMicro)
+  }
 
   test("fold equals one pass; replay-safe; compaction preserves; quantiles bracket") {
     implicit val sq = spark.sqlContext

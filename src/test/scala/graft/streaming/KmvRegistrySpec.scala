@@ -64,6 +64,24 @@ class KmvRegistrySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RAISING k on a lived-in registry fails loudly too (the sidecar " +
+    "pin): sources already discarded hashes above their old kth min, so " +
+    "a silent merge would permanently undercount") {
+    val dir = Files.createTempDirectory("graft_kmv3_").toString
+    val reg = s"$dir/registry"
+    KmvRegistry.mergeIntoRegistry(reg, "source", "text", 4)(
+      b1.toDF("source", "text"), 0L)
+    // size(old) <= 8 would pass the in-plan guard — the sidecar catches it
+    val ex = intercept[IllegalArgumentException] {
+      KmvRegistry.mergeIntoRegistry(reg, "source", "text", 8)(
+        Seq(("web", "golf")).toDF("source", "text"), 1L)
+    }
+    assert(ex.getMessage.contains("pinned"), ex.getMessage)
+    // same k keeps working
+    KmvRegistry.mergeIntoRegistry(reg, "source", "text", 4)(
+      Seq(("web", "golf")).toDF("source", "text"), 1L)
+  }
+
   test("a stored sketch larger than k fails loudly, not by truncation") {
     val dir = Files.createTempDirectory("graft_kmv2_").toString
     val reg = s"$dir/registry"
