@@ -29,6 +29,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
+  /** NULL-key right rows are excluded from every variant (review):
+    * Window.partitionBy groups null keys into ONE partition, so a
+    * null-key right row would hand its payload to null-key LEFT rows
+    * — where SQL ASOF/equi-join semantics say NULL matches nothing.
+    * Null-key left rows still flow through unmatched (their partition
+    * simply holds no right payload to inherit). */
+  private def rightKeysNotNull(keys: Seq[String]) =
+    keys.map(col(_).isNotNull).reduce(_ && _)
+
   private val TsCol = "_graft_asof_ts"
   private val SideCol = "_graft_asof_side"
   private val PayCol = "_graft_asof_payload"
@@ -43,7 +52,7 @@ object AsOfJoin {
       s"AsOfJoin: left side must not contain reserved columns $TsCol/$SideCol/$PayCol")
     val l = left.withColumn(TsCol, col(leftTs)).withColumn(SideCol, lit(1))
     val r = right
-      .filter(col(rightTs).isNotNull)
+      .filter(col(rightTs).isNotNull && rightKeysNotNull(keys))
       .select((keys.map(col) :+ col(rightTs).as(TsCol)) :+
         struct(payload.map(col): _*).as(PayCol): _*)
       .withColumn(SideCol, lit(0))
@@ -77,7 +86,7 @@ object AsOfJoin {
     val matchTs = "_graft_asof_match_ts"
     val l = left.withColumn(TsCol, col(leftTs)).withColumn(SideCol, lit(1))
     val r = right
-      .filter(col(rightTs).isNotNull)
+      .filter(col(rightTs).isNotNull && rightKeysNotNull(keys))
       .select((keys.map(col) :+ col(rightTs).as(TsCol)) :+
         struct((col(rightTs).as(matchTs) +: payload.map(col)): _*).as(PayCol): _*)
       .withColumn(SideCol, lit(0))
@@ -117,6 +126,16 @@ object AsOfJoin {
   def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTs: String, rightTs: String, payload: Seq[String],
               tolerance: Option[Column] = None): DataFrame = {
+    // TIMESTAMP-ONLY contract (review): the tie-break gap is measured
+    // in unix_micros, which only accepts timestamp/date columns —
+    // backward()/forward() are ordering-only and accept any orderable
+    // ts type, but nearest needs a metric. Fail with a clear message
+    // instead of an opaque unix_micros AnalysisException.
+    require(Seq(leftTs -> left, rightTs -> right).forall { case (c, d) =>
+      d.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        d.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.DateType]
+    }, "AsOfJoin.nearest requires timestamp/date ts columns (the gap " +
+      "metric is unix_micros); backward/forward accept any orderable type")
     val leftCols = left.columns.toSeq
     val matchTs = "_graft_asof_match_ts"
     val backCol = "_graft_asof_back"
@@ -126,7 +145,7 @@ object AsOfJoin {
         s"$TsCol/$SideCol/$PayCol/$backCol/$fwdCol")
     val l = left.withColumn(TsCol, col(leftTs)).withColumn(SideCol, lit(1))
     val r = right
-      .filter(col(rightTs).isNotNull)
+      .filter(col(rightTs).isNotNull && rightKeysNotNull(keys))
       .select((keys.map(col) :+ col(rightTs).as(TsCol)) :+
         struct((col(rightTs).as(matchTs) +: payload.map(col)): _*).as(PayCol): _*)
       .withColumn(SideCol, lit(0))

@@ -40,7 +40,13 @@ object Bloom {
     * bit p set iff some key hashes to position p. Dense (zeros
     * included) so probes index words directly. */
   def bitmap(keys: DataFrame, key: Column): DataFrame = {
-    val pos = keys
+    // NULL keys are dropped (review): md5(null) is null, and a null
+    // position would reach map_from_entries as a null map key — a
+    // runtime crash. Semantically free: a null key can never match
+    // the exact semi join this filter fronts (equi-join null
+    // semantics), and prefilter's probe expression already evaluates
+    // null -> filtered for null probe keys.
+    val pos = keys.filter(key.isNotNull)
       .select(explode(array(h1(key), h2(key))).as("pos")).distinct()
     val words = pos
       .groupBy(shiftright(col("pos"), 6).as("bucket"))

@@ -36,7 +36,16 @@ object Bucketing {
   private def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    // the managed location lives under the CURRENT database's dir
+    // (review: hardcoding <warehouse>/<table> only held in the
+    // default database — with a current database set, the stale dir
+    // is <warehouse>/<db>.db/<table> and deleting the wrong path
+    // reintroduces the LOCATION_ALREADY_EXISTS failure this method
+    // exists to prevent)
+    val db = spark.catalog.currentDatabase
+    val base = if (db == "default") new org.apache.hadoop.fs.Path(wh)
+      else new org.apache.hadoop.fs.Path(wh, s"${db.toLowerCase}.db")
+    val path = new org.apache.hadoop.fs.Path(base, table.toLowerCase)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
   }

@@ -47,6 +47,16 @@ object Chunking {
     */
   def keptTokens(toks: Column, budget: Int): Column = {
     val enc = 1000000L
+    // packing bound (review): n_kept rides the low enc-digits, and
+    // since every kept token adds >= 2 chars (itself + separator)
+    // past the first, n_kept <= (budget+1)/2 — requiring budget below
+    // 2*enc-1 guarantees the count can never carry into the length
+    // field (which would silently corrupt n_kept). Winnow guards its
+    // 23-bit packing the same way.
+    require(budget > 0 && budget.toLong < 2 * enc - 1,
+      s"Chunking.keptTokens: budget must be in (0, ${2 * enc - 2}] — " +
+        "the (len, n) accumulator packs the kept count into the low " +
+        s"$enc digits")
     val folded = aggregate(
       transform(toks, t => length(t).cast("long")),
       lit(0L),

@@ -33,11 +33,25 @@ object Merge {
     val changeVals = changes.columns.filterNot(c => keys.contains(c) || c == opCol)
     require(changeVals.forall(valueCols.contains),
       s"changes columns ${changeVals.mkString(",")} must be a subset of target value columns")
+    // reserved working names (the AsOfJoin guard): a caller column
+    // named like one would be silently overwritten or ambiguous
+    val reserved = "__t_present" +: "__op" +: changeVals.map(v => s"__c_$v")
+    require(!(target.columns ++ changes.columns).exists(reserved.contains),
+      s"Merge.upsert reserves ${reserved.mkString(", ")} as working columns")
 
     // presence flags survive the full-outer join where key columns
-    // coalesce; op == null identifies change-absent rows.
+    // coalesce; op == null identifies change-absent rows — which is
+    // exactly why a NULL op INSIDE changes must fail loudly (review):
+    // it would masquerade as a target-only row, and an unmatched one
+    // emitted a phantom (keys, all-null values, action 'keep') row
+    // that existed in neither input.
     val t = target.withColumn("__t_present", lit(1))
-    val c = changeVals.foldLeft(changes.withColumnRenamed(opCol, "__op"))(
+    val opChecked = when(col(opCol).isNull,
+        raise_error(lit("Merge.upsert: null op in changes — malformed " +
+          "CDC row (op must be an upsert marker or the delete op)")))
+      .otherwise(col(opCol))
+    val c = changeVals.foldLeft(
+        changes.withColumn(opCol, opChecked).withColumnRenamed(opCol, "__op"))(
       (df, v) => df.withColumnRenamed(v, s"__c_$v"))
     val joined = t.join(c, keys, "full_outer")
       .filter(col("__op").isNull || col("__op") =!= deleteOp)

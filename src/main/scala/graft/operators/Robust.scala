@@ -24,6 +24,11 @@ object Robust {
     * shift the rank pick. */
   def groupMedian(df: DataFrame, entityCol: String, valueCol: String,
                   out: String): DataFrame = {
+    // reserved working names (the AsOfJoin guard, review): a value
+    // column literally named "n" would be overwritten by the group
+    // count and the "median" silently becomes the group SIZE
+    require(!Seq(entityCol, valueCol).exists(Set("rn", "n")),
+      "Robust.groupMedian reserves rn/n as working columns")
     val w = Window.partitionBy(entityCol).orderBy(valueCol)
     df.filter(col(valueCol).isNotNull)
       .withColumn("rn", row_number().over(w))
@@ -38,6 +43,8 @@ object Robust {
     */
   def madOutliers(df: DataFrame, entityCol: String, valueCol: String,
                   idCol: String, k: Double): DataFrame = {
+    require(!Seq(entityCol, valueCol, idCol).exists(Set("med", "mad", "dev")),
+      "Robust.madOutliers reserves med/mad/dev as working columns")
     val rows = df.select(idCol, entityCol, valueCol)
       .filter(col(valueCol).isNotNull)
     val m1 = groupMedian(rows.select(entityCol, valueCol), entityCol, valueCol, "med")

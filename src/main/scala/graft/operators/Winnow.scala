@@ -80,8 +80,13 @@ object Winnow {
       // (own projection, the CollapseProject rule above)
       .select(col("id"), size(Text.tokens(col("doc_text"))).as("n_toks"))
       .select(col("id"),
-        when(col("n_toks") >= n, col("n_toks") - (n - 1)).otherwise(0)
-          .cast("long").as("n_grams"))
+        // capped at the fingerprint position guard (review): the
+        // selector only addresses grams at pos < 2^23, so a longer
+        // doc's bounds must be computed against the ADDRESSABLE gram
+        // count — uncapped, lb_ok would falsely fail for ~8.4M+ gram
+        // docs even though the operator behaved exactly as designed
+        least(when(col("n_toks") >= n, col("n_toks") - (n - 1)).otherwise(0)
+          .cast("long"), lit((1L << 23) - 1)).as("n_grams"))
       .filter(col("n_grams") >= w)
     m.join(fps.groupBy("id").agg(count(lit(1)).as("n_fp")), "id")
       .select(col("id"), col("n_grams"), col("n_fp"),

@@ -3287,7 +3287,8 @@ object TrainingData extends QueryGroup {
 
     "q171_winnowing_profile" ->
       s"""WITH $dWinnowFp,
-         m AS (SELECT doc_id, (len(toks) - 2)::BIGINT AS n_grams FROM tok
+         m AS (SELECT doc_id,
+               LEAST((len(toks) - 2)::BIGINT, 8388607) AS n_grams FROM tok
              WHERE len(toks) - 2 >= 4),
          fpc AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM fp GROUP BY 1)
          SELECT m.doc_id AS id, n_grams, n_fp,

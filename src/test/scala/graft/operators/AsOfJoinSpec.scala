@@ -30,6 +30,21 @@ class AsOfJoinSpec extends SparkSpec {
       "d" -> Some(3.0), "e" -> Some(9.0), "f" -> None))
   }
 
+  test("NULL join keys never match (SQL equi-join semantics), and " +
+    "null-key left rows still flow through unmatched") {
+    val quotes = Seq(
+      (Option("k1"), ts(10), 1.0),
+      (Option.empty[String], ts(10), 5.0) // null-key right row: inert
+    ).toDF("key", "qts", "px")
+    val ticks = Seq(
+      (Option("k1"), ts(20), "a"),          // -> 1.0
+      (Option.empty[String], ts(20), "b")   // null key -> never matches
+    ).toDF("key", "tts", "tick")
+    val out = AsOfJoin.backward(ticks, quotes, Seq("key"), "tts", "qts", Seq("px"))
+      .select("tick", "px").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("a" -> Some(1.0), "b" -> None), out.toString)
+  }
+
   test("backward: payload travels as a unit — no cross-row stitching") {
     // the as-of row at ts=20 has bid=NULL: the output must keep that
     // NULL, not resurrect bid=10 from the older ts=10 row

@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   * bloom-then-exact path equals the plain semi join on real data. */
 class BloomSpec extends SparkSpec {
 
+  test("a NULL key on the build side is dropped, not a runtime crash; " +
+    "null probe keys are filtered (they can never match the semi join)") {
+    import spark.implicits._
+    val keys = Seq(Some("a"), None, Some("b")).toDF("k")
+    val bm = Bloom.bitmap(keys, col("k")) // pre-fix: null map key crash
+    val probe = Seq(Some("a"), None, Some("z")).toDF("k")
+    val kept = Bloom.prefilter(probe, col("k"), bm)
+      .select("k").as[Option[String]].collect().toSet
+    assert(kept.contains(Some("a")) && !kept.contains(None), kept.toString)
+  }
+
   test("no true member is ever dropped by the prefilter") {
     val keys = spark.range(0, 5000).select(col("id"))
     val bm = Bloom.bitmap(keys, col("id"))

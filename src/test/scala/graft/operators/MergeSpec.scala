@@ -25,6 +25,18 @@ class MergeSpec extends SparkSpec {
           (4, null, 40.0, "insert"))) // target-only column null on insert
   }
 
+  test("a NULL op in changes fails loudly instead of injecting a phantom row") {
+    // pre-fix: an unmatched null-op change row masqueraded as a
+    // target-only row and emitted (keys, all-null values, 'keep')
+    val changes = df("k INT, op STRING, v DOUBLE", Seq(Row(7, null, 1.0)))
+    val ex = intercept[Exception] {
+      Merge.upsert(target, changes, Seq("k")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("null op")), msgs(ex).mkString(" | "))
+  }
+
   test("empty changes passes the target through unchanged") {
     val changes = df("k INT, op STRING, v DOUBLE", Seq.empty)
     val out = Merge.upsert(target, changes, Seq("k"))
