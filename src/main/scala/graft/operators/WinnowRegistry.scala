@@ -100,15 +100,22 @@ class WinnowRegistry(path: String, n: Int, w: Int, minShared: Int,
       .filter(col("id") =!= col("cluster")).select("id")
     val inBatchKept = fps.join(dropInBatch, Seq("id"), "left_anti")
     // 2. cross-run: probe the bucketed index — count DISTINCT batch
-    //    fingerprints present in the registry (any historical doc)
-    val regHits = inBatchKept
-      .join(index.df(spark).select(col("h")).distinct(), Seq("h"),
-        "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared).select("id")
-    val keptIds = inBatchKept.select("id").distinct()
-      .join(regHits, Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    //    fingerprints present in the registry (any historical doc).
+    //    A never-written index short-circuits to "no hits" without
+    //    planning the scan (VERDICT r8 #6: the parquet read over an
+    //    absent location logs a FileNotFoundException WARN stack per
+    //    probe — listing noise that buries real warnings).
+    val keptIds = (if (!RegistryIO.committedDataExists(spark,
+        index.activeLocation(spark))) inBatchKept.select("id").distinct()
+      else {
+        val regHits = inBatchKept
+          .join(index.df(spark).select(col("h")).distinct(), Seq("h"),
+            "left_semi")
+          .groupBy("id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared).select("id")
+        inBatchKept.select("id").distinct()
+          .join(regHits, Seq("id"), "left_anti")
+      }).localCheckpoint(true)
     // 3. register survivors' fingerprints LAST (replay self-matches)
     index.append(fps.join(keptIds, Seq("id"), "left_semi"))
     batch.join(keptIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")

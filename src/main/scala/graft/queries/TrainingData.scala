@@ -982,8 +982,11 @@ object TrainingData extends QueryGroup {
       // fused plan (cells are centroid vec_ids < 24), so the %/÷
       // decode is exact at any scale. One tiny agg on the
       // already-materialized survivor frame.
+      // coalesce to 0 (ADVICE r8): an empty survivor frame would make
+      // the bare max() aggregate return null and getLong throw an
+      // opaque NPE out of the bench entry; the 1e6 floor then carries
       val ArmOff = math.max(1000000L,
-        sv.agg(max(col("vec_id"))).head.getLong(0) + 1L)
+        sv.agg(coalesce(max(col("vec_id")), lit(0L))).head.getLong(0) + 1L)
       def offR(df: DataFrame, arm: Int) = df.select(
         (col("query_id") + lit(arm * ArmOff)).as("query_id"), col("qq"),
         (col("cell") + lit(arm * ArmOff)).as("cell"))

@@ -40,21 +40,49 @@ object HistRegistry {
       .select(expr(Hist.BucketSql).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
 
+  /** The bucket geometry is the registry's semantic identity (VERDICT
+    * r8 #4 — the CmsRegistry (d,w) / KmvRegistry k discipline): cells
+    * bucketed under one width are meaningless under another, and a
+    * BUILD whose `Hist.BucketMicro` constant changed would fold new
+    * 250-micro cells into old 500-micro cells silently — every
+    * quantile read then answers over a mixed-geometry histogram with
+    * no error. First use pins the width (and the micro scale, same
+    * argument) in a sidecar; every later open verifies it. */
+  private def pin(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "_params")
+    graft.operators.RegistryIO.pinParams(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      p.toString, s"bucket_micro=${Hist.BucketMicro},micro=${Hist.MicroSql}",
+      "HistRegistry")
+  }
+
   /** foreachBatch handler: write this batch's deltas under
-    * batch_id=<id>, replacing that partition on replay. */
+    * batch_id=<id>, replacing that partition on replay. Pins the
+    * bucket geometry on first use; an append from a build with a
+    * changed `Hist.BucketMicro` fails loudly instead of mixing
+    * incompatible buckets. */
   def appendBatch(path: String, valueCol: String)(
-      batch: DataFrame, batchId: Long): Unit =
+      batch: DataFrame, batchId: Long): Unit = {
+    pin(batch.sparkSession, path)
     IdempotentSink.parquetByBatch(path)(batchHist(batch, valueCol), batchId)
+  }
 
   /** The folded histogram of everything ever ingested (empty, typed,
-    * before the first committed batch). */
-  def histogram(spark: SparkSession, path: String): DataFrame =
+    * before the first committed batch). Verifies the pinned bucket
+    * geometry — a read under a drifted width would mis-scale every
+    * `bucket * BucketMicro` boundary it reports. */
+  def histogram(spark: SparkSession, path: String): DataFrame = {
+    pin(spark, path)
     AdditiveRegistry.fold(spark, path, Seq("bucket"), "n",
       spark.range(0).select(col("id").as("bucket"), col("id").as("n")))
+  }
 
-  /** Compact batches <= upToBatchId into one base partition. */
-  def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit =
+  /** Compact batches <= upToBatchId into one base partition
+    * (geometry-verified like the fold). */
+  def compact(spark: SparkSession, path: String, upToBatchId: Long): Unit = {
+    pin(spark, path)
     AdditiveRegistry.compact(spark, path, Seq("bucket"), "n", upToBatchId)
+  }
 
   /** Quantile estimates off a folded histogram: for each percentile,
     * the first bucket whose cumulative count reaches the ceil-rank

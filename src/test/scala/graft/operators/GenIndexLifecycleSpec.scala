@@ -325,6 +325,132 @@ class GenIndexLifecycleSpec extends SparkSpec {
       .exists(), "the straddled generation is still GC'd after absorption")
   }
 
+  // ---- MAINTENANCE MUTEX (VERDICT r8 #1): rewrite-vs-rewrite was the
+  // one lifecycle race the manifest algebra could not see — both
+  // rewrites target generation N+1, interleave files in one directory,
+  // and both pass the post-swap generation check. The create-exclusive
+  // lock converts it to a loud abort with the index untouched. ----
+
+  test("MUTEX: a rewrite firing INSIDE another rewrite (double-fired " +
+    "compaction) aborts loudly; the index is intact and a later rewrite " +
+    "succeeds") {
+    val dir = Files.createTempDirectory("graft_mutex_gi_").toString
+    val reg = new DedupRegistry(s"$dir/reg")
+    def app(id: Long, text: String) =
+      reg.dedupAppend(Seq((id, text)).toDF("doc_id", "text"), "doc_id",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+    app(1L, "one"); app(2L, "two"); app(3L, "three")
+    // the second rewrite fires in the first's snapshot window — the
+    // deterministic stand-in for a scheduler double-firing compaction
+    var innerErr: Throwable = null
+    withRaceWindow(reg.index) {
+      innerErr = intercept[IllegalStateException] { reg.index.rewrite(spark) }
+    } {
+      assert(reg.compactIndex(spark, maxFiles = 2))
+    }
+    assert(innerErr.getMessage.contains("holds the lock"), innerErr.getMessage)
+    // the outer rewrite completed unharmed: verdicts unchanged, no
+    // interleaved/doubled rows
+    assert(reg.index.df(spark).count() === 3L,
+      "the aborted inner rewrite must leave zero rows behind")
+    assert(app(9L, "two").count() === 0L)
+    // the lock was released: maintenance works again
+    app(4L, "four"); app(5L, "five")
+    assert(reg.compactIndex(spark, maxFiles = 2))
+  }
+
+  test("MUTEX: a fresh foreign lock blocks a rewrite; a STALE one " +
+    "(crashed holder) is broken and the rewrite proceeds") {
+    val dir = Files.createTempDirectory("graft_mutex_stale_").toString
+    val reg = new DedupRegistry(s"$dir/reg")
+    def app(id: Long, text: String) =
+      reg.dedupAppend(Seq((id, text)).toDF("doc_id", "text"), "doc_id",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+    app(1L, "one"); app(2L, "two"); app(3L, "three")
+    // the lock root is the index's ROOT location (generation 0), which
+    // is also the active location before any rewrite
+    val lock = new org.apache.hadoop.fs.Path(
+      reg.indexLocation(spark) + "_maint_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(lock, false)
+    try os.write("pid=0 t=0".getBytes("UTF-8")) finally os.close()
+    // fresh lock (a LIVE concurrent holder): abort loudly
+    intercept[IllegalStateException] { reg.compactIndex(spark, maxFiles = 2) }
+    assert(app(9L, "two").count() === 0L, "index must be intact after the abort")
+    // backdate the lock past the stale horizon (a crashed holder's
+    // debris): the next rewrite breaks it and proceeds
+    fs.setTimes(lock, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    assert(reg.compactIndex(spark, maxFiles = 2),
+      "a stale lock must be broken, not block maintenance forever")
+    assert(!fs.exists(lock), "the broken-and-reacquired lock must be released")
+    assert(app(10L, "three").count() === 0L)
+  }
+
+  test("MUTEX (EmbedDedupRegistry): a cutover firing inside another " +
+    "cutover aborts loudly with the store intact") {
+    val dir = Files.createTempDirectory("graft_mutex_em_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    embApp(reg, 1L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    embApp(reg, 2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    var innerErr: Throwable = null
+    reg.onSourceSnapshot = () =>
+      innerErr = intercept[IllegalStateException] { reg.compactStaging(spark) }
+    try assert(reg.compactStaging(spark))
+    finally reg.onSourceSnapshot = () => ()
+    assert(innerErr.getMessage.contains("holds the lock"), innerErr.getMessage)
+    // the outer fold completed; history is whole and maintenance works
+    assert(reg.read(spark).count() === 2L)
+    assert(embApp(reg, 9L, Array(0.0f, 1.0f, 0.0f, 0.0f)).count() === 0L)
+    embApp(reg, 3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    assert(reg.compactStaging(spark), "the lock must be released after the fold")
+  }
+
+  test("IDENTITY refit (ADVICE r8): the fold's foreign-fp refusal is " +
+    "PRE-swap (registry fully intact), and a same-fp refit is the working " +
+    "recovery — it absorbs the stragglers via the requantizing migration") {
+    val dir = Files.createTempDirectory("graft_idrefit_em_").toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    embApp(reg, 1L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    embApp(reg, 2L, Array(0.8f, 0.6f, 0.0f, 0.0f))
+    val centsB = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    def appB(id: Long, v: Array[Float]) =
+      reg.dedupAppend(Seq((id, v)).toDF("vec_id", "embedding"), centsB,
+        "vec_id", "embedding")
+    val oldStaging = dir + "_staged"
+    reg.refit(spark, centsB, "vec_id", "embedding") // retires dirs under fp A
+    // the straggler: an old-fp process's append commits into the
+    // RETIRED staging dir after the refit's re-list — rows whose cell
+    // was derived under centroid set A
+    Seq((7L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("id", "embedding")
+      .select(col("id"), Similarity.quantize8(col("embedding")).as("vq"))
+      .withColumn("nq", Similarity.dotQ8(col("vq"), col("vq")))
+      .withColumn("cell", org.apache.spark.sql.functions.lit(1L))
+      .coalesce(1).write.mode("append").parquet(oldStaging)
+    appB(3L, Array(0.0f, 0.0f, 1.0f, 0.0f)) // stages new content under B
+    val before = reg.read(spark).count()
+    // the fold refuses BEFORE writing or swapping anything
+    val err = intercept[IllegalArgumentException] { reg.compactStaging(spark) }
+    assert(err.getMessage.contains("identity refit"), err.getMessage)
+    assert(reg.read(spark).count() === before,
+      "a refused fold must leave the registry byte-identical")
+    // the prescribed recovery: refit with the CURRENT centroids — an
+    // identity refit, which must RUN (not early-return) because a
+    // foreign-fp straggler needs the fp-agnostic migration
+    reg.refit(spark, centsB, "vec_id", "embedding")
+    assert(appB(9L, Array(0.0f, 1.0f, 0.0f, 0.0f)).count() === 0L,
+      "identity refit must absorb the foreign-fp straggler")
+    assert(reg.read(spark).count() === before + 1,
+      "absorption must add exactly the straggler's rows")
+    // and maintenance is healthy again
+    appB(10L, Array(0.5f, 0.5f, 0.70710678f, 0.0f))
+    assert(reg.compactStaging(spark))
+  }
+
   test("reader planned over the outgoing generation survives the swap; " +
     "the retained generation is GC'd by the NEXT rewrite") {
     val dir = Files.createTempDirectory("graft_retain_").toString

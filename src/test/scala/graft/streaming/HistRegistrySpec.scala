@@ -40,6 +40,35 @@ class HistRegistrySpec extends SparkSpec {
     assert(p50 <= 10000 && 10000 < p50 + graft.operators.Hist.BucketMicro)
   }
 
+  test("bucket geometry is pinned (VERDICT r8 #4): a registry written " +
+    "under one bucket width refuses an open from a build whose Hist " +
+    "constant drifted, instead of silently mixing buckets") {
+    val dir = Files.createTempDirectory("graft_histpin_").toString
+    val reg = s"$dir/registry"
+    HistRegistry.appendBatch(reg, "value")(
+      Seq(1.0, 2.0).map(Tuple1.apply).toDF("value"), 0L)
+    // simulate a build whose Hist.BucketMicro changed from 500 to 250:
+    // the sidecar holds the OLD geometry, this "build" presents the new
+    val pp = new org.apache.hadoop.fs.Path(reg + "_params")
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.RegistryIO.writeLines(fs, pp.toString,
+      Seq("bucket_micro=250,micro=cast(floor(value * 1000.0) as bigint)"))
+    val err1 = intercept[IllegalArgumentException] {
+      HistRegistry.appendBatch(reg, "value")(
+        Seq(3.0).map(Tuple1.apply).toDF("value"), 1L)
+    }
+    assert(err1.getMessage.contains("HistRegistry"), err1.getMessage)
+    // the read side refuses too — a fold under the wrong width would
+    // mis-scale every reported bucket boundary
+    intercept[IllegalArgumentException] { HistRegistry.histogram(spark, reg) }
+    intercept[IllegalArgumentException] { HistRegistry.compact(spark, reg, 0L) }
+    // restoring the pinned geometry restores service
+    graft.operators.RegistryIO.writeLines(fs, pp.toString,
+      Seq(s"bucket_micro=${graft.operators.Hist.BucketMicro}," +
+        s"micro=${graft.operators.Hist.MicroSql}"))
+    assert(HistRegistry.histogram(spark, reg).count() > 0L)
+  }
+
   test("fold equals one pass; replay-safe; compaction preserves; quantiles bracket") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft_hist_").toString
