@@ -99,4 +99,25 @@ class MediaDupRegistry(path: String, dim: Int, bucketWidth: Double,
   def dedupAppend(batch: DataFrame,
                   persist: DataFrame => Unit = _ => ()): DataFrame =
     core.dedupAppendFromSignatures(batch, "media_id", sigsOf(batch), persist)
+
+  /** dedupAppend with the corpus sink made IDEMPOTENT PER BATCH (the
+    * registry family's streaming wiring — survivors land at
+    * `sinkPath/batch_id=<batchId>/` by dynamic-partition overwrite):
+    * an at-least-once replay of the SAME (batch, batchId) leaves
+    * exactly one copy of every surviving media row, whether the crash
+    * hit before or after the fingerprint registration. Replay-after-
+    * register self-matches completely — every fingerprint agrees with
+    * itself on all dims, and the kernel is deterministic, so the
+    * replayed batch re-derives the identical signatures. `batchId` is
+    * foreachBatch's id when this runs inside the streaming curation
+    * loop. */
+  def dedupAppendBatch(batch: DataFrame, sinkPath: String,
+                       batchId: Long): DataFrame = {
+    require(!batch.columns.exists(_.equalsIgnoreCase("batch_id")),
+      "MediaDupRegistry.dedupAppendBatch: batch must not contain a " +
+        "batch_id column (the idempotent sink keys its partitions on it)")
+    core.dedupAppendFromSignatures(batch, "media_id", sigsOf(batch),
+      persist = out =>
+        graft.streaming.IdempotentSink.parquetByBatch(sinkPath)(out, batchId))
+  }
 }

@@ -255,6 +255,35 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     dedupAppendFromSignatures(batch, idCol,
       signatures(Dedup.shingleSets(batch, idCol, textCol, n)), persist)
 
+  /** dedupAppend with the corpus sink made IDEMPOTENT PER BATCH — the
+    * EmbedDedupRegistry.dedupAppendBatch contract on the lexical
+    * member: survivors land at `sinkPath/batch_id=<batchId>/` by
+    * dynamic-partition overwrite, so an at-least-once replay of the
+    * SAME (batch, batchId) leaves exactly one copy of every surviving
+    * row whether the crash hit before or after the signature append.
+    * Replay before the append is deterministic (same registry state →
+    * same in-batch CC representatives → same survivor set → same
+    * partition, overwritten); replay after it self-matches COMPLETELY
+    * (a registered signature agrees with itself on every permutation,
+    * so agreement = numPerm >= minAgree with no zero-norm analogue),
+    * the survivor set is empty, and an empty dynamic overwrite
+    * touches no partitions — the first run's rows stand. `batchId` is
+    * the caller's ingest sequence number (foreachBatch's id). */
+  def dedupAppendBatch(batch: DataFrame, idCol: String, textCol: String,
+                       sinkPath: String, batchId: Long,
+                       n: Int = 3): DataFrame = {
+    // batch_id is reserved (the EmbedDedupRegistry rule, case-
+    // insensitive like Spark's resolution): the sink keys its
+    // partitions on a batch_id column it adds, so a data column of
+    // that name would be silently clobbered in the sink
+    require(!batch.columns.exists(_.equalsIgnoreCase("batch_id")),
+      "NearDupRegistry.dedupAppendBatch: batch must not contain a " +
+        "batch_id column (the idempotent sink keys its partitions on it)")
+    dedupAppend(batch, idCol, textCol, n,
+      persist = out =>
+        graft.streaming.IdempotentSink.parquetByBatch(sinkPath)(out, batchId))
+  }
+
   /** dedupAppend over an already-built (id, sig) frame — the
     * signature-agnostic core shared with MediaDupRegistry. `sigs0`
     * must hold one length-numPerm signature per batch id. */

@@ -173,7 +173,8 @@ class StreamingCurationSpec extends SparkSpec {
   }
 
   test("MEDIA near-dup gate across micro-batches: an edited re-upload " +
-    "never lands") {
+    "never lands, and crash-retry replays land zero duplicates " +
+    "(batch-keyed exactly-once sink, VERDICT r8 #5)") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft_cur5_").toString
     val corpus = s"$dir/corpus"
@@ -189,13 +190,17 @@ class StreamingCurationSpec extends SparkSpec {
     val other = payload(200, 200, 200, 200, 200, 200, 200, 200)
     val fresh = payload(50, 50, 50, 50, 50, 50, 50, 50)
     val in = MemoryStream[(Long, String, Array[Byte])]
+    val seenIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // the PRODUCTION wiring (the semantic gate's convention):
+    // foreachBatch's id goes straight into dedupAppendBatch, so the
+    // corpus sink is batch-keyed and exactly-once — not the raw
+    // append-mode persist whose crash window the layout closes
     val q = MicroBatchPipeline.start(
       in.toDF().toDF("media_id", "kind", "payload"),
       identity,
-      (batch, _) => {
-        reg.dedupAppend(batch,
-          persist = out => out.select("media_id", "kind")
-            .write.mode("append").parquet(corpus))
+      (batch, id) => {
+        seenIds += id
+        reg.dedupAppendBatch(batch, sinkPath = corpus, batchId = id)
         ()
       },
       intervalMs = 100)
@@ -209,12 +214,64 @@ class StreamingCurationSpec extends SparkSpec {
         .select("media_id").as[Long].collect().toSet
       assert(kept == Set(1L, 2L, 4L),
         s"expected media gate survivors {1,2,4}, got $kept")
-      // at-least-once replay self-matches the registered fingerprints
+      // CRASH-RETRY: re-deliver the second batch under its ORIGINAL
+      // batch id (at-least-once redelivery after a checkpoint-commit
+      // crash). Every row self-matches the registered fingerprints,
+      // the survivor set is empty, and the empty dynamic overwrite
+      // leaves media 4 exactly once in the sink.
+      val retryId = seenIds.last
+      reg.dedupAppendBatch(
+        Seq((3L, "image", edited), (4L, "image", fresh))
+          .toDF("media_id", "kind", "payload"),
+        sinkPath = corpus, batchId = retryId)
+      val counts = spark.read.parquet(corpus)
+        .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+      assert(counts == Map(1L -> 1L, 2L -> 1L, 4L -> 1L),
+        s"crash-retry must not duplicate or drop, got $counts")
+      // and an at-least-once replay through the STREAM also lands
+      // nothing new (a fresh batch id, an empty survivor set)
       in.addData((3L, "image", edited), (4L, "image", fresh))
       q.processAllAvailable()
       assert(spark.read.parquet(corpus).count() == 3,
         "replayed media micro-batch must not re-land survivors")
     } finally q.stop()
+  }
+
+  test("MEDIA crash between sink write and fingerprint registration: " +
+    "the batch-keyed replay lands zero duplicates") {
+    // the asymmetric at-least-once window (the EmbedDedupRegistry
+    // class-doc contract) closed for the media member: persist
+    // completes its sink write, the job dies BEFORE registration, the
+    // replay re-derives the identical survivor set (deterministic
+    // kernel + registry state unchanged) and overwrites its own
+    // batch partition byte-identically.
+    val root = Files.createTempDirectory("graft_cur6_").toString
+    val reg = new graft.operators.MediaDupRegistry(
+      s"$root/registry", dim = 8, bucketWidth = 4.0, radius = 1)
+    def payload(v: Int): Array[Byte] = Array.fill(64)(v.toByte)
+    val b = Seq((1L, "image", payload(100)), (2L, "image", payload(200)))
+      .toDF("media_id", "kind", "payload")
+    val sink = s"$root/sink"
+    final class SimCrash extends RuntimeException("simulated crash")
+    intercept[SimCrash] {
+      reg.dedupAppend(b, persist = out => {
+        IdempotentSink.parquetByBatch(sink)(out, 7L)
+        throw new SimCrash
+      })
+    }
+    assert(reg.read(spark).count() == 0, "crash must precede registration")
+    // replay the SAME (batch, batchId): overwrites its own partition
+    val out = reg.dedupAppendBatch(b, sink, batchId = 7L)
+      .select("media_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+    val sunk = spark.read.parquet(sink)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(sunk == Map(1L -> 1L, 2L -> 1L),
+      s"batch-keyed sink must hold exactly one copy per survivor, got $sunk")
+    // a replay AFTER registration self-matches to empty and leaves
+    // the sink untouched
+    assert(reg.dedupAppendBatch(b, sink, batchId = 7L).count() == 0)
+    assert(spark.read.parquet(sink).count() == 2)
   }
 
   test("REFIT MID-STREAM (VERDICT r7 #6): centroid migration between " +
