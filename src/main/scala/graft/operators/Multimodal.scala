@@ -83,6 +83,32 @@ object StubMediaKernel extends MediaKernel {
   }
 }
 
+/** Kind-routing kernel combinator: image rows decode through `image`,
+  * audio rows through `audio`, anything else through `fallback` — the
+  * production shape where one ingest stream carries mixed media and
+  * each kind needs its own real decoder (ImageIoKernel + WavKernel in
+  * this sandbox). Dispatch is per ROW on the kind column the rows
+  * already carry; a deployment whose kernels pay heavy per-partition
+  * setup (a model load) would partition the stream by kind upstream —
+  * the JDK decoders here are setup-free, so row dispatch costs
+  * nothing. imageMeta delegates to the image kernel (pure Column
+  * exprs are already kind-guarded by withMeta's `when(kind = ...)`). */
+final class KindRoutedKernel(image: MediaKernel, audio: MediaKernel,
+                             fallback: MediaKernel = StubMediaKernel)
+    extends MediaKernel {
+  override def imageMeta(payload: Column): Seq[(String, Column)] =
+    image.imageMeta(payload)
+  override def features(rows: Iterator[MediaRow], dim: Int): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val k = r.kind match {
+        case "image" => image
+        case "audio" => audio
+        case _ => fallback
+      }
+      k.features(Iterator(r), dim).next()
+    }
+}
+
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
   * columns with typed metadata, decode/feature kernels as
   * mapPartitions over typed Datasets (the Scala-native analogue of

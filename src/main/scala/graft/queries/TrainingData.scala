@@ -581,6 +581,111 @@ object TrainingData extends QueryGroup {
       layout
     })
 
+  /** REAL-BINARY media fixture (VERDICT r8 #2): 96 deterministic
+    * payloads — 8x8 gray-as-RGB PNGs for even doc_ids, 64-sample
+    * 16-bit mono WAVs for odd — whose pixel/sample VALUES derive from
+    * md5 expressions DuckDB replays exactly (the q44 hash-check
+    * discipline, applied to REAL decoders instead of the stub). What
+    * q211/q212 prove is the container round-trip inside an
+    * oracle-gated plan: MediaFixtures encodes the values into real
+    * PNG/WAV bytes, ImageIoKernel/WavKernel DECODE them back on
+    * executors, and the decoded features must hash-match the oracle's
+    * value-level replay — any drift in the decode seam (color
+    * handling, endianness, header walk) breaks parity.
+    *
+    * Near-dup structure for the q212 funnel: doc_ids group by
+    * `gid = doc_id div 4`; same-kind group members share every value
+    * except a member-scaled shift on the first `nshift` strips
+    * (images) / sample buckets (audio), with nshift alternating 1/2
+    * by gid parity — so half the groups pair within the Hamming
+    * radius and half beyond it, both deterministically. */
+  private val RealMediaDocs = 96
+  private def realMediaValues(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") < RealMediaDocs)
+      .select(col("doc_id"),
+        expr("doc_id div 4").cast("long").as("gid"),
+        pmod(col("doc_id"), lit(2)).as("par"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("member"),
+        (lit(1) + pmod(expr("doc_id div 4"), lit(2))).cast("int").as("nshift"))
+      .withColumn("kind", when(col("par") === 0, "image").otherwise("audio"))
+    base.select(col("doc_id"), col("kind"), col("gid"), col("member"),
+        col("nshift"), explode(sequence(lit(0), lit(63))).as("p"))
+      .withColumn("v", when(col("kind") === "image",
+          // luminance in [16, 251]: 16 + md5 % 224 + (<= 12 shift)
+          lit(16) + pmod(Text.md5Long(concat_ws(":", lit("i"),
+              col("gid").cast("string"),
+              pmod(col("p"), lit(8)).cast("string"), // x
+              expr("p div 8").cast("string")), 4), // y
+            lit(224))
+            + when(pmod(col("p"), lit(8)) < col("nshift"),
+                lit(6) * col("member")).otherwise(lit(0)))
+        .otherwise(
+          // int16 sample in [-8192, 8239]
+          pmod(Text.md5Long(concat_ws(":", lit("a"),
+              col("gid").cast("string"), col("p").cast("string")), 4),
+            lit(16384)) - lit(8192)
+            + when(col("p") < lit(8) * col("nshift"),
+                lit(16) * col("member")).otherwise(lit(0)))
+        .cast("int"))
+      .select("doc_id", "kind", "p", "v")
+  }
+
+  /** The fixture as a (media_id, kind, payload) table of REAL bytes:
+    * value rows packed per media (order pinned by the position
+    * column), then encoded through MediaFixtures in one typed
+    * mapPartitions — the same transport shape as the decode kernels. */
+  private def realMediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    realMediaValues(s, dir)
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("v")))),
+        x => x.getField("v")).as("vals"))
+      .select(col("doc_id"), col("kind"), col("vals"))
+      .as[(Long, String, Seq[Int])]
+      .mapPartitions(_.map { case (id, kind, vals) =>
+        graft.operators.MediaRow(id, kind,
+          if (kind == "image") graft.operators.MediaFixtures.pngOf(vals.toArray)
+          else graft.operators.MediaFixtures.wavOf(vals.toArray))
+      }).toDF()
+  }
+
+  /** The real-decode kernel pair behind q211/q212. */
+  private def realKernel = new graft.operators.KindRoutedKernel(
+    graft.operators.ImageIoKernel, graft.operators.WavKernel)
+
+  /** The q211/q212 oracle's value-level replay CTEs, ending in
+    * `feat(media_id, kind, dim_no, value)` — realMediaValues' formulas
+    * plus the kernels' exact feature arithmetic (ONE definition for
+    * both oracle entries; see the q211 oracle comment for the
+    * rounding argument). */
+  private lazy val dRealMediaFeat: String =
+    s"""rmd AS (SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         doc_id // 4 AS gid, doc_id % 4 AS member,
+         1 + (doc_id // 4) % 2 AS nshift
+       FROM documents WHERE doc_id < $RealMediaDocs),
+       pv AS (SELECT doc_id, kind, gid, member, nshift,
+         unnest(generate_series(0, 63)) AS p FROM rmd),
+       vals AS (SELECT doc_id, kind, p,
+         CASE WHEN kind = 'image' THEN
+           16 + ${dMd5Long("'i:' || gid || ':' || (p % 8) || ':' || (p // 8)", 4)} % 224
+              + CASE WHEN p % 8 < nshift THEN 6 * member ELSE 0 END
+         ELSE
+           ${dMd5Long("'a:' || gid || ':' || p", 4)} % 16384 - 8192
+              + CASE WHEN p < 8 * nshift THEN 16 * member ELSE 0 END
+         END AS v
+       FROM pv),
+       fsum AS (SELECT doc_id AS media_id, kind,
+           CASE WHEN kind = 'image' THEN p % 8 ELSE p // 8 END AS dim_no,
+           sum(v) AS sv, sum(v * v) AS ssq
+         FROM vals GROUP BY 1, 2, 3),
+       feat AS (SELECT media_id, kind, CAST(dim_no AS INT) AS dim_no,
+           CASE WHEN kind = 'image' THEN CAST(sv::DOUBLE / 8 AS FLOAT)
+                ELSE CAST(sqrt(ssq::DOUBLE / 8) / 32768 AS FLOAT)
+           END AS value
+         FROM fsum)"""
+
   /** q144's banded Hamming search over an already-materialized token
     * table — shared by the q144 entry and the q193 scorecard. 64-bit
     * simhash, 4 bands: by pigeonhole, <= 3 differing bits leave at
@@ -1128,6 +1233,41 @@ object TrainingData extends QueryGroup {
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
         dim = 8, bucketWidth = MediaNdWidth, radius = MediaNdRadius,
         maxBandDf = MediaNdMaxDf)),
+
+    // REAL-DECODE media features (VERDICT r8 #2): real PNG + WAV
+    // payloads (MediaFixtures, values md5-derived so DuckDB replays
+    // them) decoded by ImageIoKernel / WavKernel on executors — the
+    // oracle computes the strip-luminance / bucket-RMS features
+    // straight from the value formulas, so hash parity certifies the
+    // whole encode->decode->featurize seam, not stub arithmetic.
+    "q211_real_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(realMediaTable(s, dir), dim = 8,
+          kernel = realKernel).toDF()
+        .select(col("media_id"), col("kind"), posexplode(col("feature")))
+        .select(col("media_id"), col("kind"), col("pos").as("dim_no"),
+          col("col").as("value"))),
+
+    // ... and the q210 funnel OVER the real-decoded features: the
+    // decode seam inside the composed near-dup plan. Audio RMS lives
+    // in [0, ~0.25] where image luminance lives in [16, 251] — the
+    // audio features are scaled by 2^10 (exact in float and double)
+    // so one bucket width quantizes both kinds meaningfully; the
+    // oracle applies the same scale. n_bytes is EXCLUDED end-to-end:
+    // container byte counts depend on the PNG encoder's compressor,
+    // the one thing the value-level oracle cannot replay (and exactly
+    // why only DECODED values may enter any result here).
+    "q212_real_media_funnel" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(realMediaTable(s, dir),
+          dim = 8, kernel = realKernel).toDF()
+        .select(col("media_id"), col("kind"), lit(0).as("n_bytes"),
+          when(col("kind") === "audio",
+            transform(col("feature"), v => v * lit(1024.0f)))
+            .otherwise(col("feature")).as("feature"))
+      Multimodal.nearDupFunnelFromFeatures(feats, dim = 8,
+          bucketWidth = MediaNdWidth, radius = MediaNdRadius,
+          maxBandDf = MediaNdMaxDf)
+        .select("media_id", "kind", "nd_cluster", "kept")
+    }),
 
     // ONE-permutation-hashing MinHash (Li et al. 2012; rotation
     // densification per Shrivastava & Li 2014): the 32-entry
@@ -3943,6 +4083,61 @@ object TrainingData extends QueryGroup {
          kp AS (SELECT cluster, min(media_id) AS keep_id FROM m
            WHERE cluster IS NOT NULL GROUP BY cluster)
          SELECT m.media_id, m.kind, m.n_bytes, m.cluster AS nd_cluster,
+           (m.cluster IS NULL OR m.media_id = kp.keep_id) AS kept
+         FROM m LEFT JOIN kp ON m.cluster = kp.cluster""",
+
+    // value-level replay of the REAL-decode entries: the pixel /
+    // sample formulas (md5-derived, shared with realMediaValues),
+    // then the kernels' exact feature arithmetic — strip luminance
+    // mean = sum(v)/8 (each PNG pixel is (v,v,v), so the kernel's
+    // (r+g+b)-sum over one 8-pixel column divided by 3*1*8 is the
+    // same correctly-rounded quotient), bucket RMS =
+    // sqrt(sum(s^2)/8)/32768 (the kernel's op order verbatim; sums
+    // are exact integers, division/sqrt/float-cast are the same
+    // correctly-rounded IEEE ops in both engines)
+    "q211_real_media_features" ->
+      s"""WITH $dRealMediaFeat
+         SELECT media_id, kind, dim_no, value FROM feat""",
+
+    "q212_real_media_funnel" ->
+      s"""WITH RECURSIVE $dRealMediaFeat,
+         fq AS MATERIALIZED (SELECT media_id, kind, dim_no,
+             floor((CASE WHEN kind = 'audio' THEN value * 1024
+               ELSE value END)::DOUBLE / $MediaNdWidth)::BIGINT AS bucket
+           FROM feat),
+         bk AS (SELECT media_id, dim_no // 4 AS band_no,
+             string_agg(bucket::VARCHAR, ':' ORDER BY dim_no) AS band_key
+           FROM fq GROUP BY media_id, dim_no // 4),
+         bok AS (SELECT band_no, band_key FROM bk
+           GROUP BY band_no, band_key HAVING count(*) <= $MediaNdMaxDf),
+         bkk AS (SELECT bk.media_id, bk.band_no, bk.band_key
+           FROM bk JOIN bok USING (band_no, band_key)),
+         cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+           FROM bkk a JOIN bkk b
+             ON a.band_no = b.band_no AND a.band_key = b.band_key
+               AND a.media_id < b.media_id),
+         prs AS (SELECT id_a, id_b FROM (
+             SELECT c.id_a, c.id_b,
+               sum(CASE WHEN fa.bucket != fb.bucket THEN 1 ELSE 0 END) AS nd
+             FROM cand c
+               JOIN fq fa ON fa.media_id = c.id_a
+               JOIN fq fb ON fb.media_id = c.id_b AND fb.dim_no = fa.dim_no
+             GROUP BY c.id_a, c.id_b) WHERE nd <= $MediaNdRadius),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r
+           FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         m AS (SELECT f.media_id, f.kind, c.cluster
+           FROM (SELECT DISTINCT media_id, kind FROM fq) f
+           LEFT JOIN comp c ON f.media_id = c.id),
+         kp AS (SELECT cluster, min(media_id) AS keep_id FROM m
+           WHERE cluster IS NOT NULL GROUP BY cluster)
+         SELECT m.media_id, m.kind, m.cluster AS nd_cluster,
            (m.cluster IS NULL OR m.media_id = kp.keep_id) AS kept
          FROM m LEFT JOIN kp ON m.cluster = kp.cluster""",
 
