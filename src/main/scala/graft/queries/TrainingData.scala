@@ -600,53 +600,50 @@ object TrainingData extends QueryGroup {
     * by gid parity — so half the groups pair within the Hamming
     * radius and half beyond it, both deterministically. */
   private val RealMediaDocs = 96
-  private def realMediaValues(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .filter(col("doc_id") < RealMediaDocs)
-      .select(col("doc_id"),
-        expr("doc_id div 4").cast("long").as("gid"),
-        pmod(col("doc_id"), lit(2)).as("par"),
-        pmod(col("doc_id"), lit(4)).cast("int").as("member"),
-        (lit(1) + pmod(expr("doc_id div 4"), lit(2))).cast("int").as("nshift"))
-      .withColumn("kind", when(col("par") === 0, "image").otherwise("audio"))
-    base.select(col("doc_id"), col("kind"), col("gid"), col("member"),
-        col("nshift"), explode(sequence(lit(0), lit(63))).as("p"))
-      .withColumn("v", when(col("kind") === "image",
-          // luminance in [16, 251]: 16 + md5 % 224 + (<= 12 shift)
-          lit(16) + pmod(Text.md5Long(concat_ws(":", lit("i"),
-              col("gid").cast("string"),
-              pmod(col("p"), lit(8)).cast("string"), // x
-              expr("p div 8").cast("string")), 4), // y
-            lit(224))
-            + when(pmod(col("p"), lit(8)) < col("nshift"),
-                lit(6) * col("member")).otherwise(lit(0)))
-        .otherwise(
-          // int16 sample in [-8192, 8239]
-          pmod(Text.md5Long(concat_ws(":", lit("a"),
-              col("gid").cast("string"), col("p").cast("string")), 4),
-            lit(16384)) - lit(8192)
-            + when(col("p") < lit(8) * col("nshift"),
-                lit(16) * col("member")).otherwise(lit(0)))
-        .cast("int"))
-      .select("doc_id", "kind", "p", "v")
-  }
 
-  /** The fixture as a (media_id, kind, payload) table of REAL bytes:
-    * value rows packed per media (order pinned by the position
-    * column), then encoded through MediaFixtures in one typed
-    * mapPartitions — the same transport shape as the decode kernels. */
+  /** The fixture as a (media_id, kind, payload) table of REAL bytes,
+    * built in ONE narrow mapPartitions over the filtered doc ids —
+    * zero shuffles (review: a Column-expr value frame + groupBy
+    * repack cost a full shuffle stage to produce 96 rows; at this
+    * fixture size the entry's cost IS its job count). The md5 here is
+    * java.security MessageDigest — the SAME digest Spark's md5() and
+    * DuckDB's md5() compute, so the hex-prefix value formula below is
+    * the oracle's `dRealMediaFeat` formula verbatim (hash parity is
+    * the cross-engine assertion). */
   private def realMediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    realMediaValues(s, dir)
-      .groupBy(col("doc_id"), col("kind"))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("v")))),
-        x => x.getField("v")).as("vals"))
-      .select(col("doc_id"), col("kind"), col("vals"))
-      .as[(Long, String, Seq[Int])]
-      .mapPartitions(_.map { case (id, kind, vals) =>
-        graft.operators.MediaRow(id, kind,
-          if (kind == "image") graft.operators.MediaFixtures.pngOf(vals.toArray)
-          else graft.operators.MediaFixtures.wavOf(vals.toArray))
+    Tables.documents(s, dir).filter(col("doc_id") < RealMediaDocs)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val gid = id / 4
+        val member = (id % 4).toInt
+        val nshift = 1 + (gid % 2).toInt
+        // first 4 hex chars of md5 as a long — Text.md5Long(_, 4) /
+        // dMd5Long(_, 4), computed kernel-side
+        def h4(sIn: String): Long = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(sIn.getBytes("UTF-8"))
+          java.lang.Long.parseLong(
+            d.take(2).map("%02x".format(_)).mkString, 16)
+        }
+        if (id % 2 == 0) {
+          // luminance in [16, 251]: 16 + md5 % 224 + (<= 12 shift)
+          val vals = Array.tabulate(64) { p =>
+            val x = p % 8; val y = p / 8
+            (16 + (h4(s"i:$gid:$x:$y") % 224).toInt
+              + (if (x < nshift) 6 * member else 0))
+          }
+          graft.operators.MediaRow(id, "image",
+            graft.operators.MediaFixtures.pngOf(vals))
+        } else {
+          // int16 sample in [-8192, 8239]
+          val samples = Array.tabulate(64) { p =>
+            (((h4(s"a:$gid:$p") % 16384) - 8192).toInt
+              + (if (p < 8 * nshift) 16 * member else 0))
+          }
+          graft.operators.MediaRow(id, "audio",
+            graft.operators.MediaFixtures.wavOf(samples))
+        }
       }).toDF()
   }
 
