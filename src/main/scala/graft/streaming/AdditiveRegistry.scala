@@ -87,6 +87,20 @@ object AdditiveRegistry {
     * correctness never depends on the deletion (see the object doc). */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
               valueCol: String, upToBatchId: Long): Unit = {
+    // MAINTENANCE MUTEX (the GenIndex/EmbedDedup round-9 discipline
+    // extended to the additive family): concurrent compacts are the
+    // one writer pair the horizon algebra cannot absorb — two
+    // compacts at the SAME upTo dynamic-overwrite one base partition
+    // and can interleave files in it (double-counted cells); at
+    // DIFFERENT upTo, the later one's fold scan can race the earlier
+    // one's GC deletions and write an authoritative base missing the
+    // absorbed counts. Appends stay lock-free by design (they land
+    // above any horizon and never touch the base — the object doc's
+    // concurrent-append guarantee is unchanged).
+    val lockFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.RegistryIO.withMaintenanceLock(lockFs,
+      path + "_maint_lock", s"AdditiveRegistry($path).compact") {
     val all = readAll(spark, path)
     val h = horizon(all)
     require(upToBatchId > h,
@@ -119,5 +133,6 @@ object AdditiveRegistry {
         if (absorbedLive || oldBase) fs.delete(st.getPath, true)
       }
     }
+    } // maintenance lock released
   }
 }

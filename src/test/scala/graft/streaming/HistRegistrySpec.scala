@@ -69,6 +69,38 @@ class HistRegistrySpec extends SparkSpec {
     assert(HistRegistry.histogram(spark, reg).count() > 0L)
   }
 
+  test("compaction takes the maintenance mutex (round 9): a foreign lock " +
+    "blocks compact loudly with the registry intact; appends and folds " +
+    "never take it") {
+    val dir = Files.createTempDirectory("graft_histlock_").toString
+    val reg = s"$dir/registry"
+    HistRegistry.appendBatch(reg, "value")(
+      (1 to 10).map(_.toDouble).map(Tuple1.apply).toDF("value"), 0L)
+    val lock = new org.apache.hadoop.fs.Path(reg + "_maint_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(lock, false)
+    try os.write("pid=0 t=0".getBytes("UTF-8")) finally os.close()
+    // a concurrent holder blocks compaction before anything is written
+    intercept[IllegalStateException] {
+      HistRegistry.compact(spark, reg, upToBatchId = 0L)
+    }
+    // the fold path is lock-free (reads never serialize on maintenance)
+    assert(HistRegistry.histogram(spark, reg)
+      .agg(sum("n")).as[Long].head() == 10L)
+    // ... and so is the append path (the object doc's concurrent-append
+    // guarantee): a batch lands fine while the lock is held
+    HistRegistry.appendBatch(reg, "value")(
+      Seq(11.0).map(Tuple1.apply).toDF("value"), 1L)
+    assert(HistRegistry.histogram(spark, reg)
+      .agg(sum("n")).as[Long].head() == 11L)
+    // release -> compaction works and cleans up its own lock
+    fs.delete(lock, false)
+    HistRegistry.compact(spark, reg, upToBatchId = 1L)
+    assert(!fs.exists(lock))
+    assert(HistRegistry.histogram(spark, reg)
+      .agg(sum("n")).as[Long].head() == 11L)
+  }
+
   test("fold equals one pass; replay-safe; compaction preserves; quantiles bracket") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("graft_hist_").toString
