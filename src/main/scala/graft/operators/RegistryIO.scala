@@ -147,13 +147,18 @@ object RegistryIO {
                              lockPath: String, what: String,
                              staleMs: Long = 60L * 60 * 1000)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(lockPath)
+    val token = s"pid=${ProcessHandle.current().pid()} " +
+      s"t=${System.currentTimeMillis()} u=${java.util.UUID.randomUUID()}"
+    // create-exclusive, then read BACK and verify ownership: two
+    // processes breaking the same stale lock could interleave
+    // (A deletes+creates, B's delete then removes A's fresh lock and
+    // B creates) — the unique token makes that near-impossible race
+    // lose loudly instead of letting both proceed.
     def tryAcquire(): Boolean =
       try {
-        val os = fs.create(lock, false) // create-exclusive: the CAS
-        try os.write((s"pid=${ProcessHandle.current().pid()} " +
-          s"t=${System.currentTimeMillis()}").getBytes("UTF-8"))
-        finally os.close()
-        true
+        val os = fs.create(lock, false) // the CAS
+        try os.write(token.getBytes("UTF-8")) finally os.close()
+        readLines(fs, lockPath).exists(_.mkString("\n") == token)
       } catch { case _: java.io.IOException => false }
     val acquired = tryAcquire() || {
       // stale-holder escape hatch: a crashed rewrite's lock outlives

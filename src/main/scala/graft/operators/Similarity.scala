@@ -355,13 +355,20 @@ object Similarity {
     // the probe join — un-pinned, a nondeterministic queries plan
     // could route to cell A in the join while only cell B survived
     // the filter (silently zero candidates), and even a deterministic
-    // one would pay the |Q| x |centroids| ranking twice.
-    val q = rankedCells(queries, centroids, idCol, vecCol, spread = false)
+    // one would pay the |Q| x |centroids| ranking twice. Pinned via
+    // the ONE-JOB collect (the quantized sibling's shape, VERDICT r8
+    // #3): the probe join broadcasts this frame anyway, so the
+    // driver footprint is unchanged and the eager-checkpoint +
+    // cell-collect pair of jobs collapses to one.
+    val routedPlan = rankedCells(queries, centroids, idCol, vecCol,
+        spread = false)
       .filter(col("rnk") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn"), col("cid").as("cell"))
-      .localCheckpoint(true)
-    val probeCells = q.select("cell").distinct().collect().map(_.getLong(0))
+    val routedRows = routedPlan.collect() // one job; the pin
+    val q = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
+    val probeCells = routedRows.map(_.getAs[Long]("cell")).distinct
     val c = queries.sparkSession.read.parquet(corpusPath)
       .filter(col("cell").isin(probeCells: _*))
       // partition-column read-back infers INT for small cell ids;
