@@ -52,6 +52,12 @@ object TrainingData extends QueryGroup {
   private val MediaNdWidth = 4.0
   private val MediaNdRadius = 1
   private val MediaNdMaxDf = 64
+  // q213/q214 product quantization: m subspaces of Dim/m dims, ksub
+  // codewords per subspace (id-low seeded), KmFitIter Lloyd rounds —
+  // every quantity an exact BIGINT in 1e6 micro-units
+  private val PqM = 8
+  private val PqK = 64
+  private val PqPool = 20 // q214 shortlist size (ADC pool the exact rerank would scan)
   private val LshBits = 4
   // q35 / q183 corpus-derived blocking targets (expected bucket/cell
   // population; width = f(observed corpus count) in BOTH engines)
@@ -651,6 +657,85 @@ object TrainingData extends QueryGroup {
   private def realKernel = new graft.operators.KindRoutedKernel(
     graft.operators.ImageIoKernel, graft.operators.WavKernel)
 
+  /** The PQ pipeline (fit -> encode -> ADC top-`k`) shared by q213
+    * (k = 5) and the q214 recall measurement (k = PqPool; q213's
+    * top-5 is the pool's rank <= 5 prefix by construction — one
+    * ranking rule, two consumers). */
+  private def pqTopPool(s: SparkSession, dir: String): DataFrame = {
+    val pq = graft.operators.ProductQuantizer
+    val e = Tables.embeddings(s, dir)
+    val cb = pq.pqFit(e, "vec_id", "embedding",
+      m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
+    val enc = pq.pqEncode(e, cb, "vec_id", "embedding", PqM, Dim)
+    pq.pqTopK(e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
+      enc, cb, "vec_id", "embedding", k = PqPool, m = PqM, dim = Dim)
+  }
+
+  private def pqTop5(s: SparkSession, dir: String): DataFrame =
+    pqTopPool(s, dir).filter(col("rank") <= 5)
+
+  /** Exact-integer dot of two micro-unit subvector refs (BIGINT,
+    * Dim/PqM elements) — the PQ oracle's arithmetic primitive
+    * (list_sum over BIGINT promotes to HUGEINT in DuckDB; every
+    * consumer casts its stored result back to BIGINT). */
+  private def dLSub(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, ${Dim / PqM}), " +
+      s"i -> $a[i] * $b[i]))"
+
+  /** The q213/q214 oracle chain: micro-unit vectors, subvector frame,
+    * PqK id-low seeds, KmFitIter unrolled integer Lloyd rounds
+    * (assignment by (sqdist ASC, cid ASC), half-away integer means,
+    * empty codewords carried), encode, and the broadcastable ADC
+    * query table — ending at `pqenc` + `pqscored`. Every value is an
+    * exact BIGINT, so parity needs no rounding conventions at all.
+    * Trailing comma. */
+  private lazy val pqCtes: String = {
+    def dist(sq: String, cq: String) =
+      s"(${dLSub(sq, sq)} - 2 * ${dLSub(sq, cq)} + ${dLSub(cq, cq)})"
+    def round(i: Int): String =
+      s"""pqa$i AS (SELECT blk, cid, sq FROM (
+           SELECT blk, vid, cid, sq, row_number() OVER (
+             PARTITION BY vid, blk ORDER BY dist ASC, cid ASC) AS rn
+           FROM (SELECT p.blk, p.vid, c.cid, p.sq,
+                   ${dist("p.sq", "c.cq")} AS dist
+                 FROM pqs p JOIN pqc${i - 1} c USING (blk)))
+         WHERE rn = 1),
+       pqm$i AS (SELECT blk, cid, dim_no,
+           CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                ELSE -((2 * -s + n) // (2 * n)) END AS cm
+         FROM (SELECT blk, cid, dim_no, sum(vv)::BIGINT AS s, count(*) AS n
+               FROM (SELECT blk, cid,
+                       unnest(generate_series(0, ${Dim / PqM - 1})) AS dim_no,
+                       unnest(sq) AS vv FROM pqa$i)
+               GROUP BY blk, cid, dim_no)),
+       pqc$i AS MATERIALIZED (SELECT p.blk, p.cid, coalesce(nc.cqn, p.cq) AS cq
+         FROM pqc${i - 1} p LEFT JOIN (
+           SELECT blk, cid, list(cm ORDER BY dim_no) AS cqn
+           FROM pqm$i GROUP BY blk, cid) nc USING (blk, cid)),"""
+    s"""pqb AS (SELECT vec_id, list_transform(embedding,
+         x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
+       FROM embeddings),
+     pqs AS MATERIALIZED (SELECT vec_id AS vid, s::BIGINT AS blk,
+         e[s * ${Dim / PqM} + 1 : (s + 1) * ${Dim / PqM}] AS sq
+       FROM pqb CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+     pqc0 AS (SELECT blk, vid AS cid, sq AS cq FROM pqs WHERE vid < $PqK),
+     ${(1 to KmFitIter).map(round).mkString("\n")}
+     pqenc AS MATERIALIZED (SELECT vid, blk, cid AS code FROM (
+         SELECT vid, blk, cid, row_number() OVER (
+           PARTITION BY vid, blk ORDER BY dist ASC, cid ASC) AS rn
+         FROM (SELECT p.vid, p.blk, c.cid, ${dist("p.sq", "c.cq")} AS dist
+               FROM pqs p JOIN pqc$KmFitIter c USING (blk)))
+       WHERE rn = 1),
+     pqqt AS (SELECT q.vid AS query_id, q.blk, c.cid AS code,
+         (${dLSub("c.cq", "c.cq")} - 2 * ${dLSub("q.sq", "c.cq")})::BIGINT AS pterm
+       FROM pqs q JOIN pqc$KmFitIter c USING (blk)
+       WHERE q.vid >= 12 AND q.vid < 20),
+     pqscored AS (SELECT query_id, vid, sum(pterm)::BIGINT AS adist
+       FROM pqenc e JOIN pqqt USING (blk, code)
+       WHERE query_id != vid
+       GROUP BY query_id, vid),"""
+  }
+
   /** The q211/q212 oracle's value-level replay CTEs, ending in
     * `feat(media_id, kind, dim_no, value)` — realMediaValues' formulas
     * plus the kernels' exact feature arithmetic (ONE definition for
@@ -1243,6 +1328,40 @@ object TrainingData extends QueryGroup {
         .select(col("media_id"), col("kind"), posexplode(col("feature")))
         .select(col("media_id"), col("kind"), col("pos").as("dim_no"),
           col("col").as("value"))),
+
+    // PRODUCT QUANTIZATION ANN (Jégou et al. 2011) — the ANN family's
+    // memory-bound member: per-subspace integer-exact Lloyd codebooks,
+    // m-byte codes, ADC scoring as m exact-BIGINT table lookups per
+    // candidate. Fit, encode, AND probe replay verbatim in the oracle
+    // (1e6 micro-units end to end, zero doubles anywhere).
+    "q213_pq_ann" -> ((s, dir) => pqTop5(s, dir)),
+
+    // ... and its MEASURED accuracy (the q143/q185 recall discipline:
+    // approximation quality is reported, not assumed), BOTH ways PQ
+    // is consumed: hits@5 of the raw ADC ranking, and containment of
+    // the exact top-5 in the ADC POOL of 20 — the shortlist number
+    // that governs a production two-stage (PQ shortlist -> exact
+    // rerank, the q189 shape) deployment.
+    "q214_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
+        qs, e, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val pool = pqTopPool(s, dir) // ADC top-PqPool, one ranking pass
+      val hit5 = pool.filter(col("rank") <= 5)
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit5"))
+      val inPool = pool
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_in_pool"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hit5, Seq("query_id"), "left")
+        .join(inPool, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit5"), lit(0L)).as("n_hit5"),
+          coalesce(col("n_in_pool"), lit(0L)).as("n_in_pool"))
+    }),
 
     // ... and the q210 funnel OVER the real-decoded features: the
     // decode seam inside the composed near-dup plan. Audio RMS lives
@@ -4137,6 +4256,43 @@ object TrainingData extends QueryGroup {
          SELECT m.media_id, m.kind, m.cluster AS nd_cluster,
            (m.cluster IS NULL OR m.media_id = kp.keep_id) AS kept
          FROM m LEFT JOIN kp ON m.cluster = kp.cluster""",
+
+    // full PQ replay: micro-unit quantization, KmFitIter unrolled
+    // integer Lloyd rounds per subspace, encode, ADC ranking — all
+    // exact BIGINT (see pqCtes)
+    "q213_pq_ann" ->
+      s"""WITH $pqCtes
+         r AS (SELECT query_id, vid AS neighbor_id, adist, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+           FROM pqscored)
+         SELECT query_id, rank, neighbor_id, adist FROM r WHERE rank <= 5""",
+
+    "q214_pq_recall" ->
+      s"""WITH $pqCtes
+         pqr AS (SELECT query_id, vid AS neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+           FROM pqscored),
+         ex AS (SELECT query_id, vid AS neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS vid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, $Dim),
+                   i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i]))) ASC,
+                 c.vec_id ASC) AS rank
+             FROM pqb q JOIN pqb c ON q.vec_id != c.vec_id
+             WHERE q.vec_id >= 12 AND q.vec_id < 20) WHERE rank <= 5),
+         h5 AS (SELECT query_id, count(*) AS n_hit5
+           FROM pqr JOIN ex USING (query_id, neighbor_id)
+           WHERE rank <= 5 GROUP BY query_id),
+         hp AS (SELECT query_id, count(*) AS n_in_pool
+           FROM pqr JOIN ex USING (query_id, neighbor_id)
+           WHERE rank <= $PqPool GROUP BY query_id)
+         SELECT q.vec_id AS query_id,
+           coalesce(h5.n_hit5, 0)::BIGINT AS n_hit5,
+           coalesce(hp.n_in_pool, 0)::BIGINT AS n_in_pool
+         FROM (SELECT vec_id FROM embeddings
+               WHERE vec_id >= 12 AND vec_id < 20) q
+         LEFT JOIN h5 ON q.vec_id = h5.query_id
+         LEFT JOIN hp ON q.vec_id = hp.query_id""",
 
     "q68_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (
