@@ -22,7 +22,13 @@ class NotificationLog(path: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "team STRING, sent_at TIMESTAMP, message STRING, updated_at STRING"))
-    try {
+    // short-circuit a never-written log BEFORE planning the read
+    // (VERDICT r8 #6 extended beyond the registries): resolving a
+    // parquet source over an absent path logs a FileNotFoundException
+    // line per bootstrap even though the catch below answers
+    // correctly — the listing check answers silently.
+    if (!graft.operators.RegistryIO.committedDataExists(spark, path)) empty
+    else try {
       // mergeSchema: a log written before a schema addition (e.g. the
       // updated_at stamp) holds narrower files; footer sampling would
       // otherwise make the union schema depend on listing order.
