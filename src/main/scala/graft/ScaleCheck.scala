@@ -216,6 +216,13 @@ object ScaleCheck {
     // candidate stage is bounded by the maxBandDf hot-key guard, so
     // the row must stay in the lexical band
     row("q210_media_neardup")(q("q210_media_neardup"))
+    // PRODUCT QUANTIZATION end-to-end (round 9): per-subspace integer
+    // Lloyd fit + full-corpus encode + ADC probe, all over the Nx
+    // embeddings. Every stage is linear in the corpus by construction
+    // (fit candidates n*ksub per round, encode n*ksub, probe scans
+    // the n*m code rows against a broadcast query table) — the row
+    // verifies no hidden super-linear stage snuck in.
+    row("q213_pq_ann")(q("q213_pq_ann"))
     // genuinely FIXED-width penalty rows: direct operator calls with
     // the width pinned (the catalog q35/q183 queries moved to
     // corpus-derived width in round 6, so invoking them here would
