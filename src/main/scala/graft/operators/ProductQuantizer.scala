@@ -83,8 +83,10 @@ object ProductQuantizer {
     * empty codewords carrying forward, early stop at the fixpoint
     * (idempotent, so a fixed-round unrolled oracle certifies a
     * convergence-stopped fit — the kmeansFit argument verbatim).
-    * Returns (blk, cid, cq array<bigint>) — m * ksub rows, broadcast
-    * sized by contract. One Spark job per round. */
+    * Returns (blk, cid, cq array<bigint>, cn2 = |cq|^2) — m * ksub
+    * rows, broadcast-sized by contract (cn2 rides along so the
+    * encode/probe joins pay one dot per candidate). One Spark job per
+    * round. */
   def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, ksub: Int, maxIter: Int, dim: Int): DataFrame = {
     require(m >= 1 && ksub >= 2 && maxIter >= 1, "pqFit: bad parameters")

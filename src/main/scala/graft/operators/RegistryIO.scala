@@ -142,7 +142,12 @@ object RegistryIO {
     *
     * HDFS/local `create(path, overwrite = false)` is an atomic
     * namenode op; object stores without atomic create-exclusive need
-    * a real coordination service — same caveat as every lock file. */
+    * a real coordination service — same caveat as every lock file.
+    * One accepted edge: a transient read failure in the ownership
+    * verification right after a successful create leaves that fresh
+    * lock as an orphan until the stale horizon — maintenance delayed,
+    * never corrupted (deleting on an unverifiable read could delete a
+    * LIVE holder's lock, the worse trade). */
   def withMaintenanceLock[T](fs: org.apache.hadoop.fs.FileSystem,
                              lockPath: String, what: String,
                              staleMs: Long = 60L * 60 * 1000)(body: => T): T = {
