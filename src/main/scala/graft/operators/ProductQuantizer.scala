@@ -177,31 +177,84 @@ object ProductQuantizer {
     * encoded corpus joins on (blk, code) and aggregates m exact
     * integer partials per (query, candidate) — no floats anywhere,
     * ranking ties broken by neighbor id. Self-matches excluded. */
-  def pqTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
-             idCol: String, vecCol: String, k: Int, m: Int,
-             dim: Int): DataFrame = {
-    require(dim % m == 0, s"pqTopK: m=$m must divide dim=$dim evenly")
+  /** The query-side ADC table: (query_id, blk, code, pterm) with
+    * pterm = |c|^2 - 2 q_blk . c — m * ksub exact partial terms per
+    * query, broadcast-sized by construction. Shared by the flat probe
+    * and the IVF-routed probe (one scoring rule, two pruning
+    * strategies). */
+  private def adcTable(queries: DataFrame, codebooks: DataFrame,
+                       idCol: String, vecCol: String, m: Int,
+                       dim: Int): DataFrame = {
     val cb = if (codebooks.columns.contains("cn2")) codebooks
       else codebooks.withColumn("cn2", dotL(col("cq"), col("cq")))
-    val qtab = subvectors(queries, idCol, vecCol, m, dim / m)
+    subvectors(queries, idCol, vecCol, m, dim / m)
       .select(col("vid").as("query_id"), col("blk"), col("sq"))
       .join(broadcast(cb), Seq("blk"))
       .select(col("query_id"), col("blk"), col("cid").as("code"),
         distTerm(col("sq"), col("cn2"), col("cq")).as("pterm"))
-    val scored = encoded
+  }
+
+  /** The shared ranking tail: sum the m partials per (query,
+    * candidate), rank (adist ASC, id ASC), keep k. */
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("adist"))
+  }
+
+  def pqTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+             idCol: String, vecCol: String, k: Int, m: Int,
+             dim: Int): DataFrame = {
+    require(dim % m == 0, s"pqTopK: m=$m must divide dim=$dim evenly")
+    val qtab = adcTable(queries, codebooks, idCol, vecCol, m, dim)
+    rankAdc(encoded
       .join(broadcast(qtab), Seq("blk", "code"))
       .filter(col("query_id") =!= col("vid"))
       .groupBy(col("query_id"), col("vid"))
       // a candidate missing a (blk, code) row is impossible by
       // construction (encode emits all m blocks), so the sum is
       // always over exactly m partials
-      .agg(sum(col("pterm")).as("adist"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("vid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
-        col("adist"))
+      .agg(sum(col("pterm")).as("adist")), k)
+  }
+
+  /** IVF-PQ: the two pruning axes COMPOSED — the billion-scale
+    * serving stack (IVF directory pruning x PQ memory compression,
+    * the Jégou et al. IVFADC shape without residual encoding; cells
+    * and codes here quantize the same raw vectors, so the stack is
+    * exactly "ivfTopK whose candidate scan reads m-byte codes").
+    * `cellAssign` is the corpus's (vid, cell) IVF assignment
+    * (Similarity.assignCells over the same centroid set the queries
+    * route with — the registry fp-pinning discipline applies to a
+    * persisted deployment); queries route to their `nprobe` best
+    * cells by the rankedCells rule, and ADC scoring runs ONLY inside
+    * routed cells: the join keys are (cell, blk, code) against a
+    * broadcast query table of |Q| x nprobe x m x ksub partials, the
+    * encoded corpus never shuffles, and a 100 TB probe touches
+    * nprobe/|cells| of the code rows. */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame,
+                cellAssign: DataFrame, codebooks: DataFrame,
+                centroids: DataFrame, idCol: String, vecCol: String,
+                k: Int, nprobe: Int, m: Int, dim: Int): DataFrame = {
+    require(nprobe >= 1, "ivfPqTopK: nprobe must be >= 1")
+    require(dim % m == 0, s"ivfPqTopK: m=$m must divide dim=$dim evenly")
+    // query -> routed cells, the rankedCells (cs DESC, cid ASC) rule
+    // (routeQuantizedQueries' routing half; its int8 signature is
+    // unused here — the ADC table below carries the query side)
+    val qcells = Similarity.routeQuantizedQueries(queries, centroids,
+        idCol, vecCol, nprobe)
+      .select(col("query_id"), col("cell"))
+    val qtab = adcTable(queries, codebooks, idCol, vecCol, m, dim)
+      .join(qcells, Seq("query_id"))
+    rankAdc(encoded
+      .join(cellAssign.select(col("vid"), col("cell")), Seq("vid"))
+      .join(broadcast(qtab), Seq("cell", "blk", "code"))
+      .filter(col("query_id") =!= col("vid"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("pterm")).as("adist")), k)
   }
 
   /** EXACT integer L2 top-k over the micro-unit vectors — the

@@ -1363,6 +1363,27 @@ object TrainingData extends QueryGroup {
           coalesce(col("n_in_pool"), lit(0L)).as("n_in_pool"))
     }),
 
+    // IVF-PQ — the two pruning axes COMPOSED (directory pruning x
+    // memory compression, the IVFADC serving stack): queries route to
+    // nprobe=2 cells under the q45/q147 fixed-12-centroid contract,
+    // and ADC scoring runs ONLY inside routed cells over the m-byte
+    // codes. The oracle replays routing (round-6 cosine rank) and the
+    // whole integer PQ chain verbatim.
+    "q215_ivfpq_ann" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 12)
+      val asg = Similarity.assignCells(e, cents, "vec_id", "embedding",
+          spread = false)
+        .select(col("id").as("vid"), col("cell"))
+      val cb = pq.pqFit(e, "vec_id", "embedding",
+        m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
+      val enc = pq.pqEncode(e, cb, "vec_id", "embedding", PqM, Dim)
+      pq.ivfPqTopK(e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
+        enc, asg, cb, cents, "vec_id", "embedding",
+        k = 5, nprobe = 2, m = PqM, dim = Dim)
+    }),
+
     // ... and the q210 funnel OVER the real-decoded features: the
     // decode seam inside the composed near-dup plan. Audio RMS lives
     // in [0, ~0.25] where image luminance lives in [16, 251] — the
@@ -4266,6 +4287,35 @@ object TrainingData extends QueryGroup {
              PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
            FROM pqscored)
          SELECT query_id, rank, neighbor_id, adist FROM r WHERE rank <= 5""",
+
+    // IVF routing (the ivfInt8Sql rk CTEs: round-6 cosine, cs DESC /
+    // cid ASC) composed with the integer PQ chain: ADC only inside
+    // each query's 2 routed cells
+    "q215_ivfpq_ann" ->
+      s"""WITH $pqCtes
+         ibase AS (SELECT vec_id, embedding AS v FROM embeddings),
+         inn AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM ibase),
+         icent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM inn
+           WHERE vec_id < 12),
+         isc AS (SELECT vec_id, cid,
+             round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+           FROM inn CROSS JOIN icent),
+         irk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM isc),
+         casg AS (SELECT vec_id AS vid, cid AS cell FROM irk WHERE rnk = 1),
+         qcell AS (SELECT vec_id AS query_id, cid AS cell FROM irk
+           WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
+         iscored AS (SELECT t.query_id, e.vid, sum(t.pterm)::BIGINT AS adist
+           FROM pqenc e
+           JOIN casg USING (vid)
+           JOIN pqqt t ON t.blk = e.blk AND t.code = e.code
+           JOIN qcell qc ON qc.query_id = t.query_id AND qc.cell = casg.cell
+           WHERE t.query_id != e.vid
+           GROUP BY t.query_id, e.vid)
+         SELECT query_id, rank, neighbor_id, adist FROM (
+           SELECT query_id, vid AS neighbor_id, adist, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+           FROM iscored) WHERE rank <= 5""",
 
     "q214_pq_recall" ->
       s"""WITH $pqCtes

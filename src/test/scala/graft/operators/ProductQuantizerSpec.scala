@@ -84,4 +84,36 @@ class ProductQuantizerSpec extends SparkSpec {
       .zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum
     assert(ex.getLong(3) == d0, "exact L2 must be the exact integer distance")
   }
+
+  test("ivfPqTopK: candidates come only from routed cells; at nprobe = " +
+    "|cells| the routed probe equals the flat ADC scan exactly") {
+    val cb = ProductQuantizer.pqFit(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, maxIter = 5, dim = 4)
+    val enc = ProductQuantizer.pqEncode(corpus, cb, "vec_id", "embedding",
+      m = 2, dim = 4)
+    // two orthogonal-ish centroids split the corpus into two cells
+    val cents = corpus.filter(col("vec_id") <= 1L)
+    val asg = Similarity.assignCells(corpus, cents, "vec_id", "embedding",
+      spread = false).select(col("id").as("vid"), col("cell"))
+    val q = corpus.filter(col("vec_id") === 2L)
+    // nprobe = 1: every returned neighbor shares the query's own cell
+    val routed1 = ProductQuantizer.ivfPqTopK(q, enc, asg, cb, cents,
+      "vec_id", "embedding", k = 4, nprobe = 1, m = 2, dim = 4)
+    val cellOf = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qCell = cellOf(2L)
+    routed1.collect().foreach { r =>
+      assert(cellOf(r.getLong(2)) == qCell,
+        s"nprobe=1 must only score the query's own cell, got ${r.getLong(2)}")
+    }
+    // nprobe = |cells|: identical to the flat scan (same candidates,
+    // same exact integer distances, same ranking)
+    val routedAll = ProductQuantizer.ivfPqTopK(q, enc, asg, cb, cents,
+        "vec_id", "embedding", k = 4, nprobe = 2, m = 2, dim = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val flat = ProductQuantizer.pqTopK(q, enc, cb,
+        "vec_id", "embedding", k = 4, m = 2, dim = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(routedAll == flat,
+      s"full routing must equal the flat ADC scan: $routedAll vs $flat")
+  }
 }
