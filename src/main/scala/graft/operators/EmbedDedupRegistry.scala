@@ -99,6 +99,11 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * member too). */
   @volatile private[operators] var onSourceSnapshot: () => Unit = () => ()
 
+  /** TEST SEAM: fires after a GC-stage straggler absorption's write
+    * commits and BEFORE its manifest update — the crash window the
+    * idempotent anti-join absorb closes (see swapGeneration doc). */
+  @volatile private[operators] var onStragglerAbsorbed: () => Unit = () => ()
+
   private val metaPath = path + "_centroid_fp"
 
   /** Sidecar state, line-oriented: centroid fingerprint, active data
@@ -347,16 +352,18 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
     * the signature itself and can absorb rows written under ANY
     * centroid set.
     *
-    * RESIDUAL CRASH WINDOW (accepted + documented, ADVICE r8; the
-    * GenIndex class doc carries the full argument): a crash between
-    * an absorption write and its manifest update re-absorbs those
-    * files at the next cutover — duplicated signature rows. Dedup
-    * VERDICTS are unaffected (matched-id sets are distinct'd); the
-    * one visible effect is the ANN serving path, where a duplicated
-    * neighbor could transiently occupy two top-k slots until a refit
-    * rewrites the store. The inverse ordering would turn the same
-    * crash into silent forget-history — the failure mode this design
-    * exists to prevent. */
+    * ABSORB IDEMPOTENCE (VERDICT r9 #4; the GenIndex class doc
+    * carries the full argument): a crash between an absorption write
+    * and its manifest update used to re-absorb those files at the
+    * next cutover — duplicated signature rows. Since round 10 the
+    * GC-stage absorb anti-joins (null-safe, full row) against the
+    * rows already committed to the new store, so a retry inserts
+    * nothing — sound because signature rows are set-semantic facts
+    * (dedup verdicts distinct their matched-id sets; a dropped
+    * straggler row always has an identical row already present).
+    * The inverse ordering — manifest before write — would turn the
+    * same crash into silent forget-history, the failure mode this
+    * design exists to prevent. */
   private def swapGeneration(spark: SparkSession, dirFp: String, fp: String,
                              newDir: String, srcDirs0: Seq[String],
                              migrate: DataFrame => DataFrame,
@@ -459,7 +466,18 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
               s"appended under centroid set $mFp (current $fp) that this " +
               "fold cannot migrate — run refit with the current centroids " +
               "to absorb them, or the rows would route to wrong cells")
-          writeTo(migrate(sigsOfFiles(spark, Seq(d -> stragglers))), "append")
+          // IDEMPOTENT absorb (method doc: ABSORB IDEMPOTENCE): a
+          // retry after a crash between this write and its manifest
+          // update re-surfaces the same stragglers; the null-safe
+          // full-row anti-join against the store already built makes
+          // the re-absorb insert nothing.
+          val absorbed = migrate(sigsOfFiles(spark, Seq(d -> stragglers)))
+          val built = spark.read.parquet(newDir)
+            .select(absorbed.columns.map(col): _*)
+          val cond = absorbed.columns
+            .map(c => absorbed(c) <=> built(c)).reduce(_ && _)
+          writeTo(absorbed.join(built, cond, "left_anti"), "append")
+          onStragglerAbsorbed()
           // accounted BEFORE delete: a crash between the absorb and
           // the delete must not re-absorb on retry
           RegistryIO.writeAccounted(fs, d, mFp,

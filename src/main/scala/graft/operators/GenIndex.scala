@@ -93,24 +93,26 @@ import org.apache.spark.sql.functions.col
   * every file it held when it was retired was carried forward — and
   * is deleted outright (absorbing it would double rows).
   *
-  * RESIDUAL CRASH WINDOW (accepted + documented, ADVICE r8): a crash
-  * BETWEEN an absorption insertInto and its manifest update leaves
-  * the absorbed files committed to the new generation but still
-  * unaccounted in the retired dir, so the NEXT rewrite re-absorbs
-  * them — duplicated index rows. Hitting it takes a straddling
-  * append AND a crash inside a sub-second window DURING maintenance;
-  * the consequence is bounded because every verdict consumer in this
-  * family is duplicate-INSENSITIVE (probes decide by distinct-id
-  * membership / agreement >= threshold, so a doubled signature row
-  * changes no verdict), and the manifest-before-delete ordering
-  * already makes the delete-side retry safe. The alternative —
-  * manifest before insertInto — would flip the failure to SILENT ROW
-  * LOSS on the same crash, which is the one failure mode this whole
-  * design exists to prevent; duplicates are the right side of that
-  * trade. Duplicated rows persist through identity compactions
-  * (transforms are row-local by contract, so no cross-row dedup can
-  * ride the rewrite); a registry that ever needs to purge them can
-  * pass a keyed forget-filter rewrite.
+  * ABSORB IDEMPOTENCE (VERDICT r9 #4 — closes the last crash window):
+  * a crash BETWEEN an absorption insertInto and its manifest update
+  * used to leave the absorbed files committed to the new generation
+  * but still unaccounted in the retired dir, so the NEXT rewrite
+  * re-absorbed them — duplicated index rows (accepted+documented in
+  * r8; the manifest-before-insert alternative would flip the failure
+  * to SILENT ROW LOSS, the one failure mode this design exists to
+  * prevent). Since round 10 straggler absorption is IDEMPOTENT
+  * instead: absorbed rows full-row anti-join (null-safe) the rows
+  * already committed to the generation being built, so a re-absorb
+  * of already-carried files inserts nothing. This makes absorption
+  * SET-semantics on whole rows — sound for every GenIndex member
+  * because their rows are idempotent facts (probes decide by
+  * distinct-id membership / agreement >= threshold; a registry whose
+  * row MULTIPLICITY carries meaning must not ride GenIndex —
+  * AdditiveRegistry documents exactly why it does not). The window
+  * between the in-rewrite late-file absorb and its manifest update
+  * is covered by the same mechanism one cycle later: the late files
+  * re-surface as stragglers and anti-join away against the source
+  * rows that already carried them.
   */
 object GenIndex {
   /** Catalog table-base for a registry index at `path`: a stable
@@ -138,6 +140,14 @@ class GenIndex(tableBase: String, rootLocation: String,
     * registry dedupAppend deterministically instead of racing
     * threads. */
   @volatile private[operators] var onSourceSnapshot: () => Unit = () => ()
+
+  /** TEST SEAM (lifecycle contract spec only): invoked synchronously
+    * right after a GC-time straggler absorption commits its insertInto
+    * and BEFORE the manifest update that accounts those files — the
+    * crash window that used to double index rows on the next rewrite
+    * (class doc: ABSORB IDEMPOTENCE). Lets the spec crash there
+    * deterministically and assert the retry absorbs nothing twice. */
+  @volatile private[operators] var onStragglerAbsorbed: () => Unit = () => ()
 
   private def hadoopFs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(rootLocation)
@@ -233,7 +243,28 @@ class GenIndex(tableBase: String, rootLocation: String,
     * cross-row state exists. A transform that aggregates across rows
     * would need the exclusive-writer discipline for real. */
   def rewrite(spark: SparkSession,
-              transform: DataFrame => DataFrame = identity): Unit = {
+              transform: DataFrame => DataFrame = identity): Unit =
+    swapCore(spark, Some(transform), None)
+
+  /** Generation-swap REBUILD: the next generation's rows come from a
+    * SUPPLIED frame instead of a transform of the active rows — for
+    * registries whose stored rows are LOSSY derivatives of an
+    * external source (PQRegistry: m-byte codes cannot be re-encoded
+    * from themselves; a codebook refit re-encodes from the corpus).
+    * Because no row-local migration exists for such rows, the
+    * racing-append absorption contract CANNOT hold here: the caller
+    * must serialize appends against rebuilds (PQRegistry holds its
+    * registry-level lock over both), and any late/straggling file
+    * this method still finds is a contract violation that aborts
+    * loudly AFTER the swap (the new generation is complete and
+    * active; the unabsorbable rows are named, never silently mixed
+    * in or dropped). */
+  def rebuild(spark: SparkSession, rows: DataFrame): Unit =
+    swapCore(spark, None, Some(rows))
+
+  private def swapCore(spark: SparkSession,
+                       transform: Option[DataFrame => DataFrame],
+                       replacement: Option[DataFrame]): Unit = {
     val fs = hadoopFs(spark)
     // MAINTENANCE MUTEX (VERDICT r8 #1): two concurrent rewrites both
     // target generation N+1 and interleave files in one directory —
@@ -289,14 +320,21 @@ class GenIndex(tableBase: String, rootLocation: String,
     val tableCols = spark.table(ensure(spark)).columns
     val outgoingLoc = activeLocation(spark)
     val srcFiles = listDataFiles(spark, outgoingLoc)
-    val src =
-      if (srcFiles.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.table(ensure(spark)).schema)
-      else spark.read.parquet(srcFiles: _*)
-        .select(tableCols.map(col): _*)
     onSourceSnapshot()
-    transform(src)
+    // rewrite path: transform of the snapshot; rebuild path: the
+    // supplied frame verbatim (the snapshot is still taken — the
+    // manifest below accounts every outgoing file as carried, since
+    // the replacement supersedes them all by the rebuild contract)
+    val newRows = replacement.getOrElse {
+      val src =
+        if (srcFiles.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.table(ensure(spark)).schema)
+        else spark.read.parquet(srcFiles: _*)
+          .select(tableCols.map(col): _*)
+      transform.get(src)
+    }
+    newRows.select(tableCols.map(col): _*)
       .repartition(nBuckets, bucketCols.map(col): _*)
       .write.mode("append").insertInto(tableName(next))
     // the snapshot manifest goes down BEFORE the swap: were it
@@ -341,7 +379,18 @@ class GenIndex(tableBase: String, rootLocation: String,
     val lateFiles =
       (listDataFiles(spark, outgoingLoc).toSet -- srcFiles.toSet).toSeq.sorted
     if (lateFiles.nonEmpty) {
-      transform(spark.read.parquet(lateFiles: _*)
+      // rebuild path: no row-local migration exists for these rows
+      // (method doc) — the caller broke the serialize-appends
+      // contract; abort loudly with the files named. The new
+      // generation is complete and active; nothing is mixed or lost
+      // silently.
+      require(transform.isDefined,
+        s"GenIndex($rootLocation).rebuild: files landed in the outgoing " +
+          s"generation during the rebuild (${lateFiles.mkString(", ")}) — " +
+          "rebuild rows cannot absorb appended rows (lossy derivative " +
+          "contract); callers must serialize appends against rebuilds. " +
+          "Re-append those rows' source data against the new generation.")
+      transform.get(spark.read.parquet(lateFiles: _*)
           .select(tableCols.map(col): _*))
         .repartition(nBuckets, bucketCols.map(col): _*)
         .write.mode("append").insertInto(tableName(next))
@@ -374,14 +423,32 @@ class GenIndex(tableBase: String, rootLocation: String,
       val loc = location(g)
       RegistryIO.stragglersIn(spark, fs, loc).foreach {
         case (_, accounted, stragglers) if stragglers.nonEmpty =>
-          transform(spark.read.parquet(stragglers: _*)
-              .select(tableCols.map(col): _*))
+          require(transform.isDefined,
+            s"GenIndex($rootLocation).rebuild: retired dir $loc holds " +
+              s"unaccounted files (${stragglers.mkString(", ")}) no " +
+              "row-local migration can absorb — serialize appends " +
+              "against rebuilds and re-append that source data.")
+          // IDEMPOTENT absorb (class doc: ABSORB IDEMPOTENCE): a crash
+          // between a prior absorb's insertInto and its manifest
+          // update re-surfaces the same files as stragglers here; the
+          // null-safe full-row anti-join against the rows already
+          // committed to the generation being built makes the retry
+          // insert nothing. Sound because GenIndex rows are set-
+          // semantic facts by contract. The built side is index-sized
+          // — one scan on the rare straggler path, the price of
+          // idempotence.
+          val absorbed = transform.get(spark.read.parquet(stragglers: _*)
+            .select(tableCols.map(col): _*))
+          val built = spark.table(tableName(next))
+          val cond = tableCols.map(c => absorbed(c) <=> built(c)).reduce(_ && _)
+          absorbed.join(built, cond, "left_anti")
             .repartition(nBuckets, bucketCols.map(col): _*)
             .write.mode("append").insertInto(tableName(next))
+          onStragglerAbsorbed()
           // mark the absorbed files accounted BEFORE deleting the
           // directory: a crash between this absorb and the delete
-          // would otherwise re-absorb them on the retry (the rows are
-          // idempotent facts, but doubled index rows are still wrong)
+          // would otherwise re-absorb them on the retry (now a no-op
+          // by the anti-join, but the accounting keeps GC O(new rows))
           writeAccounted(fs, g, loc,
             (accounted ++ stragglers.map(fileName)).toSeq)
         case _ => ()

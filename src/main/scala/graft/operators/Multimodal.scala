@@ -32,7 +32,16 @@ trait MediaKernel extends Serializable {
     * output); the stub derives them from the payload hash. */
   def imageMeta(payload: Column): Seq[(String, Column)]
 
-  /** Per-partition feature extraction: decode + embed each payload. */
+  /** Per-partition feature extraction: decode + embed each payload.
+    *
+    * CONTRACT: exactly ONE MediaFeatures per input row, in input
+    * order. The Iterator=>Iterator shape exists for amortization
+    * (load the decoder/model once per partition), not for
+    * filtering/batching — combinators like KindRoutedKernel dispatch
+    * row-at-a-time and would misalign or throw on a kernel that
+    * drops, duplicates, or reorders rows. A kernel that must reject
+    * a row returns a sentinel MediaFeatures (e.g. empty features),
+    * never skips it. */
   def features(rows: Iterator[MediaRow], dim: Int): Iterator[MediaFeatures]
 }
 
@@ -100,12 +109,20 @@ final class KindRoutedKernel(image: MediaKernel, audio: MediaKernel,
     image.imageMeta(payload)
   override def features(rows: Iterator[MediaRow], dim: Int): Iterator[MediaFeatures] =
     rows.map { r =>
-      val k = r.kind match {
-        case "image" => image
-        case "audio" => audio
-        case _ => fallback
+      val (k, kn) = r.kind match {
+        case "image" => (image, "image")
+        case "audio" => (audio, "audio")
+        case _ => (fallback, "fallback")
       }
-      k.features(Iterator(r), dim).next()
+      // enforce the 1:1 MediaKernel.features contract loudly — a
+      // filtering kernel here would otherwise surface as a bare
+      // NoSuchElementException with no hint which kernel dropped rows
+      val out = k.features(Iterator(r), dim)
+      if (!out.hasNext) throw new IllegalStateException(
+        s"KindRoutedKernel: $kn kernel ${k.getClass.getName} emitted no " +
+          s"MediaFeatures for media_id=${r.media_id} — MediaKernel.features " +
+          "must be 1:1 (emit a sentinel for rejected rows, never drop them)")
+      out.next()
     }
 }
 

@@ -212,10 +212,12 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
     // the parquet read over an absent location is correct (zero rows)
     // but logs a FileNotFoundException WARN stack per probe. ensureIndex
     // just ran, so "no committed data" here really means empty history.
+    // the empty answer derives its type from the REAL probe plan
+    // (bandRows over this batch), not a hardcoded DDL literal — if a
+    // family member ever produces non-long ids, the never-written-
+    // index branch stays type-identical to the scan branch (ADVICE r9)
     if (!RegistryIO.committedDataExists(spark, index.activeLocation(spark)))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
+      bandRows(sigs).select(col("id")).limit(0)
     else {
       val reg = index.df(spark).select(
         col("band"), col("band_key"), guardedSig(col("sig")).as("reg_sig"))

@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED product-quantization ANN serving store (VERDICT r9 #3):
+  * the PQ stack q213–q215 runs in memory, re-expressed as the
+  * registry shape the rest of the lifecycle family already proved —
+  * because at 100 TB "serving" means scanning PERSISTED m-byte codes,
+  * never re-encoding the corpus per probe (the q150/q208 argument,
+  * applied to the memory-bound PQ layout of Jégou et al., TPAMI 2011).
+  *
+  * What persists, and where:
+  *  - CODEBOOKS + IVF CENTROIDS: `<path>_cb_<n>/codebooks` (blk, cid,
+  *    cq array<bigint>, cn2) and `<path>_cb_<n>/centroids` (cid,
+  *    cv array<float>) — m*ksub + |cells| rows, broadcast-sized by
+  *    construction, versioned by a monotonic counter like the
+  *    EmbedDedupRegistry generation dirs.
+  *  - CODES: (vid, cell, blk, code) rows CELL-KEYED at rest (the
+  *    ProductQuantizer.cellKeyedCodes build join paid ONCE at ingest,
+  *    so every probe is the shuffle-free ivfPqTopKFromCellCodes core)
+  *    in a GenIndex bucketed table — generation lifecycle, accounting
+  *    manifests, maintenance mutex, compaction all inherited.
+  *  - META: `<path>_pq_meta` sidecar (atomic-rename swapped, the
+  *    GenIndex sidecar idiom): geometry line `m,ksub,dim`, the active
+  *    codebook-store fingerprint, the active codebook dir. The
+  *    geometry is pinned per the RegistryIO.pinParams discipline —
+  *    it changes only through `refit`, never silently.
+  *
+  * CODEBOOK–CODES CONSISTENCY (the PQ-specific hazard): codes are
+  * meaningful ONLY under the codebooks that encoded them — probing
+  * new codes with old codebooks (or mixing encodings in one table)
+  * is silent corruption, the exact analogue of EmbedDedupRegistry's
+  * foreign-fp rows. Every codes generation directory carries a
+  * `_cbfp` marker (underscore-prefixed: invisible to the data-file
+  * listing) stamped with the fingerprint of the codebooks its rows
+  * were encoded under; every read path REQUIRES marker == meta
+  * fingerprint before planning a scan. Any torn refit/compact crash
+  * therefore aborts loudly with recovery instructions instead of
+  * returning wrong neighbors.
+  *
+  * WRITER SERIALIZATION (a documented DEVIATION from the family's
+  * lock-free-append contract): PQ codes are LOSSY — a straddling
+  * append's rows cannot be re-derived from themselves after a
+  * codebook refit, so the GenIndex absorption contract cannot hold.
+  * `ingest`, `refit`, and `compact` all hold the registry-level lock
+  * (`<path>_pq_lock`); probes stay lock-free. Lock order where both
+  * are taken (refit/compact → GenIndex's internal maintenance lock)
+  * is fixed, so no deadlock is possible.
+  *
+  * REFIT re-encodes from the CORPUS (the caller supplies the
+  * authoritative vectors — codes cannot re-encode themselves): fit
+  * new codebooks, rebuild the codes generation via GenIndex.rebuild,
+  * stamp, swap meta. A crash anywhere mid-refit leaves either the
+  * old store fully active or a loudly-detected torn state whose
+  * recovery is "re-run refit" (idempotent: it rebuilds from the
+  * corpus regardless of what the crash left).
+  */
+class PQRegistry(path: String, nBuckets: Int = 8) {
+
+  private val metaPath = path + "_pq_meta"
+  private val lockPath = path + "_pq_lock"
+  private[operators] val index = new GenIndex(
+    GenIndex.tableBaseFor("graft_pqreg_", path), path + "_codes",
+    "vid BIGINT, cell BIGINT, blk BIGINT, code BIGINT",
+    Seq("cell"), nBuckets)
+
+  private def fs(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- meta sidecar: (m, ksub, dim, fp, cbDir), atomically swapped
+  private case class Meta(m: Int, ksub: Int, dim: Int, fp: String,
+                          cbDir: String)
+  private def readMeta(spark: SparkSession): Option[Meta] =
+    RegistryIO.readLines(fs(spark), metaPath).map { ls =>
+      val g = ls.head.split(",").map(_.toInt)
+      Meta(g(0), g(1), g(2), ls(1), ls(2))
+    }
+  private def requireMeta(spark: SparkSession): Meta =
+    readMeta(spark).getOrElse(throw new IllegalStateException(
+      s"PQRegistry at $path: no codebooks fitted yet — call fit() first"))
+  private def writeMeta(spark: SparkSession, m: Meta): Unit = {
+    // the GenIndex sidecar idiom: write-tmp + atomic rename-overwrite,
+    // so readers see the old or the new meta, never a partial
+    val f = fs(spark)
+    val tmp = new org.apache.hadoop.fs.Path(
+      metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val os = f.create(tmp, false)
+    try os.write(Seq(s"${m.m},${m.ksub},${m.dim}", m.fp, m.cbDir)
+      .mkString("\n").getBytes("UTF-8")) finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(metaPath),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // ---- codebook stores: <path>_cb_<counter>, monotonic like the
+  // EmbedDedupRegistry generation dirs (collisions structurally
+  // impossible; a crashed fit/refit's orphan dir is inert garbage —
+  // meta never pointed at it — and is cleared on the next refit)
+  private def cbCounter(dir: String): Int =
+    dir.split("_cb_").last.toInt
+  private def newCbDir(spark: SparkSession): String = {
+    val prev = readMeta(spark).map(m => cbCounter(m.cbDir)).getOrElse(0)
+    s"${path}_cb_${prev + 1}"
+  }
+
+  private def writeCbStore(spark: SparkSession, dir: String,
+                           codebooks: DataFrame,
+                           centroids: DataFrame): String = {
+    // a crashed earlier attempt may have left junk at this counter —
+    // overwrite reclaims it (meta never pointed here)
+    codebooks.select(col("blk"), col("cid"), col("cq"), col("cn2"))
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/codebooks")
+    centroids.select(col("cid").cast("long").as("cid"),
+        col("cv").cast("array<float>").as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
+    storeFp(spark, dir)
+  }
+  private def readCodebooks(spark: SparkSession, m: Meta): DataFrame =
+    spark.read.parquet(m.cbDir + "/codebooks")
+  private def readCentroids(spark: SparkSession, m: Meta,
+                            idCol: String, vecCol: String): DataFrame =
+    spark.read.parquet(m.cbDir + "/centroids")
+      .select(col("cid").as(idCol), col("cv").as(vecCol))
+
+  /** Stable fingerprint of a codebook store: md5 over the sorted
+    * canonical rows of both frames (the EmbedDedupRegistry
+    * centroidInfo discipline). Bounded collect — m*ksub + |cells|
+    * rows by contract. */
+  private def storeFp(spark: SparkSession, dir: String): String = {
+    val cb = spark.read.parquet(dir + "/codebooks")
+      .select(col("blk"), col("cid"), col("cq")).collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getSeq[Long](2).mkString(",")}")
+      .sorted
+    val ce = spark.read.parquet(dir + "/centroids")
+      .select(col("cid"), col("cv")).collect()
+      .map(r => s"${r.getLong(0)}:${r.getSeq[Float](1).mkString(",")}")
+      .sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((cb.mkString(";") + "|" + ce.mkString(";")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  // ---- the per-generation encoding marker (class doc: CONSISTENCY)
+  private def cbfpPath(loc: String) = loc + "/_cbfp"
+  private def stampCodes(spark: SparkSession, fp: String): Unit =
+    RegistryIO.writeLines(fs(spark), cbfpPath(index.activeLocation(spark)),
+      Seq(fp))
+  private def requireConsistent(spark: SparkSession, meta: Meta): Unit = {
+    val loc = index.activeLocation(spark)
+    if (RegistryIO.committedDataExists(spark, loc)) {
+      val stamped = RegistryIO.readLines(fs(spark), cbfpPath(loc))
+        .map(_.head)
+      require(stamped.contains(meta.fp),
+        s"PQRegistry at $path: codes generation at $loc is stamped " +
+          s"'${stamped.getOrElse("<missing>")}' but the active codebook " +
+          s"store fingerprint is '${meta.fp}' — a refit or compaction " +
+          "crashed between the codes swap and the meta/stamp write. " +
+          "Probing would decode codes with the wrong codebooks; re-run " +
+          "refit (it rebuilds codes from the corpus and is idempotent).")
+    }
+  }
+
+  /** FIRST-TIME fit: codebooks from `corpus` (ProductQuantizer.pqFit,
+    * exact-integer Lloyd), IVF `centroids` persisted alongside, meta
+    * pinned. Fails loudly if the registry is already fitted — geometry
+    * and codebooks change only through `refit`. */
+  def fit(spark: SparkSession, corpus: DataFrame, centroids: DataFrame,
+          idCol: String, vecCol: String, m: Int, ksub: Int, dim: Int,
+          maxIter: Int): Unit =
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"PQRegistry($path).fit") {
+      require(readMeta(spark).isEmpty,
+        s"PQRegistry at $path is already fitted — use refit() to change " +
+          "codebooks (geometry is pinned; silent re-fit would orphan " +
+          "every stored code)")
+      val cb = ProductQuantizer.pqFit(corpus, idCol, vecCol, m, ksub,
+        maxIter, dim)
+      val dir = newCbDir(spark)
+      val fp = writeCbStore(spark, dir,
+        cb, centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+      writeMeta(spark, Meta(m, ksub, dim, fp, dir))
+    }
+
+  /** Encode + admit `corpus` rows whose vid is NOT already indexed
+    * (idempotent by vid — the dedupAppend discipline; re-ingesting a
+    * batch is a no-op, and double-running a crashed ingest cannot
+    * double a vid's m code rows, which would corrupt ADC sums).
+    * Holds the registry lock (class doc: WRITER SERIALIZATION).
+    * Returns the number of vids admitted. */
+  def ingest(corpus: DataFrame, idCol: String, vecCol: String): Long = {
+    val spark = corpus.sparkSession
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"PQRegistry($path).ingest") {
+      val meta = requireMeta(spark)
+      requireConsistent(spark, meta)
+      val cb = readCodebooks(spark, meta)
+      val cents = readCentroids(spark, meta, idCol, vecCol)
+      val ids = corpus.select(col(idCol).cast("long").as("vid"))
+      val known = index.df(spark).select(col("vid")).distinct()
+      val newIds = ids.join(known, Seq("vid"), "left_anti")
+      val fresh = corpus.join(
+        newIds.select(col("vid").as(idCol)), Seq(idCol), "left_semi")
+      val n = fresh.count()
+      if (n > 0) {
+        val asg = Similarity.assignCells(fresh, cents, idCol, vecCol,
+            spread = false)
+          .select(col("id").as("vid"), col("cell"))
+        val enc = ProductQuantizer.pqEncode(fresh, cb, idCol, vecCol,
+          meta.m, meta.dim)
+        index.append(ProductQuantizer.cellKeyedCodes(enc, asg))
+        stampCodes(spark, meta.fp)
+      }
+      n
+    }
+  }
+
+  /** The serving probe: route queries to their `nprobe` cells, ADC
+    * over the PERSISTED cell-keyed codes — the shuffle-free
+    * ivfPqTopKFromCellCodes core over a bucketed-table scan. Read-
+    * only and lock-free; every read is consistency-checked first. */
+  def adcProbe(spark: SparkSession, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val meta = requireMeta(spark)
+    requireConsistent(spark, meta)
+    ProductQuantizer.ivfPqTopKFromCellCodes(queries, index.df(spark),
+      readCodebooks(spark, meta), readCentroids(spark, meta, idCol, vecCol),
+      idCol, vecCol, k, nprobe, meta.m, meta.dim)
+  }
+
+  /** CODEBOOK REFIT: new codebooks (possibly a new ksub) and new IVF
+    * centroids fitted on `corpus`, every code RE-ENCODED from the
+    * corpus (class doc: codes are lossy — the corpus is the only
+    * source a refit can re-derive from), swapped in as a fresh codes
+    * generation. m and dim stay pinned (changing them re-shapes the
+    * subvector layout; that is a new registry, not a refit). */
+  def refit(spark: SparkSession, corpus: DataFrame, centroids: DataFrame,
+            idCol: String, vecCol: String, ksub: Int, maxIter: Int): Unit =
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"PQRegistry($path).refit") {
+      val meta = requireMeta(spark)
+      val cb = ProductQuantizer.pqFit(corpus, idCol, vecCol, meta.m, ksub,
+        maxIter, meta.dim)
+      val dir = newCbDir(spark)
+      val fp = writeCbStore(spark, dir,
+        cb, centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+      val cents = centroids.select(col(idCol), col(vecCol))
+      val asg = Similarity.assignCells(corpus, cents, idCol, vecCol,
+          spread = false)
+        .select(col("id").as("vid"), col("cell"))
+      val enc = ProductQuantizer.pqEncode(corpus, cb, idCol, vecCol,
+        meta.m, meta.dim)
+      // generation swap: readers keep the old (still-consistent) codes
+      // until the sidecar flips; the ingest lock we hold means no
+      // append can straddle the rebuild (GenIndex.rebuild aborts
+      // loudly if one somehow does)
+      index.rebuild(spark, ProductQuantizer.cellKeyedCodes(enc, asg))
+      stampCodes(spark, fp)
+      writeMeta(spark, Meta(meta.m, ksub, meta.dim, fp, dir))
+      // the outgoing codebook store is garbage once meta flipped —
+      // best-effort delete (an orphan is never corruption)
+      val old = new org.apache.hadoop.fs.Path(meta.cbDir)
+      try { if (fs(spark).exists(old)) fs(spark).delete(old, true) }
+      catch { case _: java.io.IOException => () }
+    }
+
+  /** Fold the accreted append file groups into one bucketed
+    * generation when past `maxFiles` (the GenIndex compaction
+    * contract: identical rows, identical probe results). Re-stamps
+    * the fresh generation with the unchanged codebook fingerprint —
+    * a crash between swap and stamp is detected by every read. */
+  def compact(spark: SparkSession, maxFiles: Int): Boolean =
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"PQRegistry($path).compact") {
+      val meta = requireMeta(spark)
+      requireConsistent(spark, meta)
+      val ran = index.compact(spark, maxFiles)
+      if (ran) stampCodes(spark, meta.fp)
+      ran
+    }
+
+  /** Committed data files in the active codes generation (specs). */
+  def codesFileCount(spark: SparkSession): Int = index.dataFileCount(spark)
+}

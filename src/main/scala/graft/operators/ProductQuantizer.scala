@@ -117,6 +117,14 @@ object ProductQuantizer {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
       .sortBy(c => (c._1, c._2))
+    // the vid < ksub seed rule presumes contiguous zero-based ids; a
+    // corpus with sparse or offset ids would silently seed a smaller
+    // (possibly empty) codebook and return empty encodes/probes —
+    // fail loudly instead (ADVICE r9)
+    require(cents.size == m * ksub,
+      s"pqFit: seed rule (vid < ksub) found ${cents.size} seed subvectors, " +
+        s"expected m*ksub = ${m * ksub} — ids must be contiguous from 0 " +
+        s"(re-key the corpus, e.g. row_number() - 1, before fitting)")
     var round = 0
     var converged = false
     while (round < maxIter && !converged) {
@@ -231,14 +239,44 @@ object ProductQuantizer {
     * route with — the registry fp-pinning discipline applies to a
     * persisted deployment); queries route to their `nprobe` best
     * cells by the rankedCells rule, and ADC scoring runs ONLY inside
-    * routed cells: the join keys are (cell, blk, code) against a
-    * broadcast query table of |Q| x nprobe x m x ksub partials, the
-    * encoded corpus never shuffles, and a 100 TB probe touches
-    * nprobe/|cells| of the code rows. */
+    * routed cells against a broadcast query table of
+    * |Q| x nprobe x m x ksub partials.
+    *
+    * PLAN SHAPE, honestly (ADVICE r9): attaching cells to codes —
+    * `encoded JOIN cellAssign ON vid` — is an equi-join of two
+    * corpus-sized frames and SHUFFLES both unless cellAssign is
+    * broadcastable. That join belongs at BUILD time, once: a
+    * persisted deployment stores codes cell-keyed (cellKeyedCodes ->
+    * write, the PQRegistry layout) and every probe is then the
+    * shuffle-free ivfPqTopKFromCellCodes core — one columnar scan of
+    * the m-byte codes touching nprobe/|cells| of the rows. This
+    * convenience overload pays the build join inline (fine for a
+    * one-shot probe over a fresh encode; wrong shape for serving). */
   def ivfPqTopK(queries: DataFrame, encoded: DataFrame,
                 cellAssign: DataFrame, codebooks: DataFrame,
                 centroids: DataFrame, idCol: String, vecCol: String,
-                k: Int, nprobe: Int, m: Int, dim: Int): DataFrame = {
+                k: Int, nprobe: Int, m: Int, dim: Int): DataFrame =
+    ivfPqTopKFromCellCodes(queries, cellKeyedCodes(encoded, cellAssign),
+      codebooks, centroids, idCol, vecCol, k, nprobe, m, dim)
+
+  /** The one-time BUILD join: (vid, cell, blk, code) — the at-rest
+    * layout a deployment persists (cell-keyed, so probes prune by
+    * cell without ever re-joining the assignment). Corpus-sized x
+    * corpus-sized on vid: this shuffles, by design, ONCE at build. */
+  def cellKeyedCodes(encoded: DataFrame, cellAssign: DataFrame): DataFrame =
+    encoded.join(cellAssign.select(col("vid"), col("cell")), Seq("vid"))
+      .select(col("vid"), col("cell"), col("blk"), col("code"))
+
+  /** The serving-path probe core: `cellCodes` is the pre-joined
+    * (vid, cell, blk, code) frame (cellKeyedCodes, or a PQRegistry
+    * scan). No corpus-side shuffle anywhere: the query table (already
+    * |Q| x nprobe x m x ksub, broadcast-sized) joins on
+    * (cell, blk, code) and the per-candidate sum groups on vid within
+    * scan partitions. */
+  def ivfPqTopKFromCellCodes(queries: DataFrame, cellCodes: DataFrame,
+                             codebooks: DataFrame, centroids: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             nprobe: Int, m: Int, dim: Int): DataFrame = {
     require(nprobe >= 1, "ivfPqTopK: nprobe must be >= 1")
     require(dim % m == 0, s"ivfPqTopK: m=$m must divide dim=$dim evenly")
     // query -> routed cells, the rankedCells (cs DESC, cid ASC) rule
@@ -249,8 +287,7 @@ object ProductQuantizer {
       .select(col("query_id"), col("cell"))
     val qtab = adcTable(queries, codebooks, idCol, vecCol, m, dim)
       .join(qcells, Seq("query_id"))
-    rankAdc(encoded
-      .join(cellAssign.select(col("vid"), col("cell")), Seq("vid"))
+    rankAdc(cellCodes
       .join(broadcast(qtab), Seq("cell", "blk", "code"))
       .filter(col("query_id") =!= col("vid"))
       .groupBy(col("query_id"), col("vid"))

@@ -133,16 +133,22 @@ object RegistryIO {
     * the first one's index is untouched.
     *
     * Crash recovery: a rewrite that died holding the lock leaves the
-    * file behind; a later attempt older than `staleMs` (default 1 h —
-    * far past any maintenance run, far under any real schedule gap)
-    * deletes the stale lock and retries the exclusive create ONCE.
+    * file behind; once it is older than `staleMs` (default 1 h — far
+    * past any maintenance run, far under any real schedule gap) a
+    * later attempt claims the break by ATOMIC RENAME to a
+    * breaker-unique tombstone and retries the exclusive create ONCE
+    * (see breakStale below for why rename, not delete).
     * The lock serializes maintenance only — appends/probes never
     * touch it (their races are absorbed by the snapshot/re-list/
     * manifest contract, which this mutex complements, not replaces).
     *
-    * HDFS/local `create(path, overwrite = false)` is an atomic
-    * namenode op; object stores without atomic create-exclusive need
-    * a real coordination service — same caveat as every lock file.
+    * HDFS `create(path, overwrite = false)` is an atomic namenode op;
+    * Hadoop's RawLocalFileSystem implements it as check-then-create
+    * (exists? then create), so the local-FS guarantee is WEAKER than
+    * HDFS — the token read-back below is what actually decides
+    * ownership there. Object stores without atomic create-exclusive
+    * or atomic rename need a real coordination service — same caveat
+    * as every lock file.
     * One accepted edge: a transient read failure in the ownership
     * verification right after a successful create leaves that fresh
     * lock as an orphan until the stale horizon — maintenance delayed,
@@ -165,16 +171,36 @@ object RegistryIO {
         try os.write(token.getBytes("UTF-8")) finally os.close()
         readLines(fs, lockPath).exists(_.mkString("\n") == token)
       } catch { case _: java.io.IOException => false }
-    val acquired = tryAcquire() || {
-      // stale-holder escape hatch: a crashed rewrite's lock outlives
-      // its process; past staleMs it is debris, not a writer
-      val stale =
-        try fs.getFileStatus(lock).getModificationTime <
-          System.currentTimeMillis() - staleMs
-        catch { case _: java.io.IOException => true } // vanished: retry
-      stale && { try fs.delete(lock, false) catch
-        { case _: java.io.IOException => () }; tryAcquire() }
+    // Stale-holder escape hatch: a crashed rewrite's lock outlives its
+    // process; past staleMs it is debris, not a writer. Claiming the
+    // break by DELETE was racy (ADVICE r9): two breakers that both see
+    // the same stale status can interleave so that B's delete removes
+    // the fresh lock A just created and verified — both then proceed,
+    // recreating the concurrent-rewrite corruption. Claim by atomic
+    // RENAME instead: the stale lock is renamed to a breaker-unique
+    // tombstone, exactly one rename can succeed (the source exists
+    // only once), and only that winner deletes the tombstone and races
+    // for the fresh create — a loser never touches any lock file, so
+    // it can never remove a successor's fresh lock.
+    def breakStale(): Boolean = {
+      val mod =
+        try fs.getFileStatus(lock).getModificationTime
+        catch {
+          case _: java.io.FileNotFoundException =>
+            return tryAcquire() // vanished (holder released): plain retry
+          case _: java.io.IOException => return false // unreadable: assume live
+        }
+      mod < System.currentTimeMillis() - staleMs && {
+        val tomb = new org.apache.hadoop.fs.Path(
+          lockPath + ".broken." + java.util.UUID.randomUUID())
+        val won = try fs.rename(lock, tomb)
+          catch { case _: java.io.IOException => false }
+        if (won) { try fs.delete(tomb, false)
+          catch { case _: java.io.IOException => () } }
+        won && tryAcquire()
+      }
     }
+    val acquired = tryAcquire() || breakStale()
     if (!acquired) throw new IllegalStateException(
       s"$what: another maintenance rewrite holds the lock at $lockPath " +
         "— concurrent rewrites would interleave files in one target " +
@@ -184,7 +210,17 @@ object RegistryIO {
         "manually once the holder is confirmed dead).")
     try body
     finally {
-      try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+      // Release only OUR lock: if the body outlived the stale horizon
+      // and a breaker already rename-claimed it (and possibly created
+      // its own fresh lock), a blind delete would remove the
+      // successor's lock — verify the holder token first. The
+      // read-then-delete window that remains requires this lock to be
+      // past staleMs while we are actively releasing it — the same
+      // horizon assumption the whole scheme rests on.
+      try {
+        if (readLines(fs, lockPath).exists(_.mkString("\n") == token))
+          fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () }
     }
   }
 

@@ -58,6 +58,11 @@ object TrainingData extends QueryGroup {
   private val PqM = 8
   private val PqK = 64
   private val PqPool = 20 // q214 shortlist size (ADC pool the exact rerank would scan)
+  // q217 refit arm: the PQRegistry's post-refit codebook size — a
+  // deliberately coarser geometry so the recall delta the entry
+  // measures is visible, and the second unrolled oracle chain stays
+  // cheap (16 codewords vs 64)
+  private val PqK2 = 16
   private val LshBits = 4
   // q35 / q183 corpus-derived blocking targets (expected bucket/cell
   // population; width = f(observed corpus count) in BOTH engines)
@@ -568,6 +573,39 @@ object TrainingData extends QueryGroup {
       (s"$root/pre", s"$root/post")
     })
 
+  /** q216/q217's PQRegistry stores, built once per JVM per sf dir
+    * (the q208Stores "seeding untimed" convention, third application):
+    * (a) fit(ksub=PqK) + full-corpus ingest — the steady-state
+    * serving store; (b) identically built, then REFIT to ksub=PqK2 —
+    * the post-codebook-migration store (new codebooks fitted, every
+    * code re-encoded from the corpus, generation-swapped). Both are
+    * deterministic functions of the input tables (pqFit's id-low
+    * seeding, assignCells' ranked argmax, and the rebuild are all
+    * replay-stable), so cache reuse within a JVM changes nothing
+    * about q216/q217 results; the timed entries are the read-only
+    * persisted ADC probes the oracle replays. */
+  private val pqRegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def pqRegStores(s: SparkSession, dir: String): (String, String) =
+    pqRegCache.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 12)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pqreg").toString
+      def seed(p: String): graft.operators.PQRegistry = {
+        val r = new graft.operators.PQRegistry(p)
+        r.fit(s, e, cents, "vec_id", "embedding",
+          m = PqM, ksub = PqK, dim = Dim, maxIter = KmFitIter)
+        r.ingest(e, "vec_id", "embedding")
+        r
+      }
+      seed(s"$root/pre")
+      seed(s"$root/post")
+        .refit(s, e, cents, "vec_id", "embedding",
+          ksub = PqK2, maxIter = KmFitIter)
+      (s"$root/pre", s"$root/post")
+    })
+
   /** q150's cell-partitioned disk LAYOUT, built once per JVM per sf
     * dir (VERDICT r8 #3 — the q208Stores "seeding untimed" convention
     * applied to the last overhead-dominated pairing): the ingest
@@ -683,58 +721,61 @@ object TrainingData extends QueryGroup {
       s"i -> $a[i] * $b[i]))"
 
   /** The q213/q214 oracle chain: micro-unit vectors, subvector frame,
-    * PqK id-low seeds, KmFitIter unrolled integer Lloyd rounds
+    * `ksub` id-low seeds, KmFitIter unrolled integer Lloyd rounds
     * (assignment by (sqdist ASC, cid ASC), half-away integer means,
     * empty codewords carried), encode, and the broadcastable ADC
-    * query table — ending at `pqenc` + `pqscored`. Every value is an
+    * query table — ending at `<x>enc` + `<x>scored`. Every value is an
     * exact BIGINT, so parity needs no rounding conventions at all.
-    * Trailing comma. */
-  private lazy val pqCtes: String = {
+    * Parametrized by CTE-name prefix and codebook size so the q217
+    * refit arm replays a SECOND chain (prefix "pr", ksub = PqK2) next
+    * to the canonical one in a single WITH clause. Trailing comma. */
+  private def pqCtesFor(x: String, ksub: Int): String = {
     def dist(sq: String, cq: String) =
       s"(${dLSub(sq, sq)} - 2 * ${dLSub(sq, cq)} + ${dLSub(cq, cq)})"
     def round(i: Int): String =
-      s"""pqa$i AS (SELECT blk, cid, sq FROM (
+      s"""${x}a$i AS (SELECT blk, cid, sq FROM (
            SELECT blk, vid, cid, sq, row_number() OVER (
              PARTITION BY vid, blk ORDER BY dist ASC, cid ASC) AS rn
            FROM (SELECT p.blk, p.vid, c.cid, p.sq,
                    ${dist("p.sq", "c.cq")} AS dist
-                 FROM pqs p JOIN pqc${i - 1} c USING (blk)))
+                 FROM ${x}s p JOIN ${x}c${i - 1} c USING (blk)))
          WHERE rn = 1),
-       pqm$i AS (SELECT blk, cid, dim_no,
+       ${x}m$i AS (SELECT blk, cid, dim_no,
            CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
                 ELSE -((2 * -s + n) // (2 * n)) END AS cm
          FROM (SELECT blk, cid, dim_no, sum(vv)::BIGINT AS s, count(*) AS n
                FROM (SELECT blk, cid,
                        unnest(generate_series(0, ${Dim / PqM - 1})) AS dim_no,
-                       unnest(sq) AS vv FROM pqa$i)
+                       unnest(sq) AS vv FROM ${x}a$i)
                GROUP BY blk, cid, dim_no)),
-       pqc$i AS MATERIALIZED (SELECT p.blk, p.cid, coalesce(nc.cqn, p.cq) AS cq
-         FROM pqc${i - 1} p LEFT JOIN (
+       ${x}c$i AS MATERIALIZED (SELECT p.blk, p.cid, coalesce(nc.cqn, p.cq) AS cq
+         FROM ${x}c${i - 1} p LEFT JOIN (
            SELECT blk, cid, list(cm ORDER BY dim_no) AS cqn
-           FROM pqm$i GROUP BY blk, cid) nc USING (blk, cid)),"""
-    s"""pqb AS (SELECT vec_id, list_transform(embedding,
+           FROM ${x}m$i GROUP BY blk, cid) nc USING (blk, cid)),"""
+    s"""${x}b AS (SELECT vec_id, list_transform(embedding,
          x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
        FROM embeddings),
-     pqs AS MATERIALIZED (SELECT vec_id AS vid, s::BIGINT AS blk,
+     ${x}s AS MATERIALIZED (SELECT vec_id AS vid, s::BIGINT AS blk,
          e[s * ${Dim / PqM} + 1 : (s + 1) * ${Dim / PqM}] AS sq
-       FROM pqb CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
-     pqc0 AS (SELECT blk, vid AS cid, sq AS cq FROM pqs WHERE vid < $PqK),
+       FROM ${x}b CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+     ${x}c0 AS (SELECT blk, vid AS cid, sq AS cq FROM ${x}s WHERE vid < $ksub),
      ${(1 to KmFitIter).map(round).mkString("\n")}
-     pqenc AS MATERIALIZED (SELECT vid, blk, cid AS code FROM (
+     ${x}enc AS MATERIALIZED (SELECT vid, blk, cid AS code FROM (
          SELECT vid, blk, cid, row_number() OVER (
            PARTITION BY vid, blk ORDER BY dist ASC, cid ASC) AS rn
          FROM (SELECT p.vid, p.blk, c.cid, ${dist("p.sq", "c.cq")} AS dist
-               FROM pqs p JOIN pqc$KmFitIter c USING (blk)))
+               FROM ${x}s p JOIN ${x}c$KmFitIter c USING (blk)))
        WHERE rn = 1),
-     pqqt AS (SELECT q.vid AS query_id, q.blk, c.cid AS code,
+     ${x}qt AS (SELECT q.vid AS query_id, q.blk, c.cid AS code,
          (${dLSub("c.cq", "c.cq")} - 2 * ${dLSub("q.sq", "c.cq")})::BIGINT AS pterm
-       FROM pqs q JOIN pqc$KmFitIter c USING (blk)
+       FROM ${x}s q JOIN ${x}c$KmFitIter c USING (blk)
        WHERE q.vid >= 12 AND q.vid < 20),
-     pqscored AS (SELECT query_id, vid, sum(pterm)::BIGINT AS adist
-       FROM pqenc e JOIN pqqt USING (blk, code)
+     ${x}scored AS (SELECT query_id, vid, sum(pterm)::BIGINT AS adist
+       FROM ${x}enc e JOIN ${x}qt USING (blk, code)
        WHERE query_id != vid
        GROUP BY query_id, vid),"""
   }
+  private lazy val pqCtes: String = pqCtesFor("pq", PqK)
 
   /** The q211/q212 oracle's value-level replay CTEs, ending in
     * `feat(media_id, kind, dim_no, value)` — realMediaValues' formulas
@@ -1382,6 +1423,50 @@ object TrainingData extends QueryGroup {
       pq.ivfPqTopK(e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
         enc, asg, cb, cents, "vec_id", "embedding",
         k = 5, nprobe = 2, m = PqM, dim = Dim)
+    }),
+
+    // the PERSISTED serving path (VERDICT r9 #3): q215's stack as a
+    // PQRegistry — codebooks+centroids on disk behind an fp-pinned
+    // meta sidecar, cell-keyed m-byte codes in a GenIndex bucketed
+    // generation, probe = the shuffle-free ivfPqTopKFromCellCodes
+    // core over the PERSISTED codes scan (nprobe=1 here: the
+    // cheapest-route arm next to q215's in-memory nprobe=2). The
+    // registry build is untimed per-JVM setup (pqRegStores); what's
+    // timed — and what the oracle replays — is serving from disk.
+    "q216_pqreg_probe" -> ((s, dir) => {
+      val (pre, _) = pqRegStores(s, dir)
+      new graft.operators.PQRegistry(pre).adcProbe(s,
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") >= 12 && col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nprobe = 1)
+    }),
+
+    // the REFIT lifecycle, measured (the q208 discipline applied to
+    // PQ): two identically-seeded stores, one refit to a coarser
+    // codebook geometry (PqK -> PqK2, every code re-encoded from the
+    // corpus, generation-swapped); the entry probes BOTH from disk at
+    // nprobe=2 and reports per-query hits@5 against the exact integer
+    // L2 truth — the recall a production owner watches across a
+    // codebook migration. Oracle replays both unrolled Lloyd chains.
+    "q217_pqreg_refit_recall" -> ((s, dir) => {
+      val (pre, post) = pqRegStores(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
+        qs, e, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      def hits(path: String, name: String) =
+        new graft.operators.PQRegistry(path)
+          .adcProbe(s, qs, "vec_id", "embedding", k = 5, nprobe = 2)
+          .select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits(pre, "n_hit_pre"), Seq("query_id"), "left")
+        .join(hits(post, "n_hit_post"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_pre"), lit(0L)).as("n_hit_pre"),
+          coalesce(col("n_hit_post"), lit(0L)).as("n_hit_post"))
     }),
 
     // ... and the q210 funnel OVER the real-decoded features: the
@@ -4343,6 +4428,93 @@ object TrainingData extends QueryGroup {
                WHERE vec_id >= 12 AND vec_id < 20) q
          LEFT JOIN h5 ON q.vec_id = h5.query_id
          LEFT JOIN hp ON q.vec_id = hp.query_id""",
+
+    // q215's replay at nprobe=1 — the PERSISTED registry probe is the
+    // same algebra (registry codes/codebooks are deterministic
+    // functions of the tables; serving from disk must change nothing)
+    "q216_pqreg_probe" ->
+      s"""WITH $pqCtes
+         ibase AS (SELECT vec_id, embedding AS v FROM embeddings),
+         inn AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM ibase),
+         icent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM inn
+           WHERE vec_id < 12),
+         isc AS (SELECT vec_id, cid,
+             round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+           FROM inn CROSS JOIN icent),
+         irk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM isc),
+         casg AS (SELECT vec_id AS vid, cid AS cell FROM irk WHERE rnk = 1),
+         qcell AS (SELECT vec_id AS query_id, cid AS cell FROM irk
+           WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 1),
+         iscored AS (SELECT t.query_id, e.vid, sum(t.pterm)::BIGINT AS adist
+           FROM pqenc e
+           JOIN casg USING (vid)
+           JOIN pqqt t ON t.blk = e.blk AND t.code = e.code
+           JOIN qcell qc ON qc.query_id = t.query_id AND qc.cell = casg.cell
+           WHERE t.query_id != e.vid
+           GROUP BY t.query_id, e.vid)
+         SELECT query_id, rank, neighbor_id, adist FROM (
+           SELECT query_id, vid AS neighbor_id, adist, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+           FROM iscored) WHERE rank <= 5""",
+
+    // both unrolled Lloyd chains (ksub=$PqK and the refit's
+    // ksub=$PqK2), one shared routing, hits@5 of each arm's routed
+    // ADC top-5 against the exact integer L2 truth
+    "q217_pqreg_refit_recall" ->
+      s"""WITH ${pqCtesFor("pq", PqK)}
+         ${pqCtesFor("pr", PqK2)}
+         ibase AS (SELECT vec_id, embedding AS v FROM embeddings),
+         inn AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM ibase),
+         icent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM inn
+           WHERE vec_id < 12),
+         isc AS (SELECT vec_id, cid,
+             round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+           FROM inn CROSS JOIN icent),
+         irk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM isc),
+         casg AS (SELECT vec_id AS vid, cid AS cell FROM irk WHERE rnk = 1),
+         qcell AS (SELECT vec_id AS query_id, cid AS cell FROM irk
+           WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
+         spre AS (SELECT t.query_id, e.vid, sum(t.pterm)::BIGINT AS adist
+           FROM pqenc e
+           JOIN casg USING (vid)
+           JOIN pqqt t ON t.blk = e.blk AND t.code = e.code
+           JOIN qcell qc ON qc.query_id = t.query_id AND qc.cell = casg.cell
+           WHERE t.query_id != e.vid GROUP BY t.query_id, e.vid),
+         spost AS (SELECT t.query_id, e.vid, sum(t.pterm)::BIGINT AS adist
+           FROM prenc e
+           JOIN casg USING (vid)
+           JOIN prqt t ON t.blk = e.blk AND t.code = e.code
+           JOIN qcell qc ON qc.query_id = t.query_id AND qc.cell = casg.cell
+           WHERE t.query_id != e.vid GROUP BY t.query_id, e.vid),
+         rpre AS (SELECT query_id, vid AS neighbor_id FROM (
+             SELECT query_id, vid, row_number() OVER (
+               PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+             FROM spre) WHERE rank <= 5),
+         rpost AS (SELECT query_id, vid AS neighbor_id FROM (
+             SELECT query_id, vid, row_number() OVER (
+               PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+             FROM spost) WHERE rank <= 5),
+         ex AS (SELECT query_id, vid AS neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS vid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, $Dim),
+                   i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i]))) ASC,
+                 c.vec_id ASC) AS rank
+             FROM pqb q JOIN pqb c ON q.vec_id != c.vec_id
+             WHERE q.vec_id >= 12 AND q.vec_id < 20) WHERE rank <= 5),
+         hpre AS (SELECT query_id, count(*) AS n_hit_pre
+           FROM rpre JOIN ex USING (query_id, neighbor_id) GROUP BY query_id),
+         hpost AS (SELECT query_id, count(*) AS n_hit_post
+           FROM rpost JOIN ex USING (query_id, neighbor_id) GROUP BY query_id)
+         SELECT q.vec_id AS query_id,
+           coalesce(hpre.n_hit_pre, 0)::BIGINT AS n_hit_pre,
+           coalesce(hpost.n_hit_post, 0)::BIGINT AS n_hit_post
+         FROM (SELECT vec_id FROM embeddings
+               WHERE vec_id >= 12 AND vec_id < 20) q
+         LEFT JOIN hpre ON q.vec_id = hpre.query_id
+         LEFT JOIN hpost ON q.vec_id = hpost.query_id""",
 
     "q68_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (

@@ -486,4 +486,77 @@ class GenIndexLifecycleSpec extends SparkSpec {
     assert(app(9L, "two").count() === 0L)
     assert(app(10L, "genuinely new").count() === 1L)
   }
+
+  test("ABSORB IDEMPOTENCE (VERDICT r9 #4): a crash between a straggler " +
+    "absorption's insertInto and its manifest update does NOT double the " +
+    "absorbed rows on the retry — the anti-join absorb inserts nothing") {
+    val dir = Files.createTempDirectory("graft_absorb_crash_").toString
+    val reg = new DedupRegistry(s"$dir/reg")
+    def app(id: Long, text: String) =
+      reg.dedupAppend(Seq((id, text)).toDF("doc_id", "text"), "doc_id",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+    app(1L, "one"); app(2L, "two"); app(3L, "three")
+    val genN = reg.indexLocation(spark)
+    assert(reg.compactIndex(spark, maxFiles = 2)) // gen N retired + manifest
+    // a straddler beyond gen N's manifest (the STRADDLING test's shape)
+    Seq("raced content seven").toDF("text")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .write.mode("append").parquet(genN)
+    app(4L, "four"); app(5L, "five"); app(6L, "six")
+    // CRASH in the window: the GC absorb's insertInto has committed
+    // the straggler rows to the generation being built, the manifest
+    // update has not happened — the exact window that used to double
+    // rows on the next rewrite
+    reg.index.onStragglerAbsorbed =
+      () => throw new RuntimeException("simulated crash mid-absorb")
+    val crashed = intercept[RuntimeException] {
+      reg.index.rewrite(spark)
+    }
+    reg.index.onStragglerAbsorbed = () => ()
+    assert(crashed.getMessage.contains("simulated crash"), crashed.getMessage)
+    // RETRY: gen N's straggler files are still unaccounted, so they
+    // re-surface — and the full-row anti-join against the source rows
+    // (which already carry them) must absorb ZERO new rows
+    reg.index.rewrite(spark)
+    assert(reg.index.df(spark).count() === 7L,
+      "crash-retry re-absorbed already-carried straggler rows (doubled)")
+    // the straggler's verdict still gates
+    assert(app(7L, "raced content seven").count() === 0L)
+    // and the crashed generation's own rows were not doubled either
+    assert(app(9L, "two").count() === 0L)
+  }
+
+  test("ABSORB IDEMPOTENCE (EmbedDedupRegistry): crash between the GC " +
+    "absorb's write and its manifest update; the retry doubles nothing") {
+    val dir = Files.createTempDirectory("graft_absorb_crash_em_")
+      .toString + "/reg"
+    val reg = new EmbedDedupRegistry(dir, epsPermille = 980)
+    embApp(reg, 1L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    embApp(reg, 2L, Array(0.8f, 0.6f, 0.0f, 0.0f))
+    val oldStaging = dir + "_staged"
+    assert(reg.compactStaging(spark)) // retires (reg, reg_staged)
+    // same-fp straggler into the retired staging tier (the registry's
+    // own signature rules, the STRADDLING test's planting helper shape)
+    Seq((7L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("id", "embedding")
+      .select(col("id"), Similarity.quantize8(col("embedding")).as("vq"))
+      .withColumn("nq", Similarity.dotQ8(col("vq"), col("vq")))
+      .withColumn("cell", org.apache.spark.sql.functions.lit(1L))
+      .coalesce(1).write.mode("append").parquet(oldStaging)
+    embApp(reg, 3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    reg.onStragglerAbsorbed =
+      () => throw new RuntimeException("simulated crash mid-absorb")
+    val crashed = intercept[RuntimeException] { reg.compactStaging(spark) }
+    reg.onStragglerAbsorbed = () => ()
+    assert(crashed.getMessage.contains("simulated crash"), crashed.getMessage)
+    // retry: straggler re-surfaces (manifest never updated), anti-join
+    // absorbs zero — 1,2,3,7 exactly once each
+    embApp(reg, 5L, Array(0.70710678f, 0.0f, 0.70710678f, 0.0f))
+    assert(reg.compactStaging(spark))
+    assert(reg.read(spark).count() === 5L,
+      "crash-retry re-absorbed already-carried straggler rows (doubled)")
+    assert(embApp(reg, 9L, Array(0.0f, 1.0f, 0.0f, 0.0f)).count() === 0L,
+      "the straggler's signature must still gate after the crash-retry")
+  }
 }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PQRegistry lifecycle contracts (VERDICT r9 #3): the persisted
+  * PQ serving store must (a) answer probes identically to the
+  * in-memory ivfPqTopK stack it persists, (b) admit idempotently by
+  * vid (double-ingest cannot double code rows — duplicated (vid, blk)
+  * rows would corrupt ADC sums, not just waste space), (c) survive a
+  * codebook refit with every code re-encoded and the generation
+  * swapped, (d) detect every torn codebook/codes state loudly before
+  * planning a scan, and (e) compact without changing one probe row. */
+class PQRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+  private val nVec = 40
+
+  /** Deterministic corpus: contiguous ids (the pqFit seed rule),
+    * components in [-1, 1]. */
+  private def corpus: DataFrame =
+    (0 until nVec).map { id =>
+      (id.toLong, Array.tabulate(dim)(j => ((id * 31 + j * 7) % 13 - 6) / 6.0f))
+    }.toDF("vec_id", "embedding")
+
+  private def cents: DataFrame = corpus.filter(col("vec_id") < 3)
+  private def queries: DataFrame =
+    corpus.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+
+  private def seeded(ksub: Int = 4): (PQRegistry, String) = {
+    val root = Files.createTempDirectory("graft_pqreg_spec_").toString
+    val reg = new PQRegistry(s"$root/reg")
+    reg.fit(spark, corpus, cents, "vec_id", "embedding",
+      m = m, ksub = ksub, dim = dim, maxIter = 3)
+    assert(reg.ingest(corpus, "vec_id", "embedding") === nVec.toLong)
+    (reg, s"$root/reg")
+  }
+
+  private def probe(reg: PQRegistry, nprobe: Int = 2): Seq[(Long, Int, Long, Long)] =
+    reg.adcProbe(spark, queries, "vec_id", "embedding", k = 3, nprobe = nprobe)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+  test("persisted probe equals the in-memory ivfPqTopK stack it stores") {
+    val (reg, _) = seeded()
+    val cb = ProductQuantizer.pqFit(corpus, "vec_id", "embedding",
+      m = m, ksub = 4, maxIter = 3, dim = dim)
+    val asg = Similarity.assignCells(corpus, cents, "vec_id", "embedding",
+        spread = false)
+      .select(col("id").as("vid"), col("cell"))
+    val enc = ProductQuantizer.pqEncode(corpus, cb, "vec_id", "embedding",
+      m, dim)
+    val mem = ProductQuantizer.ivfPqTopK(queries, enc, asg, cb, cents,
+        "vec_id", "embedding", k = 3, nprobe = 2, m = m, dim = dim)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(mem.nonEmpty)
+    assert(probe(reg) === mem,
+      "serving from persisted codes must change no probe row")
+  }
+
+  test("ingest is idempotent by vid: a re-ingested batch admits zero " +
+    "and code rows never double") {
+    val (reg, _) = seeded()
+    val before = reg.index.df(spark).count()
+    assert(before === nVec.toLong * m)
+    assert(reg.ingest(corpus, "vec_id", "embedding") === 0L,
+      "re-ingesting an already-indexed batch must admit nothing")
+    assert(reg.index.df(spark).count() === before,
+      "double-ingest doubled code rows — ADC sums would corrupt")
+    // partial overlap: only the genuinely new vids are admitted
+    val extra = (nVec until nVec + 3).map { id =>
+      (id.toLong, Array.tabulate(dim)(j => ((id * 31 + j * 7) % 13 - 6) / 6.0f))
+    }.toDF("vec_id", "embedding")
+    assert(reg.ingest(corpus.unionAll(extra), "vec_id", "embedding") === 3L)
+    assert(reg.index.df(spark).count() === (nVec + 3).toLong * m)
+  }
+
+  test("refit re-encodes every code under the new codebooks and the " +
+    "post-refit probe equals a fresh in-memory stack at the new ksub") {
+    val (reg, _) = seeded()
+    val pre = probe(reg)
+    reg.refit(spark, corpus, cents, "vec_id", "embedding",
+      ksub = 8, maxIter = 3)
+    val cb8 = ProductQuantizer.pqFit(corpus, "vec_id", "embedding",
+      m = m, ksub = 8, maxIter = 3, dim = dim)
+    val asg = Similarity.assignCells(corpus, cents, "vec_id", "embedding",
+        spread = false)
+      .select(col("id").as("vid"), col("cell"))
+    val enc8 = ProductQuantizer.pqEncode(corpus, cb8, "vec_id", "embedding",
+      m, dim)
+    val mem8 = ProductQuantizer.ivfPqTopK(queries, enc8, asg, cb8, cents,
+        "vec_id", "embedding", k = 3, nprobe = 2, m = m, dim = dim)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val post = probe(reg)
+    assert(post === mem8,
+      "post-refit serving must equal the in-memory stack at the new ksub")
+    assert(post !== pre,
+      "ksub 4 -> 8 must actually change ADC distances (else the refit " +
+        "path was never exercised)")
+    // the refit swapped generations: ingest still works against it
+    assert(reg.ingest(corpus, "vec_id", "embedding") === 0L)
+  }
+
+  test("torn refit detection: a codes generation stamped under another " +
+    "fingerprint aborts every read loudly instead of mis-decoding") {
+    val (reg, path) = seeded()
+    // simulate a crash between the codes swap and the meta/stamp write
+    // by corrupting the generation's _cbfp marker
+    val loc = reg.index.activeLocation(spark)
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RegistryIO.writeLines(fs, loc + "/_cbfp", Seq("deadbeef"))
+    val err = intercept[IllegalArgumentException] {
+      reg.adcProbe(spark, queries, "vec_id", "embedding", k = 3, nprobe = 1)
+    }
+    assert(err.getMessage.contains("wrong codebooks"), err.getMessage)
+    // ingest takes the same gate
+    intercept[IllegalArgumentException] {
+      reg.ingest(corpus, "vec_id", "embedding")
+    }
+    // the documented recovery — re-run refit — restores service
+    reg.refit(spark, corpus, cents, "vec_id", "embedding",
+      ksub = 4, maxIter = 3)
+    assert(probe(reg).nonEmpty)
+  }
+
+  test("compact folds append file groups without changing one probe row") {
+    val root = Files.createTempDirectory("graft_pqreg_cpt_").toString
+    val reg = new PQRegistry(s"$root/reg")
+    reg.fit(spark, corpus, cents, "vec_id", "embedding",
+      m = m, ksub = 4, dim = dim, maxIter = 3)
+    // fragmented ingests: one file group per batch
+    (0 until nVec by 5).foreach { lo =>
+      reg.ingest(corpus.filter(col("vec_id") >= lo && col("vec_id") < lo + 5),
+        "vec_id", "embedding")
+    }
+    val pre = probe(reg)
+    assert(reg.codesFileCount(spark) > 8)
+    assert(reg.compact(spark, maxFiles = 8))
+    assert(reg.codesFileCount(spark) <= 8,
+      "compaction must land the bucketed file bound")
+    assert(probe(reg) === pre, "compaction changed probe rows")
+    assert(!reg.compact(spark, maxFiles = 8), "already compact")
+  }
+
+  test("geometry and codebooks are pinned: a second fit fails loudly; " +
+    "an unfitted registry refuses probes with instructions") {
+    val (reg, _) = seeded()
+    val err = intercept[IllegalArgumentException] {
+      reg.fit(spark, corpus, cents, "vec_id", "embedding",
+        m = m, ksub = 4, dim = dim, maxIter = 3)
+    }
+    assert(err.getMessage.contains("already fitted"), err.getMessage)
+    val fresh = new PQRegistry(
+      Files.createTempDirectory("graft_pqreg_uf_").toString + "/reg")
+    val err2 = intercept[IllegalStateException] {
+      fresh.adcProbe(spark, queries, "vec_id", "embedding", k = 3, nprobe = 1)
+    }
+    assert(err2.getMessage.contains("fit() first"), err2.getMessage)
+  }
+}
