@@ -58,8 +58,16 @@ object ProductQuantizer {
     * uneven splits would silently score shorter tails. */
   private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
                          m: Int, dsub: Int): DataFrame =
-    corpus.select(col(idCol).cast("long").as("vid"),
-        microUnits(col(vecCol)).as("e"))
+    subvectorsE(corpus.select(col(idCol).cast("long").as("vid"),
+      microUnits(col(vecCol)).as("e")), "vid", "e", m, dsub)
+
+  /** The subvector frame over an ALREADY micro-unit (array<bigint>)
+    * column — the residual stack's entry point: residuals are exact
+    * integer differences of micro vectors, and re-quantizing them
+    * would be both lossy and wrong. */
+  private def subvectorsE(micro: DataFrame, idCol: String, eCol: String,
+                          m: Int, dsub: Int): DataFrame =
+    micro.select(col(idCol).cast("long").as("vid"), col(eCol).as("e"))
       .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("blk"),
         col("e"))
       .select(col("vid"), col("blk").cast("long").as("blk"),
@@ -89,12 +97,24 @@ object ProductQuantizer {
     * round. */
   def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, ksub: Int, maxIter: Int, dim: Int): DataFrame = {
-    require(m >= 1 && ksub >= 2 && maxIter >= 1, "pqFit: bad parameters")
     require(dim % m == 0, s"pqFit: m=$m must divide dim=$dim evenly")
-    val dsub = dim / m
-    val spark = corpus.sparkSession
-    val sub = Dedup.DefaultMaterialize(
-      subvectors(corpus, idCol, vecCol, m, dsub))
+    fitCore(subvectors(corpus, idCol, vecCol, m, dim / m), m, ksub, maxIter)
+  }
+
+  /** pqFit over an already micro-unit (array<bigint>) vector column —
+    * the residual stack's fit (see ivfadcTopK). Same Lloyd rules,
+    * same id-low seed contract. */
+  def pqFitE(micro: DataFrame, idCol: String, eCol: String,
+             m: Int, ksub: Int, maxIter: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"pqFitE: m=$m must divide dim=$dim evenly")
+    fitCore(subvectorsE(micro, idCol, eCol, m, dim / m), m, ksub, maxIter)
+  }
+
+  private def fitCore(subFrame: DataFrame, m: Int, ksub: Int,
+                      maxIter: Int): DataFrame = {
+    require(m >= 1 && ksub >= 2 && maxIter >= 1, "pqFit: bad parameters")
+    val spark = subFrame.sparkSession
+    val sub = Dedup.DefaultMaterialize(subFrame)
     // dims exploded ONCE outside the loop: the per-round mean then
     // joins the (vid, blk) winners against this narrow frame instead
     // of carrying the subvector ARRAY through the argmin aggregate
@@ -167,15 +187,31 @@ object ProductQuantizer {
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
                vecCol: String, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"pqEncode: m=$m must divide dim=$dim evenly")
-    val cb = if (codebooks.columns.contains("cn2")) codebooks
-      else codebooks.withColumn("cn2", dotL(col("cq"), col("cq")))
-    subvectors(corpus, idCol, vecCol, m, dim / m)
+    encodeCore(subvectors(corpus, idCol, vecCol, m, dim / m), codebooks)
+  }
+
+  /** pqEncode over an already micro-unit vector column (the residual
+    * stack's encode — see ivfadcTopK). */
+  def pqEncodeE(micro: DataFrame, codebooks: DataFrame, idCol: String,
+                eCol: String, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"pqEncodeE: m=$m must divide dim=$dim evenly")
+    encodeCore(subvectorsE(micro, idCol, eCol, m, dim / m), codebooks)
+  }
+
+  private def encodeCore(subFrame: DataFrame,
+                         codebooks: DataFrame): DataFrame = {
+    val cb = withCn2(codebooks)
+    subFrame
       .join(broadcast(cb), Seq("blk"))
       .withColumn("dist", distTerm(col("sq"), col("cn2"), col("cq")))
       .groupBy(col("vid"), col("blk"))
       .agg(min(struct(col("dist"), col("cid"))).as("best"))
       .select(col("vid"), col("blk"), col("best.cid").as("code"))
   }
+
+  private def withCn2(codebooks: DataFrame): DataFrame =
+    if (codebooks.columns.contains("cn2")) codebooks
+    else codebooks.withColumn("cn2", dotL(col("cq"), col("cq")))
 
   /** ADC top-k: approximate squared L2 of query q to candidate x,
     * SUM over subspaces of (|c|^2 - 2 q_blk . c) with c = x's
@@ -193,8 +229,7 @@ object ProductQuantizer {
   private def adcTable(queries: DataFrame, codebooks: DataFrame,
                        idCol: String, vecCol: String, m: Int,
                        dim: Int): DataFrame = {
-    val cb = if (codebooks.columns.contains("cn2")) codebooks
-      else codebooks.withColumn("cn2", dotL(col("cq"), col("cq")))
+    val cb = withCn2(codebooks)
     subvectors(queries, idCol, vecCol, m, dim / m)
       .select(col("vid").as("query_id"), col("blk"), col("sq"))
       .join(broadcast(cb), Seq("blk"))
@@ -299,6 +334,82 @@ object ProductQuantizer {
     require(dim % m == 0, s"ivfPqTopK: m=$m must divide dim=$dim evenly")
     val qtab = adcTable(queries, codebooks, idCol, vecCol, m, dim)
       .join(qcells, Seq("query_id"))
+    rankAdc(cellCodes
+      .join(broadcast(qtab), Seq("cell", "blk", "code"))
+      .filter(col("query_id") =!= col("vid"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("pterm")).as("adist")), k)
+  }
+
+  /** Exact integer residuals: each corpus vector's micro-unit vector
+    * minus its HOME cell centroid's micro-unit vector — (vid, cell,
+    * r array<bigint>). `cellAssign` is (vid, cell) with cell = the
+    * centroid's id (assignCells' contract); centroids broadcast. The
+    * residual stack's build primitive (see ivfadcTopK). */
+  def cellResiduals(corpus: DataFrame, centroids: DataFrame,
+                    cellAssign: DataFrame, idCol: String,
+                    vecCol: String): DataFrame = {
+    val eM = corpus.select(col(idCol).cast("long").as("vid"),
+      microUnits(col(vecCol)).as("e"))
+    val cM = centroids.select(col(idCol).cast("long").as("cell"),
+      microUnits(col(vecCol)).as("ce"))
+    eM.join(cellAssign.select(col("vid"), col("cell")), Seq("vid"))
+      .join(broadcast(cM), Seq("cell"))
+      .select(col("vid"), col("cell"),
+        zip_with(col("e"), col("ce"), (x, c) => x - c).as("r"))
+  }
+
+  /** RESIDUAL IVF-PQ — the full IVFADC of Jégou et al. (TPAMI 2011
+    * §III-C, the shape q215 composes WITHOUT residual encoding):
+    * codes quantize the RESIDUAL x - c(x) of each vector against its
+    * home centroid instead of x itself. Residuals concentrate around
+    * zero (the coarse quantizer has already absorbed the between-cell
+    * variance), so the same m x ksub code budget spends its codewords
+    * on a tighter distribution — recall at equal memory improves,
+    * which is the paper's reason IVFADC beats IVF x flat-PQ. Exact
+    * integers end to end: residuals are BIGINT differences of
+    * micro-unit vectors, the Lloyd fit/encode are pqFitE/pqEncodeE
+    * over them, and the oracle replays everything.
+    *
+    * Probe: a query routed to a cell scores against that cell's codes
+    * using ITS OWN residual qr = e(q) - e(c_cell) — so the query-side
+    * table is per (query, cell): |Q| x nprobe x m x ksub partials,
+    * still broadcast-sized. One scoring subtlety the flat probes
+    * don't have: the per-block term must be the FULL
+    * |qr_blk|^2 - 2 qr.cw + |cw|^2 — dropping the query norm (the
+    * flat rank-invariance trick) is NOT safe here because |qr|^2
+    * differs per routed cell for one query, and candidates from
+    * different cells compete in one ranking. `cellCodes` is the
+    * residual-encoded (vid, cell, blk, code) frame
+    * (cellKeyedCodes over pqEncodeE(cellResiduals(...))). */
+  def ivfadcTopK(queries: DataFrame, cellCodes: DataFrame,
+                 codebooks: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String, k: Int, nprobe: Int,
+                 m: Int, dim: Int): DataFrame = {
+    require(nprobe >= 1, "ivfadcTopK: nprobe must be >= 1")
+    require(dim % m == 0, s"ivfadcTopK: m=$m must divide dim=$dim evenly")
+    val dsub = dim / m
+    val qcells = Similarity.routeQuantizedQueries(queries, centroids,
+        idCol, vecCol, nprobe)
+      .select(col("query_id"), col("cell"))
+    val qM = queries.select(col(idCol).cast("long").as("query_id"),
+      microUnits(col(vecCol)).as("qe"))
+    val cM = centroids.select(col(idCol).cast("long").as("cell"),
+      microUnits(col(vecCol)).as("ce"))
+    val qr = qcells.join(qM, Seq("query_id")).join(broadcast(cM), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qe"), col("ce"), (x, c) => x - c).as("qr"))
+    val qrsub = qr
+      .select(col("query_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("blk"), col("qr"))
+      .select(col("query_id"), col("cell"),
+        col("blk").cast("long").as("blk"),
+        slice(col("qr"), col("blk").cast("int") * dsub + 1, lit(dsub)).as("sq"))
+    val qtab = qrsub.join(broadcast(withCn2(codebooks)), Seq("blk"))
+      .select(col("query_id"), col("cell"), col("blk"),
+        col("cid").as("code"),
+        (dotL(col("sq"), col("sq")) - lit(2L) * dotL(col("sq"), col("cq")) +
+          col("cn2")).as("pterm"))
     rankAdc(cellCodes
       .join(broadcast(qtab), Seq("cell", "blk", "code"))
       .filter(col("query_id") =!= col("vid"))

@@ -712,6 +712,26 @@ object TrainingData extends QueryGroup {
   private def pqTop5(s: SparkSession, dir: String): DataFrame =
     pqTopPool(s, dir).filter(col("rank") <= 5)
 
+  /** The RESIDUAL-IVFADC pipeline (assign -> residuals -> fit/encode
+    * over residuals -> cell-routed full-term ADC), top-PqPool — shared
+    * by q218 (rank <= 5 prefix) and the q219 recall measurement (one
+    * ranking rule, two consumers — the pqTopPool convention). */
+  private def ivfadcPool(s: SparkSession, dir: String): DataFrame = {
+    val pq = graft.operators.ProductQuantizer
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") < 12)
+    val asg = Similarity.assignCells(e, cents, "vec_id", "embedding",
+        spread = false)
+      .select(col("id").as("vid"), col("cell"))
+    val resid = pq.cellResiduals(e, cents, asg, "vec_id", "embedding")
+    val cb = pq.pqFitE(resid, "vid", "r",
+      m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
+    val enc = pq.pqEncodeE(resid, cb, "vid", "r", PqM, Dim)
+    pq.ivfadcTopK(e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
+      pq.cellKeyedCodes(enc, asg), cb, cents, "vec_id", "embedding",
+      k = PqPool, nprobe = 2, m = PqM, dim = Dim)
+  }
+
   /** Exact-integer dot of two micro-unit subvector refs (BIGINT,
     * Dim/PqM elements) — the PQ oracle's arithmetic primitive
     * (list_sum over BIGINT promotes to HUGEINT in DuckDB; every
@@ -729,15 +749,20 @@ object TrainingData extends QueryGroup {
     * Parametrized by CTE-name prefix and codebook size so the q217
     * refit arm replays a SECOND chain (prefix "pr", ksub = PqK2) next
     * to the canonical one in a single WITH clause. Trailing comma. */
-  private def pqCtesFor(x: String, ksub: Int): String = {
-    def dist(sq: String, cq: String) =
-      s"(${dLSub(sq, sq)} - 2 * ${dLSub(sq, cq)} + ${dLSub(cq, cq)})"
+  private def dPqDist(sq: String, cq: String) =
+    s"(${dLSub(sq, sq)} - 2 * ${dLSub(sq, cq)} + ${dLSub(cq, cq)})"
+
+  /** The seed -> unrolled-Lloyd -> encode CTE segment over an EXISTING
+    * `${x}s` (vid, blk, sq) subvector frame — shared verbatim by the
+    * flat chain (pqCtesFor) and the residual chain (ivfadcCtes), which
+    * differ only in what `${x}s` slices. Trailing comma. */
+  private def pqLloydCtes(x: String, ksub: Int): String = {
     def round(i: Int): String =
       s"""${x}a$i AS (SELECT blk, cid, sq FROM (
            SELECT blk, vid, cid, sq, row_number() OVER (
              PARTITION BY vid, blk ORDER BY dist ASC, cid ASC) AS rn
            FROM (SELECT p.blk, p.vid, c.cid, p.sq,
-                   ${dist("p.sq", "c.cq")} AS dist
+                   ${dPqDist("p.sq", "c.cq")} AS dist
                  FROM ${x}s p JOIN ${x}c${i - 1} c USING (blk)))
          WHERE rn = 1),
        ${x}m$i AS (SELECT blk, cid, dim_no,
@@ -752,20 +777,24 @@ object TrainingData extends QueryGroup {
          FROM ${x}c${i - 1} p LEFT JOIN (
            SELECT blk, cid, list(cm ORDER BY dim_no) AS cqn
            FROM ${x}m$i GROUP BY blk, cid) nc USING (blk, cid)),"""
+    s"""${x}c0 AS (SELECT blk, vid AS cid, sq AS cq FROM ${x}s WHERE vid < $ksub),
+     ${(1 to KmFitIter).map(round).mkString("\n")}
+     ${x}enc AS MATERIALIZED (SELECT vid, blk, cid AS code FROM (
+         SELECT vid, blk, cid, row_number() OVER (
+           PARTITION BY vid, blk ORDER BY dist ASC, cid ASC) AS rn
+         FROM (SELECT p.vid, p.blk, c.cid, ${dPqDist("p.sq", "c.cq")} AS dist
+               FROM ${x}s p JOIN ${x}c$KmFitIter c USING (blk)))
+       WHERE rn = 1),"""
+  }
+
+  private def pqCtesFor(x: String, ksub: Int): String =
     s"""${x}b AS (SELECT vec_id, list_transform(embedding,
          x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
        FROM embeddings),
      ${x}s AS MATERIALIZED (SELECT vec_id AS vid, s::BIGINT AS blk,
          e[s * ${Dim / PqM} + 1 : (s + 1) * ${Dim / PqM}] AS sq
        FROM ${x}b CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
-     ${x}c0 AS (SELECT blk, vid AS cid, sq AS cq FROM ${x}s WHERE vid < $ksub),
-     ${(1 to KmFitIter).map(round).mkString("\n")}
-     ${x}enc AS MATERIALIZED (SELECT vid, blk, cid AS code FROM (
-         SELECT vid, blk, cid, row_number() OVER (
-           PARTITION BY vid, blk ORDER BY dist ASC, cid ASC) AS rn
-         FROM (SELECT p.vid, p.blk, c.cid, ${dist("p.sq", "c.cq")} AS dist
-               FROM ${x}s p JOIN ${x}c$KmFitIter c USING (blk)))
-       WHERE rn = 1),
+     ${pqLloydCtes(x, ksub)}
      ${x}qt AS (SELECT q.vid AS query_id, q.blk, c.cid AS code,
          (${dLSub("c.cq", "c.cq")} - 2 * ${dLSub("q.sq", "c.cq")})::BIGINT AS pterm
        FROM ${x}s q JOIN ${x}c$KmFitIter c USING (blk)
@@ -774,8 +803,57 @@ object TrainingData extends QueryGroup {
        FROM ${x}enc e JOIN ${x}qt USING (blk, code)
        WHERE query_id != vid
        GROUP BY query_id, vid),"""
-  }
   private lazy val pqCtes: String = pqCtesFor("pq", PqK)
+
+  /** The q218/q219 RESIDUAL-IVFADC oracle chain: micro vectors,
+    * round-6 cosine routing (corpus cell + nprobe=2 query cells),
+    * exact-integer residuals against the home/routed centroid, the
+    * SAME unrolled Lloyd + encode segment over the residual subvector
+    * frame, a per-(query, cell) ADC table carrying the FULL
+    * |qr|^2 - 2 qr.cw + |cw|^2 term (the query-norm drop is not
+    * rank-safe across cells — see ivfadcTopK's doc), and cell-routed
+    * scoring. Ends at `rscored`; trailing comma. */
+  private lazy val ivfadcCtes: String =
+    s"""rb AS (SELECT vec_id, list_transform(embedding,
+         x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
+       FROM embeddings),
+     ribase AS (SELECT vec_id, embedding AS v FROM embeddings),
+     rinn AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM ribase),
+     ricent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM rinn
+       WHERE vec_id < 12),
+     risc AS (SELECT vec_id, cid,
+         round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+       FROM rinn CROSS JOIN ricent),
+     rirk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         ORDER BY cs DESC, cid ASC) AS rnk FROM risc),
+     rcasg AS (SELECT vec_id AS vid, cid AS cell FROM rirk WHERE rnk = 1),
+     rqcell AS (SELECT vec_id AS query_id, cid AS cell FROM rirk
+       WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
+     rres AS MATERIALIZED (SELECT a.vid, a.cell,
+         list_transform(generate_series(1, $Dim), i -> v.e[i] - c.e[i]) AS rv
+       FROM rcasg a JOIN rb v ON v.vec_id = a.vid
+       JOIN rb c ON c.vec_id = a.cell),
+     rs AS MATERIALIZED (SELECT vid, s::BIGINT AS blk,
+         rv[s * ${Dim / PqM} + 1 : (s + 1) * ${Dim / PqM}] AS sq
+       FROM rres CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+     ${pqLloydCtes("r", PqK)}
+     rqres AS (SELECT qc.query_id, qc.cell,
+         list_transform(generate_series(1, $Dim), i -> q.e[i] - c.e[i]) AS qv
+       FROM rqcell qc JOIN rb q ON q.vec_id = qc.query_id
+       JOIN rb c ON c.vec_id = qc.cell),
+     rqs AS (SELECT query_id, cell, s::BIGINT AS blk,
+         qv[s * ${Dim / PqM} + 1 : (s + 1) * ${Dim / PqM}] AS sq
+       FROM rqres CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+     rqt AS (SELECT query_id, cell, blk, c.cid AS code,
+         (${dLSub("q.sq", "q.sq")} - 2 * ${dLSub("q.sq", "c.cq")}
+           + ${dLSub("c.cq", "c.cq")})::BIGINT AS pterm
+       FROM rqs q JOIN rc$KmFitIter c USING (blk)),
+     rscored AS (SELECT t.query_id, e.vid, sum(t.pterm)::BIGINT AS adist
+       FROM renc e
+       JOIN rcasg a USING (vid)
+       JOIN rqt t ON t.cell = a.cell AND t.blk = e.blk AND t.code = e.code
+       WHERE t.query_id != e.vid
+       GROUP BY t.query_id, e.vid),"""
 
   /** The q211/q212 oracle's value-level replay CTEs, ending in
     * `feat(media_id, kind, dim_no, value)` — realMediaValues' formulas
@@ -1467,6 +1545,52 @@ object TrainingData extends QueryGroup {
         .select(col("query_id"),
           coalesce(col("n_hit_pre"), lit(0L)).as("n_hit_pre"),
           coalesce(col("n_hit_post"), lit(0L)).as("n_hit_post"))
+    }),
+
+    // RESIDUAL IVF-PQ — the full IVFADC (Jégou et al. 2011 §III-C;
+    // q215 is the same composition WITHOUT residual encoding): codes
+    // quantize x - c(x) against the home centroid, so the m x ksub
+    // budget spends itself on the tighter residual distribution —
+    // the paper's reason IVFADC beats IVF x flat-PQ at equal memory.
+    // Residuals are exact BIGINT differences of micro-unit vectors;
+    // the per-(query, cell) ADC table carries the FULL
+    // |qr|^2 - 2 qr.cw + |cw|^2 term (the flat chains' query-norm
+    // drop is not rank-safe across a query's routed cells). The
+    // oracle replays routing, residuals, the unrolled Lloyd rounds,
+    // and the cell-routed scoring verbatim.
+    "q218_ivfadc_ann" -> ((s, dir) =>
+      ivfadcPool(s, dir).filter(col("rank") <= 5)),
+
+    // ... and its measured accuracy, both ways the stack is consumed
+    // (the q214 protocol on the residual arm): raw hits@5 and
+    // exact-top5 containment in the ADC pool of 20. Read next to
+    // q215 (same nprobe=2 routing, plain codes) for the residual
+    // gain at equal budget — measured ~nil on THESE embeddings
+    // (hits@5 ties at 10/40, sf0.01), and honestly so: the synthetic
+    // corpus is isotropic, cells barely concentrate, so residual
+    // variance ~ full variance and the codebooks buy nothing. The
+    // gain IVFADC exists for appears exactly when cells do
+    // concentrate (real clustered embeddings); the entry pins the
+    // algebra so that deployment is a data change, not a code change.
+    "q219_ivfadc_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
+        qs, e, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val pool = ivfadcPool(s, dir)
+      val hit5 = pool.filter(col("rank") <= 5)
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit5"))
+      val inPool = pool
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_in_pool"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hit5, Seq("query_id"), "left")
+        .join(inPool, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit5"), lit(0L)).as("n_hit5"),
+          coalesce(col("n_in_pool"), lit(0L)).as("n_in_pool"))
     }),
 
     // ... and the q210 funnel OVER the real-decoded features: the
@@ -4515,6 +4639,43 @@ object TrainingData extends QueryGroup {
                WHERE vec_id >= 12 AND vec_id < 20) q
          LEFT JOIN hpre ON q.vec_id = hpre.query_id
          LEFT JOIN hpost ON q.vec_id = hpost.query_id""",
+
+    // the residual-IVFADC chain (routing, exact-integer residuals,
+    // unrolled Lloyd over residual subvectors, cell-routed full-term
+    // ADC) — see ivfadcCtes
+    "q218_ivfadc_ann" ->
+      s"""WITH $ivfadcCtes
+         r AS (SELECT query_id, vid AS neighbor_id, adist, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+           FROM rscored)
+         SELECT query_id, rank, neighbor_id, adist FROM r WHERE rank <= 5""",
+
+    "q219_ivfadc_recall" ->
+      s"""WITH $ivfadcCtes
+         rr AS (SELECT query_id, vid AS neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+           FROM rscored),
+         ex AS (SELECT query_id, vid AS neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS vid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, $Dim),
+                   i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i]))) ASC,
+                 c.vec_id ASC) AS rank
+             FROM rb q JOIN rb c ON q.vec_id != c.vec_id
+             WHERE q.vec_id >= 12 AND q.vec_id < 20) WHERE rank <= 5),
+         h5 AS (SELECT query_id, count(*) AS n_hit5
+           FROM rr JOIN ex USING (query_id, neighbor_id)
+           WHERE rank <= 5 GROUP BY query_id),
+         hp AS (SELECT query_id, count(*) AS n_in_pool
+           FROM rr JOIN ex USING (query_id, neighbor_id)
+           WHERE rank <= $PqPool GROUP BY query_id)
+         SELECT q.vec_id AS query_id,
+           coalesce(h5.n_hit5, 0)::BIGINT AS n_hit5,
+           coalesce(hp.n_in_pool, 0)::BIGINT AS n_in_pool
+         FROM (SELECT vec_id FROM embeddings
+               WHERE vec_id >= 12 AND vec_id < 20) q
+         LEFT JOIN h5 ON q.vec_id = h5.query_id
+         LEFT JOIN hp ON q.vec_id = hp.query_id""",
 
     "q68_stratified_sample" ->
       """SELECT lang, rk, doc_id FROM (

@@ -116,4 +116,54 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(routedAll == flat,
       s"full routing must equal the flat ADC scan: $routedAll vs $flat")
   }
+
+  test("cellResiduals: a centroid's residual is the zero vector; every " +
+    "residual is the exact micro-unit difference") {
+    val cents = corpus.filter(col("vec_id") <= 1L)
+    val asg = Similarity.assignCells(corpus, cents, "vec_id", "embedding",
+      spread = false).select(col("id").as("vid"), col("cell"))
+    val res = ProductQuantizer.cellResiduals(corpus, cents, asg,
+      "vec_id", "embedding")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getSeq[Long](2)))
+    val cellOf = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecOf = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(micro)).toMap
+    res.foreach { case (cell, vid, rv) =>
+      assert(cell == cellOf(vid))
+      val expect = vecOf(vid).zip(vecOf(cell)).map { case (x, c) => x - c }
+      assert(rv == expect, s"vid=$vid residual mismatch")
+      if (vid == cell) assert(rv.forall(_ == 0L),
+        "a centroid's own residual must be exactly zero")
+    }
+  }
+
+  test("ivfadcTopK with EXACT codes (ksub = n) at full routing equals " +
+    "bruteL2TopK — the centroid cancels in |qr - (x - c)|^2, which also " +
+    "proves the per-cell FULL scoring term (a dropped query norm would " +
+    "break the cross-cell ranking this compares)") {
+    val cents = corpus.filter(col("vec_id") <= 1L)
+    val asg = Similarity.assignCells(corpus, cents, "vec_id", "embedding",
+      spread = false).select(col("id").as("vid"), col("cell"))
+    val resid = ProductQuantizer.cellResiduals(corpus, cents, asg,
+      "vec_id", "embedding")
+    // ksub = 5 = |corpus|: every residual subvector is its own seed,
+    // Lloyd fixes immediately, encode has ZERO quantization error
+    val cb = ProductQuantizer.pqFitE(resid, "vid", "r",
+      m = 2, ksub = 5, maxIter = 2, dim = 4)
+    val enc = ProductQuantizer.pqEncodeE(resid, cb, "vid", "r",
+      m = 2, dim = 4)
+    val codes = ProductQuantizer.cellKeyedCodes(enc, asg)
+    val qs = corpus.filter(col("vec_id") >= 2L)
+    val adc = ProductQuantizer.ivfadcTopK(qs, codes, cb, cents,
+        "vec_id", "embedding", k = 3, nprobe = 2, m = 2, dim = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = ProductQuantizer.bruteL2TopK(qs, corpus,
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(adc == exact,
+      s"exact residual codes at full routing must reproduce the exact " +
+        s"L2 ranking AND distances: $adc vs $exact")
+  }
 }
