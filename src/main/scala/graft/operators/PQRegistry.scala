@@ -55,6 +55,13 @@ import org.apache.spark.sql.functions._
   * old store fully active or a loudly-detected torn state whose
   * recovery is "re-run refit" (idempotent: it rebuilds from the
   * corpus regardless of what the crash left).
+  *
+  * MODES: flat PQ (codes quantize x) or RESIDUAL — the full IVFADC,
+  * codes quantize x - c(x) and probes score with the per-cell
+  * full-term rule (ivfadcTopK). The mode is a STORED property pinned
+  * at fit in the meta geometry line: residual codes under the flat
+  * scoring rule (or vice versa) would be silent corruption, so every
+  * probe/ingest/refit follows the meta, never a caller flag.
   */
 class PQRegistry(path: String, nBuckets: Int = 8) {
 
@@ -69,13 +76,18 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // ---- meta sidecar: (m, ksub, dim, fp, cbDir), atomically swapped
-  private case class Meta(m: Int, ksub: Int, dim: Int, fp: String,
-                          cbDir: String)
+  // ---- meta sidecar: (m, ksub, dim, residual, fp, cbDir), atomically
+  // swapped. `residual` is a STORED property of the codes (IVFADC
+  // mode: codes quantize x - c(x)), pinned at fit like the geometry —
+  // probing residual codes with the flat scoring rule (or vice versa)
+  // would be silent corruption, so the probe path follows the meta,
+  // never a caller flag.
+  private case class Meta(m: Int, ksub: Int, dim: Int, residual: Boolean,
+                          fp: String, cbDir: String)
   private def readMeta(spark: SparkSession): Option[Meta] =
     RegistryIO.readLines(fs(spark), metaPath).map { ls =>
       val g = ls.head.split(",").map(_.toInt)
-      Meta(g(0), g(1), g(2), ls(1), ls(2))
+      Meta(g(0), g(1), g(2), g.length > 3 && g(3) == 1, ls(1), ls(2))
     }
   private def requireMeta(spark: SparkSession): Meta =
     readMeta(spark).getOrElse(throw new IllegalStateException(
@@ -87,7 +99,8 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     val tmp = new org.apache.hadoop.fs.Path(
       metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
     val os = f.create(tmp, false)
-    try os.write(Seq(s"${m.m},${m.ksub},${m.dim}", m.fp, m.cbDir)
+    try os.write(Seq(s"${m.m},${m.ksub},${m.dim},${if (m.residual) 1 else 0}",
+      m.fp, m.cbDir)
       .mkString("\n").getBytes("UTF-8")) finally os.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
@@ -169,20 +182,56 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     * and codebooks change only through `refit`. */
   def fit(spark: SparkSession, corpus: DataFrame, centroids: DataFrame,
           idCol: String, vecCol: String, m: Int, ksub: Int, dim: Int,
-          maxIter: Int): Unit =
+          maxIter: Int, residual: Boolean = false): Unit =
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"PQRegistry($path).fit") {
       require(readMeta(spark).isEmpty,
         s"PQRegistry at $path is already fitted — use refit() to change " +
           "codebooks (geometry is pinned; silent re-fit would orphan " +
           "every stored code)")
-      val cb = ProductQuantizer.pqFit(corpus, idCol, vecCol, m, ksub,
-        maxIter, dim)
+      val cb = fitCodebooks(spark, corpus, centroids, idCol, vecCol,
+        m, ksub, dim, maxIter, residual)
       val dir = newCbDir(spark)
       val fp = writeCbStore(spark, dir,
         cb, centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-      writeMeta(spark, Meta(m, ksub, dim, fp, dir))
+      writeMeta(spark, Meta(m, ksub, dim, residual, fp, dir))
     }
+
+  /** Codebooks under the stored mode: flat PQ fits the vectors,
+    * residual mode (IVFADC) fits the exact-integer residuals against
+    * the home-cell centroids. */
+  private def fitCodebooks(spark: SparkSession, corpus: DataFrame,
+                           centroids: DataFrame, idCol: String,
+                           vecCol: String, m: Int, ksub: Int, dim: Int,
+                           maxIter: Int, residual: Boolean): DataFrame =
+    if (!residual)
+      ProductQuantizer.pqFit(corpus, idCol, vecCol, m, ksub, maxIter, dim)
+    else {
+      val asg = Similarity.assignCells(corpus,
+          centroids.select(col(idCol), col(vecCol)), idCol, vecCol,
+          spread = false)
+        .select(col("id").as("vid"), col("cell"))
+      ProductQuantizer.pqFitE(
+        ProductQuantizer.cellResiduals(corpus,
+          centroids.select(col(idCol), col(vecCol)), asg, idCol, vecCol),
+        "vid", "r", m, ksub, maxIter, dim)
+    }
+
+  /** Cell-keyed codes for `rows` under the stored mode. */
+  private def encodeCells(meta: Meta, rows: DataFrame, cb: DataFrame,
+                          cents: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
+    val asg = Similarity.assignCells(rows, cents, idCol, vecCol,
+        spread = false)
+      .select(col("id").as("vid"), col("cell"))
+    val enc =
+      if (!meta.residual)
+        ProductQuantizer.pqEncode(rows, cb, idCol, vecCol, meta.m, meta.dim)
+      else ProductQuantizer.pqEncodeE(
+        ProductQuantizer.cellResiduals(rows, cents, asg, idCol, vecCol),
+        cb, "vid", "r", meta.m, meta.dim)
+    ProductQuantizer.cellKeyedCodes(enc, asg)
+  }
 
   /** Encode + admit `corpus` rows whose vid is NOT already indexed
     * (idempotent by vid — the dedupAppend discipline; re-ingesting a
@@ -205,12 +254,7 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
         newIds.select(col("vid").as(idCol)), Seq(idCol), "left_semi")
       val n = fresh.count()
       if (n > 0) {
-        val asg = Similarity.assignCells(fresh, cents, idCol, vecCol,
-            spread = false)
-          .select(col("id").as("vid"), col("cell"))
-        val enc = ProductQuantizer.pqEncode(fresh, cb, idCol, vecCol,
-          meta.m, meta.dim)
-        index.append(ProductQuantizer.cellKeyedCodes(enc, asg))
+        index.append(encodeCells(meta, fresh, cb, cents, idCol, vecCol))
         stampCodes(spark, meta.fp)
       }
       n
@@ -239,9 +283,14 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     val qcells = spark.createDataFrame(
       java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
     val cells = routedRows.map(_.getAs[Long]("cell")).distinct
-    ProductQuantizer.ivfPqTopKFromRouted(qcells, queries,
-      index.df(spark).filter(col("cell").isin(cells: _*)),
-      readCodebooks(spark, meta), idCol, vecCol, k, meta.m, meta.dim)
+    val codes = index.df(spark).filter(col("cell").isin(cells: _*))
+    val cb = readCodebooks(spark, meta)
+    if (!meta.residual)
+      ProductQuantizer.ivfPqTopKFromRouted(qcells, queries, codes, cb,
+        idCol, vecCol, k, meta.m, meta.dim)
+    else ProductQuantizer.ivfadcTopKFromRouted(qcells, queries, codes, cb,
+      readCentroids(spark, meta, idCol, vecCol), idCol, vecCol, k,
+      meta.m, meta.dim)
   }
 
   /** CODEBOOK REFIT: new codebooks (possibly a new ksub) and new IVF
@@ -255,24 +304,20 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"PQRegistry($path).refit") {
       val meta = requireMeta(spark)
-      val cb = ProductQuantizer.pqFit(corpus, idCol, vecCol, meta.m, ksub,
-        maxIter, meta.dim)
+      val cb = fitCodebooks(spark, corpus, centroids, idCol, vecCol,
+        meta.m, ksub, meta.dim, maxIter, meta.residual)
       val dir = newCbDir(spark)
       val fp = writeCbStore(spark, dir,
         cb, centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
       val cents = centroids.select(col(idCol), col(vecCol))
-      val asg = Similarity.assignCells(corpus, cents, idCol, vecCol,
-          spread = false)
-        .select(col("id").as("vid"), col("cell"))
-      val enc = ProductQuantizer.pqEncode(corpus, cb, idCol, vecCol,
-        meta.m, meta.dim)
       // generation swap: readers keep the old (still-consistent) codes
       // until the sidecar flips; the ingest lock we hold means no
       // append can straddle the rebuild (GenIndex.rebuild aborts
       // loudly if one somehow does)
-      index.rebuild(spark, ProductQuantizer.cellKeyedCodes(enc, asg))
+      index.rebuild(spark,
+        encodeCells(meta, corpus, cb, cents, idCol, vecCol))
       stampCodes(spark, fp)
-      writeMeta(spark, Meta(meta.m, ksub, meta.dim, fp, dir))
+      writeMeta(spark, Meta(meta.m, ksub, meta.dim, meta.residual, fp, dir))
       // the outgoing codebook store is garbage once meta flipped —
       // best-effort delete (an orphan is never corruption)
       val old = new org.apache.hadoop.fs.Path(meta.cbDir)

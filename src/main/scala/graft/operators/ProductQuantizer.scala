@@ -387,11 +387,24 @@ object ProductQuantizer {
                  idCol: String, vecCol: String, k: Int, nprobe: Int,
                  m: Int, dim: Int): DataFrame = {
     require(nprobe >= 1, "ivfadcTopK: nprobe must be >= 1")
+    ivfadcTopKFromRouted(
+      Similarity.routeQuantizedQueries(queries, centroids, idCol, vecCol,
+        nprobe).select(col("query_id"), col("cell")),
+      queries, cellCodes, codebooks, centroids, idCol, vecCol, k, m, dim)
+  }
+
+  /** The residual probe core below the routing (the
+    * ivfPqTopKFromRouted split applied to IVFADC): `qcells` is the
+    * (query_id, cell) routed assignment however the caller pinned it;
+    * `centroids` still rides along — the query-side residuals derive
+    * from the routed cells' centroid vectors (broadcast-sized). */
+  def ivfadcTopKFromRouted(qcells: DataFrame, queries: DataFrame,
+                           cellCodes: DataFrame, codebooks: DataFrame,
+                           centroids: DataFrame, idCol: String,
+                           vecCol: String, k: Int, m: Int,
+                           dim: Int): DataFrame = {
     require(dim % m == 0, s"ivfadcTopK: m=$m must divide dim=$dim evenly")
     val dsub = dim / m
-    val qcells = Similarity.routeQuantizedQueries(queries, centroids,
-        idCol, vecCol, nprobe)
-      .select(col("query_id"), col("cell"))
     val qM = queries.select(col(idCol).cast("long").as("query_id"),
       microUnits(col(vecCol)).as("qe"))
     val cM = centroids.select(col(idCol).cast("long").as("cell"),

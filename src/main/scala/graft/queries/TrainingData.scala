@@ -606,6 +606,25 @@ object TrainingData extends QueryGroup {
       (s"$root/pre", s"$root/post")
     })
 
+  /** q220's RESIDUAL-mode store (IVFADC persisted), same per-JVM
+    * untimed-seeding convention; separate cache entry because the
+    * q216/q217 stores are flat-mode and the mode is pinned at fit. */
+  private val pqRegResCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqRegResStore(s: SparkSession, dir: String): String =
+    pqRegResCache.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 12)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pqreg_res").toString
+      val r = new graft.operators.PQRegistry(s"$root/reg")
+      r.fit(s, e, cents, "vec_id", "embedding",
+        m = PqM, ksub = PqK, dim = Dim, maxIter = KmFitIter,
+        residual = true)
+      r.ingest(e, "vec_id", "embedding")
+      s"$root/reg"
+    })
+
   /** q150's cell-partitioned disk LAYOUT, built once per JVM per sf
     * dir (VERDICT r8 #3 — the q208Stores "seeding untimed" convention
     * applied to the last overhead-dominated pairing): the ingest
@@ -812,8 +831,9 @@ object TrainingData extends QueryGroup {
     * frame, a per-(query, cell) ADC table carrying the FULL
     * |qr|^2 - 2 qr.cw + |cw|^2 term (the query-norm drop is not
     * rank-safe across cells — see ivfadcTopK's doc), and cell-routed
-    * scoring. Ends at `rscored`; trailing comma. */
-  private lazy val ivfadcCtes: String =
+    * scoring. Parametrized by nprobe (q218/q219 route at 2, the
+    * persisted q220 probe at 1). Ends at `rscored`; trailing comma. */
+  private def ivfadcCtesAt(nprobe: Int): String =
     s"""rb AS (SELECT vec_id, list_transform(embedding,
          x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
        FROM embeddings),
@@ -828,7 +848,7 @@ object TrainingData extends QueryGroup {
          ORDER BY cs DESC, cid ASC) AS rnk FROM risc),
      rcasg AS (SELECT vec_id AS vid, cid AS cell FROM rirk WHERE rnk = 1),
      rqcell AS (SELECT vec_id AS query_id, cid AS cell FROM rirk
-       WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
+       WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= $nprobe),
      rres AS MATERIALIZED (SELECT a.vid, a.cell,
          list_transform(generate_series(1, $Dim), i -> v.e[i] - c.e[i]) AS rv
        FROM rcasg a JOIN rb v ON v.vec_id = a.vid
@@ -854,6 +874,7 @@ object TrainingData extends QueryGroup {
        JOIN rqt t ON t.cell = a.cell AND t.blk = e.blk AND t.code = e.code
        WHERE t.query_id != e.vid
        GROUP BY t.query_id, e.vid),"""
+  private lazy val ivfadcCtes: String = ivfadcCtesAt(2)
 
   /** The q211/q212 oracle's value-level replay CTEs, ending in
     * `feat(media_id, kind, dim_no, value)` — realMediaValues' formulas
@@ -1560,6 +1581,17 @@ object TrainingData extends QueryGroup {
     // and the cell-routed scoring verbatim.
     "q218_ivfadc_ann" -> ((s, dir) =>
       ivfadcPool(s, dir).filter(col("rank") <= 5)),
+
+    // ... and IVFADC PERSISTED (the q216 convention on the residual
+    // stack): the registry's stored mode drives residual encode at
+    // ingest and the per-cell full-term ADC at probe; serving from
+    // the disk codes at nprobe=1 must replay the same algebra the
+    // oracle computes from scratch.
+    "q220_pqreg_ivfadc" -> ((s, dir) =>
+      new graft.operators.PQRegistry(pqRegResStore(s, dir)).adcProbe(s,
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") >= 12 && col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nprobe = 1)),
 
     // ... and its measured accuracy, both ways the stack is consumed
     // (the q214 protocol on the residual arm): raw hits@5 and
@@ -4645,6 +4677,15 @@ object TrainingData extends QueryGroup {
     // ADC) — see ivfadcCtes
     "q218_ivfadc_ann" ->
       s"""WITH $ivfadcCtes
+         r AS (SELECT query_id, vid AS neighbor_id, adist, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+           FROM rscored)
+         SELECT query_id, rank, neighbor_id, adist FROM r WHERE rank <= 5""",
+
+    // the q218 chain routed at nprobe=1 — the persisted residual
+    // registry probe is the same algebra served from disk
+    "q220_pqreg_ivfadc" ->
+      s"""WITH ${ivfadcCtesAt(1)}
          r AS (SELECT query_id, vid AS neighbor_id, adist, row_number() OVER (
              PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
            FROM rscored)

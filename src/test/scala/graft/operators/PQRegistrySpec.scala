@@ -155,6 +155,43 @@ class PQRegistrySpec extends SparkSpec {
     assert(!reg.compact(spark, maxFiles = 8), "already compact")
   }
 
+  test("RESIDUAL mode (IVFADC): the stored mode drives fit/encode/probe — " +
+    "the persisted probe equals the in-memory ivfadcTopK stack, and a " +
+    "refit re-encodes residuals under the new codebooks") {
+    val root = Files.createTempDirectory("graft_pqreg_res_").toString
+    val reg = new PQRegistry(s"$root/reg")
+    reg.fit(spark, corpus, cents, "vec_id", "embedding",
+      m = m, ksub = 4, dim = dim, maxIter = 3, residual = true)
+    assert(reg.ingest(corpus, "vec_id", "embedding") === nVec.toLong)
+    def mem(ksub: Int): Seq[(Long, Int, Long, Long)] = {
+      val asg = Similarity.assignCells(corpus, cents, "vec_id", "embedding",
+          spread = false)
+        .select(col("id").as("vid"), col("cell"))
+      val resid = ProductQuantizer.cellResiduals(corpus, cents, asg,
+        "vec_id", "embedding")
+      val cb = ProductQuantizer.pqFitE(resid, "vid", "r",
+        m = m, ksub = ksub, maxIter = 3, dim = dim)
+      val enc = ProductQuantizer.pqEncodeE(resid, cb, "vid", "r", m, dim)
+      ProductQuantizer.ivfadcTopK(queries,
+          ProductQuantizer.cellKeyedCodes(enc, asg), cb, cents,
+          "vec_id", "embedding", k = 3, nprobe = 2, m = m, dim = dim)
+        .select("query_id", "rank", "neighbor_id", "adist")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+    }
+    assert(probe(reg) === mem(4),
+      "residual-mode serving from persisted codes must equal the " +
+        "in-memory IVFADC stack")
+    // the residual mode SURVIVES a refit (stored property, not a flag)
+    reg.refit(spark, corpus, cents, "vec_id", "embedding",
+      ksub = 8, maxIter = 3)
+    assert(probe(reg) === mem(8),
+      "post-refit residual serving must equal the in-memory stack at " +
+        "the new ksub")
+    assert(reg.ingest(corpus, "vec_id", "embedding") === 0L)
+  }
+
   test("geometry and codebooks are pinned: a second fit fails loudly; " +
     "an unfitted registry refuses probes with instructions") {
     val (reg, _) = seeded()
