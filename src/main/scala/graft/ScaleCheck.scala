@@ -223,6 +223,11 @@ object ScaleCheck {
     // the n*m code rows against a broadcast query table) — the row
     // verifies no hidden super-linear stage snuck in.
     row("q213_pq_ann")(q("q213_pq_ann"))
+    // the RESIDUAL stack end-to-end (round 10): adds the assignment
+    // and residual joins to q213's chain — still corpus-linear by
+    // construction (residuals are one broadcast-centroid join pass;
+    // the per-(query, cell) ADC table stays |Q| x nprobe x m x ksub)
+    row("q218_ivfadc_ann")(q("q218_ivfadc_ann"))
     // genuinely FIXED-width penalty rows: direct operator calls with
     // the width pinned (the catalog q35/q183 queries moved to
     // corpus-derived width in round 6, so invoking them here would

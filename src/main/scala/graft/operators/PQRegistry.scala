@@ -342,4 +342,12 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
 
   /** Committed data files in the active codes generation (specs). */
   def codesFileCount(spark: SparkSession): Int = index.dataFileCount(spark)
+
+  /** The active generation's (vid, cell, blk, code) rows — read-only
+    * operability surface (row-count invariants in specs, offline
+    * inspection). Consistency-checked like every read. */
+  def codes(spark: SparkSession): DataFrame = {
+    requireConsistent(spark, requireMeta(spark))
+    index.df(spark)
+  }
 }

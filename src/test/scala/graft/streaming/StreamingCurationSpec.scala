@@ -343,6 +343,65 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("STREAMING ANN INGEST (PQRegistry): micro-batches ingest " +
+    "idempotently by vid — an at-least-once replay admits nothing — and " +
+    "a codebook refit between batches re-encodes history while later " +
+    "batches keep ingesting under the new codebooks") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cur8_").toString
+    // seed corpus: contiguous 0-based ids (the pqFit seed-rule
+    // contract), dim 16, m 4, ksub 4
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(16)(j => ((id * 31 + j * 7) % 13 - 6) / 6.0f)
+    val seed = (0L until 12L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val cents = seed.filter(col("vec_id") < 3)
+    val reg = new graft.operators.PQRegistry(s"$dir/reg")
+    reg.fit(spark, seed, cents, "vec_id", "embedding",
+      m = 4, ksub = 4, dim = 16, maxIter = 3)
+    reg.ingest(seed, "vec_id", "embedding")
+    val in = MemoryStream[(Long, Array[Float])]
+    val ingested = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = MicroBatchPipeline.start(
+      in.toDF().toDF("vec_id", "embedding"),
+      identity,
+      (batch, _) => { ingested += reg.ingest(batch, "vec_id", "embedding"); () },
+      intervalMs = 100)
+    try {
+      in.addData((12L, vec(12L)), (13L, vec(13L)))
+      q.processAllAvailable()
+      // at-least-once replay of the same rows: admits NOTHING (the
+      // vid anti-join), codes count unchanged — a doubled (vid, blk)
+      // row would corrupt every ADC sum containing it
+      in.addData((12L, vec(12L)), (13L, vec(13L)))
+      q.processAllAvailable()
+      assert(ingested.sum === 2L && ingested.head === 2L,
+        s"replay must admit nothing, got $ingested")
+      assert(reg.codes(spark).count() === 14L * 4,
+        "exactly m code rows per ingested vid")
+      // the persisted probe serves the union of seed + all batches
+      val qdf = Seq((12L, vec(12L))).toDF("vec_id", "embedding")
+      val n1 = reg.adcProbe(spark, qdf, "vec_id", "embedding",
+        k = 3, nprobe = 2).count()
+      assert(n1 === 3L)
+      // REFIT BETWEEN BATCHES (the r7 mid-stream convention): the
+      // quiescent window after a trigger is the maintenance slot;
+      // ingest and refit share the registry lock, so the swap never
+      // interleaves a batch
+      reg.refit(spark, (0L until 14L).map(id => (id, vec(id)))
+          .toDF("vec_id", "embedding"),
+        cents, "vec_id", "embedding", ksub = 8, maxIter = 3)
+      // post-refit batches encode under the NEW codebooks; history
+      // was re-encoded by the rebuild — one consistent generation
+      in.addData((14L, vec(14L)))
+      q.processAllAvailable()
+      assert(reg.codes(spark).count() === 15L * 4)
+      assert(reg.adcProbe(spark, qdf, "vec_id", "embedding",
+        k = 3, nprobe = 2).count() === 3L,
+        "post-refit serving must stay consistent (fp-stamped codes)")
+    } finally q.stop()
+  }
+
   test("REFIT MID-STREAM (VERDICT r7 #6): centroid migration between " +
     "micro-batches keeps the cross-batch gate, the sink equals the batch " +
     "replay, and crash-retry spans the refit") {
