@@ -276,8 +276,9 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
                vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val meta = requireMeta(spark)
     requireConsistent(spark, meta)
-    val routedPlan = Similarity.routeQuantizedQueries(queries,
-        readCentroids(spark, meta, idCol, vecCol), idCol, vecCol, nprobe)
+    val cents = readCentroids(spark, meta, idCol, vecCol)
+    val routedPlan = Similarity.routeQuantizedQueries(queries, cents,
+        idCol, vecCol, nprobe)
       .select(col("query_id"), col("cell"))
     val routedRows = routedPlan.collect() // one job; the pin
     val qcells = spark.createDataFrame(
@@ -289,8 +290,7 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
       ProductQuantizer.ivfPqTopKFromRouted(qcells, queries, codes, cb,
         idCol, vecCol, k, meta.m, meta.dim)
     else ProductQuantizer.ivfadcTopKFromRouted(qcells, queries, codes, cb,
-      readCentroids(spark, meta, idCol, vecCol), idCol, vecCol, k,
-      meta.m, meta.dim)
+      cents, idCol, vecCol, k, meta.m, meta.dim)
   }
 
   /** CODEBOOK REFIT: new codebooks (possibly a new ksub) and new IVF
