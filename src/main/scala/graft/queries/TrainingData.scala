@@ -1593,6 +1593,25 @@ object TrainingData extends QueryGroup {
           .filter(col("vec_id") >= 12 && col("vec_id") < 20),
         "vec_id", "embedding", k = 5, nprobe = 1)),
 
+    // the production TWO-STAGE over the PERSISTED shortlist (q189's
+    // shape with the registry as the coarse stage): the PQRegistry's
+    // ADC pool of 20 proposes, the exact float cosine re-ranks to 5 —
+    // quantized codes decide pool MEMBERSHIP only, never the final
+    // order; the rerank broadcasts |Q| x 20 pairs, the corpus never
+    // shuffles for either stage, and the shortlist comes off the
+    // m-byte disk codes (the serving deployment end to end).
+    "q221_pqreg_two_stage" -> ((s, dir) => {
+      val (pre, _) = pqRegStores(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val pool = new graft.operators.PQRegistry(pre)
+        .adcProbe(s, qs, "vec_id", "embedding", k = PqPool, nprobe = 2)
+        .select("query_id", "neighbor_id")
+      Similarity.rerankTopK(pool, qs, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("score"))
+    }),
+
     // ... and its measured accuracy, both ways the stack is consumed
     // (the q214 protocol on the residual arm): raw hits@5 and
     // exact-top5 containment in the ADC pool of 20. Read next to
@@ -4690,6 +4709,43 @@ object TrainingData extends QueryGroup {
              PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
            FROM rscored)
          SELECT query_id, rank, neighbor_id, adist FROM r WHERE rank <= 5""",
+
+    // the q215/q216 routed ADC chain ranks the pool of 20; the q189
+    // exact-cosine rerank tail keeps 5
+    "q221_pqreg_two_stage" ->
+      s"""WITH $pqCtes
+         ibase AS (SELECT vec_id, embedding AS v FROM embeddings),
+         inn AS (SELECT vec_id, v, ${dDot("v", "v")} AS n2 FROM ibase),
+         icent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM inn
+           WHERE vec_id < 12),
+         isc AS (SELECT vec_id, cid,
+             round(${dDot("v", "cv")} / sqrt(n2 * cn2), 6) AS cs
+           FROM inn CROSS JOIN icent),
+         irk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid ASC) AS rnk FROM isc),
+         casg AS (SELECT vec_id AS vid, cid AS cell FROM irk WHERE rnk = 1),
+         qcell AS (SELECT vec_id AS query_id, cid AS cell FROM irk
+           WHERE vec_id >= 12 AND vec_id < 20 AND rnk <= 2),
+         iscored AS (SELECT t.query_id, e.vid, sum(t.pterm)::BIGINT AS adist
+           FROM pqenc e
+           JOIN casg USING (vid)
+           JOIN pqqt t ON t.blk = e.blk AND t.code = e.code
+           JOIN qcell qc ON qc.query_id = t.query_id AND qc.cell = casg.cell
+           WHERE t.query_id != e.vid
+           GROUP BY t.query_id, e.vid),
+         pool AS (SELECT query_id, vid AS neighbor_id FROM (
+             SELECT query_id, vid, row_number() OVER (
+               PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rnk
+             FROM iscored) WHERE rnk <= $PqPool),
+         rr AS (SELECT p.query_id, p.neighbor_id,
+             round(${dDot("qn.v", "cn.v")} / sqrt(qn.n2 * cn.n2), 6) AS score
+           FROM pool p JOIN inn qn ON p.query_id = qn.vec_id
+                       JOIN inn cn ON p.neighbor_id = cn.vec_id)
+         SELECT query_id, rank, neighbor_id, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM rr WHERE score IS NOT NULL AND NOT isnan(score))
+         WHERE rank <= 5""",
 
     "q219_ivfadc_recall" ->
       s"""WITH $ivfadcCtes
