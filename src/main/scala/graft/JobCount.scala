@@ -25,6 +25,10 @@ object JobCount {
     }
     val fn = SparkEntry.queries(name)
     fn(spark, sf).write.mode("overwrite").format("noop").save() // warm pass
+    // listener events are delivered asynchronously: let the warm
+    // pass's queue drain BEFORE registering, or its trailing
+    // stage/job events would count against the measured pass
+    Thread.sleep(1000)
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     fn(spark, sf).write.mode("overwrite").format("noop").save()

@@ -472,8 +472,15 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
           // full-row anti-join against the store already built makes
           // the re-absorb insert nothing.
           val absorbed = migrate(sigsOfFiles(spark, Seq(d -> stragglers)))
-          val built = spark.read.parquet(newDir)
-            .select(absorbed.columns.map(col): _*)
+          // committedDataExists guard (review r10): a migration that
+          // filtered every row leaves newDir with no parquet footers,
+          // and a bare read would throw "Unable to infer schema"
+          // mid-cutover; an empty store absorbs everything anyway
+          val built =
+            if (RegistryIO.committedDataExists(spark, newDir))
+              spark.read.parquet(newDir)
+                .select(absorbed.columns.map(col): _*)
+            else absorbed.limit(0)
           val cond = absorbed.columns
             .map(c => absorbed(c) <=> built(c)).reduce(_ && _)
           writeTo(absorbed.join(built, cond, "left_anti"), "append")

@@ -209,6 +209,17 @@ class GenIndex(tableBase: String, rootLocation: String,
   /** Where the active generation's files live (for specs/tools). */
   def activeLocation(spark: SparkSession): String = location(currentGen(spark))
 
+  /** (table name, location) of the active generation from ONE sidecar
+    * read — for callers whose consistency checks must bind to exactly
+    * the generation they then scan (PQRegistry.boundCodes: a separate
+    * activeLocation + df pair could straddle a concurrent swap and
+    * check one generation while scanning another). */
+  def ensureBound(spark: SparkSession): (String, String) = {
+    val gen = currentGen(spark)
+    createTable(spark, gen)
+    (tableName(gen), location(gen))
+  }
+
   private def listDataFiles(spark: SparkSession, loc: String): Seq[String] =
     RegistryIO.listDataFiles(spark, loc)
 
@@ -243,8 +254,9 @@ class GenIndex(tableBase: String, rootLocation: String,
     * cross-row state exists. A transform that aggregates across rows
     * would need the exclusive-writer discipline for real. */
   def rewrite(spark: SparkSession,
-              transform: DataFrame => DataFrame = identity): Unit =
-    swapCore(spark, Some(transform), None)
+              transform: DataFrame => DataFrame = identity,
+              beforeSwap: String => Unit = _ => ()): Unit =
+    swapCore(spark, Some(transform), None, beforeSwap)
 
   /** Generation-swap REBUILD: the next generation's rows come from a
     * SUPPLIED frame instead of a transform of the active rows — for
@@ -259,12 +271,20 @@ class GenIndex(tableBase: String, rootLocation: String,
     * loudly AFTER the swap (the new generation is complete and
     * active; the unabsorbable rows are named, never silently mixed
     * in or dropped). */
-  def rebuild(spark: SparkSession, rows: DataFrame): Unit =
-    swapCore(spark, None, Some(rows))
+  def rebuild(spark: SparkSession, rows: DataFrame,
+              beforeSwap: String => Unit = _ => ()): Unit =
+    swapCore(spark, None, Some(rows), beforeSwap)
 
+  /** `beforeSwap` fires with the NEW generation's location after its
+    * rows are fully committed and BEFORE the sidecar flips — the slot
+    * for registry-level sidecar files that must be visible the moment
+    * the generation is (PQRegistry's `_cbfp` stamp: stamping after
+    * the swap opened a window where lock-free probes saw an active
+    * generation with no stamp and aborted spuriously). */
   private def swapCore(spark: SparkSession,
                        transform: Option[DataFrame => DataFrame],
-                       replacement: Option[DataFrame]): Unit = {
+                       replacement: Option[DataFrame],
+                       beforeSwap: String => Unit = _ => ()): Unit = {
     val fs = hadoopFs(spark)
     // MAINTENANCE MUTEX (VERDICT r8 #1): two concurrent rewrites both
     // target generation N+1 and interleave files in one directory —
@@ -345,6 +365,7 @@ class GenIndex(tableBase: String, rootLocation: String,
     // is still active; appends landing now are caught by the re-list
     // below or, post-crash, by the next attempt's fresh snapshot).
     writeAccounted(fs, gen, outgoingLoc, srcFiles.map(fileName))
+    beforeSwap(location(next))
     // atomic activation: readers see gen or gen+1, never a partial
     val tmp = new org.apache.hadoop.fs.Path(
       genSidecar + ".tmp-" + java.util.UUID.randomUUID().toString)
@@ -381,15 +402,18 @@ class GenIndex(tableBase: String, rootLocation: String,
     if (lateFiles.nonEmpty) {
       // rebuild path: no row-local migration exists for these rows
       // (method doc) — the caller broke the serialize-appends
-      // contract; abort loudly with the files named. The new
-      // generation is complete and active; nothing is mixed or lost
-      // silently.
-      require(transform.isDefined,
+      // contract; QUARANTINE the files (rename to an _-prefixed name:
+      // bytes preserved for manual recovery, invisible to every data
+      // listing so no later identity rewrite can silently absorb the
+      // stale-encoding rows into a validly-stamped generation), then
+      // abort loudly. The new generation is complete and active;
+      // nothing is mixed or lost silently.
+      if (transform.isEmpty) quarantineAndAbort(fs, lateFiles,
         s"GenIndex($rootLocation).rebuild: files landed in the outgoing " +
-          s"generation during the rebuild (${lateFiles.mkString(", ")}) — " +
-          "rebuild rows cannot absorb appended rows (lossy derivative " +
-          "contract); callers must serialize appends against rebuilds. " +
-          "Re-append those rows' source data against the new generation.")
+          "generation during the rebuild — rebuild rows cannot absorb " +
+          "appended rows (lossy derivative contract); callers must " +
+          "serialize appends against rebuilds. Re-append those rows' " +
+          "source data against the new generation.")
       transform.get(spark.read.parquet(lateFiles: _*)
           .select(tableCols.map(col): _*))
         .repartition(nBuckets, bucketCols.map(col): _*)
@@ -423,11 +447,11 @@ class GenIndex(tableBase: String, rootLocation: String,
       val loc = location(g)
       RegistryIO.stragglersIn(spark, fs, loc).foreach {
         case (_, accounted, stragglers) if stragglers.nonEmpty =>
-          require(transform.isDefined,
+          if (transform.isEmpty) quarantineAndAbort(fs, stragglers,
             s"GenIndex($rootLocation).rebuild: retired dir $loc holds " +
-              s"unaccounted files (${stragglers.mkString(", ")}) no " +
-              "row-local migration can absorb — serialize appends " +
-              "against rebuilds and re-append that source data.")
+              "unaccounted files no row-local migration can absorb — " +
+              "serialize appends against rebuilds and re-append that " +
+              "source data.")
           // IDEMPOTENT absorb (class doc: ABSORB IDEMPOTENCE): a crash
           // between a prior absorb's insertInto and its manifest
           // update re-surfaces the same files as stragglers here; the
@@ -460,13 +484,33 @@ class GenIndex(tableBase: String, rootLocation: String,
     } // maintenance lock released
   }
 
+  /** Rename unabsorbable files to an `_quarantined_` prefix (invisible
+    * to listDataFiles and all future absorption — a later identity
+    * rewrite would otherwise silently absorb their stale-encoding rows
+    * into a validly-stamped generation), then abort loudly with the
+    * quarantine locations named. */
+  private def quarantineAndAbort(fs: org.apache.hadoop.fs.FileSystem,
+                                 files: Seq[String], why: String): Nothing = {
+    val moved = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val q = new org.apache.hadoop.fs.Path(p.getParent,
+        "_quarantined_" + p.getName)
+      try { fs.rename(p, q); q.toString }
+      catch { case _: java.io.IOException => f + " (rename FAILED)" }
+    }
+    throw new IllegalStateException(
+      s"$why Offending rows quarantined (bytes preserved, invisible to " +
+        s"every scan/absorption): ${moved.mkString(", ")}")
+  }
+
   /** Compact when the active generation holds more than `maxFiles`
     * committed data files; returns whether a rewrite ran. Probe
     * results are unchanged by construction (same rows, same bucket
     * layout) — spec-asserted per registry. */
-  def compact(spark: SparkSession, maxFiles: Int): Boolean = {
+  def compact(spark: SparkSession, maxFiles: Int,
+              beforeSwap: String => Unit = _ => ()): Boolean = {
     val n = dataFileCount(spark)
     if (n <= maxFiles) false
-    else { rewrite(spark); true }
+    else { rewrite(spark, identity, beforeSwap); true }
   }
 }

@@ -122,7 +122,15 @@ final class KindRoutedKernel(image: MediaKernel, audio: MediaKernel,
         s"KindRoutedKernel: $kn kernel ${k.getClass.getName} emitted no " +
           s"MediaFeatures for media_id=${r.media_id} — MediaKernel.features " +
           "must be 1:1 (emit a sentinel for rejected rows, never drop them)")
-      out.next()
+      val f = out.next()
+      // ... and the duplicating half of the same contract: silently
+      // taking the first of several would misattribute a buffering
+      // kernel's stale output to this row (review r10)
+      if (out.hasNext) throw new IllegalStateException(
+        s"KindRoutedKernel: $kn kernel ${k.getClass.getName} emitted " +
+          s"MULTIPLE MediaFeatures for media_id=${r.media_id} — " +
+          "MediaKernel.features must be 1:1")
+      f
     }
 }
 

@@ -158,22 +158,53 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
 
   // ---- the per-generation encoding marker (class doc: CONSISTENCY)
   private def cbfpPath(loc: String) = loc + "/_cbfp"
-  private def stampCodes(spark: SparkSession, fp: String): Unit =
-    RegistryIO.writeLines(fs(spark), cbfpPath(index.activeLocation(spark)),
-      Seq(fp))
-  private def requireConsistent(spark: SparkSession, meta: Meta): Unit = {
-    val loc = index.activeLocation(spark)
+  /** Stamp `loc`'s codes as encoded under `fp` — ATOMICALLY (tmp +
+    * rename-overwrite, the sidecar idiom): a truncate-then-write would
+    * expose a blank marker to a concurrent lock-free probe, and a
+    * crash mid-write would leave it blank forever (review r10).
+    * Skips the write when the stamp already matches, so steady-state
+    * ingests never re-truncate a marker probes are reading. */
+  private def stampLoc(spark: SparkSession, loc: String, fp: String): Unit = {
+    if (readStamp(spark, loc).contains(fp)) return
+    val f = fs(spark)
+    val tmp = new org.apache.hadoop.fs.Path(
+      loc + "/._cbfp.tmp-" + java.util.UUID.randomUUID().toString)
+    val os = f.create(tmp, false)
+    try os.write(fp.getBytes("UTF-8")) finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(cbfpPath(loc)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+  private def readStamp(spark: SparkSession, loc: String): Option[String] =
+    RegistryIO.readLines(fs(spark), cbfpPath(loc)).flatMap(_.headOption)
+
+  /** The consistency-checked codes scan, BOUND ONCE (review r10): the
+    * generation is resolved a single time and the returned frame reads
+    * exactly that generation, so a refit completing mid-probe either
+    * aborts here loudly (new generation, new stamp != this meta's fp)
+    * or leaves the probe on a consistent RETAINED snapshot (old
+    * generation + old codebooks — the GenIndex reader-vs-GC retention
+    * contract; stale-but-correct, never mixed). A separate
+    * check-then-rescan pair could resolve two different generations
+    * and silently decode new codes with old codebooks. */
+  private def boundCodes(spark: SparkSession, meta: Meta): DataFrame = {
+    val (name, loc) = index.ensureBound(spark)
     if (RegistryIO.committedDataExists(spark, loc)) {
-      val stamped = RegistryIO.readLines(fs(spark), cbfpPath(loc))
-        .map(_.head)
+      val stamped = readStamp(spark, loc)
       require(stamped.contains(meta.fp),
         s"PQRegistry at $path: codes generation at $loc is stamped " +
           s"'${stamped.getOrElse("<missing>")}' but the active codebook " +
           s"store fingerprint is '${meta.fp}' — a refit or compaction " +
-          "crashed between the codes swap and the meta/stamp write. " +
-          "Probing would decode codes with the wrong codebooks; re-run " +
-          "refit (it rebuilds codes from the corpus and is idempotent).")
+          "crashed between the codes swap and the meta/stamp write, or " +
+          "completed while this read was binding. Probing would decode " +
+          "codes with the wrong codebooks; re-run refit (it rebuilds " +
+          "codes from the corpus and is idempotent) or retry the probe.")
     }
+    spark.table(name)
+  }
+  private def requireConsistent(spark: SparkSession, meta: Meta): Unit = {
+    boundCodes(spark, meta); ()
   }
 
   /** FIRST-TIME fit: codebooks from `corpus` (ProductQuantizer.pqFit,
@@ -244,18 +275,34 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"PQRegistry($path).ingest") {
       val meta = requireMeta(spark)
-      requireConsistent(spark, meta)
+      val codes = boundCodes(spark, meta)
       val cb = readCodebooks(spark, meta)
       val cents = readCentroids(spark, meta, idCol, vecCol)
-      val ids = corpus.select(col(idCol).cast("long").as("vid"))
-      val known = index.df(spark).select(col("vid")).distinct()
-      val newIds = ids.join(known, Seq("vid"), "left_anti")
-      val fresh = corpus.join(
-        newIds.select(col("vid").as(idCol)), Seq(idCol), "left_semi")
+      // exact-duplicate batch rows collapse silently (at-least-once
+      // sources re-deliver); a vid carrying TWO DIFFERENT vectors in
+      // one batch aborts loudly — pqEncode's per-(vid, blk) argmin
+      // would otherwise blend both into a code matching neither
+      // (review r10)
+      val batch = corpus
+        .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+        .distinct()
+      // left_anti needs no distinct right side — the former
+      // .distinct() aggregated the whole code store per batch
+      val fresh = batch.join(codes.select(col("vid")), Seq("vid"), "left_anti")
+        .select(col("vid").as(idCol), col("v").as(vecCol))
       val n = fresh.count()
       if (n > 0) {
+        val nVids = fresh.select(col(idCol)).distinct().count()
+        require(nVids == n,
+          s"PQRegistry at $path: the batch carries ${n - nVids} vid(s) " +
+            "with conflicting vectors — encoding would silently blend " +
+            "them; de-conflict upstream (one vector per vid per batch)")
+        // stamp BEFORE the append: a probe racing the FIRST append
+        // must never see committed data without a marker (a stamp
+        // with no data is inert — consistency checks skip empty
+        // generations)
+        stampLoc(spark, index.activeLocation(spark), meta.fp)
         index.append(encodeCells(meta, fresh, cb, cents, idCol, vecCol))
-        stampCodes(spark, meta.fp)
       }
       n
     }
@@ -275,7 +322,7 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
   def adcProbe(spark: SparkSession, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val meta = requireMeta(spark)
-    requireConsistent(spark, meta)
+    val bound = boundCodes(spark, meta) // one generation, one check
     val cents = readCentroids(spark, meta, idCol, vecCol)
     val routedPlan = Similarity.routeQuantizedQueries(queries, cents,
         idCol, vecCol, nprobe)
@@ -284,7 +331,7 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     val qcells = spark.createDataFrame(
       java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
     val cells = routedRows.map(_.getAs[Long]("cell")).distinct
-    val codes = index.df(spark).filter(col("cell").isin(cells: _*))
+    val codes = bound.filter(col("cell").isin(cells: _*))
     val cb = readCodebooks(spark, meta)
     if (!meta.residual)
       ProductQuantizer.ivfPqTopKFromRouted(qcells, queries, codes, cb,
@@ -314,9 +361,14 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
       // until the sidecar flips; the ingest lock we hold means no
       // append can straddle the rebuild (GenIndex.rebuild aborts
       // loudly if one somehow does)
+      // the _cbfp stamp rides GenIndex's beforeSwap hook: it lands in
+      // the new generation's directory BEFORE the sidecar flips, so a
+      // lock-free probe never sees an active generation without its
+      // marker (the post-swap stamp opened a spurious-abort window —
+      // review r10)
       index.rebuild(spark,
-        encodeCells(meta, corpus, cb, cents, idCol, vecCol))
-      stampCodes(spark, fp)
+        encodeCells(meta, corpus, cb, cents, idCol, vecCol),
+        beforeSwap = loc => stampLoc(spark, loc, fp))
       writeMeta(spark, Meta(meta.m, ksub, meta.dim, meta.residual, fp, dir))
       // the outgoing codebook store is garbage once meta flipped —
       // best-effort delete (an orphan is never corruption)
@@ -335,9 +387,8 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
       s"PQRegistry($path).compact") {
       val meta = requireMeta(spark)
       requireConsistent(spark, meta)
-      val ran = index.compact(spark, maxFiles)
-      if (ran) stampCodes(spark, meta.fp)
-      ran
+      index.compact(spark, maxFiles,
+        beforeSwap = loc => stampLoc(spark, loc, meta.fp))
     }
 
   /** Committed data files in the active codes generation (specs). */
@@ -346,8 +397,6 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
   /** The active generation's (vid, cell, blk, code) rows — read-only
     * operability surface (row-count invariants in specs, offline
     * inspection). Consistency-checked like every read. */
-  def codes(spark: SparkSession): DataFrame = {
-    requireConsistent(spark, requireMeta(spark))
-    index.df(spark)
-  }
+  def codes(spark: SparkSession): DataFrame =
+    boundCodes(spark, requireMeta(spark))
 }

@@ -84,6 +84,27 @@ class PQRegistrySpec extends SparkSpec {
     assert(reg.index.df(spark).count() === (nVec + 3).toLong * m)
   }
 
+  test("ingest batch hygiene: exact duplicate rows collapse silently " +
+    "(at-least-once sources); a vid carrying two DIFFERENT vectors " +
+    "aborts loudly instead of blending codes") {
+    val (reg, _) = seeded()
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => ((seed * 31 + j * 7) % 13 - 6) / 6.0f)
+    // same row twice: one vid admitted, exactly m code rows
+    assert(reg.ingest(
+      Seq((100L, v(100)), (100L, v(100))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding") === 1L)
+    assert(reg.codes(spark).filter(col("vid") === 100L).count() === m.toLong)
+    // conflicting vectors under one vid: loud abort, nothing admitted
+    val err = intercept[IllegalArgumentException] {
+      reg.ingest(
+        Seq((101L, v(101)), (101L, v(999))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("conflicting vectors"), err.getMessage)
+    assert(reg.codes(spark).filter(col("vid") === 101L).count() === 0L)
+  }
+
   test("refit re-encodes every code under the new codebooks and the " +
     "post-refit probe equals a fresh in-memory stack at the new ksub") {
     val (reg, _) = seeded()
