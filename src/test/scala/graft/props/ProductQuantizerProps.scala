@@ -78,4 +78,41 @@ object ProductQuantizerProps extends Properties("productQuantizer") {
       }.sortBy { case (id, d) => (d, id) }
       encOk && got == want
     }
+
+  property("residual IVFADC with exact codes (ksub = n) at full routing " +
+    "reproduces bruteL2TopK's ranking AND distances — the centroid " +
+    "cancels in |qr - (x - c)|^2, which also pins the per-cell FULL " +
+    "scoring term under random cell geometry") =
+    forAll(Gen.choose(6, 12).flatMap(k => Gen.listOfN(k, vec))) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val nCells = 2
+      val cents = df.filter(col("vec_id") < nCells)
+      val asg = graft.operators.Similarity.assignCells(df, cents,
+          "vec_id", "embedding", spread = false)
+        .select(col("id").as("vid"), col("cell"))
+      val resid = ProductQuantizer.cellResiduals(df, cents, asg,
+        "vec_id", "embedding")
+      // ksub = n: every residual subvector its own codeword — zero
+      // quantization error, so residual ADC == exact L2 for ANY
+      // random corpus/cell shape (cross-cell rank correctness is the
+      // property under test: a dropped query norm would break it)
+      val cb = ProductQuantizer.pqFitE(resid, "vid", "r",
+        m = M, ksub = rows.size, maxIter = 2, dim = Dim)
+      val enc = ProductQuantizer.pqEncodeE(resid, cb, "vid", "r",
+        m = M, dim = Dim)
+      val qs = df.filter(col("vec_id") >= nCells)
+      val adc = ProductQuantizer.ivfadcTopK(qs,
+          ProductQuantizer.cellKeyedCodes(enc, asg), cb, cents,
+          "vec_id", "embedding", k = 3, nprobe = nCells, m = M, dim = Dim)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val exact = ProductQuantizer.bruteL2TopK(qs, df,
+          "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      adc == exact
+    }
 }
