@@ -488,19 +488,32 @@ class GenIndex(tableBase: String, rootLocation: String,
     * to listDataFiles and all future absorption — a later identity
     * rewrite would otherwise silently absorb their stale-encoding rows
     * into a validly-stamped generation), then abort loudly with the
-    * quarantine locations named. */
+    * quarantine locations named. Hadoop FileSystem.rename reports most
+    * failures by RETURNING FALSE, not throwing — a failed rename must
+    * be named as such (the file is still visible to data listings and
+    * a later identity rewrite WOULD absorb it), never reported as
+    * quarantined (review r10 ADVICE). */
   private def quarantineAndAbort(fs: org.apache.hadoop.fs.FileSystem,
                                  files: Seq[String], why: String): Nothing = {
+    var anyFailed = false
     val moved = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       val q = new org.apache.hadoop.fs.Path(p.getParent,
         "_quarantined_" + p.getName)
-      try { fs.rename(p, q); q.toString }
-      catch { case _: java.io.IOException => f + " (rename FAILED)" }
+      val ok = try fs.rename(p, q)
+               catch { case _: java.io.IOException => false }
+      if (ok) q.toString
+      else { anyFailed = true; f + " (rename FAILED — STILL VISIBLE)" }
     }
+    val residue = if (!anyFailed) "" else
+      " WARNING: one or more renames FAILED — those files remain " +
+        "visible to scans and future absorption; remove or rename them " +
+        "manually before any further rewrite/compact on this registry."
+    val verb = if (anyFailed) "quarantine ATTEMPTED (see per-file status)"
+               else "quarantined (bytes preserved, invisible to " +
+                 "every scan/absorption)"
     throw new IllegalStateException(
-      s"$why Offending rows quarantined (bytes preserved, invisible to " +
-        s"every scan/absorption): ${moved.mkString(", ")}")
+      s"$why Offending rows $verb: ${moved.mkString(", ")}.$residue")
   }
 
   /** Compact when the active generation holds more than `maxFiles`

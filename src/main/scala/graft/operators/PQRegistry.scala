@@ -268,6 +268,10 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     * (idempotent by vid — the dedupAppend discipline; re-ingesting a
     * batch is a no-op, and double-running a crashed ingest cannot
     * double a vid's m code rows, which would corrupt ADC sums).
+    * INSERT-ONLY: an already-indexed vid arriving with a DIFFERENT
+    * vector aborts loudly (detected by re-encoding the overlap and
+    * comparing codes — see the detector comment in the body); the
+    * supported update path for a re-embedded corpus is refit.
     * Holds the registry lock (class doc: WRITER SERIALIZATION).
     * Returns the number of vids admitted. */
   def ingest(corpus: DataFrame, idCol: String, vecCol: String): Long = {
@@ -282,21 +286,53 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
       // sources re-deliver); a vid carrying TWO DIFFERENT vectors in
       // one batch aborts loudly — pqEncode's per-(vid, blk) argmin
       // would otherwise blend both into a code matching neither
-      // (review r10)
+      // (review r10). The check runs on the WHOLE batch (fresh AND
+      // already-indexed vids) so the store-vs-batch detector below
+      // sees at most one vector per overlapping vid.
       val batch = corpus
         .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
         .distinct()
+      val nb = batch.count()
+      val nbv = batch.select(col("vid")).distinct().count()
+      require(nbv == nb,
+        s"PQRegistry at $path: the batch carries ${nb - nbv} vid(s) " +
+          "with conflicting vectors — encoding would silently blend " +
+          "them; de-conflict upstream (one vector per vid per batch)")
+      // STORE-vs-BATCH re-embedding detector (review r10 ADVICE): a
+      // vid already indexed but arriving with a DIFFERENT vector would
+      // otherwise be silently dropped by the anti-join and keep
+      // serving stale codes with no signal. The store holds no vectors
+      // (codes are lossy), but encoding is DETERMINISTIC under one
+      // codebook store: an identical vector re-encodes to identical
+      // (cell, blk, code) rows, so ANY mismatched row proves the
+      // vector changed. One-sided by construction — it never
+      // false-alarms, and catches every re-embedding that moves any
+      // subvector's nearest codeword (a re-embedding that collides
+      // into the exact same m codes passes silently: within
+      // quantization resolution the stored codes ARE its codes).
+      // Ingest is INSERT-ONLY; the supported update path is refit.
+      val overlap = batch.join(codes.select(col("vid")), Seq("vid"),
+          "left_semi")
+        .select(col("vid").as(idCol), col("v").as(vecCol))
+      val conflictVids = encodeCells(meta, overlap, cb, cents, idCol, vecCol)
+        .join(codes.select(col("vid"), col("cell").as("s_cell"),
+          col("blk"), col("code").as("s_code")), Seq("vid", "blk"))
+        .filter(col("cell") =!= col("s_cell") || col("code") =!= col("s_code"))
+        .select(col("vid")).distinct().limit(5)
+        .collect().map(_.getLong(0))
+      require(conflictVids.isEmpty,
+        s"PQRegistry at $path: batch vid(s) ${conflictVids.mkString(", ")} " +
+          "are already indexed but arrived with DIFFERENT vectors (their " +
+          "re-encoded codes disagree with the stored codes) — ingest is " +
+          "insert-only and would silently keep serving the stale codes; " +
+          "a re-embedded corpus requires refit (it re-encodes every code " +
+          "from the corpus)")
       // left_anti needs no distinct right side — the former
       // .distinct() aggregated the whole code store per batch
       val fresh = batch.join(codes.select(col("vid")), Seq("vid"), "left_anti")
         .select(col("vid").as(idCol), col("v").as(vecCol))
       val n = fresh.count()
       if (n > 0) {
-        val nVids = fresh.select(col(idCol)).distinct().count()
-        require(nVids == n,
-          s"PQRegistry at $path: the batch carries ${n - nVids} vid(s) " +
-            "with conflicting vectors — encoding would silently blend " +
-            "them; de-conflict upstream (one vector per vid per batch)")
         // stamp BEFORE the append: a probe racing the FIRST append
         // must never see committed data without a marker (a stamp
         // with no data is inert — consistency checks skip empty
@@ -370,12 +406,41 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
         encodeCells(meta, corpus, cb, cents, idCol, vecCol),
         beforeSwap = loc => stampLoc(spark, loc, fp))
       writeMeta(spark, Meta(meta.m, ksub, meta.dim, meta.residual, fp, dir))
-      // the outgoing codebook store is garbage once meta flipped —
-      // best-effort delete (an orphan is never corruption)
-      val old = new org.apache.hadoop.fs.Path(meta.cbDir)
-      try { if (fs(spark).exists(old)) fs(spark).delete(old, true) }
-      catch { case _: java.io.IOException => () }
+      // ONE-CYCLE RETENTION (review r10 ADVICE): the outgoing codebook
+      // store is kept until the NEXT refit — mirroring GenIndex's
+      // one-generation retention — because a lock-free adcProbe that
+      // bound the outgoing generation may still hold lazily-planned
+      // reads over the outgoing cbDir; deleting it here would fail
+      // that probe mid-scan instead of letting it finish on the
+      // retained stale-but-correct snapshot boundCodes documents.
+      // Stores OLDER than the outgoing one (counter < outgoing) have
+      // had their full cycle: best-effort delete (orphans are never
+      // corruption).
+      deleteCbStoresOlderThan(spark, cbCounter(meta.cbDir))
     }
+
+  /** Best-effort GC of codebook stores whose monotonic counter is
+    * strictly below `keepFrom` — i.e. everything older than the
+    * outgoing store, which is retained one refit cycle for in-flight
+    * lock-free probes (the GenIndex reader-vs-GC contract). */
+  private def deleteCbStoresOlderThan(spark: SparkSession,
+                                      keepFrom: Int): Unit = {
+    val f = fs(spark)
+    val glob = new org.apache.hadoop.fs.Path(path + "_cb_*")
+    val stores = try f.globStatus(glob) catch {
+      case _: java.io.IOException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus]
+    }
+    Option(stores).getOrElse(Array.empty).foreach { st =>
+      val name = st.getPath.getName
+      val counter = try Some(name.split("_cb_").last.toInt)
+                    catch { case _: NumberFormatException => None }
+      if (counter.exists(_ < keepFrom)) {
+        try f.delete(st.getPath, true)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
 
   /** Fold the accreted append file groups into one bucketed
     * generation when past `maxFiles` (the GenIndex compaction

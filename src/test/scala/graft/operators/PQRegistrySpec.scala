@@ -105,6 +105,50 @@ class PQRegistrySpec extends SparkSpec {
     assert(reg.codes(spark).filter(col("vid") === 101L).count() === 0L)
   }
 
+  test("ingest is insert-only across batch-vs-store: an already-indexed " +
+    "vid arriving with a DIFFERENT vector aborts loudly instead of " +
+    "silently serving stale codes (review r10 ADVICE)") {
+    val (reg, _) = seeded()
+    // vid 5 is indexed; re-deliver it re-embedded (constant-1 vector —
+    // nowhere near its original, so at least one subvector's nearest
+    // codeword moves and the code-level detector fires)
+    val err = intercept[IllegalArgumentException] {
+      reg.ingest(Seq((5L, Array.fill(dim)(1.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("insert-only"), err.getMessage)
+    assert(err.getMessage.contains("refit"), err.getMessage)
+    // nothing admitted, stored codes untouched (still exactly m rows)
+    assert(reg.codes(spark).filter(col("vid") === 5L).count() === m.toLong)
+    // the IDENTICAL vector re-delivered is still a silent no-op (the
+    // at-least-once redelivery path must not regress)
+    assert(reg.ingest(corpus.filter(col("vec_id") === 5L),
+      "vec_id", "embedding") === 0L)
+  }
+
+  test("refit retains the outgoing codebook store for one cycle " +
+    "(in-flight lock-free probes keep a readable snapshot) and GCs it " +
+    "on the NEXT refit (review r10 ADVICE)") {
+    val (reg, root) = seeded()
+    val cb1 = new java.io.File(root + "_cb_1")
+    val cb2 = new java.io.File(root + "_cb_2")
+    val cb3 = new java.io.File(root + "_cb_3")
+    assert(cb1.exists, "fit must have written the first codebook store")
+    reg.refit(spark, corpus, cents, "vec_id", "embedding",
+      ksub = 8, maxIter = 3)
+    assert(cb2.exists, "refit must have written the new codebook store")
+    assert(cb1.exists,
+      "the outgoing store must be RETAINED one refit cycle — a racing " +
+        "lock-free probe may still hold lazily-planned reads over it")
+    reg.refit(spark, corpus, cents, "vec_id", "embedding",
+      ksub = 8, maxIter = 3)
+    assert(cb3.exists)
+    assert(cb2.exists, "second refit: outgoing store retained")
+    assert(!cb1.exists,
+      "stores older than the outgoing one have had their full cycle " +
+        "and must be GC'd on the next refit")
+  }
+
   test("refit re-encodes every code under the new codebooks and the " +
     "post-refit probe equals a fresh in-memory stack at the new ksub") {
     val (reg, _) = seeded()
