@@ -72,7 +72,8 @@ object PlanAudit {
     "q215_ivfpq_ann" -> "12 broadcast centroids for corpus assignment + query routing (q45 shape); the ADC scan itself is a (cell, blk, code) equi join against a broadcast |Q| x nprobe x m x ksub query table",
     "q217_pqreg_refit_recall" -> "recall eval across the PQRegistry refit: exact integer-L2 top-5 baseline (8-query broadcast, q36/q214 shape); both persisted ADC arms are (cell, blk, code) equi joins against broadcast query tables over the isin-pruned codes scans",
     "q218_ivfadc_ann" -> "12 broadcast centroids for corpus assignment + query routing (q45/q215 shape); residuals and the ADC scan are (cell)/(cell, blk, code) equi joins against broadcast centroid/query tables",
-    "q219_ivfadc_recall" -> "recall eval: exact integer-L2 top-5 baseline (8-query broadcast, q36/q214 shape) + the q218 routing/assignment broadcasts"
+    "q219_ivfadc_recall" -> "recall eval: exact integer-L2 top-5 baseline (8-query broadcast, q36/q214 shape) + the q218 routing/assignment broadcasts",
+    "q223_knn_graph_recall" -> "recall eval: exact integer-L2 top-K baseline (8-query broadcast, q36/q214 shape); the graph build itself is checkpointed id-keyed equi-joins"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

@@ -228,6 +228,12 @@ object ScaleCheck {
     // construction (residuals are one broadcast-centroid join pass;
     // the per-(query, cell) ADC table stays |Q| x nprobe x m x ksub)
     row("q218_ivfadc_ann")(q("q218_ivfadc_ann"))
+    // NN-Descent K-NN graph build (round 11): per-round work is
+    // O(n*K^2) candidate scorings regardless of skew (seed buckets
+    // Poisson-bounded, reverse edges K-capped, the pivot self-join
+    // <= C(2K,2) pairs per node) — the row verifies corpus-linear
+    // build cost end to end
+    row("q222_knn_graph")(q("q222_knn_graph"))
     // genuinely FIXED-width penalty rows: direct operator calls with
     // the width pinned (the catalog q35/q183 queries moved to
     // corpus-derived width in round 6, so invoking them here would

@@ -63,6 +63,20 @@ object TrainingData extends QueryGroup {
   // measures is visible, and the second unrolled oracle chain stays
   // cheap (16 codewords vs 64)
   private val PqK2 = 16
+  // q222-q224 NN-Descent K-NN graph build (KnnGraph.nnDescent): graph
+  // degree K (built LARGER than the serving k — the standard
+  // build-big-serve-small graph-ANN practice; convergence speed rises
+  // ~quadratically in K through the local-join pair count), local-join
+  // rounds T (the oracle unrolls exactly T), the serving cutoff the
+  // recall entry measures containment at, and the seeding salt —
+  // B = n/(K+1) seed buckets per round derived from the observed
+  // corpus count in BOTH engines
+  private val NndK = 10
+  private val NndIters = 3
+  private val NndServeK = 6
+  private val NndSeedRounds = 3 // KnnGraph.nnDescent's default
+  private val NndMutualRank = 2 // q224 reciprocal-nearest cutoff
+  private val NndSeed = "nnd"
   private val LshBits = 4
   // q35 / q183 corpus-derived blocking targets (expected bucket/cell
   // population; width = f(observed corpus count) in BOTH engines)
@@ -770,6 +784,73 @@ object TrainingData extends QueryGroup {
     * to the canonical one in a single WITH clause. Trailing comma. */
   private def dPqDist(sq: String, cq: String) =
     s"(${dLSub(sq, sq)} - 2 * ${dLSub(sq, cq)} + ${dLSub(cq, cq)})"
+
+  /** Full-`Dim` exact-integer dot of micro-unit list columns — the
+    * dLSub shape at full width (mirrors ProductQuantizer.dotL). The
+    * BIGINT cast matters: list_sum yields HUGEINT, which the checker
+    * would land as float64 (the q81 lesson). */
+  private def dIntDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i] * $b[i])) AS BIGINT)"
+
+  // ---- q222-q224 NN-Descent chain (mirrors KnnGraph.nnDescent
+  // stage for stage; every value an exact BIGINT) ----
+  private def nndScore(pairs: String, out: String): String =
+    s"""$out AS (SELECT p.src, p.dst,
+         sa.n2 - 2 * ${dIntDot("sa.e", "sb.e")} + sb.n2 AS dist
+       FROM $pairs p JOIN nndv sa ON sa.vid = p.src
+         JOIN nndv sb ON sb.vid = p.dst)"""
+  private def nndTopK(in: String, out: String): String =
+    s"""$out AS MATERIALIZED (SELECT src, dst, dist FROM (
+         SELECT src, dst, dist, row_number() OVER (
+           PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+         FROM $in) WHERE rn <= $NndK)"""
+  /** One local-join round: K-capped reverse edges, candidates =
+    * graph union reverse, the pivot self-join, exact scoring, merge
+    * with the current graph, per-node top-K. */
+  private def nndIter(t: Int): String =
+    s"""nndr$t AS (SELECT dst AS src, src AS dst, dist FROM (
+         SELECT src, dst, dist, row_number() OVER (
+           PARTITION BY dst ORDER BY dist ASC, src ASC) AS rn
+         FROM nndg${t - 1}) WHERE rn <= $NndK),
+       nndc$t AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM nndg${t - 1}
+         UNION ALL SELECT src, dst FROM nndr$t)),
+       nndp$t AS (SELECT DISTINCT a.dst AS src, b.dst AS dst
+         FROM nndc$t a JOIN nndc$t b ON a.src = b.src AND a.dst < b.dst),
+       ${nndScore(s"nndp$t", s"nndsc$t")},
+       ${nndTopK(
+        s"""(SELECT DISTINCT src, dst, dist FROM (
+           SELECT src, dst, dist FROM nndg${t - 1}
+           UNION ALL SELECT src, dst, dist FROM nndsc$t
+           UNION ALL SELECT dst AS src, src AS dst, dist FROM nndsc$t))""",
+        s"nndg$t")}"""
+  /** Micro-unit vectors + integer norms, the multi-round hash-bucket
+    * seed graph (NndSeedRounds INDEPENDENT partitions of B = n/(K+1)
+    * buckets each, from the OBSERVED corpus count — the q35
+    * corpus-derived-width discipline; one partition alone would be
+    * closed under the local join, see KnnGraph scaladoc), then
+    * NndIters unrolled rounds ending at `nndg$NndIters`. No trailing
+    * comma. */
+  private lazy val nndCtes: String =
+    s"""nndm AS (SELECT vec_id AS vid, list_transform(embedding,
+         x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
+       FROM embeddings),
+     nndv AS MATERIALIZED (SELECT vid, e, ${dIntDot("e", "e")} AS n2
+       FROM nndm),
+     nndb AS (SELECT vid, r,
+         (${dMd5Long(s"'$NndSeed' || ':' || r::VARCHAR || ':' || vid::VARCHAR", 12)})
+         % (SELECT greatest(1, count(*) // ${NndK + 1}) FROM embeddings)
+         AS bucket
+       FROM nndm CROSS JOIN (SELECT unnest(generate_series(1,
+         $NndSeedRounds)) AS r)),
+     nndh AS (SELECT DISTINCT a.vid AS src, b.vid AS dst FROM nndb a
+       JOIN nndb b ON a.r = b.r AND a.bucket = b.bucket
+         AND a.vid < b.vid),
+     nndi AS (SELECT src, dst FROM nndh UNION ALL SELECT dst, src FROM nndh),
+     ${nndScore("nndi", "nnds0")},
+     ${nndTopK("nnds0", "nndg0")},
+     ${(1 to NndIters).map(nndIter).mkString(",\n")}"""
 
   /** The seed -> unrolled-Lloyd -> encode CTE segment over an EXISTING
     * `${x}s` (vid, blk, sq) subvector frame — shared verbatim by the
@@ -1642,6 +1723,70 @@ object TrainingData extends QueryGroup {
         .select(col("query_id"),
           coalesce(col("n_hit5"), lit(0L)).as("n_hit5"),
           coalesce(col("n_in_pool"), lit(0L)).as("n_in_pool"))
+    }),
+
+    // K-NN GRAPH BUILD via NN-Descent (Dong et al., WWW 2011) — the
+    // graph-ANN CONSTRUCTION family next to the catalog's bucket
+    // (q37), directory (q45), and code (q213) stacks: hash-bucket
+    // seeded, NndIters local-join rounds ("a neighbor of a neighbor
+    // is probably a neighbor"), exact-integer squared-L2 throughout,
+    // so the DuckDB oracle replays every round bit for bit. Every
+    // stage is an id-keyed equi-join or a per-node window — O(n*K^2)
+    // work per round regardless of corpus skew (KnnGraph scaladoc).
+    "q222_knn_graph" -> ((s, dir) =>
+      graft.operators.KnnGraph.nnDescent(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = NndK, iters = NndIters, seed = NndSeed)),
+
+    // ... and its MEASURED accuracy over the 8 standing query vectors
+    // (the q139/q214 approximation-quality discipline), BOTH ways a
+    // built graph is consumed: recall@K of the degree-K graph against
+    // the exact integer-L2 top-K, and CONTAINMENT of the exact
+    // top-NndServeK in the node's K edges — the build-big-serve-small
+    // number a production graph index is sized by. The left join
+    // keeps zero-overlap queries visible instead of silently dropping
+    // total misses.
+    "q223_knn_graph_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.nnDescent(e, "vec_id", "embedding",
+        k = NndK, iters = NndIters, seed = NndSeed)
+      val qs = e.filter(col("vec_id") < AnnQueries)
+      val gq = g.filter(col("vid") < AnnQueries)
+        .select(col("vid").as("query_id"), col("neighbor_id"))
+      def exact(k: Int) = graft.operators.ProductQuantizer.bruteL2TopK(
+        qs, e, "vec_id", "embedding", k = k)
+        .select("query_id", "neighbor_id")
+      val hitK = gq.join(exact(NndK), Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit_k"))
+      val contain = exact(NndServeK)
+        .join(gq, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_contain"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hitK, Seq("query_id"), "left")
+        .join(contain, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_k"), lit(0L)).as("n_hit_k"),
+          coalesce(col("n_contain"), lit(0L)).as("n_contain"))
+        .withColumn("recall_at_k",
+          round(col("n_hit_k").cast("double") / NndK, 6))
+        .withColumn("containment",
+          round(col("n_contain").cast("double") / NndServeK, 6))
+    }),
+
+    // MUTUAL-KNN CLUSTERS: keep an edge only when BOTH directions
+    // survive in the converged graph within the top NndMutualRank
+    // ranks (the classic reciprocal-nearest sparsifier; the cutoff is
+    // the density knob — at the full build degree ANY K-NN graph
+    // percolates into one giant component), then min-id connected
+    // components (q69's fixpoint). The graph-based alternative to
+    // the centroid-routed semantic dedup family (q183/q200): no
+    // centroids to fit, cluster shape follows the data.
+    "q224_mutual_knn_clusters" -> ((s, dir) => {
+      val g = graft.operators.KnnGraph.nnDescent(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = NndK, iters = NndIters, seed = NndSeed)
+      Dedup.connectedComponents(
+          graft.operators.KnnGraph.mutualEdges(g, NndMutualRank))
+        .select(col("id").as("vid"), col("cluster"))
     }),
 
     // ... and the q210 funnel OVER the real-decoded features: the
@@ -4746,6 +4891,68 @@ object TrainingData extends QueryGroup {
              ORDER BY score DESC, neighbor_id ASC) AS rank
            FROM rr WHERE score IS NOT NULL AND NOT isnan(score))
          WHERE rank <= 5""",
+
+    // the NN-Descent chain replayed verbatim (seed buckets, two
+    // unrolled local-join rounds), ranked per node
+    "q222_knn_graph" ->
+      s"""WITH $nndCtes
+         SELECT src AS vid, rank, dst AS neighbor_id, dist FROM (
+           SELECT src, dst, dist, row_number() OVER (
+             PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank
+           FROM nndg$NndIters)""",
+
+    // graph recall@K vs the exact integer-L2 top-K, and containment
+    // of the exact top-NndServeK in the node's K edges, for the 8
+    // standing query vectors; left joins keep total misses visible
+    "q223_knn_graph_recall" ->
+      s"""WITH $nndCtes,
+         nbq AS (SELECT vid AS query_id, e, n2 FROM nndv
+           WHERE vid < $AnnQueries),
+         nbs AS (SELECT q.query_id, c.vid AS neighbor_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               q.n2 - 2 * ${dIntDot("q.e", "c.e")} + c.n2 ASC,
+               c.vid ASC) AS rn
+           FROM nndv c JOIN nbq q ON q.query_id != c.vid),
+         gq AS (SELECT src AS query_id, dst AS neighbor_id
+           FROM nndg$NndIters WHERE src < $AnnQueries),
+         hitk AS (SELECT query_id, count(*) AS n_hit_k FROM gq
+           JOIN (SELECT query_id, neighbor_id FROM nbs WHERE rn <= $NndK) x
+             USING (query_id, neighbor_id) GROUP BY query_id),
+         cont AS (SELECT query_id, count(*) AS n_contain FROM gq
+           JOIN (SELECT query_id, neighbor_id FROM nbs
+                 WHERE rn <= $NndServeK) x
+             USING (query_id, neighbor_id) GROUP BY query_id)
+         SELECT q.query_id, coalesce(hk.n_hit_k, 0) AS n_hit_k,
+           coalesce(c.n_contain, 0) AS n_contain,
+           round(coalesce(hk.n_hit_k, 0) / $NndK.0, 6) AS recall_at_k,
+           round(coalesce(c.n_contain, 0) / $NndServeK.0, 6) AS containment
+         FROM (SELECT vec_id AS query_id FROM embeddings
+               WHERE vec_id < $AnnQueries) q
+         LEFT JOIN hitk hk USING (query_id)
+         LEFT JOIN cont c USING (query_id)""",
+
+    // mutual edges (both directions survive at rank <= NndMutualRank)
+    // -> the recursive min-reachable-id components (q69's oracle
+    // shape)
+    "q224_mutual_knn_clusters" ->
+      s"""WITH RECURSIVE $nndCtes,
+         nndgr AS (SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (
+               PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+             FROM nndg$NndIters) WHERE rn <= $NndMutualRank),
+         nndmu AS (SELECT a.src AS id_a, a.dst AS id_b
+           FROM nndgr a JOIN nndgr b
+             ON a.src = b.dst AND a.dst = b.src
+           WHERE a.src < a.dst),
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM nndmu
+           UNION ALL SELECT id_b, id_a FROM nndmu),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.b AS id, reach.r AS r
+           FROM reach JOIN edges e ON e.a = reach.id)
+         SELECT id AS vid, min(r) AS cluster FROM reach GROUP BY id""",
 
     "q219_ivfadc_recall" ->
       s"""WITH $ivfadcCtes
