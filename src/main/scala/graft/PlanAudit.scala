@@ -73,7 +73,9 @@ object PlanAudit {
     "q217_pqreg_refit_recall" -> "recall eval across the PQRegistry refit: exact integer-L2 top-5 baseline (8-query broadcast, q36/q214 shape); both persisted ADC arms are (cell, blk, code) equi joins against broadcast query tables over the isin-pruned codes scans",
     "q218_ivfadc_ann" -> "12 broadcast centroids for corpus assignment + query routing (q45/q215 shape); residuals and the ADC scan are (cell)/(cell, blk, code) equi joins against broadcast centroid/query tables",
     "q219_ivfadc_recall" -> "recall eval: exact integer-L2 top-5 baseline (8-query broadcast, q36/q214 shape) + the q218 routing/assignment broadcasts",
-    "q223_knn_graph_recall" -> "recall eval: exact integer-L2 top-K baseline (8-query broadcast, q36/q214 shape); the graph build itself is checkpointed id-keyed equi-joins"
+    "q223_knn_graph_recall" -> "recall eval: exact integer-L2 top-K baseline (8-query broadcast, q36/q214 shape); the graph build itself is checkpointed id-keyed equi-joins",
+    "q225_graph_search_ann" -> "hop-0 seeding: 8 queries x 4 broadcast entry nodes (both bounded by construction); every hop after is an id-keyed equi-join",
+    "q226_graph_search_recall" -> "the q225 seeding cross + the exact integer-L2 baseline (8-query broadcast, q36/q214 shape)"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

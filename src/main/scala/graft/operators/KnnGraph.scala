@@ -148,6 +148,85 @@ object KnnGraph {
         col("dst").as("neighbor_id"), col("dist"))
   }
 
+  /** GRAPH-SEARCH ANN over a built K-NN graph — the serving half of
+    * the graph-ANN story (the single-layer beam-search primitive
+    * HNSW-family indexes are built around): start from `entries`
+    * hash-chosen entry nodes, repeatedly expand the current beam's
+    * graph edges, score candidates against the query in exact-integer
+    * squared L2, and keep the best `beam` per query. The beam is
+    * monotone (the union always contains the previous beam, so top-B
+    * never worsens) and every hop is an id-keyed equi-join plus a
+    * per-query window — PROBE COST IS INDEPENDENT OF CORPUS SIZE
+    * (|Q| x beam x K scorings per hop), the property that makes a
+    * graph index worth building at 100 TB where brute force scans n.
+    *
+    * Deterministic throughout: entry nodes are the `entries` smallest
+    * md5(seed:e:vid) (no rand(); TakeOrderedAndProject, never a global
+    * sort), ties break on ids, hops are a fixed constant — so the
+    * DuckDB oracle unrolls the search bit for bit. A query that IS a
+    * corpus member may route to itself mid-search (its own edges are
+    * ideal candidates — kept in the beam) but is excluded from the
+    * final ranking like every exact baseline (q36 shape). */
+  def beamSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, beam: Int,
+                 hops: Int, entries: Int, seed: String): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 0 && entries >= 1,
+      "beamSearch: need 1 <= k <= beam, hops >= 0, entries >= 1")
+    val m = corpus
+      .select(col(idCol).cast("long").as("node"),
+        ProductQuantizer.microUnits(col(vecCol)).as("ne"))
+      .withColumn("nn2", ProductQuantizer.dotL(col("ne"), col("ne")))
+      .localCheckpoint(true)
+    val qm = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        ProductQuantizer.microUnits(col(vecCol)).as("qe"))
+      .withColumn("qn2", ProductQuantizer.dotL(col("qe"), col("qe")))
+
+    /** Exact-integer squared L2 of (query_id, node) pairs. */
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(m, Seq("node"))
+        .join(qm, Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          (col("qn2") - lit(2L) * ProductQuantizer.dotL(col("qe"), col("ne"))
+            + col("nn2")).as("dist"))
+    def topB(scored: DataFrame): DataFrame =
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("dist").asc, col("node").asc)))
+        .filter(col("rn") <= beam)
+        .select("query_id", "node", "dist")
+
+    val entry = m.select(col("node"),
+        graft.functions.Text.md5Long(
+          concat_ws(":", lit(seed), lit("e"), col("node").cast("string")),
+          12).as("h"))
+      .orderBy(col("h").asc, col("node").asc).limit(entries)
+      .select("node")
+    var frontier = topB(score(
+      qm.select("query_id").crossJoin(broadcast(entry)))).localCheckpoint(true)
+    val edges = graph.select(col("vid").as("node"),
+      col("neighbor_id").as("nbr"))
+    for (_ <- 1 to hops) {
+      val expand = frontier.select("query_id", "node")
+        .join(edges, Seq("node"))
+        .select(col("query_id"), col("nbr").as("node")).distinct()
+      // a re-expanded beam member re-scores to the IDENTICAL row
+      // (dist is a pure function of the pair), so the distinct()
+      // collapses it instead of letting a duplicate eat a beam slot
+      val next = topB(frontier.unionAll(score(expand)).distinct())
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(frontier)
+      frontier = next
+    }
+    frontier.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dist").asc, col("node").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        col("dist"))
+  }
+
   /** Mutual-KNN edges of a directed graph in nnDescent's output
     * shape: (id_a, id_b) with id_a < id_b kept iff BOTH directions
     * are in the graph at rank <= maxRank — the classic sparsifier

@@ -76,6 +76,11 @@ object TrainingData extends QueryGroup {
   private val NndServeK = 6
   private val NndSeedRounds = 3 // KnnGraph.nnDescent's default
   private val NndMutualRank = 2 // q224 reciprocal-nearest cutoff
+  // q225/q226 beam search over the built graph: beam width, fixed
+  // hop count (the oracle unrolls exactly these), entry-node count
+  private val NndBeam = 10
+  private val NndHops = 3
+  private val NndEntries = 4
   private val NndSeed = "nnd"
   private val LshBits = 4
   // q35 / q183 corpus-derived blocking targets (expected bucket/cell
@@ -825,6 +830,43 @@ object TrainingData extends QueryGroup {
            UNION ALL SELECT src, dst, dist FROM nndsc$t
            UNION ALL SELECT dst AS src, src AS dst, dist FROM nndsc$t))""",
         s"nndg$t")}"""
+  // ---- q225/q226 beam-search chain over the converged graph ----
+  private def bsScore(pairs: String, out: String): String =
+    s"""$out AS (SELECT p.query_id, p.node,
+         q.qn2 - 2 * ${dIntDot("q.qe", "c.e")} + c.n2 AS dist
+       FROM $pairs p JOIN bsq q ON q.query_id = p.query_id
+         JOIN nndv c ON c.vid = p.node)"""
+  private def bsTopB(in: String, out: String): String =
+    s"""$out AS MATERIALIZED (SELECT query_id, node, dist FROM (
+         SELECT query_id, node, dist, row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rn
+         FROM $in) WHERE rn <= $NndBeam)"""
+  /** One hop: expand the beam's graph edges, score, merge with the
+    * beam (re-expanded members re-score to the identical row — the
+    * DISTINCT collapses them, mirroring KnnGraph.beamSearch), top-B. */
+  private def bsHop(t: Int): String =
+    s"""bsx$t AS (SELECT DISTINCT f.query_id, g.dst AS node
+         FROM bsf${t - 1} f JOIN nndg$NndIters g ON g.src = f.node),
+       ${bsScore(s"bsx$t", s"bss$t")},
+       ${bsTopB(
+        s"""(SELECT DISTINCT query_id, node, dist FROM (
+           SELECT query_id, node, dist FROM bsf${t - 1}
+           UNION ALL SELECT query_id, node, dist FROM bss$t))""",
+        s"bsf$t")}"""
+  /** Entry nodes by hash rank, hop 0 beam, NndHops unrolled hops —
+    * ends at `bsf$NndHops`. Assumes $nndCtes precede it. No trailing
+    * comma. */
+  private lazy val bsCtes: String =
+    s"""bsq AS (SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM nndv
+         WHERE vid < $AnnQueries),
+       bsent AS (SELECT node FROM (SELECT vid AS node,
+           (${dMd5Long(s"'$NndSeed' || ':e:' || vid::VARCHAR", 12)}) AS h
+         FROM nndv) ORDER BY h ASC, node ASC LIMIT $NndEntries),
+       bsp0 AS (SELECT query_id, node FROM bsq CROSS JOIN bsent),
+       ${bsScore("bsp0", "bss0")},
+       ${bsTopB("bss0", "bsf0")},
+       ${(1 to NndHops).map(bsHop).mkString(",\n")}"""
+
   /** Micro-unit vectors + integer norms, the multi-round hash-bucket
     * seed graph (NndSeedRounds INDEPENDENT partitions of B = n/(K+1)
     * buckets each, from the OBSERVED corpus count — the q35
@@ -1787,6 +1829,47 @@ object TrainingData extends QueryGroup {
       Dedup.connectedComponents(
           graft.operators.KnnGraph.mutualEdges(g, NndMutualRank))
         .select(col("id").as("vid"), col("cluster"))
+    }),
+
+    // GRAPH-SEARCH ANN — the SERVING half of the graph story (the
+    // single-layer beam-search primitive of the HNSW family): entry
+    // nodes by hash, NndHops beam expansions over the q222 graph's
+    // edges, exact-integer scoring, final top-NndServeK. The property
+    // that earns the build cost: probe work is |Q| x beam x K per hop
+    // — INDEPENDENT of corpus size, where brute force scans n.
+    "q225_graph_search_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.nnDescent(e, "vec_id", "embedding",
+        k = NndK, iters = NndIters, seed = NndSeed)
+      graft.operators.KnnGraph.beamSearch(g, e,
+        e.filter(col("vec_id") < AnnQueries), "vec_id", "embedding",
+        k = NndServeK, beam = NndBeam, hops = NndHops,
+        entries = NndEntries, seed = NndSeed)
+    }),
+
+    // ... and the beam search's MEASURED recall@NndServeK vs the
+    // exact integer-L2 top-NndServeK (the chain's end-to-end number:
+    // build approximation x search approximation, both owned).
+    "q226_graph_search_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.nnDescent(e, "vec_id", "embedding",
+        k = NndK, iters = NndIters, seed = NndSeed)
+      val sr = graft.operators.KnnGraph.beamSearch(g, e,
+          e.filter(col("vec_id") < AnnQueries), "vec_id", "embedding",
+          k = NndServeK, beam = NndBeam, hops = NndHops,
+          entries = NndEntries, seed = NndSeed)
+        .select("query_id", "neighbor_id")
+      val qs = e.filter(col("vec_id") < AnnQueries)
+      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
+        qs, e, "vec_id", "embedding", k = NndServeK)
+        .select("query_id", "neighbor_id")
+      val hits = sr.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_at_k",
+          round(col("n_hit").cast("double") / NndServeK, 6))
     }),
 
     // ... and the q210 funnel OVER the real-decoded features: the
@@ -4930,6 +5013,43 @@ object TrainingData extends QueryGroup {
                WHERE vec_id < $AnnQueries) q
          LEFT JOIN hitk hk USING (query_id)
          LEFT JOIN cont c USING (query_id)""",
+
+    // the beam search unrolled: entry nodes by hash rank, NndHops
+    // expansions over the converged graph, self excluded from the
+    // final ranking (q36 shape)
+    "q225_graph_search_ann" ->
+      s"""WITH $nndCtes,
+         $bsCtes
+         SELECT query_id, rank, node AS neighbor_id, dist FROM (
+           SELECT query_id, node, dist, row_number() OVER (
+             PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+           FROM bsf$NndHops WHERE node != query_id)
+         WHERE rank <= $NndServeK""",
+
+    // beam-search recall@NndServeK vs the exact integer-L2 top-K;
+    // left join keeps total misses visible
+    "q226_graph_search_recall" ->
+      s"""WITH $nndCtes,
+         $bsCtes,
+         bsr AS (SELECT query_id, node AS neighbor_id FROM (
+             SELECT query_id, node, dist, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM bsf$NndHops WHERE node != query_id)
+           WHERE rank <= $NndServeK),
+         bse AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, c.vid AS neighbor_id, row_number() OVER (
+               PARTITION BY q.query_id ORDER BY
+                 q.qn2 - 2 * ${dIntDot("q.qe", "c.e")} + c.n2 ASC,
+                 c.vid ASC) AS rn
+             FROM nndv c JOIN bsq q ON q.query_id != c.vid)
+           WHERE rn <= $NndServeK),
+         bsh AS (SELECT query_id, count(*) AS n_hit FROM bsr
+           JOIN bse USING (query_id, neighbor_id) GROUP BY query_id)
+         SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) / $NndServeK.0, 6) AS recall_at_k
+         FROM (SELECT vec_id AS query_id FROM embeddings
+               WHERE vec_id < $AnnQueries) q
+         LEFT JOIN bsh h USING (query_id)""",
 
     // mutual edges (both directions survive at rank <= NndMutualRank)
     // -> the recursive min-reachable-id components (q69's oracle

@@ -92,6 +92,46 @@ class KnnGraphSpec extends SparkSpec {
       "of true top-6 neighbors even on structureless random vectors")
   }
 
+  test("beam search over the exact complete graph recovers the exact " +
+    "top-k, and hops only improve the beam") {
+    val tiny = (0 until 12).map { id =>
+      (id.toLong, Array.tabulate(8)(j => ((id * 17 + j * 5) % 11 - 5) / 5.0f))
+    }.toDF("vec_id", "embedding")
+    // k = 15 > n: the graph is complete, so ONE hop from any entry
+    // reaches every node and the beam (>= n) holds the whole corpus
+    val g = KnnGraph.nnDescent(tiny, "vec_id", "embedding",
+      k = 15, iters = 0, seed = "spec")
+    val qs = tiny.filter(col("vec_id") < 3)
+    val got = KnnGraph.beamSearch(g, tiny, qs, "vec_id", "embedding",
+        k = 4, beam = 15, hops = 1, entries = 2, seed = "spec")
+      .select(col("query_id").as("vid"), col("rank"),
+        col("neighbor_id"), col("dist"))
+    val brute = ProductQuantizer.bruteL2TopK(qs, tiny,
+        "vec_id", "embedding", 4)
+      .select(col("query_id").as("vid"), col("rank"),
+        col("neighbor_id"), col("dist"))
+    assert(collectGraph(got) === collectGraph(brute),
+      "a complete graph + full-width beam must reproduce brute force")
+
+    // real corpus: more hops can only help (the beam is monotone)
+    val g500 = KnnGraph.nnDescent(emb, "vec_id", "embedding",
+      k = 10, iters = 3, seed = "nnd")
+    val qs8 = emb.filter(col("vec_id") < 8)
+    val exact6 = ProductQuantizer.bruteL2TopK(qs8, emb,
+        "vec_id", "embedding", 6)
+      .select("query_id", "neighbor_id")
+    def hits(hops: Int): Long =
+      KnnGraph.beamSearch(g500, emb, qs8, "vec_id", "embedding",
+        k = 6, beam = 10, hops = hops, entries = 4, seed = "nnd")
+        .select("query_id", "neighbor_id")
+        .join(exact6, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val (h0, h3) = (hits(0), hits(3))
+    info(s"beam-search recall@6 over 8 queries: 0 hops $h0/48, 3 hops $h3/48")
+    assert(h3 >= h0, "hops must not lose true neighbors")
+    assert(h3 >= 24, "three hops from 4 entries should recover at " +
+      "least half the true neighbors")
+  }
+
   test("mutualEdges keeps exactly the bidirectional pairs, ordered") {
     val g = KnnGraph.nnDescent(emb, "vec_id", "embedding",
       k = 6, iters = 1, seed = "nnd")
