@@ -78,6 +78,25 @@ object KnnGraph {
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int, seed: String,
                 seedRounds: Int = 3): DataFrame = {
+    val rounds = buildRounds(corpus, idCol, vecCol, k, iters, seed,
+      seedRounds, keepAll = false)
+    rounds.last
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("dist").asc, col("dst").asc)))
+      .select(col("src").as("vid"), col("rank"),
+        col("dst").as("neighbor_id"), col("dist"))
+  }
+
+  /** Per-round (src, dst, dist) graphs g0..g_iters, each eagerly
+    * checkpointed. `keepAll = false` frees each round's blocks as
+    * soon as the next materializes (the nnDescent loop discipline);
+    * `true` retains them all — the convergence trace diffs
+    * consecutive rounds, and T is a small constant so the held
+    * footprint is (iters+1) * n * K edge rows. */
+  private def buildRounds(corpus: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iters: Int, seed: String,
+                          seedRounds: Int,
+                          keepAll: Boolean): Seq[DataFrame] = {
     require(k >= 1 && iters >= 0 && seedRounds >= 1,
       "nnDescent: need k >= 1, iters >= 0, seedRounds >= 1")
     val m = corpus
@@ -115,6 +134,7 @@ object KnnGraph {
     val init = half.unionAll(
       half.select(col("dst").as("src"), col("src").as("dst")))
     var g = topK(score(init), k).localCheckpoint(true)
+    val rounds = scala.collection.mutable.ArrayBuffer(g)
 
     for (_ <- 1 to iters) {
       // reverse edges, capped at K per (new) source — the paper's
@@ -138,14 +158,46 @@ object KnnGraph {
       // three columns dedups by edge; per-node top-K can only improve
       // (old edges stay in the union)
       val next = topK(g.unionAll(neSym).distinct(), k).localCheckpoint(true)
-      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(g)
+      if (!keepAll)
+        org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(g)
       g = next
+      rounds += g
     }
+    rounds.toSeq
+  }
 
-    g.withColumn("rank", row_number().over(
+  /** CONVERGENCE TRACE — the signal a production build monitors to
+    * decide when to stop iterating (the loop-until-dry discipline):
+    * one row per round with the edge count, the exact-integer total
+    * distance, and the number of (node, rank) slots whose distance
+    * strictly improved vs the previous round. n_improved falling
+    * toward zero IS convergence; sum_dist is monotonically
+    * non-increasing rank-for-rank by construction. */
+  def nnDescentTrace(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int, seed: String,
+                     seedRounds: Int = 3): DataFrame = {
+    val rounds = buildRounds(corpus, idCol, vecCol, k, iters, seed,
+      seedRounds, keepAll = true)
+    def ranked(g: DataFrame): DataFrame =
+      g.withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(col("dist").asc, col("dst").asc)))
-      .select(col("src").as("vid"), col("rank"),
-        col("dst").as("neighbor_id"), col("dist"))
+    def summary(round: Int, g: DataFrame, improved: DataFrame): DataFrame =
+      g.agg(count(lit(1)).as("n_edges"), sum(col("dist")).as("sum_dist"))
+        .crossJoin(broadcast(improved))
+        .select(lit(round).as("round"), col("n_edges"), col("sum_dist"),
+          col("n_improved"))
+    val zero = rounds.head.sparkSession.range(1)
+      .select(lit(0L).as("n_improved"))
+    val traces = summary(0, rounds.head, zero) +:
+      rounds.zip(rounds.tail).zipWithIndex.map { case ((prev, next), i) =>
+        val improved = ranked(next).as("n")
+          .join(ranked(prev).as("p"),
+            col("n.src") === col("p.src") && col("n.rn") === col("p.rn"))
+          .filter(col("n.dist") < col("p.dist"))
+          .agg(count(lit(1)).as("n_improved"))
+        summary(i + 1, next, improved)
+      }
+    traces.reduce(_ unionAll _)
   }
 
   /** GRAPH-SEARCH ANN over a built K-NN graph — the serving half of

@@ -1872,6 +1872,16 @@ object TrainingData extends QueryGroup {
           round(col("n_hit").cast("double") / NndServeK, 6))
     }),
 
+    // CONVERGENCE TRACE — the operability row a production graph
+    // build monitors (the loop-until-dry discipline): per round, edge
+    // count, exact-integer total distance, and how many (node, rank)
+    // slots strictly improved. n_improved decaying toward zero IS the
+    // stop signal; sum_dist is non-increasing rank-for-rank by
+    // construction (spec-asserted).
+    "q227_knn_graph_convergence" -> ((s, dir) =>
+      graft.operators.KnnGraph.nnDescentTrace(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = NndK, iters = NndIters, seed = NndSeed)),
+
     // ... and the q210 funnel OVER the real-decoded features: the
     // decode seam inside the composed near-dup plan. Audio RMS lives
     // in [0, ~0.25] where image luminance lives in [16, 251] — the
@@ -5050,6 +5060,25 @@ object TrainingData extends QueryGroup {
          FROM (SELECT vec_id AS query_id FROM embeddings
                WHERE vec_id < $AnnQueries) q
          LEFT JOIN bsh h USING (query_id)""",
+
+    // per-round convergence trace: edge count, exact total distance,
+    // strictly-improved (node, rank) slots vs the previous round
+    "q227_knn_graph_convergence" ->
+      s"""WITH $nndCtes,
+         ${(0 to NndIters).map(t =>
+           s"""nndk$t AS (SELECT src, dist, row_number() OVER (
+              PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+            FROM nndg$t)""").mkString(",\n")}
+         SELECT 0 AS round, (SELECT count(*) FROM nndg0) AS n_edges,
+           (SELECT CAST(sum(dist) AS BIGINT) FROM nndg0) AS sum_dist,
+           0::BIGINT AS n_improved
+         ${(1 to NndIters).map(t =>
+           s"""UNION ALL SELECT $t AS round,
+             (SELECT count(*) FROM nndg$t) AS n_edges,
+             (SELECT CAST(sum(dist) AS BIGINT) FROM nndg$t) AS sum_dist,
+             (SELECT count(*) FROM nndk$t a JOIN nndk${t - 1} b
+              ON a.src = b.src AND a.rn = b.rn
+              WHERE a.dist < b.dist) AS n_improved""").mkString("\n")}""",
 
     // mutual edges (both directions survive at rank <= NndMutualRank)
     // -> the recursive min-reachable-id components (q69's oracle

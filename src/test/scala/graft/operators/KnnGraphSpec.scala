@@ -132,6 +132,32 @@ class KnnGraphSpec extends SparkSpec {
       "least half the true neighbors")
   }
 
+  test("convergence trace: sum_dist non-increasing, n_improved " +
+    "consistent with an independent rank-slot diff, round 0 improves " +
+    "nothing") {
+    val trace = KnnGraph.nnDescentTrace(emb, "vec_id", "embedding",
+        k = 6, iters = 2, seed = "nnd")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(trace.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(trace.head._4 === 0L, "round 0 has no previous round")
+    trace.sliding(2).foreach { case Array(p, n) =>
+      assert(n._3 <= p._3, s"sum_dist rose between rounds ${p._1}->${n._1}")
+      assert(n._2 >= p._2, s"edge count dropped ${p._1}->${n._1}")
+    }
+    // independent recomputation of round 2's improved slots from the
+    // public nnDescent surface
+    val g1 = KnnGraph.nnDescent(emb, "vec_id", "embedding",
+      k = 6, iters = 1, seed = "nnd").select("vid", "rank", "dist")
+    val g2 = KnnGraph.nnDescent(emb, "vec_id", "embedding",
+      k = 6, iters = 2, seed = "nnd").select("vid", "rank", "dist")
+    val improved = g2.as("n").join(g1.as("p"),
+        col("n.vid") === col("p.vid") && col("n.rank") === col("p.rank"))
+      .filter(col("n.dist") < col("p.dist")).count()
+    assert(trace(2)._4 === improved,
+      "trace n_improved must equal the independent rank-slot diff")
+  }
+
   test("mutualEdges keeps exactly the bidirectional pairs, ordered") {
     val g = KnnGraph.nnDescent(emb, "vec_id", "embedding",
       k = 6, iters = 1, seed = "nnd")
