@@ -76,7 +76,8 @@ object PlanAudit {
     "q223_knn_graph_recall" -> "recall eval: exact integer-L2 top-K baseline (8-query broadcast, q36/q214 shape); the graph build itself is checkpointed id-keyed equi-joins",
     "q225_graph_search_ann" -> "hop-0 seeding: 8 queries x 4 broadcast entry nodes (both bounded by construction); every hop after is an id-keyed equi-join",
     "q226_graph_search_recall" -> "the q225 seeding cross + the exact integer-L2 baseline (8-query broadcast, q36/q214 shape)",
-    "q227_knn_graph_convergence" -> "per-round summary assembly: 1-row aggregate crossed with a 1-row broadcast improved-count (bounded by construction, q181 shape); the graph rounds themselves are checkpointed equi-joins"
+    "q227_knn_graph_convergence" -> "per-round summary assembly: 1-row aggregate crossed with a 1-row broadcast improved-count (bounded by construction, q181 shape); the graph rounds themselves are checkpointed equi-joins",
+    "q229_graphreg_ingest_recall" -> "the q225/q226 seeding cross (8 queries x 4 broadcast entry nodes) + the exact integer-L2 baseline (8-query broadcast, q36/q214 shape); the persisted probe's hops are isin-pruned bucketed scans"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

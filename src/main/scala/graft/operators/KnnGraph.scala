@@ -77,15 +77,33 @@ object KnnGraph {
     * against. */
   def nnDescent(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int, seed: String,
-                seedRounds: Int = 3): DataFrame = {
-    val rounds = buildRounds(corpus, idCol, vecCol, k, iters, seed,
-      seedRounds, keepAll = false)
-    rounds.last
-      .withColumn("rank", row_number().over(
+                seedRounds: Int = 3): DataFrame =
+    nnDescentMicro(microFrame(corpus, idCol, vecCol), k, iters, seed,
+      seedRounds)
+
+  /** nnDescent over an ALREADY micro-unit (vid, e, n2) frame — the
+    * KnnGraphRegistry ingest path, whose batch vectors live in stored
+    * form (micro-izing twice would re-scale already-scaled values). */
+  private[operators] def nnDescentMicro(m: DataFrame, k: Int, iters: Int,
+                                        seed: String,
+                                        seedRounds: Int): DataFrame = {
+    val rounds = buildRounds(m, k, iters, seed, seedRounds,
+      keepAll = false)
+    rankGraph(rounds.last)
+  }
+
+  private def rankGraph(g: DataFrame): DataFrame =
+    g.withColumn("rank", row_number().over(
         Window.partitionBy("src").orderBy(col("dist").asc, col("dst").asc)))
       .select(col("src").as("vid"), col("rank"),
         col("dst").as("neighbor_id"), col("dist"))
-  }
+
+  /** Micro-unit (vid, e, n2) frame of a float-vector corpus. */
+  private def microFrame(corpus: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("vid"),
+        ProductQuantizer.microUnits(col(vecCol)).as("e"))
+      .withColumn("n2", ProductQuantizer.dotL(col("e"), col("e")))
 
   /** Per-round (src, dst, dist) graphs g0..g_iters, each eagerly
     * checkpointed. `keepAll = false` frees each round's blocks as
@@ -93,16 +111,13 @@ object KnnGraph {
     * `true` retains them all — the convergence trace diffs
     * consecutive rounds, and T is a small constant so the held
     * footprint is (iters+1) * n * K edge rows. */
-  private def buildRounds(corpus: DataFrame, idCol: String, vecCol: String,
+  private def buildRounds(mRaw: DataFrame,
                           k: Int, iters: Int, seed: String,
                           seedRounds: Int,
                           keepAll: Boolean): Seq[DataFrame] = {
     require(k >= 1 && iters >= 0 && seedRounds >= 1,
       "nnDescent: need k >= 1, iters >= 0, seedRounds >= 1")
-    val m = corpus
-      .select(col(idCol).cast("long").as("vid"),
-        ProductQuantizer.microUnits(col(vecCol)).as("e"))
-      .withColumn("n2", ProductQuantizer.dotL(col("e"), col("e")))
+    val m = mRaw.select(col("vid"), col("e"), col("n2"))
       .localCheckpoint(true)
     // bounded driver action by contract: one scalar count to size the
     // seed buckets (the q35 corpus-derived-width discipline)
@@ -176,8 +191,8 @@ object KnnGraph {
   def nnDescentTrace(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int, seed: String,
                      seedRounds: Int = 3): DataFrame = {
-    val rounds = buildRounds(corpus, idCol, vecCol, k, iters, seed,
-      seedRounds, keepAll = true)
+    val rounds = buildRounds(microFrame(corpus, idCol, vecCol), k, iters,
+      seed, seedRounds, keepAll = true)
     def ranked(g: DataFrame): DataFrame =
       g.withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(col("dist").asc, col("dst").asc)))
@@ -222,8 +237,6 @@ object KnnGraph {
   def beamSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int, beam: Int,
                  hops: Int, entries: Int, seed: String): DataFrame = {
-    require(k >= 1 && beam >= k && hops >= 0 && entries >= 1,
-      "beamSearch: need 1 <= k <= beam, hops >= 0, entries >= 1")
     val m = corpus
       .select(col(idCol).cast("long").as("node"),
         ProductQuantizer.microUnits(col(vecCol)).as("ne"))
@@ -233,10 +246,49 @@ object KnnGraph {
       .select(col(idCol).cast("long").as("query_id"),
         ProductQuantizer.microUnits(col(vecCol)).as("qe"))
       .withColumn("qn2", ProductQuantizer.dotL(col("qe"), col("qe")))
+    val edges = graph.select(col("vid").as("node"),
+      col("neighbor_id").as("nbr"))
+    beamSearchCore(
+      ids => edges.filter(col("node").isin(ids: _*)),
+      ids => m.filter(col("node").isin(ids: _*)),
+      entryNodes(m, entries, seed),
+      qm, k, beam, hops)
+  }
 
-    /** Exact-integer squared L2 of (query_id, node) pairs. */
-    def score(pairs: DataFrame): DataFrame =
-      pairs.join(m, Seq("node"))
+  /** The `entries` hash-smallest nodes of a (node, ...) frame — the
+    * deterministic entry-point rule (TakeOrderedAndProject, never a
+    * global sort). */
+  private[operators] def entryNodes(nodes: DataFrame, entries: Int,
+                                    seed: String): DataFrame =
+    nodes.select(col("node"),
+        graft.functions.Text.md5Long(
+          concat_ws(":", lit(seed), lit("e"), col("node").cast("string")),
+          12).as("h"))
+      .orderBy(col("h").asc, col("node").asc).limit(entries)
+      .select("node")
+
+  /** The search loop behind beamSearch and the persisted
+    * KnnGraphRegistry probe. The edge and vector lookups are
+    * CALLER-SUPPLIED pruned fetches: each hop collects the frontier's
+    * node ids (BOUNDED by construction — |Q| x beam rows; the q216
+    * one-job routing-pin discipline) and asks for exactly those
+    * nodes' edges, then exactly the candidates' vectors — over a
+    * bucketed persisted store both lookups bucket-prune, so probe
+    * cost is independent of corpus size; in memory they are narrow
+    * isin filters. The fetched slices are broadcast (<= |Q| x beam x
+    * K rows by contract). */
+  private[operators] def beamSearchCore(
+      edgesOf: Array[Long] => DataFrame,
+      vecsOf: Array[Long] => DataFrame,
+      entry: DataFrame, qm: DataFrame,
+      k: Int, beam: Int, hops: Int): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 0,
+      "beamSearch: need 1 <= k <= beam, hops >= 0")
+
+    /** Exact-integer squared L2 of (query_id, node) pairs against a
+      * supplied (node, ne, nn2) vector slice. */
+    def score(pairs: DataFrame, vecs: DataFrame): DataFrame =
+      pairs.join(broadcast(vecs), Seq("node"))
         .join(qm, Seq("query_id"))
         .select(col("query_id"), col("node"),
           (col("qn2") - lit(2L) * ProductQuantizer.dotL(col("qe"), col("ne"))
@@ -247,25 +299,24 @@ object KnnGraph {
             .orderBy(col("dist").asc, col("node").asc)))
         .filter(col("rn") <= beam)
         .select("query_id", "node", "dist")
+    def nodeIds(df: DataFrame): Array[Long] =
+      df.select("node").distinct().collect().map(_.getLong(0))
 
-    val entry = m.select(col("node"),
-        graft.functions.Text.md5Long(
-          concat_ws(":", lit(seed), lit("e"), col("node").cast("string")),
-          12).as("h"))
-      .orderBy(col("h").asc, col("node").asc).limit(entries)
-      .select("node")
+    val entryIds = nodeIds(entry) // bounded: `entries` rows
     var frontier = topB(score(
-      qm.select("query_id").crossJoin(broadcast(entry)))).localCheckpoint(true)
-    val edges = graph.select(col("vid").as("node"),
-      col("neighbor_id").as("nbr"))
+      qm.select("query_id").crossJoin(broadcast(entry)),
+      vecsOf(entryIds))).localCheckpoint(true)
     for (_ <- 1 to hops) {
+      val frontierIds = nodeIds(frontier) // bounded: <= |Q| x beam
       val expand = frontier.select("query_id", "node")
-        .join(edges, Seq("node"))
+        .join(broadcast(edgesOf(frontierIds)), Seq("node"))
         .select(col("query_id"), col("nbr").as("node")).distinct()
+      val candIds = nodeIds(expand) // bounded: <= |Q| x beam x K
       // a re-expanded beam member re-scores to the IDENTICAL row
       // (dist is a pure function of the pair), so the distinct()
       // collapses it instead of letting a duplicate eat a beam slot
-      val next = topB(frontier.unionAll(score(expand)).distinct())
+      val next = topB(
+        frontier.unionAll(score(expand, vecsOf(candIds))).distinct())
         .localCheckpoint(true)
       org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(frontier)
       frontier = next

@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED K-NN graph serving store — the lifecycle member for the
+  * NN-Descent family (q222's build re-expressed as the registry shape
+  * the GenIndex family proved), because at 100 TB a graph index is
+  * BUILT ONCE and then served and grown incrementally: probes must
+  * scan persisted edges (never rebuild), and a batch of new vectors
+  * must join the graph without re-running NN-Descent over the corpus.
+  *
+  * What persists, and where:
+  *  - EDGES (src, dst, dist) in a GenIndex bucketed table CLUSTERED
+  *    BY src: the beam search expands a BOUNDED frontier's edges per
+  *    hop (|Q| x beam node ids, collected — the q216 one-job
+  *    routing-pin discipline), so the isin filter bucket-prunes the
+  *    scan and probe cost is independent of corpus size.
+  *  - VECTORS (vid, e array<bigint> micro-units, n2) in a second
+  *    GenIndex bucketed BY vid: candidate scoring fetches exactly the
+  *    candidates' vectors the same pruned way. Vectors must persist —
+  *    edges alone cannot score a query, and ingest needs the live
+  *    corpus side to attach new nodes.
+  *  - META: `<path>_gr_meta` sidecar pinning the BUILD GEOMETRY
+  *    (k, iters, seedRounds, seed). Pinned like every registry
+  *    geometry: a graph built at one K mixed with edges built at
+  *    another is a silently mis-shaped index, so the only way to
+  *    change them is refit.
+  *
+  * EDGES-FIRST COMMIT ORDER (crash discipline): ingest appends edge
+  * rows BEFORE vector rows. An edge whose endpoint vector is missing
+  * is INERT by construction — expansion may surface the id, but
+  * scoring inner-joins the vector store and drops it — so a crash
+  * between the two appends leaves stale-but-harmless orphan edges,
+  * never a servable-but-wrong node. The vector append is the commit
+  * point: ingest idempotence keys on the VID SET OF THE VECTOR STORE
+  * (anti-join), so a retried crashed ingest re-runs in full and its
+  * re-appended edge rows are exact duplicates of the orphans —
+  * duplicates are collapsed at every read (expansion is DISTINCT per
+  * hop) and physically removed at the next maintain().
+  *
+  * WRITER SERIALIZATION: like PQRegistry, stored edges are LOSSY
+  * derivatives of the corpus (they cannot be re-derived from
+  * themselves after the vector set changes), so ingest/refit/maintain
+  * hold the registry lock (`<path>_gr_lock`); probes stay lock-free
+  * and read whatever consistent generation they bind (the GenIndex
+  * reader-vs-GC retention contract).
+  *
+  * INGEST attaches a batch three ways, all against the PERSISTED
+  * graph: (a) new -> graph edges via a beam search per new vector
+  * (top-k of the final beam — the HNSW-style insert primitive),
+  * (b) the REVERSE edges graph -> new (so existing nodes can reach
+  * the newcomers; appended, not rewritten — lists may exceed K until
+  * maintain() trims), and (c) intra-batch edges via NN-Descent over
+  * the batch alone (two new near-duplicates must find EACH OTHER even
+  * though neither is reachable from the old graph yet). The known
+  * incremental trade: batch-to-batch edges ACROSS ingests appear only
+  * at the next refit — documented, not hidden.
+  *
+  * MAINTAIN folds accreted appends and restores the K invariant:
+  * distinct edges, endpoints semi-joined against the vector store
+  * (orphans dropped), per-src top-K by (dist, dst). Probe results
+  * between maintains may only be BETTER than the canonical K-graph
+  * (extra reverse edges widen expansion); maintain trims back to the
+  * canonical graph. */
+class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
+
+  private val metaPath = path + "_gr_meta"
+  private val lockPath = path + "_gr_lock"
+  private[operators] val edges = new GenIndex(
+    GenIndex.tableBaseFor("graft_grreg_e_", path), path + "_edges",
+    "src BIGINT, dst BIGINT, dist BIGINT", Seq("src"), nBuckets)
+  private[operators] val vecs = new GenIndex(
+    GenIndex.tableBaseFor("graft_grreg_v_", path), path + "_vecs",
+    "vid BIGINT, e ARRAY<BIGINT>, n2 BIGINT", Seq("vid"), nBuckets)
+
+  private def fs(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private case class Meta(k: Int, iters: Int, seedRounds: Int, seed: String)
+  private def readMeta(spark: SparkSession): Option[Meta] =
+    RegistryIO.readLines(fs(spark), metaPath).map { ls =>
+      val g = ls.head.split(",").map(_.toInt)
+      Meta(g(0), g(1), g(2), ls(1))
+    }
+  private def requireMeta(spark: SparkSession): Meta =
+    readMeta(spark).getOrElse(throw new IllegalStateException(
+      s"KnnGraphRegistry at $path: no graph fitted yet — call fit() first"))
+  private def writeMeta(spark: SparkSession, m: Meta): Unit = {
+    val f = fs(spark)
+    val tmp = new org.apache.hadoop.fs.Path(
+      metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val os = f.create(tmp, false)
+    try os.write(Seq(s"${m.k},${m.iters},${m.seedRounds}", m.seed)
+      .mkString("\n").getBytes("UTF-8")) finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(metaPath),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Micro-unit (vid, e, n2) frame of a float-vector corpus. */
+  private def micro(corpus: DataFrame, idCol: String,
+                    vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("vid"),
+        ProductQuantizer.microUnits(col(vecCol)).as("e"))
+      .withColumn("n2", ProductQuantizer.dotL(col("e"), col("e")))
+
+  /** Directed edge frame of an nnDescent result. */
+  private def asEdges(graph: DataFrame): DataFrame =
+    graph.select(col("vid").as("src"), col("neighbor_id").as("dst"),
+      col("dist"))
+
+  /** FIRST-TIME fit: NN-Descent over `corpus` under the pinned
+    * geometry, both stores rebuilt (generation-swapped — a crashed
+    * earlier fit's partial rows are replaced wholesale, so retrying
+    * fit is idempotent), meta written LAST (a crash before it leaves
+    * the registry "unfitted" and the orphan generations inert). */
+  def fit(spark: SparkSession, corpus: DataFrame, idCol: String,
+          vecCol: String, k: Int, iters: Int, seed: String,
+          seedRounds: Int = 3): Unit =
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"KnnGraphRegistry($path).fit") {
+      require(readMeta(spark).isEmpty,
+        s"KnnGraphRegistry at $path is already fitted — use refit() " +
+          "(geometry is pinned; a silent re-fit would mix graphs built " +
+          "under different K)")
+      val g = KnnGraph.nnDescent(corpus, idCol, vecCol, k, iters, seed,
+        seedRounds)
+      edges.rebuild(spark, asEdges(g))
+      vecs.rebuild(spark, micro(corpus, idCol, vecCol))
+      writeMeta(spark, Meta(k, iters, seedRounds, seed))
+    }
+
+  /** REFIT: full NN-Descent rebuild from the supplied corpus (the
+    * authoritative vectors — edges cannot re-derive themselves),
+    * geometry unchanged. The recovery path for any torn state and
+    * the place cross-ingest batch-to-batch edges appear. */
+  def refit(spark: SparkSession, corpus: DataFrame, idCol: String,
+            vecCol: String): Unit =
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"KnnGraphRegistry($path).refit") {
+      val m = requireMeta(spark)
+      val g = KnnGraph.nnDescent(corpus, idCol, vecCol, m.k, m.iters,
+        m.seed, m.seedRounds)
+      edges.rebuild(spark, asEdges(g))
+      vecs.rebuild(spark, micro(corpus, idCol, vecCol))
+    }
+
+  /** The lock-free persisted probe: beam search whose per-hop edge
+    * and vector fetches are isin-pruned scans of the bucketed stores
+    * (class doc). Serving params are caller-chosen; the build
+    * geometry is the store's. */
+  def probe(spark: SparkSession, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, beam: Int, hops: Int,
+            entries: Int): DataFrame =
+    probeMicro(spark, micro(queries, idCol, vecCol)
+      .select(col("vid").as("query_id"), col("e").as("qe"),
+        col("n2").as("qn2")), k, beam, hops, entries)
+
+  /** The probe over an ALREADY micro-unit (query_id, qe, qn2) frame —
+    * ingest routes here with the batch's stored-form vectors
+    * (micro-izing twice would re-scale already-scaled values). */
+  private def probeMicro(spark: SparkSession, qm: DataFrame, k: Int,
+                         beam: Int, hops: Int, entries: Int): DataFrame = {
+    val m = requireMeta(spark)
+    val (vName, _) = vecs.ensureBound(spark)
+    val (eName, _) = edges.ensureBound(spark)
+    val vdf = spark.table(vName)
+    val edf = spark.table(eName)
+    KnnGraph.beamSearchCore(
+      ids => edf.filter(col("src").isin(ids: _*))
+        .select(col("src").as("node"), col("dst").as("nbr")).distinct(),
+      ids => vdf.filter(col("vid").isin(ids: _*))
+        .select(col("vid").as("node"), col("e").as("ne"),
+          col("n2").as("nn2")),
+      KnnGraph.entryNodes(vdf.select(col("vid").as("node")),
+        entries, m.seed),
+      qm, k, beam, hops)
+  }
+
+  /** Attach `batch` vids not already stored (idempotent by vid
+    * against the VECTOR store — the commit point; class doc:
+    * EDGES-FIRST COMMIT ORDER). An already-stored vid arriving with a
+    * DIFFERENT vector aborts loudly (vectors are stored exactly, so
+    * the detector is exact, not code-level like PQRegistry's); the
+    * update path is refit. Batches are assumed operator-bounded (the
+    * streaming micro-batch shape): the attach search pins |batch| x
+    * beam ids per hop — bulk additions beyond that are a refit, not
+    * an ingest. Returns the number of vids attached. */
+  def ingest(batch: DataFrame, idCol: String, vecCol: String,
+             beam: Int = 10, hops: Int = 3, entries: Int = 4): Long = {
+    val spark = batch.sparkSession
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"KnnGraphRegistry($path).ingest") {
+      val m = requireMeta(spark)
+      val (vName, _) = vecs.ensureBound(spark)
+      val stored = spark.table(vName)
+      val mb = micro(batch, idCol, vecCol).distinct()
+      val nb = mb.count()
+      val nbv = mb.select(col("vid")).distinct().count()
+      require(nbv == nb,
+        s"KnnGraphRegistry at $path: the batch carries ${nb - nbv} " +
+          "vid(s) with conflicting vectors — de-conflict upstream")
+      val conflicts = mb.as("b")
+        .join(stored.as("s"), col("b.vid") === col("s.vid"))
+        .filter(col("b.e") =!= col("s.e"))
+        .select(col("b.vid")).limit(5).collect().map(_.getLong(0))
+      require(conflicts.isEmpty,
+        s"KnnGraphRegistry at $path: batch vid(s) " +
+          s"${conflicts.mkString(", ")} are already stored with " +
+          "DIFFERENT vectors — ingest is insert-only; a re-embedded " +
+          "corpus requires refit")
+      val fresh = mb.join(stored.select(col("vid")), Seq("vid"),
+        "left_anti").localCheckpoint(true)
+      val n = fresh.count()
+      if (n > 0) {
+        // (a) new -> graph: beam search each new vector against the
+        // persisted graph, keep its top-k (the HNSW insert primitive)
+        val attached = probeMicro(spark,
+          fresh.select(col("vid").as("query_id"), col("e").as("qe"),
+            col("n2").as("qn2")),
+          k = m.k, beam = beam, hops = hops, entries = entries)
+          .localCheckpoint(true)
+        val fwd = attached.select(col("query_id").as("src"),
+          col("neighbor_id").as("dst"), col("dist"))
+        // (b) reverse edges so the old graph can REACH the newcomers;
+        // appended (lists may exceed K until maintain() trims)
+        val rev = attached.select(col("neighbor_id").as("src"),
+          col("query_id").as("dst"), col("dist"))
+        // (c) intra-batch edges: NN-Descent over the batch alone —
+        // two new near-duplicates must find each other even though
+        // neither is reachable from the old graph yet
+        val batchGraph = KnnGraph.nnDescentMicro(fresh, m.k, m.iters,
+          m.seed, m.seedRounds)
+        // EDGES FIRST (inert without vectors), vectors = commit point
+        edges.append(fwd.unionAll(rev).unionAll(asEdges(batchGraph)))
+        vecs.append(fresh)
+      }
+      n
+    }
+  }
+
+  /** Fold accreted appends and restore the K invariant when the edge
+    * store is past `maxFiles` data files: distinct edges, orphan
+    * endpoints dropped (semi-join against the vector store — the
+    * crash-window debris of EDGES-FIRST), per-src top-K by (dist,
+    * dst). Returns whether a rewrite ran. */
+  def maintain(spark: SparkSession, maxFiles: Int): Boolean =
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"KnnGraphRegistry($path).maintain") {
+      val m = requireMeta(spark)
+      if (edges.dataFileCount(spark) <= maxFiles) false
+      else {
+        val (vName, _) = vecs.ensureBound(spark)
+        val vids = spark.table(vName).select(col("vid"))
+        edges.rewrite(spark, rows => {
+          import org.apache.spark.sql.expressions.Window
+          rows.distinct()
+            .join(vids.select(col("vid").as("src")), Seq("src"), "left_semi")
+            .join(vids.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("src")
+                .orderBy(col("dist").asc, col("dst").asc)))
+            .filter(col("rn") <= m.k)
+            .select("src", "dst", "dist")
+        })
+        true
+      }
+    }
+
+  /** Committed data files in the active edge generation (specs). */
+  def edgeFileCount(spark: SparkSession): Int = edges.dataFileCount(spark)
+
+  /** The active generation's edge rows — read-only operability
+    * surface (row-count invariants in specs, offline inspection). */
+  def edgeRows(spark: SparkSession): DataFrame = edges.df(spark)
+}

@@ -81,6 +81,11 @@ object TrainingData extends QueryGroup {
   private val NndBeam = 10
   private val NndHops = 3
   private val NndEntries = 4
+  // q229 incremental split: vids with vec_id % 25 == 7 arrive as the
+  // ingest batch (4% of ANY corpus size — contiguity-free, scales
+  // with SF), the rest are the fitted base
+  private val NndIngestMod = 25
+  private val NndIngestRes = 7
   private val NndSeed = "nnd"
   private val LshBits = 4
   // q35 / q183 corpus-derived blocking targets (expected bucket/cell
@@ -603,6 +608,45 @@ object TrainingData extends QueryGroup {
     * replay-stable), so cache reuse within a JVM changes nothing
     * about q216/q217 results; the timed entries are the read-only
     * persisted ADC probes the oracle replays. */
+  /** q228/q229 KnnGraphRegistry stores, the same per-JVM untimed
+    * seeding convention: the full-corpus store (q228 probes it) and
+    * the incremental one (fit on 96%, the vec_id % 25 == 7 slice
+    * ingested — q229 probes the post-ingest state). Deterministic
+    * functions of the input tables (nnDescent's hash seeding and the
+    * beam attach are replay-stable), so cache reuse changes nothing;
+    * the timed entries are the read-only persisted probes the oracle
+    * replays. */
+  private val graphRegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def graphRegStore(s: SparkSession, dir: String): String =
+    graphRegCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_grreg").toString
+      val reg = new graft.operators.KnnGraphRegistry(s"$root/reg")
+      reg.fit(s, Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = NndK, iters = NndIters, seed = NndSeed,
+        seedRounds = NndSeedRounds)
+      s"$root/reg"
+    })
+  private val graphRegIncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def graphRegIncStore(s: SparkSession, dir: String): String =
+    graphRegIncCache.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_grreg_inc").toString
+      val reg = new graft.operators.KnnGraphRegistry(s"$root/reg")
+      reg.fit(s,
+        e.filter(pmod(col("vec_id"), lit(NndIngestMod)) =!= NndIngestRes),
+        "vec_id", "embedding", k = NndK, iters = NndIters,
+        seed = NndSeed, seedRounds = NndSeedRounds)
+      reg.ingest(
+        e.filter(pmod(col("vec_id"), lit(NndIngestMod)) === NndIngestRes),
+        "vec_id", "embedding", beam = NndBeam, hops = NndHops,
+        entries = NndEntries)
+      s"$root/reg"
+    })
+
   private val pqRegCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def pqRegStores(s: SparkSession, dir: String): (String, String) =
@@ -799,12 +843,15 @@ object TrainingData extends QueryGroup {
       s"i -> $a[i] * $b[i])) AS BIGINT)"
 
   // ---- q222-q224 NN-Descent chain (mirrors KnnGraph.nnDescent
-  // stage for stage; every value an exact BIGINT) ----
-  private def nndScore(pairs: String, out: String): String =
-    s"""$out AS (SELECT p.src, p.dst,
+  // stage for stage; every value an exact BIGINT). PARAMETRIZED by
+  // CTE-name prefix and base relation (the pqCtesFor convention) so
+  // the q229 incremental-ingest oracle replays the chain over a
+  // SPLIT corpus next to the canonical one in a single WITH. ----
+  private def nndScore(p: String, pairs: String, out: String): String =
+    s"""$out AS (SELECT pp.src, pp.dst,
          sa.n2 - 2 * ${dIntDot("sa.e", "sb.e")} + sb.n2 AS dist
-       FROM $pairs p JOIN nndv sa ON sa.vid = p.src
-         JOIN nndv sb ON sb.vid = p.dst)"""
+       FROM $pairs pp JOIN ${p}v sa ON sa.vid = pp.src
+         JOIN ${p}v sb ON sb.vid = pp.dst)"""
   private def nndTopK(in: String, out: String): String =
     s"""$out AS MATERIALIZED (SELECT src, dst, dist FROM (
          SELECT src, dst, dist, row_number() OVER (
@@ -813,29 +860,62 @@ object TrainingData extends QueryGroup {
   /** One local-join round: K-capped reverse edges, candidates =
     * graph union reverse, the pivot self-join, exact scoring, merge
     * with the current graph, per-node top-K. */
-  private def nndIter(t: Int): String =
-    s"""nndr$t AS (SELECT dst AS src, src AS dst, dist FROM (
+  private def nndIter(p: String, t: Int): String =
+    s"""${p}r$t AS (SELECT dst AS src, src AS dst, dist FROM (
          SELECT src, dst, dist, row_number() OVER (
            PARTITION BY dst ORDER BY dist ASC, src ASC) AS rn
-         FROM nndg${t - 1}) WHERE rn <= $NndK),
-       nndc$t AS (SELECT DISTINCT src, dst FROM (
-         SELECT src, dst FROM nndg${t - 1}
-         UNION ALL SELECT src, dst FROM nndr$t)),
-       nndp$t AS (SELECT DISTINCT a.dst AS src, b.dst AS dst
-         FROM nndc$t a JOIN nndc$t b ON a.src = b.src AND a.dst < b.dst),
-       ${nndScore(s"nndp$t", s"nndsc$t")},
+         FROM ${p}g${t - 1}) WHERE rn <= $NndK),
+       ${p}c$t AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM ${p}g${t - 1}
+         UNION ALL SELECT src, dst FROM ${p}r$t)),
+       ${p}p$t AS (SELECT DISTINCT a.dst AS src, b.dst AS dst
+         FROM ${p}c$t a JOIN ${p}c$t b ON a.src = b.src AND a.dst < b.dst),
+       ${nndScore(p, s"${p}p$t", s"${p}sc$t")},
        ${nndTopK(
         s"""(SELECT DISTINCT src, dst, dist FROM (
-           SELECT src, dst, dist FROM nndg${t - 1}
-           UNION ALL SELECT src, dst, dist FROM nndsc$t
-           UNION ALL SELECT dst AS src, src AS dst, dist FROM nndsc$t))""",
-        s"nndg$t")}"""
-  // ---- q225/q226 beam-search chain over the converged graph ----
-  private def bsScore(pairs: String, out: String): String =
-    s"""$out AS (SELECT p.query_id, p.node,
+           SELECT src, dst, dist FROM ${p}g${t - 1}
+           UNION ALL SELECT src, dst, dist FROM ${p}sc$t
+           UNION ALL SELECT dst AS src, src AS dst, dist FROM ${p}sc$t))""",
+        s"${p}g$t")}"""
+  /** Micro-unit vectors + integer norms over `base` (any relation
+    * with (vec_id, embedding)), the multi-round hash-bucket seed
+    * graph (NndSeedRounds INDEPENDENT partitions of B = n/(K+1)
+    * buckets each, from the OBSERVED relation count — the q35
+    * corpus-derived-width discipline; one partition alone would be
+    * closed under the local join, see KnnGraph scaladoc), then
+    * NndIters unrolled rounds ending at `${p}g$NndIters`. No
+    * trailing comma. */
+  private def nndCtesFor(p: String, base: String): String =
+    s"""${p}m AS (SELECT vec_id AS vid, list_transform(embedding,
+         x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
+       FROM $base b0),
+     ${p}v AS MATERIALIZED (SELECT vid, e, ${dIntDot("e", "e")} AS n2
+       FROM ${p}m),
+     ${p}b AS (SELECT vid, r,
+         (${dMd5Long(s"'$NndSeed' || ':' || r::VARCHAR || ':' || vid::VARCHAR", 12)})
+         % (SELECT greatest(1, count(*) // ${NndK + 1}) FROM ${p}m)
+         AS bucket
+       FROM ${p}m CROSS JOIN (SELECT unnest(generate_series(1,
+         $NndSeedRounds)) AS r)),
+     ${p}h AS (SELECT DISTINCT a.vid AS src, b.vid AS dst FROM ${p}b a
+       JOIN ${p}b b ON a.r = b.r AND a.bucket = b.bucket
+         AND a.vid < b.vid),
+     ${p}i AS (SELECT src, dst FROM ${p}h
+       UNION ALL SELECT dst, src FROM ${p}h),
+     ${nndScore(p, s"${p}i", s"${p}s0")},
+     ${nndTopK(s"${p}s0", s"${p}g0")},
+     ${(1 to NndIters).map(nndIter(p, _)).mkString(",\n")}"""
+  private lazy val nndCtes: String = nndCtesFor("nnd", "embeddings")
+
+  // ---- q225/q226/q228/q229 beam-search chain — parametrized by
+  // prefix, the (vid, e, n2) vector relation, the (src, dst) edge
+  // relation, and the (query_id, qe, qn2) query relation ----
+  private def bsScore(p: String, vecs: String, pairs: String,
+                      out: String): String =
+    s"""$out AS (SELECT pp.query_id, pp.node,
          q.qn2 - 2 * ${dIntDot("q.qe", "c.e")} + c.n2 AS dist
-       FROM $pairs p JOIN bsq q ON q.query_id = p.query_id
-         JOIN nndv c ON c.vid = p.node)"""
+       FROM $pairs pp JOIN ${p}q q ON q.query_id = pp.query_id
+         JOIN $vecs c ON c.vid = pp.node)"""
   private def bsTopB(in: String, out: String): String =
     s"""$out AS MATERIALIZED (SELECT query_id, node, dist FROM (
          SELECT query_id, node, dist, row_number() OVER (
@@ -844,55 +924,44 @@ object TrainingData extends QueryGroup {
   /** One hop: expand the beam's graph edges, score, merge with the
     * beam (re-expanded members re-score to the identical row — the
     * DISTINCT collapses them, mirroring KnnGraph.beamSearch), top-B. */
-  private def bsHop(t: Int): String =
-    s"""bsx$t AS (SELECT DISTINCT f.query_id, g.dst AS node
-         FROM bsf${t - 1} f JOIN nndg$NndIters g ON g.src = f.node),
-       ${bsScore(s"bsx$t", s"bss$t")},
+  private def bsHop(p: String, vecs: String, edges: String,
+                    t: Int): String =
+    s"""${p}x$t AS (SELECT DISTINCT f.query_id, g.dst AS node
+         FROM ${p}f${t - 1} f JOIN $edges g ON g.src = f.node),
+       ${bsScore(p, vecs, s"${p}x$t", s"${p}s$t")},
        ${bsTopB(
         s"""(SELECT DISTINCT query_id, node, dist FROM (
-           SELECT query_id, node, dist FROM bsf${t - 1}
-           UNION ALL SELECT query_id, node, dist FROM bss$t))""",
-        s"bsf$t")}"""
-  /** Entry nodes by hash rank, hop 0 beam, NndHops unrolled hops —
-    * ends at `bsf$NndHops`. Assumes $nndCtes precede it. No trailing
+           SELECT query_id, node, dist FROM ${p}f${t - 1}
+           UNION ALL SELECT query_id, node, dist FROM ${p}s$t))""",
+        s"${p}f$t")}"""
+  /** Entry nodes by hash rank over `vecs`, hop 0 beam, NndHops
+    * unrolled hops over `edges` — ends at `${p}f$NndHops`. `queries`
+    * is any relation producing (query_id, qe, qn2). No trailing
     * comma. */
-  private lazy val bsCtes: String =
-    s"""bsq AS (SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM nndv
-         WHERE vid < $AnnQueries),
-       bsent AS (SELECT node FROM (SELECT vid AS node,
+  private def bsCtesFor(p: String, vecs: String, edges: String,
+                        queries: String): String =
+    s"""${p}q AS ($queries),
+       ${p}ent AS (SELECT node FROM (SELECT vid AS node,
            (${dMd5Long(s"'$NndSeed' || ':e:' || vid::VARCHAR", 12)}) AS h
-         FROM nndv) ORDER BY h ASC, node ASC LIMIT $NndEntries),
-       bsp0 AS (SELECT query_id, node FROM bsq CROSS JOIN bsent),
-       ${bsScore("bsp0", "bss0")},
-       ${bsTopB("bss0", "bsf0")},
-       ${(1 to NndHops).map(bsHop).mkString(",\n")}"""
+         FROM $vecs) ORDER BY h ASC, node ASC LIMIT $NndEntries),
+       ${p}p0 AS (SELECT query_id, node FROM ${p}q CROSS JOIN ${p}ent),
+       ${bsScore(p, vecs, s"${p}p0", s"${p}s0")},
+       ${bsTopB(s"${p}s0", s"${p}f0")},
+       ${(1 to NndHops).map(bsHop(p, vecs, edges, _)).mkString(",\n")}"""
+  private lazy val bsCtes: String = bsCtesFor("bs", "nndv",
+    s"nndg$NndIters",
+    s"SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM nndv WHERE vid < $AnnQueries")
 
-  /** Micro-unit vectors + integer norms, the multi-round hash-bucket
-    * seed graph (NndSeedRounds INDEPENDENT partitions of B = n/(K+1)
-    * buckets each, from the OBSERVED corpus count — the q35
-    * corpus-derived-width discipline; one partition alone would be
-    * closed under the local join, see KnnGraph scaladoc), then
-    * NndIters unrolled rounds ending at `nndg$NndIters`. No trailing
-    * comma. */
-  private lazy val nndCtes: String =
-    s"""nndm AS (SELECT vec_id AS vid, list_transform(embedding,
-         x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
-       FROM embeddings),
-     nndv AS MATERIALIZED (SELECT vid, e, ${dIntDot("e", "e")} AS n2
-       FROM nndm),
-     nndb AS (SELECT vid, r,
-         (${dMd5Long(s"'$NndSeed' || ':' || r::VARCHAR || ':' || vid::VARCHAR", 12)})
-         % (SELECT greatest(1, count(*) // ${NndK + 1}) FROM embeddings)
-         AS bucket
-       FROM nndm CROSS JOIN (SELECT unnest(generate_series(1,
-         $NndSeedRounds)) AS r)),
-     nndh AS (SELECT DISTINCT a.vid AS src, b.vid AS dst FROM nndb a
-       JOIN nndb b ON a.r = b.r AND a.bucket = b.bucket
-         AND a.vid < b.vid),
-     nndi AS (SELECT src, dst FROM nndh UNION ALL SELECT dst, src FROM nndh),
-     ${nndScore("nndi", "nnds0")},
-     ${nndTopK("nnds0", "nndg0")},
-     ${(1 to NndIters).map(nndIter).mkString(",\n")}"""
+  /** The q225 search unrolled end to end — shared verbatim with q228
+    * (persisted serving must not change the ranking). */
+  private lazy val graphSearchSql: String =
+    s"""WITH $nndCtes,
+       $bsCtes
+       SELECT query_id, rank, node AS neighbor_id, dist FROM (
+         SELECT query_id, node, dist, row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+         FROM bsf$NndHops WHERE node != query_id)
+       WHERE rank <= $NndServeK"""
 
   /** The seed -> unrolled-Lloyd -> encode CTE segment over an EXISTING
     * `${x}s` (vid, blk, sq) subvector frame — shared verbatim by the
@@ -1860,6 +1929,56 @@ object TrainingData extends QueryGroup {
           entries = NndEntries, seed = NndSeed)
         .select("query_id", "neighbor_id")
       val qs = e.filter(col("vec_id") < AnnQueries)
+      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
+        qs, e, "vec_id", "embedding", k = NndServeK)
+        .select("query_id", "neighbor_id")
+      val hits = sr.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_at_k",
+          round(col("n_hit").cast("double") / NndServeK, 6))
+    }),
+
+    // PERSISTED graph serving (the KnnGraphRegistry lifecycle member,
+    // the q216 shape for the graph family): edges CLUSTERED BY src +
+    // micro vectors CLUSTERED BY vid in GenIndex generations; every
+    // hop's edge/vector fetch is an isin-pruned bucketed scan over a
+    // COLLECTED bounded frontier (|Q| x beam ids — the one-job
+    // routing-pin discipline), so the persisted probe cost is
+    // independent of corpus size. Registry build is untimed per-JVM
+    // setup (graphRegStore, the pqRegStores convention); what's timed
+    // — and what the oracle replays — is serving from disk, which
+    // must equal q225's in-memory beam search row for row.
+    "q228_graphreg_probe" -> ((s, dir) => {
+      val reg = new graft.operators.KnnGraphRegistry(graphRegStore(s, dir))
+      reg.probe(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") < AnnQueries),
+        "vec_id", "embedding", k = NndServeK, beam = NndBeam,
+        hops = NndHops, entries = NndEntries)
+    }),
+
+    // INCREMENTAL INGEST, measured end to end: the registry is fitted
+    // on 96% of the corpus, the remaining 4% (vec_id % 25 == 7)
+    // arrives as an ingest batch — attached via beam search against
+    // the persisted graph (the HNSW insert primitive), reverse edges
+    // appended, intra-batch edges via NN-Descent over the batch
+    // alone. The entry probes the post-ingest store for the 8
+    // standing queries and reports recall@NndServeK against the
+    // exact top-K over the FULL corpus — the number that proves
+    // ingested nodes became REACHABLE without a rebuild. Oracle
+    // replays the split build, the attach search, the edge union,
+    // and the serving search.
+    "q229_graphreg_ingest_recall" -> ((s, dir) => {
+      val reg = new graft.operators.KnnGraphRegistry(
+        graphRegIncStore(s, dir))
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < AnnQueries)
+      val sr = reg.probe(s, qs, "vec_id", "embedding",
+          k = NndServeK, beam = NndBeam, hops = NndHops,
+          entries = NndEntries)
+        .select("query_id", "neighbor_id")
       val exact = graft.operators.ProductQuantizer.bruteL2TopK(
         qs, e, "vec_id", "embedding", k = NndServeK)
         .select("query_id", "neighbor_id")
@@ -5027,14 +5146,55 @@ object TrainingData extends QueryGroup {
     // the beam search unrolled: entry nodes by hash rank, NndHops
     // expansions over the converged graph, self excluded from the
     // final ranking (q36 shape)
-    "q225_graph_search_ann" ->
-      s"""WITH $nndCtes,
-         $bsCtes
-         SELECT query_id, rank, node AS neighbor_id, dist FROM (
-           SELECT query_id, node, dist, row_number() OVER (
-             PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
-           FROM bsf$NndHops WHERE node != query_id)
-         WHERE rank <= $NndServeK""",
+    "q225_graph_search_ann" -> graphSearchSql,
+
+    // the PERSISTED probe must equal the in-memory beam search row
+    // for row (the storage layout must not change the ranking), so
+    // q228 shares q225's oracle — the q147/q150 convention
+    "q228_graphreg_probe" -> graphSearchSql,
+
+    // split build -> attach search -> edge union -> serving search,
+    // each chain replayed verbatim; recall vs the exact top-K over
+    // the FULL corpus
+    "q229_graphreg_ingest_recall" ->
+      s"""WITH ${nndCtesFor("io",
+           s"(SELECT * FROM embeddings WHERE vec_id % $NndIngestMod != $NndIngestRes)")},
+         ${nndCtesFor("ib",
+           s"(SELECT * FROM embeddings WHERE vec_id % $NndIngestMod = $NndIngestRes)")},
+         ${bsCtesFor("ia", "iov", s"iog$NndIters",
+           "SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM ibv")},
+         iaat AS (SELECT query_id, node, dist FROM (
+             SELECT query_id, node, dist, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM iaf$NndHops WHERE node != query_id)
+           WHERE rank <= $NndK),
+         iuni AS (SELECT src, dst FROM iog$NndIters
+           UNION ALL SELECT query_id, node FROM iaat
+           UNION ALL SELECT node, query_id FROM iaat
+           UNION ALL SELECT src, dst FROM ibg$NndIters),
+         iall AS MATERIALIZED (SELECT vid, e, n2 FROM iov
+           UNION ALL SELECT vid, e, n2 FROM ibv),
+         ${bsCtesFor("is", "iall", "iuni",
+           s"SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM iall WHERE vid < $AnnQueries")},
+         isr AS (SELECT query_id, node AS neighbor_id FROM (
+             SELECT query_id, node, dist, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM isf$NndHops WHERE node != query_id)
+           WHERE rank <= $NndServeK),
+         iex AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, c.vid AS neighbor_id, row_number() OVER (
+               PARTITION BY q.query_id ORDER BY
+                 q.qn2 - 2 * ${dIntDot("q.qe", "c.e")} + c.n2 ASC,
+                 c.vid ASC) AS rn
+             FROM iall c JOIN isq q ON q.query_id != c.vid)
+           WHERE rn <= $NndServeK),
+         ihit AS (SELECT query_id, count(*) AS n_hit FROM isr
+           JOIN iex USING (query_id, neighbor_id) GROUP BY query_id)
+         SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) / $NndServeK.0, 6) AS recall_at_k
+         FROM (SELECT vec_id AS query_id FROM embeddings
+               WHERE vec_id < $AnnQueries) q
+         LEFT JOIN ihit h USING (query_id)""",
 
     // beam-search recall@NndServeK vs the exact integer-L2 top-K;
     // left join keeps total misses visible
