@@ -568,6 +568,36 @@ object ScaleCheck {
         })
     }
 
+    // KnnGraphRegistry persisted beam probe (round 11): fixed 8-query
+    // batch against a 1x/10x/100x PERSISTED graph store. The build
+    // (NN-Descent fit) is untimed setup; the timed number is the
+    // serving search — each hop collects the bounded frontier
+    // (|Q| x beam ids) and isin-prunes the bucketed edge and vector
+    // scans, so probe work is |Q| x beam x K scorings per hop,
+    // corpus-independent by construction (expected ~flat, the q150/
+    // pqreg shape over a bucketed store).
+    if (wantRow("knngraphregistry beam probe (fixed 8 queries)")) {
+      val qs8g = copyEmb(0).filter(col("vec_id") < 8)
+        .localCheckpoint(true)
+      fmtRow("KnnGraphRegistry beam probe (fixed 8 queries)",
+        "graphreg_probe",
+        mults.map { m =>
+          try {
+            val embM = Tables.embeddings(spark, dirs(m))
+            val reg = new operators.KnnGraphRegistry(s"$root/grreg$m/r")
+            reg.fit(spark, embM, "vec_id", "embedding",
+              k = 10, iters = 3, seed = "nnd")
+            Some(time2(reg.probe(spark, qs8g, "vec_id", "embedding",
+              k = 6, beam = 10, hops = 3, entries = 4).count()))
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[scalecheck] graphreg-probe x$m: ${e.getMessage}")
+              None
+          }
+        })
+    }
+
     // incremental CC: fold a FIXED 300-edge batch into the standing
     // labeling — the contracted fixpoint is bounded by the batch, so
     // history size enters only through the rep-lookup/remap

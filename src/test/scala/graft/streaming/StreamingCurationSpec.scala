@@ -343,6 +343,59 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("STREAMING GRAPH INGEST (KnnGraphRegistry): micro-batches " +
+    "attach idempotently by vid — an at-least-once replay admits " +
+    "nothing and changes no probe row — and an ingested near-dup is " +
+    "REACHABLE from its original's vector within the same stream") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cur9_").toString
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(16)(j => ((id * 37 + j * 11) % 101 - 50) / 50.0f)
+    val seed = (0L until 30L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val reg = new graft.operators.KnnGraphRegistry(s"$dir/reg")
+    reg.fit(spark, seed, "vec_id", "embedding",
+      k = 4, iters = 2, seed = "spec")
+    val in = MemoryStream[(Long, Array[Float])]
+    val attached = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = MicroBatchPipeline.start(
+      in.toDF().toDF("vec_id", "embedding"),
+      identity,
+      (batch, _) => { attached += reg.ingest(batch, "vec_id", "embedding",
+        beam = 8, hops = 3, entries = 2); () },
+      intervalMs = 100)
+    try {
+      // batch 1: a genuinely new vector + a near-dup of node 3
+      in.addData((40L, vec(40L)), (1003L, vec(3L)))
+      q.processAllAvailable()
+      val probeQ = Seq((3L, vec(3L))).toDF("vec_id", "embedding")
+      def probe() = reg.probe(spark, probeQ, "vec_id", "embedding",
+          k = 3, beam = 8, hops = 4, entries = 2)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._2)
+      val before = probe()
+      assert(before.exists { case (_, _, nbr, d) => nbr == 1003L && d == 0L },
+        s"the streamed near-dup must be reachable from its original: $before")
+      val edgesBefore = reg.edgeRows(spark).count()
+      // at-least-once replay of the same rows: attaches NOTHING (the
+      // vid anti-join on the vector store), zero edge rows appended,
+      // probe results bit-identical
+      in.addData((40L, vec(40L)), (1003L, vec(3L)))
+      q.processAllAvailable()
+      assert(attached.sum === 2L && attached.head === 2L,
+        s"replay must attach nothing, got $attached")
+      assert(reg.edgeRows(spark).count() === edgesBefore,
+        "a replayed batch must append no edge rows")
+      assert(probe() === before,
+        "a replayed batch must change no probe row")
+      // stream continues: later batches keep attaching
+      in.addData((41L, vec(41L)))
+      q.processAllAvailable()
+      assert(attached.sum === 3L)
+    } finally q.stop()
+  }
+
   test("STREAMING ANN INGEST (PQRegistry): micro-batches ingest " +
     "idempotently by vid — an at-least-once replay admits nothing — and " +
     "a codebook refit between batches re-encodes history while later " +
