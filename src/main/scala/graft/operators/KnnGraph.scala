@@ -248,9 +248,16 @@ object KnnGraph {
       .withColumn("qn2", ProductQuantizer.dotL(col("qe"), col("qe")))
     val edges = graph.select(col("vid").as("node"),
       col("neighbor_id").as("nbr"))
+    // in memory the expansion is a plain equi-join and scoring reads
+    // the checkpointed vector frame directly — no per-hop driver
+    // pins (those are the PERSISTED path's tool, where the collected
+    // frontier buys bucket-pruned scans; here they'd only serialize
+    // the hop loop on job latency)
     beamSearchCore(
-      ids => edges.filter(col("node").isin(ids: _*)),
-      ids => m.filter(col("node").isin(ids: _*)),
+      frontier => frontier.select("query_id", "node")
+        .join(edges, Seq("node"))
+        .select(col("query_id"), col("nbr").as("node")).distinct(),
+      _ => m,
       entryNodes(m, entries, seed),
       qm, k, beam, hops)
   }
@@ -268,27 +275,26 @@ object KnnGraph {
       .select("node")
 
   /** The search loop behind beamSearch and the persisted
-    * KnnGraphRegistry probe. The edge and vector lookups are
-    * CALLER-SUPPLIED pruned fetches: each hop collects the frontier's
-    * node ids (BOUNDED by construction — |Q| x beam rows; the q216
-    * one-job routing-pin discipline) and asks for exactly those
-    * nodes' edges, then exactly the candidates' vectors — over a
-    * bucketed persisted store both lookups bucket-prune, so probe
-    * cost is independent of corpus size; in memory they are narrow
-    * isin filters. The fetched slices are broadcast (<= |Q| x beam x
-    * K rows by contract). */
+    * KnnGraphRegistry probe, parametrized by STRATEGY: `expand` maps
+    * the current beam to its DISTINCT (query_id, node) candidate
+    * pairs, and `vecsFor` supplies the (node, ne, nn2) slice scoring
+    * joins against. In memory both are plain frames (equi-join
+    * expansion, the checkpointed vector frame). The persisted
+    * registry passes PINNED versions: each hop collects the bounded
+    * frontier ids (|Q| x beam — the q216 one-job routing-pin
+    * discipline) and isin-prunes the bucketed edge/vector scans, so
+    * persisted probe cost is independent of corpus size. */
   private[operators] def beamSearchCore(
-      edgesOf: Array[Long] => DataFrame,
-      vecsOf: Array[Long] => DataFrame,
+      expand: DataFrame => DataFrame,
+      vecsFor: DataFrame => DataFrame,
       entry: DataFrame, qm: DataFrame,
       k: Int, beam: Int, hops: Int): DataFrame = {
     require(k >= 1 && beam >= k && hops >= 0,
       "beamSearch: need 1 <= k <= beam, hops >= 0")
 
-    /** Exact-integer squared L2 of (query_id, node) pairs against a
-      * supplied (node, ne, nn2) vector slice. */
-    def score(pairs: DataFrame, vecs: DataFrame): DataFrame =
-      pairs.join(broadcast(vecs), Seq("node"))
+    /** Exact-integer squared L2 of (query_id, node) pairs. */
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(vecsFor(pairs), Seq("node"))
         .join(qm, Seq("query_id"))
         .select(col("query_id"), col("node"),
           (col("qn2") - lit(2L) * ProductQuantizer.dotL(col("qe"), col("ne"))
@@ -299,24 +305,16 @@ object KnnGraph {
             .orderBy(col("dist").asc, col("node").asc)))
         .filter(col("rn") <= beam)
         .select("query_id", "node", "dist")
-    def nodeIds(df: DataFrame): Array[Long] =
-      df.select("node").distinct().collect().map(_.getLong(0))
 
-    val entryIds = nodeIds(entry) // bounded: `entries` rows
     var frontier = topB(score(
-      qm.select("query_id").crossJoin(broadcast(entry)),
-      vecsOf(entryIds))).localCheckpoint(true)
+      qm.select("query_id").crossJoin(broadcast(entry))))
+      .localCheckpoint(true)
     for (_ <- 1 to hops) {
-      val frontierIds = nodeIds(frontier) // bounded: <= |Q| x beam
-      val expand = frontier.select("query_id", "node")
-        .join(broadcast(edgesOf(frontierIds)), Seq("node"))
-        .select(col("query_id"), col("nbr").as("node")).distinct()
-      val candIds = nodeIds(expand) // bounded: <= |Q| x beam x K
       // a re-expanded beam member re-scores to the IDENTICAL row
       // (dist is a pure function of the pair), so the distinct()
       // collapses it instead of letting a duplicate eat a beam slot
       val next = topB(
-        frontier.unionAll(score(expand, vecsOf(candIds))).distinct())
+        frontier.unionAll(score(expand(frontier))).distinct())
         .localCheckpoint(true)
       org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(frontier)
       frontier = next

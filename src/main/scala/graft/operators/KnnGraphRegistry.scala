@@ -169,12 +169,25 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
     val (eName, _) = edges.ensureBound(spark)
     val vdf = spark.table(vName)
     val edf = spark.table(eName)
+    // the PINNED strategies (class doc): collect the bounded node-id
+    // set (|Q| x beam, resp. |Q| x beam x K — the q216 one-job
+    // routing-pin discipline), isin-prune the bucketed scan, and
+    // broadcast the fetched slice
+    def nodeIds(df: DataFrame): Array[Long] =
+      df.select("node").distinct().collect().map(_.getLong(0))
     KnnGraph.beamSearchCore(
-      ids => edf.filter(col("src").isin(ids: _*))
-        .select(col("src").as("node"), col("dst").as("nbr")).distinct(),
-      ids => vdf.filter(col("vid").isin(ids: _*))
-        .select(col("vid").as("node"), col("e").as("ne"),
-          col("n2").as("nn2")),
+      frontier => {
+        val ids = nodeIds(frontier)
+        frontier.select("query_id", "node")
+          .join(broadcast(edf.filter(col("src").isin(ids: _*))
+            .select(col("src").as("node"), col("dst").as("nbr"))
+            .distinct()), Seq("node"))
+          .select(col("query_id"), col("nbr").as("node")).distinct()
+      },
+      pairs => broadcast(
+        vdf.filter(col("vid").isin(nodeIds(pairs): _*))
+          .select(col("vid").as("node"), col("e").as("ne"),
+            col("n2").as("nn2"))),
       KnnGraph.entryNodes(vdf.select(col("vid").as("node")),
         entries, m.seed),
       qm, k, beam, hops)
