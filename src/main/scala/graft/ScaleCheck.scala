@@ -234,6 +234,14 @@ object ScaleCheck {
     // <= C(2K,2) pairs per node) — the row verifies corpus-linear
     // build cost end to end
     row("q222_knn_graph")(q("q222_knn_graph"))
+    // Late-interaction MaxSim (round 11): queries stay the fixed 8
+    // docs while the corpus token table grows Nx — brute is the
+    // linear-scan baseline (one pass, partial-agg max/sum); the
+    // two-stage's pooled first pass is also Nx-linear but over a
+    // DocCap-times-smaller table, and its exact-MaxSim stage-2 is
+    // constant (PoolC x query tokens x DocCap) regardless of N
+    row("q230_maxsim_topk")(q("q230_maxsim_topk"))
+    row("q231_maxsim_pruned")(q("q231_maxsim_pruned"))
     // genuinely FIXED-width penalty rows: direct operator calls with
     // the width pinned (the catalog q35/q183 queries moved to
     // corpus-derived width in round 6, so invoking them here would

@@ -17,7 +17,8 @@ object SparkEntry {
     q.Extensions,
     q.Curation,
     q.Scale,
-    q.Learn
+    q.Learn,
+    q.Retrieval
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

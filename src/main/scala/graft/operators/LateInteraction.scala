@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** ColBERT-style late-interaction (multi-vector MaxSim) retrieval
+  * (Khattab & Zaharia, SIGIR 2020; PLAID, CIKM 2022): a document is a
+  * SET of token vectors, not one pooled vector, and
+  *
+  *   score(q, d) = sum over query tokens qt of
+  *                   max over doc tokens dt of  dot(v(qt), v(dt))
+  *
+  * — the "MaxSim" operator. The max-pooling is what single-vector
+  * ANN (q36/q213 family) cannot express: a doc matches if EACH query
+  * token finds SOME good doc token, wherever it sits in the doc.
+  *
+  * Token vectors here are md5-derived exact integers (the q211 media
+  * discipline): component j of token t is a disjoint 5-hex window of
+  * ONE md5 digest of "mv:t", mod 17, shifted to [-8, 8]. One digest
+  * per distinct token feeds all Dim components in both engines, so
+  * dot products and MaxSim sums are BIGINT-exact and the DuckDB
+  * oracle replays the whole chain verbatim.
+  *
+  * Scale shape (100 TB): the corpus token table is a narrow
+  * projection of the documents scan (explode of a capped slice — no
+  * shuffle); the query-token side is bounded by contract (|Q| x
+  * per-query token cap) and broadcast. Brute MaxSim is the linear
+  * scan baseline (one pass over corpus tokens, partial-agg max/sum
+  * map-side, one shuffle on (query, doc) groups). The pruned path is
+  * the deployed two-stage shape (the q189 rerank pattern generalized
+  * to multi-vector): stage 1 scores ONE sum-pooled vector per doc —
+  * a corpus-token-budget-times-smaller table that composes with the
+  * whole single-vector ANN stack (IVF cells, PQ codes, the
+  * registries) — and keeps top-C candidates per query; stage 2 runs
+  * exact MaxSim only on candidates (C x |q| x doc-budget work,
+  * independent of N). Recall is MEASURED (q143/q214 discipline),
+  * never assumed.
+  *
+  * (A PLAID-style token-cell inverted index was measured on this
+  * corpus and rejected: the synthetic vocabulary is ~300 tokens each
+  * appearing in ~half the docs, so ANY lexical/cell routing admits
+  * ~99% of the corpus — the pooled first stage prunes 10x where
+  * token-identity routing cannot prune at all.)
+  */
+object LateInteraction {
+
+  /** Token-vector dimensionality: 6 disjoint 5-hex md5 windows. */
+  val Dim = 6
+
+  /** Component modulus: values land in [-8, 8] (17 residues). */
+  val CompMod = 17L
+
+  /** Adds integer vector components `<p>0 .. <p>{Dim-1}` derived from
+    * ONE md5 digest of "mv:<token>" — window j is hex chars
+    * [1+5j, 6+5j), mod 17, minus 8. The digest column is computed
+    * once and dropped. */
+  def withVec(df: DataFrame, tCol: String, p: String): DataFrame = {
+    val withH = df.withColumn("mv_h", md5(concat(lit("mv:"), col(tCol))))
+    (0 until Dim).foldLeft(withH) { (d, j) =>
+      d.withColumn(s"$p$j",
+        conv(substring(col("mv_h"), 1 + 5 * j, 5), 16, 10).cast("long")
+          % CompMod - 8L)
+    }.drop("mv_h")
+  }
+
+  /** (id, t): DISTINCT tokens among the first `cap` tokens of
+    * `textCol` — the per-document token budget. Zero-token documents
+    * emit no rows. Narrow (explode only, no shuffle). */
+  def docTokens(docs: DataFrame, idCol: String, textCol: String,
+                cap: Int): DataFrame =
+    docs.select(col(idCol),
+        array_distinct(slice(Text.tokens(col(textCol)), 1, cap)).as("ts"))
+      .select(col(idCol), explode(col("ts")).as("t"))
+
+  /** Integer dot of the two component families. */
+  private def dot(qp: String, dp: String): Column =
+    (0 until Dim).map(j => col(s"$qp$j") * col(s"$dp$j")).reduce(_ + _)
+
+  /** Sum-pooled vector per id: component-wise sum of the id's token
+    * vectors — the single-vector proxy the two-stage's first pass
+    * scores. One shuffle on the id (partial-agg map-side); the
+    * result is corpus-token-budget-times smaller than the token
+    * table and is exactly the shape the IVF/PQ serving stack indexes. */
+  def pooled(v: DataFrame, idCol: String, p: String, out: String): DataFrame = {
+    val sums = (0 until Dim).map(j => sum(col(s"$p$j")).as(s"$out$j"))
+    v.groupBy(idCol).agg(sums.head, sums.tail: _*)
+  }
+
+  /** Exact MaxSim scores for every (query, doc) pair: qv broadcast
+    * (bounded by contract: |Q| x query-token cap rows) against the
+    * corpus token table, self-pairs excluded. Two-level aggregation:
+    * max dot per (query, doc, query-token), then sum over query
+    * tokens — both partial-agg friendly. */
+  def maxSimScores(qv: DataFrame, dv: DataFrame): DataFrame =
+    dv.join(broadcast(qv), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("qt"),
+        dot("qc", "dc").as("dp"))
+      .groupBy("query_id", "doc_id", "qt").agg(max("dp").as("best"))
+      .groupBy("query_id", "doc_id").agg(sum("best").as("score"))
+
+  /** Top-k prefix of a (query_id, doc_id, score) frame; ties broken
+    * by doc_id ascending (the pqTop5 determinism rule). */
+  def topK(scores: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Stage-1 candidates: top-C docs per query under the sum-pooled
+    * dot — the cheap single-vector pass (N pooled rows, not N x
+    * token-budget token rows). Pooled queries are |Q| rows,
+    * broadcast; ties break doc_id ascending. Returns
+    * (query_id, doc_id, prank). */
+  def pooledTopC(qv: DataFrame, dv: DataFrame, c: Int): DataFrame = {
+    val qp = pooled(qv, "query_id", "qc", "qs")
+    val dp = pooled(dv, "doc_id", "dc", "ds")
+    val pdot = (0 until Dim).map(j => col(s"qs$j") * col(s"ds$j")).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("pscore").desc, col("doc_id").asc)
+    dp.join(broadcast(qp), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), pdot.as("pscore"))
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= c)
+      .select("query_id", "doc_id", "prank")
+  }
+
+  /** Exact MaxSim restricted to candidate pairs: candidates equi-join
+    * the corpus token table on doc_id, then each query's token set
+    * re-scores only those docs — the PLAID two-stage shape. */
+  def prunedMaxSimScores(qv: DataFrame, dv: DataFrame,
+                         cand: DataFrame): DataFrame =
+    cand.join(dv, "doc_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("doc_id"), col("qt"),
+        dot("qc", "dc").as("dp"))
+      .groupBy("query_id", "doc_id", "qt").agg(max("dp").as("best"))
+      .groupBy("query_id", "doc_id").agg(sum("best").as("score"))
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryGroup, Tables}
+import graft.operators.LateInteraction
+
+/** Round-11 late-interaction (multi-vector MaxSim) retrieval family —
+  * the ColBERT scoring model (Khattab & Zaharia, SIGIR 2020) over
+  * md5-derived exact-integer token vectors, with a PLAID-style
+  * sign-cell pruned serving path (Santhanam et al., CIKM 2022) and
+  * the measured-recall discipline of the single-vector ANN family
+  * (q143/q214): approximation quality is reported, never assumed.
+  *
+  * Contract shared by all entries (and replayed verbatim by the
+  * oracles): corpus docs contribute their DISTINCT tokens among the
+  * first DocCap; queries are docs 0..7 contributing their distinct
+  * tokens among the first QCap; token vectors are
+  * LateInteraction.withVec's six md5 windows; self-pairs excluded;
+  * ties break doc_id ascending.
+  */
+object Retrieval extends QueryGroup {
+
+  private val li = LateInteraction
+  private val DocCap = 24 // per-doc token budget (corpus side)
+  private val QCap = 6    // per-query token budget
+  private val NQ = 8      // queries = docs 0..7
+  private val K = 5
+  // Stage-1 candidate pool per query. Sizing measured at sf0.01
+  // (DuckDB probe, exact-top5 containment in the pool): sum-pooling
+  // beats mean-pooling at every C (13 vs 11 of 40 at C=50, 26 vs 22
+  // at C=100); containment is ~3x chance — md5-random token vectors
+  // carry no cluster structure, so the pooled proxy is honest but
+  // weak here, and q232 MEASURES what survives rather than assuming
+  // ColBERT-paper recall. At larger SF, C stays constant while N
+  // grows: the pruning factor improves with scale.
+  private val PoolC = 100
+
+  private def corpusVecs(s: SparkSession, dir: String): DataFrame =
+    li.withVec(
+      li.docTokens(Tables.documents(s, dir), "doc_id", "text", DocCap),
+      "t", "dc")
+
+  private def queryVecs(s: SparkSession, dir: String): DataFrame =
+    li.withVec(
+      li.docTokens(Tables.documents(s, dir).filter(col("doc_id") < NQ),
+          "doc_id", "text", QCap)
+        .withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("t", "qt"),
+      "qt", "qc")
+
+  private def bruteTop5(s: SparkSession, dir: String): DataFrame =
+    li.topK(li.maxSimScores(queryVecs(s, dir), corpusVecs(s, dir)), K)
+
+  private def prunedTop5(s: SparkSession, dir: String): DataFrame = {
+    val qv = queryVecs(s, dir)
+    val dv = corpusVecs(s, dir)
+    val cand = li.pooledTopC(qv, dv, PoolC).select("query_id", "doc_id")
+    li.topK(li.prunedMaxSimScores(qv, dv, cand), K)
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force MaxSim top-5: the exact late-interaction baseline —
+    // one linear pass of the (bounded, broadcast) query-token set over
+    // the corpus token table, max-per-query-token then sum, both
+    // partial-agg friendly. The q36 shape generalized to multi-vector.
+    "q230_maxsim_topk" -> ((s, dir) => bruteTop5(s, dir)),
+
+    // Deployed two-stage late interaction (the q189 rerank pattern
+    // generalized to multi-vector): stage 1 scores ONE sum-pooled
+    // vector per doc — a DocCap-times-smaller table that composes
+    // with the whole single-vector ANN stack — and keeps top-PoolC
+    // candidates per query; stage 2 runs exact MaxSim only on those.
+    // Stage-2 work is PoolC x |q-tokens| x DocCap per query,
+    // independent of corpus size.
+    "q231_maxsim_pruned" -> ((s, dir) => prunedTop5(s, dir)),
+
+    // ... and its MEASURED quality (q143/q214 discipline), both
+    // stages: how many of the exact MaxSim top-5 the pooled proxy
+    // ranks in ITS top-5 (n_pool5 — what a single-vector-only system
+    // would return), and how many the full two-stage recovers
+    // (n_hit5 — the number that certifies PoolC).
+    "q232_maxsim_recall" -> ((s, dir) => {
+      val qv = queryVecs(s, dir)
+      val dv = corpusVecs(s, dir)
+      val pool = li.pooledTopC(qv, dv, PoolC)
+      val exact = bruteTop5(s, dir).select("query_id", "doc_id")
+      val pool5 = pool.filter(col("prank") <= K).select("query_id", "doc_id")
+      val twoStage = li.topK(li.prunedMaxSimScores(qv, dv,
+          pool.select("query_id", "doc_id")), K)
+        .select("query_id", "doc_id")
+      val nPool5 = pool5.join(exact, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_pool5"))
+      val nHit5 = twoStage.join(exact, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit5"))
+      qv.select("query_id").distinct()
+        .join(nPool5, Seq("query_id"), "left")
+        .join(nHit5, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_pool5"), lit(0L)).as("n_pool5"),
+          coalesce(col("n_hit5"), lit(0L)).as("n_hit5"))
+    }),
+
+    // IDF-weighted MaxSim: rare query tokens count for more —
+    // integer weight w(qt) = N - df(qt) + 1 (N = docs in the corpus
+    // token table, df = docs containing qt), so the weighting is
+    // BIGINT-exact and monotone in rarity. df comes from the same
+    // inverted projection the pruned path indexes; N is a 1-row
+    // aggregate broadcast (q53 shape).
+    "q233_maxsim_weighted" -> ((s, dir) => {
+      val qv = queryVecs(s, dir)
+      val dv = corpusVecs(s, dir)
+      val df_ = dv.groupBy("t").agg(countDistinct("doc_id").as("df"))
+      val n = dv.agg(countDistinct("doc_id").as("n_docs"))
+      val qw = qv.join(broadcast(df_), qv("qt") === df_("t"), "left")
+        .crossJoin(broadcast(n))
+        .select(qv.columns.map(col) :+
+          (col("n_docs") - coalesce(col("df"), lit(0L)) + 1L).as("w"): _*)
+      // weighted chain: max dot per (query, doc, qt), then sum w * best
+      val scored = dv.join(broadcast(qw), col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), col("qt"), col("w"),
+          (0 until li.Dim).map(j => col(s"qc$j") * col(s"dc$j")).reduce(_ + _).as("dp"))
+        .groupBy("query_id", "doc_id", "qt", "w").agg(max("dp").as("best"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("w") * col("best")).as("score"))
+      li.topK(scored, K)
+    })
+  )
+
+  // ---------------------------------------------------------------
+  // oracles — DuckDB replays the md5-window vectors, MaxSim chain,
+  // cell routing, and IDF weighting verbatim in BIGINT arithmetic.
+  // ---------------------------------------------------------------
+
+  private def dComps(p: String): String =
+    (0 until li.Dim).map(j =>
+      s"(('0x' || substr(h, ${1 + 5 * j}, 5))::BIGINT % 17 - 8) AS $p$j")
+      .mkString(", ")
+
+  private def dDot: String =
+    (0 until li.Dim).map(j => s"q.qc$j * d.dc$j").mkString(" + ")
+
+  /** Shared token-vector CTEs: dv (corpus) and qv (queries). */
+  private val vecCtes =
+    s"""tok AS (SELECT doc_id, regexp_extract_all(text, '([a-z0-9]+)', 1) AS toks
+           FROM documents),
+       dt AS (SELECT doc_id, unnest(list_distinct(toks[1:$DocCap])) AS t FROM tok),
+       dh AS (SELECT doc_id, t, md5('mv:' || t) AS h FROM dt),
+       dv AS (SELECT doc_id, t, ${dComps("dc")} FROM dh),
+       qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:$QCap])) AS t
+           FROM tok WHERE doc_id < $NQ),
+       qh AS (SELECT query_id, t, md5('mv:' || t) AS h FROM qt),
+       qv AS (SELECT query_id, t, ${dComps("qc")} FROM qh)"""
+
+  /** Brute MaxSim (query, doc, score) CTE chain ending in `sc`. */
+  private val bruteCtes =
+    s"""mx AS (SELECT q.query_id, d.doc_id, q.t,
+           max($dDot)::BIGINT AS best
+         FROM qv q, dv d WHERE d.doc_id <> q.query_id
+         GROUP BY 1, 2, 3),
+       sc AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
+         FROM mx GROUP BY 1, 2)"""
+
+  private def dPoolSums(src: String, id: String, in: String, out: String) =
+    s"""(SELECT $id, ${(0 until li.Dim)
+         .map(j => s"sum($in$j)::BIGINT AS $out$j").mkString(", ")}
+       FROM $src GROUP BY 1)"""
+
+  /** Two-stage CTE chain: pooled stage-1 candidates `cand` (with
+    * prank), then exact-MaxSim scores `psc` over candidates only. */
+  private val prunedCtes =
+    s"""qp AS ${dPoolSums("qv", "query_id", "qc", "qs")},
+       dp AS ${dPoolSums("dv", "doc_id", "dc", "ds")},
+       pk0 AS (SELECT q.query_id, d.doc_id,
+           (${(0 until li.Dim).map(j => s"q.qs$j * d.ds$j").mkString(" + ")})::BIGINT AS pscore
+         FROM qp q, dp d WHERE d.doc_id <> q.query_id),
+       pk AS (SELECT query_id, doc_id, pscore, row_number() OVER (
+           PARTITION BY query_id ORDER BY pscore DESC, doc_id ASC) AS prank
+         FROM pk0),
+       cand AS (SELECT query_id, doc_id, prank FROM pk WHERE prank <= $PoolC),
+       pmx AS (SELECT c.query_id, c.doc_id, q.t,
+           max($dDot)::BIGINT AS best
+         FROM cand c
+         JOIN dv d ON d.doc_id = c.doc_id
+         JOIN qv q ON q.query_id = c.query_id
+         GROUP BY 1, 2, 3),
+       psc AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
+         FROM pmx GROUP BY 1, 2)"""
+
+  private def dTop5(scores: String): String =
+    s"""r AS (SELECT query_id, doc_id, score, row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         FROM $scores)
+       SELECT query_id, rank, doc_id, score FROM r WHERE rank <= $K"""
+
+  override val oracles: Map[String, String] = Map(
+
+    "q230_maxsim_topk" ->
+      s"""WITH $vecCtes, $bruteCtes, ${dTop5("sc")}""",
+
+    "q231_maxsim_pruned" ->
+      s"""WITH $vecCtes, $prunedCtes, ${dTop5("psc")}""",
+
+    "q232_maxsim_recall" ->
+      s"""WITH $vecCtes, $bruteCtes, $prunedCtes,
+         er AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM sc),
+         e5 AS (SELECT query_id, doc_id FROM er WHERE rank <= $K),
+         p5 AS (SELECT query_id, doc_id FROM cand WHERE prank <= $K),
+         tr AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM psc),
+         t5 AS (SELECT query_id, doc_id FROM tr WHERE rank <= $K),
+         np AS (SELECT p5.query_id, count(*)::BIGINT AS n_pool5 FROM p5
+           JOIN e5 ON e5.query_id = p5.query_id AND e5.doc_id = p5.doc_id
+           GROUP BY 1),
+         nh AS (SELECT t5.query_id, count(*)::BIGINT AS n_hit5 FROM t5
+           JOIN e5 ON e5.query_id = t5.query_id AND e5.doc_id = t5.doc_id
+           GROUP BY 1),
+         qq AS (SELECT DISTINCT query_id FROM qv)
+         SELECT qq.query_id, coalesce(np.n_pool5, 0)::BIGINT AS n_pool5,
+           coalesce(nh.n_hit5, 0)::BIGINT AS n_hit5
+         FROM qq LEFT JOIN np ON np.query_id = qq.query_id
+         LEFT JOIN nh ON nh.query_id = qq.query_id""",
+
+    "q233_maxsim_weighted" ->
+      s"""WITH $vecCtes,
+         dfq AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM dv
+           GROUP BY 1),
+         nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM dv),
+         qw AS (SELECT q.*, (nn.n_docs - coalesce(dfq.df, 0) + 1)::BIGINT AS w
+           FROM qv q LEFT JOIN dfq ON dfq.t = q.t CROSS JOIN nn),
+         wmx AS (SELECT q.query_id, d.doc_id, q.t, q.w,
+             max($dDot)::BIGINT AS best
+           FROM qw q, dv d WHERE d.doc_id <> q.query_id
+           GROUP BY 1, 2, 3, 4),
+         wsc AS (SELECT query_id, doc_id, sum(w * best)::BIGINT AS score
+           FROM wmx GROUP BY 1, 2),
+         ${dTop5("wsc")}"""
+  )
+}
