@@ -80,6 +80,32 @@ object AdditiveRegistry {
       .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
   }
 
+  /** The fold restricted to batches STRICTLY BEFORE `beforeBatchId` —
+    * the replay-safe offset read for consumers whose batch output
+    * DEPENDS on the folded state (PackRegistry: a replayed batch must
+    * recompute its assignment from the same prefix it originally saw,
+    * so its own possibly-crash-committed delta partition must be
+    * excluded). Fails loudly when compaction has already absorbed the
+    * requested prefix boundary (the exact prefix is then
+    * unreconstructable): compact must trail the stream's replay
+    * horizon for such consumers — a standard checkpoint-trailing
+    * maintenance schedule, named here instead of silently misfolding. */
+  def foldBefore(spark: SparkSession, path: String, keys: Seq[String],
+                 valueCol: String, like: DataFrame,
+                 beforeBatchId: Long): DataFrame = {
+    if (!graft.operators.RegistryIO.committedDataExists(spark, path))
+      return like.limit(0)
+    val all = readAll(spark, path)
+    val h = horizon(all)
+    require(h < beforeBatchId,
+      s"AdditiveRegistry.foldBefore: horizon $h already absorbed batches " +
+        s">= the requested prefix boundary $beforeBatchId — the exact " +
+        "prefix fold is unreconstructable. Schedule compact() behind the " +
+        "stream's replay horizon for prefix-dependent consumers.")
+    valid(all, h).filter(col("batch_id") < beforeBatchId)
+      .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
+  }
+
   /** Compact the current base and every live partition with
     * batch_id <= upToBatchId into ONE new base — the q123
     * maintenance shape applied to the registry, bounding partition
