@@ -81,7 +81,8 @@ object PlanAudit {
     "q230_maxsim_topk" -> "exact late-interaction baseline: bounded query-token set (8 queries x <=6 tokens) broadcast over the corpus token scan (q36 shape generalized to multi-vector)",
     "q231_maxsim_pruned" -> "stage-1 pooled pass: 8 pooled query vectors broadcast over the pooled-doc table (q36 shape); stage-2 MaxSim is doc_id/query_id-keyed equi joins over the bounded candidate set",
     "q232_maxsim_recall" -> "recall eval needs the exact MaxSim baseline (q230's bounded query-token broadcast) plus q231's pooled stage-1 broadcast; stage-2 arms are keyed equi joins",
-    "q233_maxsim_weighted" -> "weighted exact MaxSim baseline (q230's bounded query-token broadcast) + 1-row corpus-size aggregate broadcast for the IDF weight (q53 shape)"
+    "q233_maxsim_weighted" -> "weighted exact MaxSim baseline (q230's bounded query-token broadcast) + 1-row corpus-size aggregate broadcast for the IDF weight (q53 shape)",
+    "q236_retrieval_metrics" -> "eval needs both arms: the exact MaxSim truth (q230's bounded query-token broadcast) and q231's pooled stage-1 broadcast; the metric joins are query_id/doc_id-keyed equi"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

@@ -118,6 +118,39 @@ object Retrieval extends QueryGroup {
         .select(qv.columns.map(col) :+
           (col("n_docs") - coalesce(col("df"), lit(0L)) + 1L).as("w"): _*)
       li.topK(li.weightedMaxSimScores(qw, dv), K)
+    }),
+
+    // Retrieval-quality metrics — the eval battery a pipeline runs
+    // over its retriever before trusting it for curation: the
+    // two-stage system (q231's ranking) judged against exact MaxSim
+    // truth (q230's top-5 as graded qrels, rel = 6 - rank). MRR and
+    // DCG/nDCG in the house transcendental-free discipline: the
+    // discount is RECIPROCAL-RANK (rel/i, rational) instead of
+    // 1/log2(i+1), every term an integer div in ppm (per-term floor,
+    // documented), so both engines produce bit-identical BIGINTs.
+    // IDCG comes from the truth table itself (ideal order = truth
+    // order, rel desc by construction).
+    "q236_retrieval_metrics" -> ((s, dir) => {
+      val truth = bruteTop5(s, dir)
+        .select(col("query_id"), col("doc_id"),
+          (lit(6) - col("rank")).cast("long").as("rel"),
+          col("rank").cast("long").as("tr"))
+      val sys = prunedTop5(s, dir)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("long").as("sr"))
+      val joined = sys.join(truth.select("query_id", "doc_id", "rel"),
+          Seq("query_id", "doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      val perQ = joined.groupBy("query_id").agg(
+        min(when(col("rel") > 0, col("sr"))).as("first_rel"),
+        sum(expr("(rel * 1000000) div sr")).as("dcg_ppm"))
+      val idcg = truth.groupBy("query_id")
+        .agg(sum(expr("(rel * 1000000) div tr")).as("idcg_ppm"))
+      perQ.join(idcg, Seq("query_id"))
+        .select(col("query_id"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_ppm"),
+          col("dcg_ppm"),
+          expr("(dcg_ppm * 1000000) div idcg_ppm").as("ndcg_ppm"))
     })
   )
 
@@ -231,6 +264,35 @@ object Retrieval extends QueryGroup {
            GROUP BY 1, 2, 3, 4),
          wsc AS (SELECT query_id, doc_id, sum(w * best)::BIGINT AS score
            FROM wmx GROUP BY 1, 2),
-         ${dTop5("wsc")}"""
+         ${dTop5("wsc")}""",
+
+    "q236_retrieval_metrics" ->
+      s"""WITH $vecCtes, $bruteCtes, $prunedCtes,
+         er AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM sc),
+         truth AS (SELECT query_id, doc_id, (6 - rank)::BIGINT AS rel,
+             rank::BIGINT AS tr
+           FROM er WHERE rank <= $K),
+         sr0 AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM psc),
+         sys AS (SELECT query_id, doc_id, rank::BIGINT AS sr FROM sr0
+           WHERE rank <= $K),
+         j AS (SELECT s.query_id, s.sr, coalesce(t.rel, 0) AS rel
+           FROM sys s LEFT JOIN truth t
+             ON t.query_id = s.query_id AND t.doc_id = s.doc_id),
+         pq AS (SELECT query_id,
+             min(CASE WHEN rel > 0 THEN sr END) AS first_rel,
+             sum((rel * 1000000) // sr)::BIGINT AS dcg_ppm
+           FROM j GROUP BY 1),
+         ic AS (SELECT query_id,
+             sum((rel * 1000000) // tr)::BIGINT AS idcg_ppm
+           FROM truth GROUP BY 1)
+         SELECT pq.query_id,
+           coalesce(1000000 // first_rel, 0)::BIGINT AS mrr_ppm,
+           pq.dcg_ppm,
+           ((pq.dcg_ppm * 1000000) // ic.idcg_ppm)::BIGINT AS ndcg_ppm
+         FROM pq JOIN ic ON ic.query_id = pq.query_id"""
   )
 }
