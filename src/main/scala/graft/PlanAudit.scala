@@ -82,7 +82,9 @@ object PlanAudit {
     "q231_maxsim_pruned" -> "stage-1 pooled pass: 8 pooled query vectors broadcast over the pooled-doc table (q36 shape); stage-2 MaxSim is doc_id/query_id-keyed equi joins over the bounded candidate set",
     "q232_maxsim_recall" -> "recall eval needs the exact MaxSim baseline (q230's bounded query-token broadcast) plus q231's pooled stage-1 broadcast; stage-2 arms are keyed equi joins",
     "q233_maxsim_weighted" -> "weighted exact MaxSim baseline (q230's bounded query-token broadcast) + 1-row corpus-size aggregate broadcast for the IDF weight (q53 shape)",
-    "q236_retrieval_metrics" -> "eval needs both arms: the exact MaxSim truth (q230's bounded query-token broadcast) and q231's pooled stage-1 broadcast; the metric joins are query_id/doc_id-keyed equi"
+    "q236_retrieval_metrics" -> "eval needs both arms: the exact MaxSim truth (q230's bounded query-token broadcast) and q231's pooled stage-1 broadcast; the metric joins are query_id/doc_id-keyed equi",
+    "q237_filtered_maxsim" -> "q231's pooled stage-1 broadcast over the lang-pruned corpus (q36 shape); stage-2 MaxSim is keyed equi joins",
+    "q238_filtered_recall" -> "eval needs the exact en-only MaxSim truth (q230's bounded query-token broadcast) plus BOTH pooled stage-1 arms (filtered and unfiltered, q231 shape); all stage-2/count joins are keyed equi"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

@@ -59,6 +59,42 @@ object Retrieval extends QueryGroup {
     li.topK(li.prunedMaxSimScores(qv, dv, cand), K)
   }
 
+  /** en-only corpus token vectors — the filtered-search constraint
+    * pushed all the way into the token scan (at real SF this is
+    * partition pruning on the lang column, free). */
+  private def corpusVecsEn(s: SparkSession, dir: String): DataFrame =
+    li.withVec(
+      li.docTokens(Tables.documents(s, dir).filter(col("lang") === "en"),
+        "doc_id", "text", DocCap), "t", "dc")
+
+  /** Exact filtered truth: brute MaxSim over the en-only corpus. */
+  private def bruteTop5En(s: SparkSession, dir: String): DataFrame =
+    li.topK(li.maxSimScores(queryVecs(s, dir), corpusVecsEn(s, dir)), K)
+
+  /** PRE-filtered two-stage: constraint inside BOTH stages (the
+    * filtered-ANN deployment shape). */
+  private def preFilteredTop5(s: SparkSession, dir: String): DataFrame = {
+    val qv = queryVecs(s, dir)
+    val dvEn = corpusVecsEn(s, dir)
+    val cand = li.pooledTopC(qv, dvEn, PoolC).select("query_id", "doc_id")
+    li.topK(li.prunedMaxSimScores(qv, dvEn, cand), K)
+  }
+
+  /** POST-filtered two-stage: the UNfiltered stage-1 pool filtered to
+    * en afterwards — what a constraint bolted onto an existing index
+    * does; loses whatever the global pool crowded out (measured in
+    * q238). */
+  private def postFilteredTop5(s: SparkSession, dir: String): DataFrame = {
+    val qv = queryVecs(s, dir)
+    val dv = corpusVecs(s, dir)
+    val enDocs = Tables.documents(s, dir).filter(col("lang") === "en")
+      .select("doc_id")
+    val cand = li.pooledTopC(qv, dv, PoolC)
+      .join(enDocs, Seq("doc_id"), "left_semi")
+      .select("query_id", "doc_id")
+    li.topK(li.prunedMaxSimScores(qv, dv, cand), K)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force MaxSim top-5: the exact late-interaction baseline —
@@ -151,6 +187,44 @@ object Retrieval extends QueryGroup {
           coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_ppm"),
           col("dcg_ppm"),
           expr("(dcg_ppm * 1000000) div idcg_ppm").as("ndcg_ppm"))
+    }),
+
+    // FILTERED retrieval, the right way: the attribute constraint
+    // (lang = 'en') pushed into BOTH stages — the token scan (at real
+    // SF: partition pruning, free) and therefore the pooled index and
+    // the rerank. Every result satisfies the predicate by
+    // construction and the candidate pool is spent entirely on
+    // eligible docs.
+    "q237_filtered_maxsim" -> ((s, dir) => preFilteredTop5(s, dir)),
+
+    // ... vs the constraint bolted on AFTERWARDS (post-filtering the
+    // unfiltered pool — what an index without predicate support
+    // forces), measured per query against the exact en-only MaxSim
+    // truth: n_pre_hit5 / n_post_hit5 (hits@5 of each strategy) and
+    // n_post_cand (how much of the PoolC budget survives the post
+    // filter — the wasted-pool number).
+    "q238_filtered_recall" -> ((s, dir) => {
+      val qv = queryVecs(s, dir)
+      val truth = bruteTop5En(s, dir).select("query_id", "doc_id")
+      val pre = preFilteredTop5(s, dir).select("query_id", "doc_id")
+      val post = postFilteredTop5(s, dir).select("query_id", "doc_id")
+      val enDocs = Tables.documents(s, dir).filter(col("lang") === "en")
+        .select("doc_id")
+      val postCand = li.pooledTopC(qv, corpusVecs(s, dir), PoolC)
+        .join(enDocs, Seq("doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_post_cand"))
+      val preHit = pre.join(truth, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_pre_hit5"))
+      val postHit = post.join(truth, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_post_hit5"))
+      qv.select("query_id").distinct()
+        .join(preHit, Seq("query_id"), "left")
+        .join(postHit, Seq("query_id"), "left")
+        .join(postCand, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_pre_hit5"), lit(0L)).as("n_pre_hit5"),
+          coalesce(col("n_post_hit5"), lit(0L)).as("n_post_hit5"),
+          coalesce(col("n_post_cand"), lit(0L)).as("n_post_cand"))
     })
   )
 
@@ -193,26 +267,42 @@ object Retrieval extends QueryGroup {
          .map(j => s"sum($in$j)::BIGINT AS $out$j").mkString(", ")}
        FROM $src GROUP BY 1)"""
 
-  /** Two-stage CTE chain: pooled stage-1 candidates `cand` (with
-    * prank), then exact-MaxSim scores `psc` over candidates only. */
-  private val prunedCtes =
-    s"""qp AS ${dPoolSums("qv", "query_id", "qc", "qs")},
-       dp AS ${dPoolSums("dv", "doc_id", "dc", "ds")},
-       pk0 AS (SELECT q.query_id, d.doc_id,
+  private val qpCte = s"qp AS ${dPoolSums("qv", "query_id", "qc", "qs")}"
+
+  /** Two-stage CTE chain over token-vector source `$dvSrc`, CTE names
+    * prefixed `$p`: pooled stage-1 candidates `${p}cand` (with prank),
+    * then exact-MaxSim scores `${p}psc` over candidates only.
+    * Requires `qp` (qpCte) in scope. */
+  private def dTwoStage(p: String, dvSrc: String): String =
+    s"""${p}dp AS ${dPoolSums(dvSrc, "doc_id", "dc", "ds")},
+       ${p}pk0 AS (SELECT q.query_id, d.doc_id,
            (${(0 until li.Dim).map(j => s"q.qs$j * d.ds$j").mkString(" + ")})::BIGINT AS pscore
-         FROM qp q, dp d WHERE d.doc_id <> q.query_id),
-       pk AS (SELECT query_id, doc_id, pscore, row_number() OVER (
+         FROM qp q, ${p}dp d WHERE d.doc_id <> q.query_id),
+       ${p}pk AS (SELECT query_id, doc_id, pscore, row_number() OVER (
            PARTITION BY query_id ORDER BY pscore DESC, doc_id ASC) AS prank
-         FROM pk0),
-       cand AS (SELECT query_id, doc_id, prank FROM pk WHERE prank <= $PoolC),
-       pmx AS (SELECT c.query_id, c.doc_id, q.t,
+         FROM ${p}pk0),
+       ${p}cand AS (SELECT query_id, doc_id, prank FROM ${p}pk
+         WHERE prank <= $PoolC),
+       ${p}pmx AS (SELECT c.query_id, c.doc_id, q.t,
            max($dDot)::BIGINT AS best
-         FROM cand c
-         JOIN dv d ON d.doc_id = c.doc_id
+         FROM ${p}cand c
+         JOIN $dvSrc d ON d.doc_id = c.doc_id
          JOIN qv q ON q.query_id = c.query_id
          GROUP BY 1, 2, 3),
-       psc AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
-         FROM pmx GROUP BY 1, 2)"""
+       ${p}psc AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
+         FROM ${p}pmx GROUP BY 1, 2)"""
+
+  /** The q231/q232/q236 unfiltered chain (names dp/pk/cand/psc). */
+  private val prunedCtes = s"$qpCte, ${dTwoStage("", "dv")}"
+
+  /** en-only corpus vectors + the filtered two-stage chain (names
+    * fdp/fpk/fcand/fpsc) — the q237 pre-filtered deployment shape.
+    * Does NOT include qp: compose with qpCte (q237) or prunedCtes
+    * (q238, which already carries it). */
+  private val filteredCtes =
+    s"""endocs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       fdv AS (SELECT dv.* FROM dv JOIN endocs USING (doc_id)),
+       ${dTwoStage("f", "fdv")}"""
 
   private def dTop5(scores: String): String =
     s"""r AS (SELECT query_id, doc_id, score, row_number() OVER (
@@ -293,6 +383,56 @@ object Retrieval extends QueryGroup {
            coalesce(1000000 // first_rel, 0)::BIGINT AS mrr_ppm,
            pq.dcg_ppm,
            ((pq.dcg_ppm * 1000000) // ic.idcg_ppm)::BIGINT AS ndcg_ppm
-         FROM pq JOIN ic ON ic.query_id = pq.query_id"""
+         FROM pq JOIN ic ON ic.query_id = pq.query_id""",
+
+    "q237_filtered_maxsim" ->
+      s"""WITH $vecCtes, $qpCte, $filteredCtes, ${dTop5("fpsc")}""",
+
+    "q238_filtered_recall" ->
+      s"""WITH $vecCtes, $prunedCtes, $filteredCtes,
+         fmx AS (SELECT q.query_id, d.doc_id, q.t,
+             max($dDot)::BIGINT AS best
+           FROM qv q, fdv d WHERE d.doc_id <> q.query_id
+           GROUP BY 1, 2, 3),
+         fsc AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
+           FROM fmx GROUP BY 1, 2),
+         ftr AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM fsc),
+         ft5 AS (SELECT query_id, doc_id FROM ftr WHERE rank <= $K),
+         prer AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM fpsc),
+         pre5 AS (SELECT query_id, doc_id FROM prer WHERE rank <= $K),
+         pcand AS (SELECT c.query_id, c.doc_id FROM cand c
+           JOIN endocs USING (doc_id)),
+         ppmx AS (SELECT c.query_id, c.doc_id, q.t,
+             max($dDot)::BIGINT AS best
+           FROM pcand c
+           JOIN dv d ON d.doc_id = c.doc_id
+           JOIN qv q ON q.query_id = c.query_id
+           GROUP BY 1, 2, 3),
+         ppsc AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
+           FROM ppmx GROUP BY 1, 2),
+         postr AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM ppsc),
+         post5 AS (SELECT query_id, doc_id FROM postr WHERE rank <= $K),
+         preh AS (SELECT pre5.query_id, count(*)::BIGINT AS n_pre_hit5
+           FROM pre5 JOIN ft5 ON ft5.query_id = pre5.query_id
+             AND ft5.doc_id = pre5.doc_id GROUP BY 1),
+         posth AS (SELECT post5.query_id, count(*)::BIGINT AS n_post_hit5
+           FROM post5 JOIN ft5 ON ft5.query_id = post5.query_id
+             AND ft5.doc_id = post5.doc_id GROUP BY 1),
+         pcn AS (SELECT query_id, count(*)::BIGINT AS n_post_cand
+           FROM pcand GROUP BY 1),
+         qq AS (SELECT DISTINCT query_id FROM qv)
+         SELECT qq.query_id,
+           coalesce(preh.n_pre_hit5, 0)::BIGINT AS n_pre_hit5,
+           coalesce(posth.n_post_hit5, 0)::BIGINT AS n_post_hit5,
+           coalesce(pcn.n_post_cand, 0)::BIGINT AS n_post_cand
+         FROM qq LEFT JOIN preh ON preh.query_id = qq.query_id
+         LEFT JOIN posth ON posth.query_id = qq.query_id
+         LEFT JOIN pcn ON pcn.query_id = qq.query_id"""
   )
 }
