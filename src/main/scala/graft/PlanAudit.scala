@@ -84,7 +84,9 @@ object PlanAudit {
     "q233_maxsim_weighted" -> "weighted exact MaxSim baseline (q230's bounded query-token broadcast) + 1-row corpus-size aggregate broadcast for the IDF weight (q53 shape)",
     "q236_retrieval_metrics" -> "eval needs both arms: the exact MaxSim truth (q230's bounded query-token broadcast) and q231's pooled stage-1 broadcast; the metric joins are query_id/doc_id-keyed equi",
     "q237_filtered_maxsim" -> "q231's pooled stage-1 broadcast over the lang-pruned corpus (q36 shape); stage-2 MaxSim is keyed equi joins",
-    "q238_filtered_recall" -> "eval needs the exact en-only MaxSim truth (q230's bounded query-token broadcast) plus BOTH pooled stage-1 arms (filtered and unfiltered, q231 shape); all stage-2/count joins are keyed equi"
+    "q238_filtered_recall" -> "eval needs the exact en-only MaxSim truth (q230's bounded query-token broadcast) plus BOTH pooled stage-1 arms (filtered and unfiltered, q231 shape); all stage-2/count joins are keyed equi",
+    "q239_prf_maxsim" -> "q231's pooled stage-1 broadcast (feedback-doc selection) + the expanded exact MaxSim scan (q230 shape, bounded 8 x <=8 expanded query tokens broadcast)",
+    "q240_prf_drift" -> "both exact MaxSim arms (plain + expanded, q230 shape) + the pooled feedback selection broadcast; drift joins are keyed equi"
   )
 
   /** Global-window allow-list: the windowed relation is bounded by

@@ -80,6 +80,29 @@ object Retrieval extends QueryGroup {
     li.topK(li.prunedMaxSimScores(qv, dvEn, cand), K)
   }
 
+  /** Pseudo-relevance-feedback expansion (Rocchio/RM3 lineage, made
+    * deterministic): per query, the 2 rarest tokens (df asc, token
+    * asc) of its pooled top-3 docs that are NOT already query tokens
+    * join the query's token set; MaxSim reruns with the expanded
+    * set. Returns (query vectors expanded, feedback-token table). */
+  private def prfExpand(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val qv = queryVecs(s, dir)
+    val dv = corpusVecs(s, dir)
+    val dfq = dv.groupBy("t").agg(countDistinct("doc_id").as("df"))
+    val top3 = li.pooledTopC(qv, dv, 3).select("query_id", "doc_id")
+    val fbCand = top3.join(dv.select("doc_id", "t"), "doc_id")
+      .join(qv.select(col("query_id"), col("qt").as("t")).distinct(),
+        Seq("query_id", "t"), "left_anti")
+      .select("query_id", "t").distinct()
+      .join(dfq, "t")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("df").asc, col("t").asc)
+    val fb = fbCand.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 2)
+      .select(col("query_id"), col("t").as("qt"))
+    (qv.unionByName(li.withVec(fb, "qt", "qc")), fb)
+  }
+
   /** POST-filtered two-stage: the UNfiltered stage-1 pool filtered to
     * en afterwards — what a constraint bolted onto an existing index
     * does; loses whatever the global pool crowded out (measured in
@@ -225,6 +248,38 @@ object Retrieval extends QueryGroup {
           coalesce(col("n_pre_hit5"), lit(0L)).as("n_pre_hit5"),
           coalesce(col("n_post_hit5"), lit(0L)).as("n_post_hit5"),
           coalesce(col("n_post_cand"), lit(0L)).as("n_post_cand"))
+    }),
+
+    // Pseudo-relevance-feedback query expansion (Rocchio/RM3
+    // lineage, deterministic): per query, the 2 rarest
+    // not-already-query tokens of its pooled top-3 docs join the
+    // query token set, and exact MaxSim reruns with the expanded
+    // set — the classic recall lever when queries are short. The df
+    // table is the same inverted projection q233 weights with.
+    "q239_prf_maxsim" -> ((s, dir) => {
+      val (eqv, _) = prfExpand(s, dir)
+      li.topK(li.maxSimScores(eqv, corpusVecs(s, dir)), K)
+    }),
+
+    // ... and its MEASURED effect: expansion has no ground truth, so
+    // the reported number is result DRIFT vs the unexpanded exact
+    // top-5 (n_overlap5) plus how many feedback tokens actually
+    // attached (n_fb) — expansion that changes nothing and expansion
+    // that replaces the whole result set are both visible.
+    "q240_prf_drift" -> ((s, dir) => {
+      val (eqv, fb) = prfExpand(s, dir)
+      val plain = bruteTop5(s, dir).select("query_id", "doc_id")
+      val expanded = li.topK(li.maxSimScores(eqv, corpusVecs(s, dir)), K)
+        .select("query_id", "doc_id")
+      val nFb = fb.groupBy("query_id").agg(count(lit(1)).as("n_fb"))
+      val overlap = expanded.join(plain, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap5"))
+      queryVecs(s, dir).select("query_id").distinct()
+        .join(nFb, Seq("query_id"), "left")
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_fb"), lit(0L)).as("n_fb"),
+          coalesce(col("n_overlap5"), lit(0L)).as("n_overlap5"))
     })
   )
 
@@ -303,6 +358,34 @@ object Retrieval extends QueryGroup {
     s"""endocs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
        fdv AS (SELECT dv.* FROM dv JOIN endocs USING (doc_id)),
        ${dTwoStage("f", "fdv")}"""
+
+  /** PRF chain: feedback tokens from the pooled top-3 (requires
+    * prunedCtes' `cand` in scope), expanded query vectors `eqv`,
+    * expanded exact-MaxSim scores `esc`. */
+  private val prfCtes = {
+    val qcols = (0 until li.Dim).map(j => s"qc$j").mkString(", ")
+    s"""dfq AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM dv
+           GROUP BY 1),
+       top3 AS (SELECT query_id, doc_id FROM cand WHERE prank <= 3),
+       fbc AS (SELECT DISTINCT c.query_id, d.t FROM top3 c
+           JOIN dv d ON d.doc_id = c.doc_id
+           WHERE NOT EXISTS (SELECT 1 FROM qv q
+             WHERE q.query_id = c.query_id AND q.t = d.t)),
+       fbr AS (SELECT fbc.query_id, fbc.t, row_number() OVER (
+           PARTITION BY fbc.query_id ORDER BY dfq.df ASC, fbc.t ASC) AS r
+         FROM fbc JOIN dfq USING (t)),
+       fb AS (SELECT query_id, t FROM fbr WHERE r <= 2),
+       fbh AS (SELECT query_id, t, md5('mv:' || t) AS h FROM fb),
+       fbv AS (SELECT query_id, t, ${dComps("qc")} FROM fbh),
+       eqv AS (SELECT query_id, t, $qcols FROM qv
+         UNION ALL SELECT query_id, t, $qcols FROM fbv),
+       emx AS (SELECT q.query_id, d.doc_id, q.t,
+           max($dDot)::BIGINT AS best
+         FROM eqv q, dv d WHERE d.doc_id <> q.query_id
+         GROUP BY 1, 2, 3),
+       esc AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
+         FROM emx GROUP BY 1, 2)"""
+  }
 
   private def dTop5(scores: String): String =
     s"""r AS (SELECT query_id, doc_id, score, row_number() OVER (
@@ -433,6 +516,31 @@ object Retrieval extends QueryGroup {
            coalesce(pcn.n_post_cand, 0)::BIGINT AS n_post_cand
          FROM qq LEFT JOIN preh ON preh.query_id = qq.query_id
          LEFT JOIN posth ON posth.query_id = qq.query_id
-         LEFT JOIN pcn ON pcn.query_id = qq.query_id"""
+         LEFT JOIN pcn ON pcn.query_id = qq.query_id""",
+
+    "q239_prf_maxsim" ->
+      s"""WITH $vecCtes, $prunedCtes, $prfCtes, ${dTop5("esc")}""",
+
+    "q240_prf_drift" ->
+      s"""WITH $vecCtes, $bruteCtes, $prunedCtes, $prfCtes,
+         er AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM sc),
+         e5 AS (SELECT query_id, doc_id FROM er WHERE rank <= $K),
+         xr AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM esc),
+         x5 AS (SELECT query_id, doc_id FROM xr WHERE rank <= $K),
+         nfb AS (SELECT query_id, count(*)::BIGINT AS n_fb FROM fb
+           GROUP BY 1),
+         ov AS (SELECT x5.query_id, count(*)::BIGINT AS n_overlap5 FROM x5
+           JOIN e5 ON e5.query_id = x5.query_id AND e5.doc_id = x5.doc_id
+           GROUP BY 1),
+         qq AS (SELECT DISTINCT query_id FROM qv)
+         SELECT qq.query_id,
+           coalesce(nfb.n_fb, 0)::BIGINT AS n_fb,
+           coalesce(ov.n_overlap5, 0)::BIGINT AS n_overlap5
+         FROM qq LEFT JOIN nfb ON nfb.query_id = qq.query_id
+         LEFT JOIN ov ON ov.query_id = qq.query_id"""
   )
 }
