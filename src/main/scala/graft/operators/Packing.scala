@@ -35,12 +35,26 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** A partition-key segment rendered collision-proof for pack_key:
+    * "<length>:<value>". The joiner below is '-', which a caller's
+    * partition value (BCP-47 "pt-br", arbitrary partitionCols) may
+    * legitimately contain — without the length prefix, ("pt-br", 1)
+    * and ("pt", "br-1"-shaped neighbors) could concatenate to the
+    * same key and silently merge two packs, breaking the
+    * feasibility-by-construction guarantee for any consumer grouping
+    * by pack_key alone. The length prefix makes every segment
+    * self-delimiting; fclass and bin are non-negative integers and
+    * need none. */
+  private[graft] def keySeg(c: Column): Column =
+    concat(length(c).cast("string"), lit(":"), c)
+
   /** Per-doc pack assignment. Input must carry `idCol` and a
     * positive-integer token count `nCol`; rows with n <= 0 are
     * dropped (nothing to pack). Output adds:
     *   fclass   — floor(L / n) (0 = oversized),
-    *   pack_key — "<partitionCols>-<fclass>-<bin>" (globally unique,
-    *              deterministic),
+    *   pack_key — "<len:partitionCol>…-<fclass>-<bin>" (globally
+    *              unique, deterministic; partition segments are
+    *              length-prefixed — see keySeg),
     *   is_overflow — n > L.
     */
   def harmonicPack(df: DataFrame, idCol: String, nCol: String,
@@ -57,7 +71,8 @@ object Packing {
       .withColumn("perpack", greatest(col("fclass"), lit(1L)))
       .withColumn("bin", expr("(rn - 1) div perpack"))
       .withColumn("pack_key",
-        concat_ws("-", (partitionCols.map(col) :+ col("fclass") :+ col("bin")): _*))
+        concat_ws("-", (partitionCols.map(c => keySeg(col(c)))
+          :+ col("fclass") :+ col("bin")): _*))
       .withColumn("is_overflow", col(nCol) > budget)
       .drop("rn", "perpack", "bin")
   }

@@ -55,8 +55,8 @@ object Pack extends QueryGroup {
        r AS (SELECT *, row_number() OVER (
            PARTITION BY lang, fclass ORDER BY doc_id ASC) AS rn FROM c),
        p AS (SELECT doc_id, lang, n_tokens, fclass,
-           lang || '-' || fclass::VARCHAR || '-' ||
-             ((rn - 1) // greatest(fclass, 1))::VARCHAR AS pack_key,
+           length(lang)::VARCHAR || ':' || lang || '-' || fclass::VARCHAR
+             || '-' || ((rn - 1) // greatest(fclass, 1))::VARCHAR AS pack_key,
            n_tokens > $Budget AS is_overflow
          FROM r)"""
 

@@ -97,14 +97,42 @@ object AdditiveRegistry {
       return like.limit(0)
     val all = readAll(spark, path)
     val h = horizon(all)
-    require(h < beforeBatchId,
-      s"AdditiveRegistry.foldBefore: horizon $h already absorbed batches " +
+    def unreconstructable(atHorizon: Long) =
+      s"AdditiveRegistry.foldBefore: horizon $atHorizon absorbed batches " +
         s">= the requested prefix boundary $beforeBatchId — the exact " +
         "prefix fold is unreconstructable. Schedule compact() behind the " +
-        "stream's replay horizon for prefix-dependent consumers.")
-    valid(all, h).filter(col("batch_id") < beforeBatchId)
-      .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
+        "stream's replay horizon for prefix-dependent consumers."
+    require(h < beforeBatchId, unreconstructable(h))
+    // This read runs WITHOUT the maintenance lock (appends and reads
+    // are lock-free by design), so a compact() racing it can pass the
+    // check above and then GC absorbed partitions mid-scan. Two-part
+    // defense: materialize the fold EAGERLY (so the scan happens here,
+    // not at some later consumer action), surfacing a GC-torn scan as
+    // the NAMED contract violation instead of a raw
+    // FileNotFoundException; then RE-CHECK the horizon — if a compact
+    // crossed the boundary while we scanned, the fold may have read a
+    // mix of old listing and new tree, so abort loudly even when the
+    // scan itself survived.
+    val folded =
+      try valid(all, h).filter(col("batch_id") < beforeBatchId)
+        .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
+        .localCheckpoint(true)
+      catch {
+        case e: Throwable if causedByMissingFile(e) =>
+          throw new IllegalStateException(
+            unreconstructable(horizon(readAll(spark, path))) +
+              " (a concurrent compact() GC'd absorbed partitions " +
+              "mid-fold)", e)
+      }
+    val h2 = horizon(readAll(spark, path))
+    require(h2 < beforeBatchId, unreconstructable(h2) +
+      " (a compact() crossed the boundary while this fold was scanning)")
+    folded
   }
+
+  private def causedByMissingFile(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(_.isInstanceOf[java.io.FileNotFoundException])
 
   /** Compact the current base and every live partition with
     * batch_id <= upToBatchId into ONE new base — the q123

@@ -66,7 +66,8 @@ object PackRegistry {
       .withColumn("perpack", greatest(col("fclass"), lit(1L)))
       .withColumn("bin", expr("g div perpack"))
       .withColumn("pack_key",
-        concat_ws("-", col("lang"), col("fclass"), col("bin")))
+        concat_ws("-", graft.operators.Packing.keySeg(col("lang")),
+          col("fclass"), col("bin")))
       .withColumn("is_overflow", col(nCol) > budget)
       .drop("n_before", "rb", "g", "perpack", "bin")
     // pin the assignment BEFORE the first write: both sinks must see

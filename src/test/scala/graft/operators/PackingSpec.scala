@@ -37,7 +37,21 @@ class PackingSpec extends SparkSpec {
     // docs 5-7: n in (50, 66] -> f=3, one pack of 3
     assert(p(5L)._1 == 3L && p(5L)._2 == p(6L)._2 && p(6L)._2 == p(7L)._2)
     // partition keys never mix
-    assert(p(10L)._2.startsWith("de-"))
+    assert(p(10L)._2.startsWith("2:de-"))
+  }
+
+  test("pack_key segments are length-prefixed: delimiter-bearing " +
+    "partition values cannot collide") {
+    // before length-prefixing, ("a-1", "b") and ("a", "1-b") both
+    // rendered "a-1-b-<f>-<bin>" — two different partitions silently
+    // merged into one pack_key, breaking feasibility for consumers
+    // grouping by pack_key alone
+    val d = df("id BIGINT, c1 STRING, c2 STRING, n BIGINT", Seq(
+      Row(1L, "a-1", "b", 100L), Row(2L, "a", "1-b", 100L)))
+    val keys = Packing.harmonicPack(d, "id", "n", 200, Seq("c1", "c2"))
+      .select("pack_key").collect().map(_.getString(0))
+    assert(keys.length == 2 && keys.distinct.length == 2)
+    assert(keys.contains("3:a-1-1:b-2-0") && keys.contains("1:a-3:1-b-2-0"))
   }
 
   test("oversized docs are isolated one-per-pack and flagged; n=0 dropped") {

@@ -94,7 +94,7 @@ class PackRegistrySpec extends SparkSpec {
       mkDocs(Seq(Row(10L, "en", 93L))), 2L)
     val m = keyMap(PackRegistry.assignments(spark, out))
     // doc 10 is the 6th en class-2 doc -> pack bin 2 (packs of 2)
-    assert(m(10L) == "en-2-2")
+    assert(m(10L) == "2:en-2-2")
   }
 
   test("zero-token docs drop; oversized docs flagged and isolated") {
@@ -106,6 +106,6 @@ class PackRegistrySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).toSet == Set(2L, 3L))
     val over = rows.filter(_.getAs[Boolean]("is_overflow"))
     assert(over.map(_.getAs[Long]("id")).toSeq == Seq(2L))
-    assert(over.head.getAs[String]("pack_key").startsWith("en-0-"))
+    assert(over.head.getAs[String]("pack_key").startsWith("2:en-0-"))
   }
 }
