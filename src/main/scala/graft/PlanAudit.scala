@@ -86,6 +86,8 @@ object PlanAudit {
     "q237_filtered_maxsim" -> "q231's pooled stage-1 broadcast over the lang-pruned corpus (q36 shape); stage-2 MaxSim is keyed equi joins",
     "q238_filtered_recall" -> "eval needs the exact en-only MaxSim truth (q230's bounded query-token broadcast) plus BOTH pooled stage-1 arms (filtered and unfiltered, q231 shape); all stage-2/count joins are keyed equi",
     "q239_prf_maxsim" -> "q231's pooled stage-1 broadcast (feedback-doc selection) + the expanded exact MaxSim scan (q230 shape, bounded 8 x <=8 expanded query tokens broadcast)",
+    "q241_lireg_probe" -> "q231's stage-1 shape served from the PERSISTED pooled store: 8 pooled query vectors broadcast over the stored pooled table; stage-2 MaxSim is keyed equi joins over the isin-pruned token fetch",
+    "q242_lireg_ingest_probe" -> "q241's persisted two-stage shape over the incrementally-built (fit + ingest) stores — same bounded pooled-query broadcast",
     "q240_prf_drift" -> "both exact MaxSim arms (plain + expanded, q230 shape) + the pooled feedback selection broadcast; drift joins are keyed equi"
   )
 

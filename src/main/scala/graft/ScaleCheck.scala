@@ -606,6 +606,41 @@ object ScaleCheck {
         })
     }
 
+    // LateInteractionRegistry persisted two-stage probe (round 12):
+    // fixed 8-query token sets against a 1x/10x/100x PERSISTED
+    // token + pooled store. Seeding (fit: token derivation + exact
+    // pooling) is untimed setup; the timed number is the serving
+    // probe — stage 1 scans the stored POOLED table (one narrow row
+    // per doc, DocCap x smaller than the token table the brute rows
+    // above scan), stage 2 fetches only the |Q| x C candidates'
+    // token rows through the isin-pruned bucketed scan. Expected:
+    // sublinear vs the q230 brute row — stage 1 grows with N at a
+    // DocCap-smaller constant, stage 2 is corpus-independent.
+    if (wantRow("lateinteractionregistry two-stage probe (fixed 8 queries)")) {
+      val li = operators.LateInteraction
+      val qv8 = li.withVec(
+        li.docTokens(copy(0).filter(col("doc_id") < 8), "doc_id", "text", 6)
+          .withColumnRenamed("doc_id", "query_id")
+          .withColumnRenamed("t", "qt"),
+        "qt", "qc").localCheckpoint(true)
+      fmtRow("LateInteractionRegistry two-stage probe (fixed 8 queries)",
+        "lireg_probe",
+        mults.map { m =>
+          try {
+            val docsM = Tables.documents(spark, dirs(m))
+            val reg = new operators.LateInteractionRegistry(
+              s"$root/lireg$m/r")
+            reg.fit(spark, docsM, "doc_id", "text", 24)
+            Some(time2(reg.probe(spark, qv8, k = 5, c = 100).count()))
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[scalecheck] lireg-probe x$m: ${e.getMessage}")
+              None
+          }
+        })
+    }
+
     // incremental CC: fold a FIXED 300-edge batch into the standing
     // labeling — the contracted fixpoint is bounded by the batch, so
     // history size enters only through the rep-lookup/remap

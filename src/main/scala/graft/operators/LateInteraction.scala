@@ -127,12 +127,36 @@ object LateInteraction {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("w") * col("best")).as("score"))
 
+  /** Shard count for the partial pre-rank below: bounds the final
+    * per-query window's input at Shards x k rows per query. */
+  private val RankShards = 64
+
+  /** Partial per-(query, shard) top-k BEFORE a per-query window —
+    * the TakeOrderedAndProject discipline applied to a keyed window:
+    * a window partitioned only by query_id funnels ALL N scored rows
+    * per query into |Q| single-task sorts at real SF (|Q| = 8 here),
+    * a bottleneck the per-plan SinglePartition audit cannot see.
+    * Sharding on hash(doc_id) first reduces each query's rows to
+    * <= RankShards x k in parallel; exact, because every global
+    * top-k row is a fortiori in its shard's top-k under the same
+    * (score desc, doc_id asc) order. */
+  private def shardPruneTopK(scored: DataFrame, k: Int): DataFrame = {
+    val pre = Window
+      .partitionBy(col("query_id"), pmod(hash(col("doc_id")), lit(RankShards)))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("srn", row_number().over(pre))
+      .filter(col("srn") <= k)
+      .drop("srn")
+  }
+
   /** Top-k prefix of a (query_id, doc_id, score) frame; ties broken
-    * by doc_id ascending (the pqTop5 determinism rule). */
+    * by doc_id ascending (the pqTop5 determinism rule). Pre-reduced
+    * per shard (shardPruneTopK) so the per-query sort sees a bounded
+    * relation at any corpus size. */
   def topK(scores: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    scores.withColumn("rank", row_number().over(w))
+    shardPruneTopK(scores, k).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
@@ -142,14 +166,24 @@ object LateInteraction {
     * token-budget token rows). Pooled queries are |Q| rows,
     * broadcast; ties break doc_id ascending. Returns
     * (query_id, doc_id, prank). */
-  def pooledTopC(qv: DataFrame, dv: DataFrame, c: Int): DataFrame = {
-    val qp = pooled(qv, "query_id", "qc", "qs")
-    val dp = pooled(dv, "doc_id", "dc", "ds")
+  def pooledTopC(qv: DataFrame, dv: DataFrame, c: Int): DataFrame =
+    pooledTopCOf(pooled(qv, "query_id", "qc", "qs"),
+      pooled(dv, "doc_id", "dc", "ds"), c)
+
+  /** Stage-1 candidates from ALREADY-POOLED frames: qp (query_id,
+    * qs0..) — |Q| rows, broadcast — and dp (doc_id, ds0..). The
+    * persisted-serving entry point: LateInteractionRegistry's probe
+    * scores its STORED pooled table here instead of re-pooling the
+    * corpus token scan per query. */
+  def pooledTopCOf(qp: DataFrame, dp: DataFrame, c: Int): DataFrame = {
     val pdot = (0 until Dim).map(j => col(s"qs$j") * col(s"ds$j")).reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("pscore").desc, col("doc_id").asc)
-    dp.join(broadcast(qp), col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"), pdot.as("pscore"))
+    val scored = dp.join(broadcast(qp), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), pdot.as("score"))
+    // shard-prune on the pooled score, then restore the prank naming
+    shardPruneTopK(scored, c)
+      .withColumnRenamed("score", "pscore")
       .withColumn("prank", row_number().over(w))
       .filter(col("prank") <= c)
       .select("query_id", "doc_id", "prank")

@@ -52,6 +52,39 @@ object Retrieval extends QueryGroup {
   private def bruteTop5(s: SparkSession, dir: String): DataFrame =
     li.topK(li.maxSimScores(queryVecs(s, dir), corpusVecs(s, dir)), K)
 
+  /** q241/q242's persisted LateInteractionRegistry stores, built once
+    * per JVM per sf dir (the q208Stores/q228 "seeding untimed"
+    * convention): (a) full-corpus fit — steady-state serving; (b) fit
+    * on 96% of the corpus with the doc_id % 25 == 7 slice arriving as
+    * an ingest batch — the incremental-build store. Both are
+    * deterministic functions of the documents table (md5 token
+    * vectors, exact BIGINT pooling), so cache reuse changes nothing;
+    * the timed entries are the read-only persisted probes. */
+  private val liRegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def liRegStore(s: SparkSession, dir: String): String =
+    liRegCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lireg").toString
+      val reg = new graft.operators.LateInteractionRegistry(s"$root/reg")
+      reg.fit(s, Tables.documents(s, dir), "doc_id", "text", DocCap)
+      s"$root/reg"
+    })
+  private val liRegIncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def liRegIncStore(s: SparkSession, dir: String): String =
+    liRegIncCache.computeIfAbsent(dir, _ => {
+      val d = Tables.documents(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lireg_inc").toString
+      val reg = new graft.operators.LateInteractionRegistry(s"$root/reg")
+      reg.fit(s, d.filter(pmod(col("doc_id"), lit(25)) =!= 7),
+        "doc_id", "text", DocCap)
+      reg.ingest(d.filter(pmod(col("doc_id"), lit(25)) === 7),
+        "doc_id", "text")
+      s"$root/reg"
+    })
+
   private def prunedTop5(s: SparkSession, dir: String): DataFrame = {
     val qv = queryVecs(s, dir)
     val dv = corpusVecs(s, dir)
@@ -266,6 +299,38 @@ object Retrieval extends QueryGroup {
     // top-5 (n_overlap5) plus how many feedback tokens actually
     // attached (n_fb) — expansion that changes nothing and expansion
     // that replaces the whole result set are both visible.
+    // PERSISTED late-interaction serving (the LateInteractionRegistry
+    // lifecycle member — VERDICT r11 #1): stage 1 scores the STORED
+    // pooled table (one narrow row per doc, DocCap x smaller than the
+    // token table), stage 2's exact MaxSim fetches ONLY the candidate
+    // token rows by an isin-pruned bucketed scan over the collected
+    // |Q| x PoolC candidate ids (the q216/q228 routing-pin
+    // discipline). Registry build is untimed per-JVM setup
+    // (liRegStore, the pqRegStores convention); what's timed — and
+    // what the oracle replays — is serving from disk, which must
+    // equal q231's in-memory two-stage ROW FOR ROW (the q228
+    // storage-must-not-change-ranking convention; the stored pooled
+    // sums are exact, so candidates are identical by construction).
+    "q241_lireg_probe" -> ((s, dir) => {
+      val reg = new graft.operators.LateInteractionRegistry(
+        liRegStore(s, dir))
+      reg.probe(s, queryVecs(s, dir), K, PoolC)
+    }),
+
+    // INCREMENTAL BUILD must not change serving either: the registry
+    // fitted on 96% of the corpus with the rest arriving as an
+    // ingest batch (tokens-first commit order, insert-only, pooled
+    // append = commit point) serves the IDENTICAL two-stage result —
+    // token rows and exact pooled sums are per-doc, so fit + ingest
+    // converges to the same stores as a full fit, with no
+    // cross-batch approximation debt (contrast q229, where the graph
+    // attach IS lossy and the entry measures the recall gap instead).
+    "q242_lireg_ingest_probe" -> ((s, dir) => {
+      val reg = new graft.operators.LateInteractionRegistry(
+        liRegIncStore(s, dir))
+      reg.probe(s, queryVecs(s, dir), K, PoolC)
+    }),
+
     "q240_prf_drift" -> ((s, dir) => {
       val (eqv, fb) = prfExpand(s, dir)
       val plain = bruteTop5(s, dir).select("query_id", "doc_id")
@@ -399,6 +464,18 @@ object Retrieval extends QueryGroup {
       s"""WITH $vecCtes, $bruteCtes, ${dTop5("sc")}""",
 
     "q231_maxsim_pruned" ->
+      s"""WITH $vecCtes, $prunedCtes, ${dTop5("psc")}""",
+
+    // Persisted serving must equal the in-memory two-stage row for
+    // row — the oracle IS q231's chain (the q228 convention: storage
+    // changes nothing, so the replay is the in-memory algebra).
+    "q241_lireg_probe" ->
+      s"""WITH $vecCtes, $prunedCtes, ${dTop5("psc")}""",
+
+    // ... and fit + ingest converges to the same stores as a full
+    // fit (token rows and pooled sums are per-doc), so the
+    // incremental store serves the identical result.
+    "q242_lireg_ingest_probe" ->
       s"""WITH $vecCtes, $prunedCtes, ${dTop5("psc")}""",
 
     "q232_maxsim_recall" ->

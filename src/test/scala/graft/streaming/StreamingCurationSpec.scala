@@ -553,4 +553,62 @@ class StreamingCurationSpec extends SparkSpec {
         "replayed micro-batch after the refit must not re-land survivors")
     } finally q.stop()
   }
+
+  test("STREAMING DOC INGEST (LateInteractionRegistry): micro-batches " +
+    "index idempotently by doc_id — an at-least-once replay indexes " +
+    "nothing and changes no probe row — and the stream converges to " +
+    "the batch-fit stores") {
+    implicit val sq = spark.sqlContext
+    val li = graft.operators.LateInteraction
+    val dir = Files.createTempDirectory("graft_cur10_").toString
+    val Cap = 8
+    def text(i: Long) = s"alpha w$i w${i % 5} shared beta${i % 3}"
+    val allDocs = (0L until 12L).map(i => (i, text(i)))
+    val seed = allDocs.take(8).toDF("doc_id", "text")
+    val reg = new graft.operators.LateInteractionRegistry(s"$dir/reg")
+    reg.fit(spark, seed, "doc_id", "text", Cap)
+    val in = MemoryStream[(Long, String)]
+    val indexed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = MicroBatchPipeline.start(
+      in.toDF().toDF("doc_id", "text"),
+      identity,
+      (batch, _) => { indexed += reg.ingest(batch, "doc_id", "text"); () },
+      intervalMs = 100)
+    try {
+      val qv = li.withVec(
+        li.docTokens(allDocs.take(2).toDF("doc_id", "text"),
+          "doc_id", "text", Cap)
+          .withColumnRenamed("doc_id", "query_id")
+          .withColumnRenamed("t", "qt"),
+        "qt", "qc")
+      def probe() = reg.probe(spark, qv, k = 3, c = 4)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      // two micro-batches index the remaining docs
+      in.addData(allDocs.slice(8, 10): _*)
+      q.processAllAvailable()
+      in.addData(allDocs.slice(10, 12): _*)
+      q.processAllAvailable()
+      assert(indexed.toSeq == Seq(2L, 2L), s"got $indexed")
+      val after = probe()
+      // at-least-once replay: indexes nothing, changes no probe row
+      in.addData(allDocs.slice(8, 12): _*)
+      q.processAllAvailable()
+      assert(indexed.sum === 4L, s"replay must index nothing: $indexed")
+      assert(probe() === after,
+        "a replayed batch must change no probe row")
+      // the streamed store serves exactly what a single batch fit does
+      val batchReg = new graft.operators.LateInteractionRegistry(
+        s"$dir/batchreg")
+      batchReg.fit(spark, allDocs.toDF("doc_id", "text"),
+        "doc_id", "text", Cap)
+      val ref = batchReg.probe(spark, qv, k = 3, c = 4)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(after === ref,
+        "the streamed store must converge to the batch-fit stores")
+    } finally q.stop()
+  }
 }
