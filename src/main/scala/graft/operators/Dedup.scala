@@ -472,10 +472,22 @@ object Dedup {
 
   /** Connected components over near-dup pairs — the clustering step
     * that turns pairwise matches into dedup groups (keep one doc per
-    * cluster). Iterative min-label propagation: every node starts as
-    * its own label and repeatedly takes the min of its neighbors'
-    * labels until fixpoint — O(component diameter) rounds, and dup
-    * clusters are shallow, so 2-4 rounds in practice.
+    * cluster). Iterative min-label propagation WITH POINTER JUMPING:
+    * every node starts as its own label and each round takes the min
+    * of (own label, neighbors' labels, label-of-own-label). The
+    * label-of-label term is the pointer-jumping step (Shiloach &
+    * Vishkin lineage): label values are node ids, so chasing one hop
+    * up the label forest per round HALVES the remaining distance to
+    * the component root — O(log diameter) rounds where plain
+    * propagation needs O(diameter). Dup clusters are shallow (2-4
+    * rounds either way), but thin-chain graphs — mutual-KNN chains
+    * (q224), long co-occurrence paths — have diameter O(n), where
+    * plain propagation scheduled one fixpoint job per HOP (measured:
+    * the q224 CC ran ~100 rounds at sf0.1; VERDICT r11 #1's
+    * job-count smell). The combined operator is monotone
+    * non-increasing with the same fixpoint (labels constant means
+    * every root self-points and no neighbor improves — exactly
+    * propagation's fixpoint), so results are bit-identical.
     *
     * Each round localCheckpoints the label table: iterative plans
     * MUST truncate lineage or the DAG grows exponentially.
@@ -503,9 +515,17 @@ object Dedup {
       // round (observe -> eager localCheckpoint): one Spark job per
       // round instead of checkpoint + a separate driver count().
       val obs = Observation(s"cc_round_$round")
+      // pointer jumping: label values are node ids, so every label is
+      // itself a key in the label table — one self-join reads
+      // label(label(v)) (jmin below; never null by construction, the
+      // coalesce only guards the join shape)
+      val jump = labels.select(col("id").as("jid"), col("cluster").as("jmin"))
       val updated = labels.join(neighborMin, col("id") === col("src"), "left")
+        .join(jump, col("cluster") === col("jid"), "left")
         .select(col("id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"),
+            coalesce(col("nmin"), col("cluster")),
+            coalesce(col("jmin"), col("cluster"))).as("cluster"))
         .observe(obs, count(when(col("cluster") =!= col("old"), 1)).as("n_changed"))
         .localCheckpoint(true)
       changed = awaitMetric(obs, "n_changed").getOrElse(
