@@ -284,11 +284,18 @@ object KnnGraph {
     * frontier ids (|Q| x beam — the q216 one-job routing-pin
     * discipline) and isin-prunes the bucketed edge/vector scans, so
     * persisted probe cost is independent of corpus size. */
+  /** `excludeFinal`, when set, is a (node) frame anti-joined out of
+    * the FINAL ranking only — the tombstone contract: deleted nodes
+    * stay traversable mid-search (their edges are routing waypoints
+    * until maintain() GCs them, the HNSW deletion shape) but can
+    * never appear in a served result. Broadcast — the set is small
+    * by contract. */
   private[operators] def beamSearchCore(
       expand: DataFrame => DataFrame,
       vecsFor: DataFrame => DataFrame,
       entry: DataFrame, qm: DataFrame,
-      k: Int, beam: Int, hops: Int): DataFrame = {
+      k: Int, beam: Int, hops: Int,
+      excludeFinal: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= k && hops >= 0,
       "beamSearch: need 1 <= k <= beam, hops >= 0")
 
@@ -319,7 +326,9 @@ object KnnGraph {
       org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(frontier)
       frontier = next
     }
-    frontier.filter(col("node") =!= col("query_id"))
+    val alive = excludeFinal.fold(frontier)(ex =>
+      frontier.join(broadcast(ex.select("node")), Seq("node"), "left_anti"))
+    alive.filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("dist").asc, col("node").asc)))

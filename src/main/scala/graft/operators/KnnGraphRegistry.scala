@@ -73,6 +73,31 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
   private[operators] val vecs = new GenIndex(
     GenIndex.tableBaseFor("graft_grreg_v_", path), path + "_vecs",
     "vid BIGINT, e ARRAY<BIGINT>, n2 BIGINT", Seq("vid"), nBuckets)
+  /** POST-FIT INGEST LEDGER (stitch, VERDICT r11 #4): the vids every
+    * ingest since the last fit/refit admitted — the bounded relation
+    * stitch() runs NN-Descent over. Cleared at fit/refit (a refit
+    * builds the whole graph, so the ledger's purpose is spent). */
+  private[operators] val pending = new GenIndex(
+    GenIndex.tableBaseFor("graft_grreg_p_", path), path + "_pending",
+    "vid BIGINT", Seq("vid"), nBuckets)
+  /** TOMBSTONES (delete verb, VERDICT r11 #5): vids deleted but not
+    * yet physically GC'd. Probes anti-join the FINAL ranking against
+    * this set (broadcast — small by contract); the nodes stay
+    * traversable mid-search (routing waypoints, the HNSW deletion
+    * shape) until maintain() removes their vectors and edges and
+    * clears the set. Cleared at fit/refit (the rebuild starts from
+    * the caller's corpus — deletions are the caller's to apply
+    * there). */
+  private[operators] val tombs = new GenIndex(
+    GenIndex.tableBaseFor("graft_grreg_x_", path), path + "_tombs",
+    "vid BIGINT", Seq("vid"), nBuckets)
+
+  private def emptyVids(spark: SparkSession) = {
+    import spark.implicits._
+    Seq.empty[Long].toDF("vid")
+  }
+  private def tombVids(spark: SparkSession): DataFrame =
+    tombs.df(spark).select("vid").distinct()
 
   private def fs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(path)
@@ -130,6 +155,8 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
         seedRounds)
       edges.rebuild(spark, asEdges(g))
       vecs.rebuild(spark, micro(corpus, idCol, vecCol))
+      pending.rebuild(spark, emptyVids(spark))
+      tombs.rebuild(spark, emptyVids(spark))
       writeMeta(spark, Meta(k, iters, seedRounds, seed))
     }
 
@@ -146,6 +173,8 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
         m.seed, m.seedRounds)
       edges.rebuild(spark, asEdges(g))
       vecs.rebuild(spark, micro(corpus, idCol, vecCol))
+      pending.rebuild(spark, emptyVids(spark))
+      tombs.rebuild(spark, emptyVids(spark))
     }
 
   /** The lock-free persisted probe: beam search whose per-hop edge
@@ -190,7 +219,10 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
             col("n2").as("nn2"))),
       KnnGraph.entryNodes(vdf.select(col("vid").as("node")),
         entries, m.seed),
-      qm, k, beam, hops)
+      qm, k, beam, hops,
+      // tombstoned vids stay traversable (routing waypoints until
+      // maintain GCs them) but are excluded from the served ranking
+      excludeFinal = Some(tombVids(spark).select(col("vid").as("node"))))
   }
 
   /** Attach `batch` vids not already stored (idempotent by vid
@@ -225,6 +257,16 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
           s"${conflicts.mkString(", ")} are already stored with " +
           "DIFFERENT vectors — ingest is insert-only; a re-embedded " +
           "corpus requires refit")
+      // a deleted vid stays deleted until maintain() physically GCs
+      // it — silently resurrecting it here would undo a takedown the
+      // caller already confirmed served no more results
+      val tombHits = mb.join(tombVids(spark), Seq("vid"), "left_semi")
+        .select(col("vid")).limit(5).collect().map(_.getLong(0))
+      require(tombHits.isEmpty,
+        s"KnnGraphRegistry at $path: batch vid(s) " +
+          s"${tombHits.mkString(", ")} are TOMBSTONED — a deleted vid " +
+          "cannot be re-ingested until maintain() has physically " +
+          "removed it (run maintain, then retry)")
       val fresh = mb.join(stored.select(col("vid")), Seq("vid"),
         "left_anti").localCheckpoint(true)
       val n = fresh.count()
@@ -250,22 +292,102 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
         // EDGES FIRST (inert without vectors), vectors = commit point
         edges.append(fwd.unionAll(rev).unionAll(asEdges(batchGraph)))
         vecs.append(fresh)
+        // the stitch ledger rides AFTER the commit point: a crash
+        // here loses only a future stitch's coverage of this batch
+        // (recoverable by refit), never serving correctness — and a
+        // retried ingest re-runs as a no-op without re-adding ids
+        pending.append(fresh.select(col("vid")))
       }
       n
     }
   }
 
+  /** STITCH maintenance (VERDICT r11 #4): batch-to-batch edges ACROSS
+    * ingests otherwise appear only at refit (class doc trade) — two
+    * near-duplicates arriving in different ingest batches know the
+    * OLD graph (attach + reverse edges) and their own batch
+    * (intra-batch NN-Descent), but not each other. stitch() closes
+    * the gap without touching the corpus build: one NN-Descent pass
+    * restricted to the UNION OF POST-FIT INGEST BATCHES (the pending
+    * ledger), its edges appended BOTH WAYS under the existing lock +
+    * maintain contract (append-only; duplicates of edges that already
+    * exist collapse at read and physically at maintain, like every
+    * accreted append). Cost is O(|pending| * K^2) per round — bounded
+    * by the ingest volume since the last refit, never the corpus.
+    * Idempotent: re-running appends byte-identical edge rows. The
+    * ledger is NOT cleared here — later ingests must stitch against
+    * earlier ones too; refit clears it. Returns the number of pending
+    * vids the pass covered (< 2 stitches nothing). */
+  def stitch(spark: SparkSession): Long =
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"KnnGraphRegistry($path).stitch") {
+      val m = requireMeta(spark)
+      val (vName, _) = vecs.ensureBound(spark)
+      val pvids = pending.df(spark).select("vid").distinct()
+      val pv = spark.table(vName).join(pvids, Seq("vid"), "left_semi")
+        .localCheckpoint(true)
+      val n = pv.count()
+      if (n >= 2) {
+        val e = asEdges(KnnGraph.nnDescentMicro(pv, m.k, m.iters, m.seed,
+          m.seedRounds))
+        edges.append(e.unionAll(e.select(col("dst").as("src"),
+          col("src").as("dst"), col("dist"))))
+      }
+      n
+    }
+
+  /** DELETE (tombstone verb, VERDICT r11 #5): mark stored vids
+    * deleted. Takes effect immediately — a tombstoned vid never
+    * appears in a probe result again (final-ranking anti-join; the
+    * node keeps serving as a routing waypoint mid-search until GC,
+    * the HNSW deletion shape) — and is physically removed (vector +
+    * every incident edge) at the next maintain(), which also clears
+    * the tombstone so the vid becomes re-ingestable. Unknown vids are
+    * ignored (idempotent: deleting twice, or deleting a vid already
+    * GC'd, is a no-op). Returns the number of vids newly tombstoned. */
+  def delete(vids: DataFrame, idCol: String): Long = {
+    val spark = vids.sparkSession
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"KnnGraphRegistry($path).delete") {
+      requireMeta(spark)
+      val (vName, _) = vecs.ensureBound(spark)
+      val fresh = vids.select(col(idCol).cast("long").as("vid")).distinct()
+        .join(spark.table(vName).select("vid"), Seq("vid"), "left_semi")
+        .join(tombVids(spark), Seq("vid"), "left_anti")
+        .localCheckpoint(true)
+      val n = fresh.count()
+      if (n > 0) tombs.append(fresh)
+      n
+    }
+  }
+
   /** Fold accreted appends and restore the K invariant when the edge
-    * store is past `maxFiles` data files: distinct edges, orphan
-    * endpoints dropped (semi-join against the vector store — the
-    * crash-window debris of EDGES-FIRST), per-src top-K by (dist,
-    * dst). Returns whether a rewrite ran. */
+    * store is past `maxFiles` data files OR tombstones are waiting
+    * for GC: tombstoned vectors physically removed first (their edges
+    * then fall to the standing orphan rule), then distinct edges,
+    * orphan endpoints dropped (semi-join against the vector store —
+    * the crash-window debris of EDGES-FIRST and every tombstoned
+    * endpoint), per-src top-K by (dist, dst); finally the tombstone
+    * set is cleared (the vids are gone, so the set's job is done and
+    * the ids become re-ingestable) and purged from the stitch ledger.
+    * Crash windows stay safe in any prefix order: vectors gone +
+    * tombstones still set = probes exclude ids that no longer score
+    * (no-op); vectors gone + edges not yet rewritten = orphan edges,
+    * inert by the EDGES-FIRST rule. Returns whether a rewrite ran. */
   def maintain(spark: SparkSession, maxFiles: Int): Boolean =
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"KnnGraphRegistry($path).maintain") {
       val m = requireMeta(spark)
-      if (edges.dataFileCount(spark) <= maxFiles) false
+      val tv = tombVids(spark).localCheckpoint(true)
+      val nTomb = tv.count()
+      if (edges.dataFileCount(spark) <= maxFiles && nTomb == 0) false
       else {
+        if (nTomb > 0) {
+          vecs.rewrite(spark, rows =>
+            rows.join(broadcast(tv), Seq("vid"), "left_anti"))
+          pending.rewrite(spark, rows =>
+            rows.join(broadcast(tv), Seq("vid"), "left_anti"))
+        }
         val (vName, _) = vecs.ensureBound(spark)
         val vids = spark.table(vName).select(col("vid"))
         edges.rewrite(spark, rows => {
@@ -279,6 +401,7 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
             .filter(col("rn") <= m.k)
             .select("src", "dst", "dist")
         })
+        if (nTomb > 0) tombs.rebuild(spark, emptyVids(spark))
         true
       }
     }

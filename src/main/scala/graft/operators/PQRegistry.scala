@@ -71,6 +71,22 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     GenIndex.tableBaseFor("graft_pqreg_", path), path + "_codes",
     "vid BIGINT, cell BIGINT, blk BIGINT, code BIGINT",
     Seq("cell"), nBuckets)
+  /** TOMBSTONES (delete verb, VERDICT r11 #5): vids deleted but not
+    * yet physically GC'd. Probes anti-join the code scan against this
+    * set BEFORE scoring (broadcast — small by contract), so a deleted
+    * vid neither appears in results nor burns an ADC pool slot;
+    * compact() removes the code rows and clears the set. Cleared at
+    * refit (the rebuild re-encodes from the caller's corpus —
+    * deletions are the caller's to apply there). */
+  private[operators] val tombs = new GenIndex(
+    GenIndex.tableBaseFor("graft_pqreg_x_", path), path + "_tombs",
+    "vid BIGINT", Seq("vid"), nBuckets)
+  private def tombVids(spark: SparkSession): DataFrame =
+    tombs.df(spark).select("vid").distinct()
+  private def emptyVids(spark: SparkSession) = {
+    import spark.implicits._
+    Seq.empty[Long].toDF("vid")
+  }
 
   private def fs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(path)
@@ -327,6 +343,15 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
           "insert-only and would silently keep serving the stale codes; " +
           "a re-embedded corpus requires refit (it re-encodes every code " +
           "from the corpus)")
+      // a deleted vid stays deleted until compact() physically GCs
+      // it — silently resurrecting (or silently dropping) it here
+      // would contradict the takedown the caller already confirmed
+      val tombHits = batch.join(tombVids(spark), Seq("vid"), "left_semi")
+        .select(col("vid")).limit(5).collect().map(_.getLong(0))
+      require(tombHits.isEmpty,
+        s"PQRegistry at $path: batch vid(s) ${tombHits.mkString(", ")} " +
+          "are TOMBSTONED — a deleted vid cannot be re-ingested until " +
+          "compact() has physically removed it (run compact, then retry)")
       // left_anti needs no distinct right side — the former
       // .distinct() aggregated the whole code store per batch
       val fresh = batch.join(codes.select(col("vid")), Seq("vid"), "left_anti")
@@ -367,7 +392,10 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     val qcells = spark.createDataFrame(
       java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
     val cells = routedRows.map(_.getAs[Long]("cell")).distinct
+    // tombstoned vids drop BEFORE scoring: they neither rank nor burn
+    // an ADC pool slot (the delete contract)
     val codes = bound.filter(col("cell").isin(cells: _*))
+      .join(broadcast(tombVids(spark)), Seq("vid"), "left_anti")
     val cb = readCodebooks(spark, meta)
     if (!meta.residual)
       ProductQuantizer.ivfPqTopKFromRouted(qcells, queries, codes, cb,
@@ -405,6 +433,10 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
       index.rebuild(spark,
         encodeCells(meta, corpus, cb, cents, idCol, vecCol),
         beforeSwap = loc => stampLoc(spark, loc, fp))
+      // the rebuild re-encoded the caller's corpus wholesale, so any
+      // standing tombstones are spent (deletions belong in the corpus
+      // the caller supplied) and the ids become re-ingestable
+      tombs.rebuild(spark, emptyVids(spark))
       writeMeta(spark, Meta(meta.m, ksub, meta.dim, meta.residual, fp, dir))
       // ONE-CYCLE RETENTION (review r10 ADVICE): the outgoing codebook
       // store is kept until the NEXT refit — mirroring GenIndex's
@@ -444,17 +476,57 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
 
   /** Fold the accreted append file groups into one bucketed
     * generation when past `maxFiles` (the GenIndex compaction
-    * contract: identical rows, identical probe results). Re-stamps
-    * the fresh generation with the unchanged codebook fingerprint —
-    * a crash between swap and stamp is detected by every read. */
+    * contract: identical rows, identical probe results) OR when
+    * tombstones are waiting for GC — then the rewrite also drops the
+    * tombstoned vids' code rows and clears the tombstone set (probe
+    * results still identical: probes already excluded those vids).
+    * Crash windows stay safe in either prefix order: codes gone +
+    * set still standing = probes exclude vids that no longer have
+    * rows (no-op); a crash before the swap leaves the old generation
+    * fully active. Re-stamps the fresh generation with the unchanged
+    * codebook fingerprint — a crash between swap and stamp is
+    * detected by every read. */
   def compact(spark: SparkSession, maxFiles: Int): Boolean =
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"PQRegistry($path).compact") {
       val meta = requireMeta(spark)
       requireConsistent(spark, meta)
-      index.compact(spark, maxFiles,
-        beforeSwap = loc => stampLoc(spark, loc, meta.fp))
+      val tv = tombVids(spark).localCheckpoint(true)
+      val nTomb = tv.count()
+      if (nTomb == 0)
+        index.compact(spark, maxFiles,
+          beforeSwap = loc => stampLoc(spark, loc, meta.fp))
+      else {
+        index.rewrite(spark, rows =>
+          rows.join(broadcast(tv), Seq("vid"), "left_anti"),
+          beforeSwap = loc => stampLoc(spark, loc, meta.fp))
+        tombs.rebuild(spark, emptyVids(spark))
+        true
+      }
     }
+
+  /** DELETE (tombstone verb, VERDICT r11 #5): mark indexed vids
+    * deleted. Takes effect immediately — the probe's code scan
+    * anti-joins the set, so a deleted vid neither ranks nor burns an
+    * ADC pool slot — and the code rows are physically removed at the
+    * next compact(), which clears the set (the ids become
+    * re-ingestable). Unknown vids are ignored (idempotent). Returns
+    * the number of vids newly tombstoned. */
+  def delete(vids: DataFrame, idCol: String): Long = {
+    val spark = vids.sparkSession
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"PQRegistry($path).delete") {
+      val meta = requireMeta(spark)
+      val codes = boundCodes(spark, meta)
+      val fresh = vids.select(col(idCol).cast("long").as("vid")).distinct()
+        .join(codes.select("vid"), Seq("vid"), "left_semi")
+        .join(tombVids(spark), Seq("vid"), "left_anti")
+        .localCheckpoint(true)
+      val n = fresh.count()
+      if (n > 0) tombs.append(fresh)
+      n
+    }
+  }
 
   /** Committed data files in the active codes generation (specs). */
   def codesFileCount(spark: SparkSession): Int = index.dataFileCount(spark)

@@ -150,4 +150,82 @@ class KnnGraphRegistrySpec extends SparkSpec {
       "post-refit serving must equal the in-memory stack on the " +
         "refit corpus")
   }
+
+  test("delete: a tombstoned vid never probes (even as the nearest " +
+    "match), re-ingest aborts until maintain GCs it, then re-ingest " +
+    "serves it again") {
+    import spark.implicits._
+    val (reg, _) = seeded()
+    // 1003 duplicates node 3's vector: rank-1 for query 3 — until
+    // deleted
+    reg.ingest(Seq((1003L, vec(3))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(probeRows(reg, corpus(3 to 3)).exists(r =>
+      r._3 == 1003L && r._4 == 0L))
+    assert(reg.delete(Seq(1003L).toDF("vec_id"), "vec_id") === 1L)
+    assert(reg.delete(Seq(1003L, 99999L).toDF("vec_id"), "vec_id") === 0L,
+      "re-deleting and deleting unknown vids must be no-ops")
+    val after = probeRows(reg, corpus(3 to 3))
+    assert(!after.exists(_._3 == 1003L),
+      s"a deleted vid must never rank (it was the dist-0 nearest): $after")
+    assert(after.size === 3,
+      "deletion must not shrink the served k while enough nodes live")
+    val err = intercept[IllegalArgumentException] {
+      reg.ingest(Seq((1003L, vec(3))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("TOMBSTONED"), err.getMessage)
+    // maintain GCs vector + incident edges and clears the tombstone
+    assert(reg.maintain(spark, maxFiles = Int.MaxValue) === true,
+      "standing tombstones must force the maintain rewrite")
+    assert(reg.vecs.df(spark).filter(col("vid") === 1003L).count() === 0L)
+    assert(reg.edgeRows(spark)
+      .filter(col("src") === 1003L || col("dst") === 1003L).count() === 0L,
+      "maintain must drop every edge incident to a GC'd vid")
+    // re-ingestable and serving again
+    assert(reg.ingest(Seq((1003L, vec(3))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding") === 1L)
+    assert(probeRows(reg, corpus(3 to 3)).exists(r =>
+      r._3 == 1003L && r._4 == 0L),
+      "a re-ingested vid must serve again")
+  }
+
+  test("stitch: cross-batch near-duplicates get DIRECT edges (absent " +
+    "before, both directions after), idempotently; refit clears the " +
+    "ledger") {
+    import spark.implicits._
+    val (reg, _) = seeded()
+    // two identical vectors arriving in DIFFERENT ingest batches.
+    // The attach search CAN cross batches when its beam reaches the
+    // earlier arrival (the vector store already holds it) — so this
+    // spec deliberately cripples attach (hops = 0, entries = 1: the
+    // beam never leaves the single entry node, deterministically node
+    // 27 under seed "spec") to exhibit the blindness stitch exists
+    // for: neither twin learns of the other at ingest.
+    reg.ingest(Seq((200L, vec(200))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", beam = 8, hops = 0, entries = 1)
+    reg.ingest(Seq((201L, vec(200))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", beam = 8, hops = 0, entries = 1)
+    def direct() = reg.edgeRows(spark)
+      .filter(col("src").isin(200L, 201L) && col("dst").isin(200L, 201L))
+      .select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct() === Set.empty,
+      "pre-stitch, cross-batch ingests know each other only via the " +
+        "old graph")
+    assert(reg.stitch(spark) === 2L)
+    assert(direct() === Set((200L, 201L), (201L, 200L)),
+      "stitch must append the cross-batch edges both ways")
+    // idempotent: a second stitch re-appends identical rows only
+    assert(reg.stitch(spark) === 2L)
+    assert(reg.maintain(spark, maxFiles = 0) === true)
+    assert(direct() === Set((200L, 201L), (201L, 200L)))
+    val dup = reg.edgeRows(spark).groupBy("src", "dst")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dup === 0L, "maintain must collapse stitch re-appends")
+    // refit spends the ledger
+    reg.refit(spark, corpus(0 until nOld), "vec_id", "embedding")
+    assert(reg.stitch(spark) === 0L,
+      "refit must clear the post-fit ingest ledger")
+  }
 }

@@ -272,4 +272,41 @@ class PQRegistrySpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("fit() first"), err2.getMessage)
   }
+
+  test("delete: a tombstoned vid never probes and burns no pool " +
+    "slot, re-ingest aborts until compact GCs it, then re-ingest " +
+    "serves it again") {
+    val (reg, _) = seeded()
+    val q7 = corpus.filter(col("vec_id") === 7L)
+    def top(k: Int): Seq[Long] =
+      reg.adcProbe(spark, q7, "vec_id", "embedding", k = k, nprobe = 2)
+        .orderBy(col("rank")).select("neighbor_id")
+        .collect().map(_.getLong(0)).toSeq
+    // delete whatever ADC currently ranks FIRST for this query (ADC
+    // is approximate — the exact self-match need not top the list,
+    // so the spec pins the served ranking, not an assumption)
+    val first = top(1).head
+    assert(reg.delete(Seq(first).toDF("vec_id"), "vec_id") === 1L)
+    assert(reg.delete(Seq(first, 99999L).toDF("vec_id"), "vec_id") === 0L,
+      "re-deleting and deleting unknown vids must be no-ops")
+    val after = top(3)
+    assert(!after.contains(first),
+      s"a deleted vid must never rank (it WAS rank 1): $after")
+    assert(after.size === 3,
+      "deletion must not burn pool slots — k alive results still serve")
+    val err = intercept[IllegalArgumentException] {
+      reg.ingest(corpus.filter(col("vec_id") === first),
+        "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("TOMBSTONED"), err.getMessage)
+    // compact GCs the code rows and clears the tombstone
+    assert(reg.compact(spark, maxFiles = Int.MaxValue) === true)
+    assert(reg.index.df(spark).filter(col("vid") === first).count() === 0L,
+      "compact must physically remove tombstoned code rows")
+    assert(!top(3).contains(first))
+    // the vid is re-ingestable now and serves again at its old rank
+    assert(reg.ingest(corpus.filter(col("vec_id") === first),
+      "vec_id", "embedding") === 1L)
+    assert(top(1) === Seq(first), "a re-ingested vid must serve again")
+  }
 }
