@@ -86,6 +86,7 @@ object TrainingData extends QueryGroup {
   // with SF), the rest are the fitted base
   private val NndIngestMod = 25
   private val NndIngestRes = 7
+  private val NndIngestRes2 = 19 // q243's second ingest batch
   private val NndSeed = "nnd"
   private val LshBits = 4
   // q35 / q183 corpus-derived blocking targets (expected bucket/cell
@@ -645,6 +646,51 @@ object TrainingData extends QueryGroup {
         "vec_id", "embedding", beam = NndBeam, hops = NndHops,
         entries = NndEntries)
       s"$root/reg"
+    })
+
+  /** q243's TWO-BATCH ingest stores, same per-JVM untimed-seeding
+    * convention: fit on ~92% of the corpus, then TWO sequential
+    * ingest batches (vec_id % 25 == 7, then == 19) — the multi-batch
+    * shape whose cross-ingest edges only stitch() or refit can
+    * supply. Returns (as-ingested store, stitched clone): the clone
+    * copies the on-disk registry state (the q208 clone convention —
+    * every sidecar here is path-free: generation ints and the
+    * geometry line — and any cloning mistake fails the oracle hash)
+    * so both serving states exist side by side; stitch() then runs on
+    * the clone only. The refit arm needs no third store: refit under
+    * the pinned geometry is deterministic, so it equals the
+    * full-corpus fit — graphRegStore. */
+  private val graphReg2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def graphReg2Stores(s: SparkSession, dir: String): (String, String) =
+    graphReg2Cache.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_grreg2").toString
+      val reg = new graft.operators.KnnGraphRegistry(s"$root/reg")
+      val res = pmod(col("vec_id"), lit(NndIngestMod))
+      reg.fit(s, e.filter(res =!= NndIngestRes && res =!= NndIngestRes2),
+        "vec_id", "embedding", k = NndK, iters = NndIters,
+        seed = NndSeed, seedRounds = NndSeedRounds)
+      reg.ingest(e.filter(res === NndIngestRes), "vec_id", "embedding",
+        beam = NndBeam, hops = NndHops, entries = NndEntries)
+      reg.ingest(e.filter(res === NndIngestRes2), "vec_id", "embedding",
+        beam = NndBeam, hops = NndHops, entries = NndEntries)
+      val conf = s.sparkContext.hadoopConfiguration
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(conf)
+      fs.listStatus(rootP).foreach { st =>
+        val name = st.getPath.getName
+        if (name == "reg" || name.startsWith("reg_")) {
+          val dest = new org.apache.hadoop.fs.Path(rootP,
+            "regst" + name.stripPrefix("reg"))
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dest,
+            false, conf)
+        }
+      }
+      val stitched = new graft.operators.KnnGraphRegistry(s"$root/regst")
+      stitched.stitch(s)
+      (s"$root/reg", s"$root/regst")
     })
 
   private val pqRegCache =
@@ -1989,6 +2035,46 @@ object TrainingData extends QueryGroup {
         .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .withColumn("recall_at_k",
           round(col("n_hit").cast("double") / NndServeK, 6))
+    }),
+
+    // STITCH MAINTENANCE, measured three ways (VERDICT r11 #4): the
+    // registry fitted on ~92% with TWO sequential ingest batches —
+    // each batch attaches to the graph as it stood (old + earlier
+    // ingests), so batch-to-batch edges across ingests exist only
+    // where the attach beam happened to find them. The entry reports
+    // recall@NndServeK for the 8 standing queries against the exact
+    // full-corpus top-K in three serving states: the as-ingested
+    // store (before), the same store after stitch() (one NN-Descent
+    // pass over the union of post-fit batches, edges appended both
+    // ways), and the full refit (== the full-corpus fit, q228's
+    // store). Oracle replays the split build, both attach searches,
+    // the stitch NN-Descent, every edge union, and all three serving
+    // searches. Store builds are untimed per-JVM setup
+    // (graphReg2Stores); the timed work is the three persisted
+    // probes.
+    "q243_graphreg_stitch_recall" -> ((s, dir) => {
+      val (pre, post) = graphReg2Stores(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < AnnQueries)
+      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
+        qs, e, "vec_id", "embedding", k = NndServeK)
+        .select("query_id", "neighbor_id")
+      def hitsOf(path: String, nm: String): DataFrame =
+        new graft.operators.KnnGraphRegistry(path)
+          .probe(s, qs, "vec_id", "embedding", k = NndServeK,
+            beam = NndBeam, hops = NndHops, entries = NndEntries)
+          .select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as(nm))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hitsOf(pre, "n_hit_before"), Seq("query_id"), "left")
+        .join(hitsOf(post, "n_hit_stitch"), Seq("query_id"), "left")
+        .join(hitsOf(graphRegStore(s, dir), "n_hit_refit"),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_before"), lit(0L)).as("n_hit_before"),
+          coalesce(col("n_hit_stitch"), lit(0L)).as("n_hit_stitch"),
+          coalesce(col("n_hit_refit"), lit(0L)).as("n_hit_refit"))
     }),
 
     // CONVERGENCE TRACE — the operability row a production graph
@@ -5239,6 +5325,95 @@ object TrainingData extends QueryGroup {
              (SELECT count(*) FROM nndk$t a JOIN nndk${t - 1} b
               ON a.src = b.src AND a.rn = b.rn
               WHERE a.dist < b.dist) AS n_improved""").mkString("\n")}""",
+
+    // the q229 replay EXTENDED (VERDICT r11 #4): split build, TWO
+    // sequential attach searches (the second over the store as it
+    // stood after the first — old graph + batch-1 edges + vectors),
+    // the stitch NN-Descent over the union of both batches with its
+    // edges appended both ways, and THREE serving searches (before /
+    // stitch / refit) each scored against the exact full-corpus
+    // top-K
+    "q243_graphreg_stitch_recall" ->
+      s"""WITH ${nndCtesFor("jo",
+           s"(SELECT * FROM embeddings WHERE vec_id % $NndIngestMod " +
+             s"NOT IN ($NndIngestRes, $NndIngestRes2))")},
+         ${nndCtesFor("jb",
+           s"(SELECT * FROM embeddings WHERE vec_id % $NndIngestMod = $NndIngestRes)")},
+         ${nndCtesFor("jc",
+           s"(SELECT * FROM embeddings WHERE vec_id % $NndIngestMod = $NndIngestRes2)")},
+         ${bsCtesFor("ja", "jov", s"jog$NndIters",
+           "SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM jbv")},
+         jaat AS (SELECT query_id, node, dist FROM (
+             SELECT query_id, node, dist, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM jaf$NndHops WHERE node != query_id)
+           WHERE rank <= $NndK),
+         ju1 AS (SELECT src, dst FROM jog$NndIters
+           UNION ALL SELECT query_id, node FROM jaat
+           UNION ALL SELECT node, query_id FROM jaat
+           UNION ALL SELECT src, dst FROM jbg$NndIters),
+         jv1 AS MATERIALIZED (SELECT vid, e, n2 FROM jov
+           UNION ALL SELECT vid, e, n2 FROM jbv),
+         ${bsCtesFor("jd", "jv1", "ju1",
+           "SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM jcv")},
+         jdat AS (SELECT query_id, node, dist FROM (
+             SELECT query_id, node, dist, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM jdf$NndHops WHERE node != query_id)
+           WHERE rank <= $NndK),
+         ju2 AS (SELECT src, dst FROM ju1
+           UNION ALL SELECT query_id, node FROM jdat
+           UNION ALL SELECT node, query_id FROM jdat
+           UNION ALL SELECT src, dst FROM jcg$NndIters),
+         jv2 AS MATERIALIZED (SELECT vid, e, n2 FROM jv1
+           UNION ALL SELECT vid, e, n2 FROM jcv),
+         ${nndCtesFor("jp",
+           s"(SELECT * FROM embeddings WHERE vec_id % $NndIngestMod " +
+             s"IN ($NndIngestRes, $NndIngestRes2))")},
+         ju3 AS (SELECT src, dst FROM ju2
+           UNION ALL SELECT src, dst FROM jpg$NndIters
+           UNION ALL SELECT dst, src FROM jpg$NndIters),
+         ${bsCtesFor("js", "jv2", "ju2",
+           s"SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM jv2 WHERE vid < $AnnQueries")},
+         ${bsCtesFor("jt", "jv2", "ju3",
+           s"SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM jv2 WHERE vid < $AnnQueries")},
+         ${nndCtesFor("jr", "embeddings")},
+         ${bsCtesFor("jw", "jrv", s"jrg$NndIters",
+           s"SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM jrv WHERE vid < $AnnQueries")},
+         jex AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, c.vid AS neighbor_id, row_number() OVER (
+               PARTITION BY q.query_id ORDER BY
+                 q.qn2 - 2 * ${dIntDot("q.qe", "c.e")} + c.n2 ASC,
+                 c.vid ASC) AS rn
+             FROM jrv c JOIN jwq q ON q.query_id != c.vid)
+           WHERE rn <= $NndServeK),
+         jsr AS (SELECT query_id, node AS neighbor_id FROM (
+             SELECT query_id, node, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM jsf$NndHops WHERE node != query_id) WHERE rank <= $NndServeK),
+         jtr AS (SELECT query_id, node AS neighbor_id FROM (
+             SELECT query_id, node, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM jtf$NndHops WHERE node != query_id) WHERE rank <= $NndServeK),
+         jwr AS (SELECT query_id, node AS neighbor_id FROM (
+             SELECT query_id, node, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM jwf$NndHops WHERE node != query_id) WHERE rank <= $NndServeK),
+         jhb AS (SELECT query_id, count(*)::BIGINT AS n_hit_before FROM jsr
+           JOIN jex USING (query_id, neighbor_id) GROUP BY 1),
+         jhs AS (SELECT query_id, count(*)::BIGINT AS n_hit_stitch FROM jtr
+           JOIN jex USING (query_id, neighbor_id) GROUP BY 1),
+         jhr AS (SELECT query_id, count(*)::BIGINT AS n_hit_refit FROM jwr
+           JOIN jex USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT q.query_id,
+           coalesce(jhb.n_hit_before, 0)::BIGINT AS n_hit_before,
+           coalesce(jhs.n_hit_stitch, 0)::BIGINT AS n_hit_stitch,
+           coalesce(jhr.n_hit_refit, 0)::BIGINT AS n_hit_refit
+         FROM (SELECT vec_id AS query_id FROM embeddings
+               WHERE vec_id < $AnnQueries) q
+         LEFT JOIN jhb USING (query_id)
+         LEFT JOIN jhs USING (query_id)
+         LEFT JOIN jhr USING (query_id)""",
 
     // mutual edges (both directions survive at rank <= NndMutualRank)
     // -> the recursive min-reachable-id components (q69's oracle
