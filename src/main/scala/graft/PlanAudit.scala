@@ -89,6 +89,7 @@ object PlanAudit {
     "q239_prf_maxsim" -> "q231's pooled stage-1 broadcast (feedback-doc selection) + the expanded exact MaxSim scan (q230 shape, bounded 8 x <=8 expanded query tokens broadcast)",
     "q241_lireg_probe" -> "q231's stage-1 shape served from the PERSISTED pooled store: 8 pooled query vectors broadcast over the stored pooled table; stage-2 MaxSim is keyed equi joins over the isin-pruned token fetch",
     "q242_lireg_ingest_probe" -> "q241's persisted two-stage shape over the incrementally-built (fit + ingest) stores — same bounded pooled-query broadcast",
+    "q244_lireg_ivf_stage1" -> "cell assignment: 12 broadcast pooled centroids against the stored pooled table (q45/q215 shape); query routing: 8 pooled queries x 12 centroids, both bounded; the routed stage-1 join broadcasts the |Q| x nprobe pairs and stage 2 is keyed equi joins; recall arm = q230's bounded query-token broadcast",
     "q240_prf_drift" -> "both exact MaxSim arms (plain + expanded, q230 shape) + the pooled feedback selection broadcast; drift joins are keyed equi"
   )
 

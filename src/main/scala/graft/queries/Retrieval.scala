@@ -331,6 +331,77 @@ object Retrieval extends QueryGroup {
       reg.probe(s, queryVecs(s, dir), K, PoolC)
     }),
 
+    // THE COMPOSITION CLAIM, ORACLE-GATED (the README says the pooled
+    // table "composes with the IVF/PQ serving stack" — this entry is
+    // that composition measured): stage 1 itself goes SUBLINEAR by
+    // routing over the PERSISTED pooled store. Cells are the pooled
+    // vectors of docs 0..11 (the q45 centroid convention); assignment
+    // and query routing are exact INTEGER-dot argmax (ties -> lowest
+    // cell id), so the whole chain stays BIGINT-replayable — no
+    // k-means, no floats: at 100 TB the router would be the IVF/PQ
+    // registry, and this entry pins the algebra that makes that a
+    // data decision. Queries probe nprobe=3 of 12 cells, stage 1
+    // scans ONLY routed cells' pooled rows (1/4 of the store), stage
+    // 2 exact-MaxSims the surviving pool. Reported per query: hits@5
+    // vs the exact MaxSim truth and the routed-pool survivor count —
+    // the recall-vs-scan-fraction trade stated, not assumed.
+    "q244_lireg_ivf_stage1" -> ((s, dir) => {
+      val reg = new graft.operators.LateInteractionRegistry(
+        liRegStore(s, dir))
+      val dp = reg.pooledRows(s)
+      val cents = dp.filter(col("doc_id") < 12)
+        .select((col("doc_id").as("cid") +:
+          (0 until li.Dim).map(j => col(s"ds$j").as(s"cs$j"))): _*)
+      val cdot = (0 until li.Dim).map(j => col(s"ds$j") * col(s"cs$j"))
+        .reduce(_ + _)
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("cdot").desc, col("cid").asc)
+      val asg = dp.join(broadcast(cents))
+        .withColumn("cdot", cdot)
+        .withColumn("r", row_number().over(wAsg)).filter(col("r") === 1)
+        .select((col("doc_id") +: col("cid").as("cell") +:
+          (0 until li.Dim).map(j => col(s"ds$j"))): _*)
+      val qv = queryVecs(s, dir)
+      val qp = li.pooled(qv, "query_id", "qc", "qs")
+      val qdot = (0 until li.Dim).map(j => col(s"qs$j") * col(s"cs$j"))
+        .reduce(_ + _)
+      val wRoute = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("qdot").desc, col("cid").asc)
+      val routed = qp.crossJoin(broadcast(cents))
+        .withColumn("qdot", qdot)
+        .withColumn("r", row_number().over(wRoute)).filter(col("r") <= 3)
+        .select(col("query_id"), col("cid").as("cell"))
+      // stage 1 restricted to routed cells: the (query, cell) pairs
+      // broadcast against the cell-assigned pooled store
+      val dpRouted = asg.join(broadcast(routed), Seq("cell"))
+        .select((col("query_id").as("rq") +: col("doc_id") +:
+          (0 until li.Dim).map(j => col(s"ds$j"))): _*)
+      // each query scores only its OWN routed rows (the rq tag), so
+      // the candidate pool is spent entirely on routed cells
+      val scoredOwn = dpRouted.join(broadcast(qp),
+          col("rq") === col("query_id") && col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          (0 until li.Dim).map(j => col(s"qs$j") * col(s"ds$j"))
+            .reduce(_ + _).as("score"))
+      // topK reuses the shard-pruned two-level ranking, so the
+      // per-query pool selection never funnels the routed scan into
+      // |Q| single-task sorts
+      val pool = li.topK(scoredOwn, PoolC).select("query_id", "doc_id")
+      val dv = corpusVecs(s, dir)
+      val sys5 = li.topK(li.prunedMaxSimScores(qv, dv, pool), K)
+        .select("query_id", "doc_id")
+      val truth = bruteTop5(s, dir).select("query_id", "doc_id")
+      val hit = sys5.join(truth, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit5"))
+      val nc = pool.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+      qv.select("query_id").distinct()
+        .join(hit, Seq("query_id"), "left")
+        .join(nc, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit5"), lit(0L)).as("n_hit5"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+    }),
+
     "q240_prf_drift" -> ((s, dir) => {
       val (eqv, fb) = prfExpand(s, dir)
       val plain = bruteTop5(s, dir).select("query_id", "doc_id")
@@ -597,6 +668,74 @@ object Retrieval extends QueryGroup {
 
     "q239_prf_maxsim" ->
       s"""WITH $vecCtes, $prunedCtes, $prfCtes, ${dTop5("esc")}""",
+
+    // integer-dot cell assignment + nprobe routing over the pooled
+    // table, the routed stage-1 pool, the exact-MaxSim rerank, and
+    // hits vs the brute truth — all BIGINT arithmetic
+    "q244_lireg_ivf_stage1" -> {
+      val dcDot = (0 until li.Dim).map(j => s"d.ds$j * c.cs$j")
+        .mkString(" + ")
+      val qcDot = (0 until li.Dim).map(j => s"q.qs$j * c.cs$j")
+        .mkString(" + ")
+      val qpDot = (0 until li.Dim).map(j => s"q.qs$j * a.ds$j")
+        .mkString(" + ")
+      val dsCols = (0 until li.Dim).map(j => s"d.ds$j").mkString(", ")
+      val aCols = (0 until li.Dim).map(j => s"ds$j").mkString(", ")
+      s"""WITH $vecCtes, $bruteCtes, $qpCte,
+         dpp AS ${dPoolSums("dv", "doc_id", "dc", "ds")},
+         cents AS (SELECT doc_id AS cid, ${(0 until li.Dim)
+           .map(j => s"ds$j AS cs$j").mkString(", ")}
+           FROM dpp WHERE doc_id < 12),
+         casg0 AS (SELECT d.doc_id, c.cid, $dsCols,
+             ($dcDot)::BIGINT AS cdot
+           FROM dpp d CROSS JOIN cents c),
+         casg AS (SELECT doc_id, cid AS cell, $aCols FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY cdot DESC, cid ASC) AS r FROM casg0)
+           WHERE r = 1),
+         qr0 AS (SELECT q.query_id, c.cid, ($qcDot)::BIGINT AS qdot
+           FROM qp q CROSS JOIN cents c),
+         qroute AS (SELECT query_id, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, cid ASC) AS r FROM qr0)
+           WHERE r <= 3),
+         rsc AS (SELECT r.query_id, a.doc_id, ($qpDot)::BIGINT AS pscore
+           FROM qroute r JOIN casg a ON a.cell = r.cell
+           JOIN qp q ON q.query_id = r.query_id
+           WHERE a.doc_id <> r.query_id),
+         rpool AS (SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY pscore DESC, doc_id ASC)
+               AS prank FROM rsc)
+           WHERE prank <= $PoolC),
+         rmx AS (SELECT p.query_id, p.doc_id, q.t,
+             max($dDot)::BIGINT AS best
+           FROM rpool p JOIN dv d ON d.doc_id = p.doc_id
+           JOIN qv q ON q.query_id = p.query_id
+           GROUP BY 1, 2, 3),
+         rs2 AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
+           FROM rmx GROUP BY 1, 2),
+         r5 AS (SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+               AS rank FROM rs2)
+           WHERE rank <= $K),
+         er AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM sc),
+         e5 AS (SELECT query_id, doc_id FROM er WHERE rank <= $K),
+         nh AS (SELECT r5.query_id, count(*)::BIGINT AS n_hit5 FROM r5
+           JOIN e5 ON e5.query_id = r5.query_id AND e5.doc_id = r5.doc_id
+           GROUP BY 1),
+         ncnd AS (SELECT query_id, count(*)::BIGINT AS n_cand FROM rpool
+           GROUP BY 1),
+         qq AS (SELECT DISTINCT query_id FROM qv)
+         SELECT qq.query_id,
+           coalesce(nh.n_hit5, 0)::BIGINT AS n_hit5,
+           coalesce(ncnd.n_cand, 0)::BIGINT AS n_cand
+         FROM qq LEFT JOIN nh ON nh.query_id = qq.query_id
+         LEFT JOIN ncnd ON ncnd.query_id = qq.query_id"""
+    },
 
     "q240_prf_drift" ->
       s"""WITH $vecCtes, $bruteCtes, $prunedCtes, $prfCtes,
