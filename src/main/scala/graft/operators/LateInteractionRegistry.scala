@@ -80,6 +80,23 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
   private[operators] val pooled = new GenIndex(
     GenIndex.tableBaseFor("graft_lireg_p_", path), path + "_pooled",
     ddl("doc_id", compCols("ds")), Seq("doc_id"), nBuckets)
+  /** TOMBSTONES (the delete verb, uniform across the serving
+    * registries — a production corpus also shrinks): doc_ids deleted
+    * but not yet physically GC'd. The probe's STAGE-1 pooled scan
+    * anti-joins this set before ranking (broadcast — small by
+    * contract), so a deleted doc neither ranks nor burns a candidate
+    * slot; maintain() removes its token and pooled rows and clears
+    * the set. Cleared at fit/refit (the rebuild starts from the
+    * caller's corpus — deletions are the caller's to apply there). */
+  private[operators] val tombs = new GenIndex(
+    GenIndex.tableBaseFor("graft_lireg_x_", path), path + "_tombs",
+    "doc_id BIGINT", Seq("doc_id"), nBuckets)
+  private def tombIds(spark: SparkSession): DataFrame =
+    tombs.df(spark).select("doc_id").distinct()
+  private def emptyIds(spark: SparkSession) = {
+    import spark.implicits._
+    Seq.empty[Long].toDF("doc_id")
+  }
 
   private def fs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(path)
@@ -139,6 +156,7 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
       val tok = tokenRows(docs, idCol, textCol, cap).localCheckpoint(true)
       tokens.rebuild(spark, tok)
       pooled.rebuild(spark, pooledRows(tok))
+      tombs.rebuild(spark, emptyIds(spark))
       writeMeta(spark, cap)
     }
 
@@ -153,6 +171,7 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
       val tok = tokenRows(docs, idCol, textCol, cap).localCheckpoint(true)
       tokens.rebuild(spark, tok)
       pooled.rebuild(spark, pooledRows(tok))
+      tombs.rebuild(spark, emptyIds(spark))
     }
 
   /** Index `batch` docs not already stored (idempotent by doc_id
@@ -194,6 +213,15 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
           s"${conflicts.mkString(", ")} are already indexed with a " +
           "DIFFERENT token set — ingest is insert-only; re-written " +
           "documents require refit")
+      // a deleted doc stays deleted until maintain() physically GCs
+      // it (the uniform registry delete contract)
+      val tombHits = b.join(tombIds(spark), Seq("doc_id"), "left_semi")
+        .select(col("doc_id")).limit(5).collect().map(_.getLong(0))
+      require(tombHits.isEmpty,
+        s"LateInteractionRegistry at $path: doc_id(s) " +
+          s"${tombHits.mkString(", ")} are TOMBSTONED — a deleted doc " +
+          "cannot be re-ingested until maintain() has physically " +
+          "removed it (run maintain, then retry)")
       val fresh = tok.join(storedIds, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       val n = fresh.select("doc_id").distinct().count()
@@ -220,7 +248,11 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
     val (pName, _) = pooled.ensureBound(spark)
     val (tName, _) = tokens.ensureBound(spark)
     val qp = LateInteraction.pooled(qv, "query_id", "qc", "qs")
-    val cand = LateInteraction.pooledTopCOf(qp, spark.table(pName), c)
+    // tombstoned docs drop from the stage-1 scan BEFORE ranking: a
+    // deleted doc neither serves nor burns one of the C pool slots
+    val alive = spark.table(pName)
+      .join(broadcast(tombIds(spark)), Seq("doc_id"), "left_anti")
+    val cand = LateInteraction.pooledTopCOf(qp, alive, c)
       .select("query_id", "doc_id").localCheckpoint(true)
     // the pin: one bounded collect routes the stage-2 scan
     val ids = cand.select("doc_id").distinct().collect().map(_.getLong(0))
@@ -230,23 +262,59 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
   }
 
   /** Fold accreted appends when the token store is past `maxFiles`
-    * data files: distinct rows in both stores (the crash-window
-    * debris of TOKENS-FIRST is exact duplicates, and orphan token
-    * rows — doc_ids with no pooled row — are dropped by semi-join).
-    * Returns whether a rewrite ran. */
+    * data files OR tombstones are waiting for GC: tombstoned docs'
+    * pooled rows removed first (they stop being candidates — already
+    * true via the probe's anti-join), then distinct rows in both
+    * stores with token rows semi-joined against the surviving pooled
+    * ids (this drops BOTH the crash-window orphans of TOKENS-FIRST
+    * and every tombstoned doc's token rows in one rule); finally the
+    * tombstone set is cleared (the rows are gone, the ids become
+    * re-ingestable). Crash windows stay safe in any prefix order —
+    * pooled-gone + tombstones-standing is a probe no-op; pooled-gone
+    * + tokens-not-yet-rewritten leaves invisible orphans. Returns
+    * whether a rewrite ran. */
   def maintain(spark: SparkSession, maxFiles: Int): Boolean =
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"LateInteractionRegistry($path).maintain") {
       requireCap(spark)
-      if (tokens.dataFileCount(spark) <= maxFiles) false
+      val tv = tombIds(spark).localCheckpoint(true)
+      val nTomb = tv.count()
+      if (tokens.dataFileCount(spark) <= maxFiles && nTomb == 0) false
       else {
+        pooled.rewrite(spark, rows => {
+          val d = rows.distinct()
+          if (nTomb == 0) d
+          else d.join(broadcast(tv), Seq("doc_id"), "left_anti")
+        })
         val pooledIds = pooled.df(spark).select("doc_id")
         tokens.rewrite(spark, rows => rows.distinct()
           .join(pooledIds, Seq("doc_id"), "left_semi"))
-        pooled.rewrite(spark, rows => rows.distinct())
+        if (nTomb > 0) tombs.rebuild(spark, emptyIds(spark))
         true
       }
     }
+
+  /** DELETE (the uniform registry tombstone verb): mark stored docs
+    * deleted. Takes effect immediately — the stage-1 scan excludes
+    * them before ranking, so a deleted doc neither serves nor burns
+    * a pool slot — and the rows are physically removed at the next
+    * maintain(), which clears the set (the ids become
+    * re-ingestable). Unknown ids are ignored (idempotent). Returns
+    * the number of docs newly tombstoned. */
+  def delete(ids: DataFrame, idCol: String): Long = {
+    val spark = ids.sparkSession
+    RegistryIO.withMaintenanceLock(fs(spark), lockPath,
+      s"LateInteractionRegistry($path).delete") {
+      requireCap(spark)
+      val fresh = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .join(pooled.df(spark).select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(tombIds(spark), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val n = fresh.count()
+      if (n > 0) tombs.append(fresh)
+      n
+    }
+  }
 
   /** The active generation's stored pooled rows — read-only
     * operability surface (specs, offline inspection, and the

@@ -123,6 +123,40 @@ class LateInteractionRegistrySpec extends SparkSpec {
       "maintain must drop orphan token rows")
   }
 
+  test("delete: a tombstoned doc never serves and burns no pool slot, " +
+    "re-ingest aborts until maintain GCs it, then re-ingest serves " +
+    "it again") {
+    val reg = seeded()
+    val q = qv(corpus)
+    // whatever currently serves at rank 1 for query 0 gets deleted
+    val first = rowsOf(reg.probe(spark, q, 3, 4))
+      .find(r => r._1 == 0L && r._2 == 1).get._3
+    assert(reg.delete(df("doc_id BIGINT", Seq(Row(first))), "doc_id") === 1L)
+    assert(reg.delete(df("doc_id BIGINT",
+      Seq(Row(first), Row(99999L))), "doc_id") === 0L,
+      "re-deleting and deleting unknown docs must be no-ops")
+    val after = rowsOf(reg.probe(spark, q, 3, 4))
+    assert(!after.exists(_._3 == first),
+      s"a deleted doc must never serve (it WAS rank 1): $after")
+    assert(after.count(_._1 == 0L) === 3,
+      "deletion must not shrink the served k while enough docs live")
+    val err = intercept[IllegalArgumentException] {
+      reg.ingest(corpus.filter(col("doc_id") === first), "doc_id", "text")
+    }
+    assert(err.getMessage.contains("TOMBSTONED"), err.getMessage)
+    assert(reg.maintain(spark, maxFiles = Int.MaxValue) === true,
+      "standing tombstones must force the maintain rewrite")
+    assert(reg.pooledRows(spark).filter(col("doc_id") === first)
+      .count() === 0L)
+    assert(reg.tokenRows(spark).filter(col("doc_id") === first)
+      .count() === 0L, "maintain must GC the tombstoned token rows")
+    assert(reg.ingest(corpus.filter(col("doc_id") === first),
+      "doc_id", "text") === 1L)
+    val back = rowsOf(reg.probe(spark, q, 3, 4))
+    assert(back.exists(r => r._1 == 0L && r._2 == 1 && r._3 == first),
+      "a re-ingested doc must serve again at its old rank")
+  }
+
   test("the token budget is pinned: a second fit fails loudly; refit " +
     "rebuilds and serves the new corpus") {
     val reg = seeded()
