@@ -33,6 +33,39 @@ object IncrementalCcProps extends Properties("incrementalCC") {
     else Dedup.connectedComponents(es.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
 
+  /** Reference union-find (driver-side, path-compressed, union-by-min)
+    * — the INDEPENDENT oracle the distributed fixpoint must match:
+    * attaching the larger root under the smaller keeps the root the
+    * component's min id at every step. */
+  private def refCC(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    es.flatMap(e => Seq(e._1, e._2)).distinct.map(i => i -> find(i)).toMap
+  }
+
+  property("pointer-jumping fixpoint == reference union-find") =
+    forAll(edges) { es => es.isEmpty || cc(es) == refCC(es) }
+
+  /** The pointer-jumping adversarial case: one long CHAIN (diameter =
+    * n), edges delivered shuffled — plain propagation's O(diameter)
+    * worst case, the shape the label-of-label jump exists for. */
+  property("long shuffled chains cluster to the chain min (the " +
+    "O(log d) adversarial shape)") =
+    forAll(Gen.choose(5, 30), Gen.choose(0L, 1000L)) { (n, off) =>
+      val chain = (0 until n).map(i => (off + i, off + i + 1))
+      val shuffled = scala.util.Random.shuffle(chain.toList)
+      val got = cc(shuffled)
+      got.nonEmpty && got.values.forall(_ == off) &&
+        got.keySet == (off to off + n).toSet
+    }
+
   property("fold(standing, batch) == full recompute, for any split") =
     forAll(edges, Gen.choose(0, 100)) { (es, splitPct) =>
       val k = es.length * splitPct / 100
