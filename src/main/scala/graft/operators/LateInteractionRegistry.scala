@@ -57,6 +57,20 @@ import org.apache.spark.sql.functions._
   * read whatever consistent generation they bind (the GenIndex
   * reader-vs-GC retention contract).
   *
+  * KNOWN CROSS-STORE BIND WINDOW (named, not hidden — the
+  * KnnGraphRegistry edges/vecs pair shares it): a probe binds the
+  * pooled and token generations in two sidecar reads, so a REFIT
+  * WITH CHANGED CORPUS completing exactly between them can pair an
+  * old-generation stage 1 with new-generation stage-2 token rows for
+  * one probe (each store individually stays consistent — the
+  * retention contract — but the pair can mix). Same-corpus refits
+  * and every maintain/compact are unaffected (both generations hold
+  * identical rows). The PQRegistry `_cbfp` stamp is the proven fix
+  * shape (stamp both generations with one corpus fingerprint,
+  * require equality at bind) if changed-corpus refits under live
+  * probe traffic become a deployment reality; in this codebase
+  * refits are maintenance-window operations like every registry's.
+  *
   * INGEST is insert-only: an already-stored doc_id arriving with a
   * DIFFERENT token set aborts loudly (exact symmetric token-row
   * compare — the store holds the full token rows, so unlike
