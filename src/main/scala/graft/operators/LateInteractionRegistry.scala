@@ -212,10 +212,17 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
       val storedIds = pooled.df(spark).select("doc_id")
       // exact insert-only detector: for overlap ids, ANY token row in
       // the batch derivation but not the store (or vice versa) proves
-      // the document text changed under the pinned cap
+      // the document text changed under the pinned cap. Both sides are
+      // restricted to COMMITTED docs (pooled membership): a TOKENS-
+      // FIRST crash leaves orphan token rows for a doc with no pooled
+      // row, and without the storedIds semi-join below the detector
+      // would see those orphans one-sided (absent from overlapTok,
+      // present in storedTok) and abort the exact retry the class
+      // doc's crash-recovery contract promises succeeds (ADVICE r12).
       val overlapTok = tok.join(storedIds, Seq("doc_id"), "left_semi")
       val storedTok = tokens.df(spark)
         .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(storedIds, Seq("doc_id"), "left_semi")
       val joinCols = Seq("doc_id", "t") ++ compCols("dc")
       val conflicts = overlapTok.join(storedTok, joinCols, "left_anti")
         .select("doc_id")

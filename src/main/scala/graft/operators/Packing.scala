@@ -36,17 +36,23 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** A partition-key segment rendered collision-proof for pack_key:
-    * "<length>:<value>". The joiner below is '-', which a caller's
-    * partition value (BCP-47 "pt-br", arbitrary partitionCols) may
-    * legitimately contain — without the length prefix, ("pt-br", 1)
-    * and ("pt", "br-1"-shaped neighbors) could concatenate to the
-    * same key and silently merge two packs, breaking the
-    * feasibility-by-construction guarantee for any consumer grouping
-    * by pack_key alone. The length prefix makes every segment
-    * self-delimiting; fclass and bin are non-negative integers and
-    * need none. */
+    * "<length>:<value>", or the bare marker "n" for NULL. The joiner
+    * below is '-', which a caller's partition value (BCP-47 "pt-br",
+    * arbitrary partitionCols) may legitimately contain — without the
+    * length prefix, ("pt-br", 1) and ("pt", "br-1"-shaped neighbors)
+    * could concatenate to the same key and silently merge two packs,
+    * breaking the feasibility-by-construction guarantee for any
+    * consumer grouping by pack_key alone. The length prefix makes
+    * every non-null segment self-delimiting; fclass and bin are
+    * non-negative integers and need none. NULL gets its own marker
+    * (ADVICE r12): a null segment would otherwise render NULL and be
+    * silently DROPPED by concat_ws, so (NULL, "a") and ("a", NULL)
+    * collapsed to one key. "n" cannot collide with any non-null
+    * segment (those all start with a digit; the empty string renders
+    * "0:"), so null keeps its own packs. */
   private[graft] def keySeg(c: Column): Column =
-    concat(length(c).cast("string"), lit(":"), c)
+    when(c.isNull, lit("n"))
+      .otherwise(concat(length(c).cast("string"), lit(":"), c))
 
   /** Per-doc pack assignment. Input must carry `idCol` and a
     * positive-integer token count `nCol`; rows with n <= 0 are

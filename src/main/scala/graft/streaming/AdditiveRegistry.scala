@@ -112,11 +112,21 @@ object AdditiveRegistry {
     // FileNotFoundException; then RE-CHECK the horizon — if a compact
     // crossed the boundary while we scanned, the fold may have read a
     // mix of old listing and new tree, so abort loudly even when the
-    // scan itself survived.
+    // scan itself survived. Materialization is COLLECT-AND-RETURN,
+    // not localCheckpoint (ADVICE r12): a checkpoint handed to the
+    // caller has no owner to unpersist it, so repeated folds piled up
+    // storage blocks until the GC-driven ContextCleaner noticed. The
+    // fold is per-key registry state, bounded by contract (one row
+    // per distinct key combination — PackRegistry's (lang, fclass)
+    // cells), so the local relation is registry metadata, not data;
+    // downstream joins broadcast it for free and nothing lingers.
     val folded =
-      try valid(all, h).filter(col("batch_id") < beforeBatchId)
-        .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
-        .localCheckpoint(true)
+      try {
+        val plan = valid(all, h).filter(col("batch_id") < beforeBatchId)
+          .groupBy(keys.map(col): _*).agg(sum(valueCol).as(valueCol))
+        spark.createDataFrame(
+          java.util.Arrays.asList(plan.collect(): _*), plan.schema)
+      }
       catch {
         case e: Throwable if causedByMissingFile(e) =>
           throw new IllegalStateException(

@@ -123,6 +123,41 @@ class LateInteractionRegistrySpec extends SparkSpec {
       "maintain must drop orphan token rows")
   }
 
+  test("a RETRIED crashed ingest succeeds over its own orphan token " +
+    "rows (the class-doc crash-recovery contract)") {
+    // the crash window the TOKENS-FIRST commit order leaves behind: a
+    // doc's token rows committed, the pooled append died. The retry
+    // must re-append duplicate token rows and commit the pooled row —
+    // NOT abort as an insert-only conflict (the ADVICE r12 false
+    // positive: the detector saw the orphans one-sided because the
+    // doc was absent from the pooled store).
+    val reg = seeded(corpus.filter(col("doc_id") < 10))
+    val crashDoc = corpus.filter(col("doc_id") === 10L)
+    // simulate the crashed first attempt: exactly the token rows the
+    // ingest derivation would have written, no pooled row
+    val orphan = li.withVec(
+      li.docTokens(crashDoc, "doc_id", "text", Cap), "t", "dc")
+    reg.tokens.append(orphan)
+    assert(reg.pooledRows(spark).filter(col("doc_id") === 10L).count() === 0L)
+    // the retry: must index the doc, not abort with "requires refit"
+    assert(reg.ingest(crashDoc, "doc_id", "text") === 1L)
+    // and the served state equals a registry that never crashed
+    // (duplicate token rows collapse under MaxSim's max; the pooled
+    // sums never re-derive from tokens)
+    val clean = seeded(corpus.filter(col("doc_id") < 11))
+    val q = qv(corpus)
+    assert(rowsOf(reg.probe(spark, q, 3, 100)) ===
+      rowsOf(clean.probe(spark, q, 3, 100)),
+      "post-retry serving must equal the never-crashed registry")
+    // maintain() physically removes the duplicate orphan rows
+    assert(reg.maintain(spark, maxFiles = 0) === true)
+    assert(canonTok(reg) === canonTok(clean),
+      "post-maintain token stores must converge exactly")
+  }
+
+  private def canonTok(r: LateInteractionRegistry): Seq[String] =
+    r.tokenRows(spark).collect().map(_.toString).toSeq.sorted
+
   test("delete: a tombstoned doc never serves and burns no pool slot, " +
     "re-ingest aborts until maintain GCs it, then re-ingest serves " +
     "it again") {

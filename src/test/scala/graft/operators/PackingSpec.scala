@@ -54,6 +54,22 @@ class PackingSpec extends SparkSpec {
     assert(keys.contains("3:a-1-1:b-2-0") && keys.contains("1:a-3:1-b-2-0"))
   }
 
+  test("NULL partition values keep their own packs: the null segment " +
+    "renders a marker instead of being dropped by concat_ws") {
+    // before the marker, a NULL segment rendered SQL NULL and
+    // concat_ws silently dropped it, so (NULL, "a") and ("a", NULL)
+    // produced the identical pack_key and merged packs (ADVICE r12)
+    val d = df("id BIGINT, c1 STRING, c2 STRING, n BIGINT", Seq(
+      Row(1L, null, "a", 100L), Row(2L, "a", null, 100L),
+      Row(3L, "", "a", 100L))) // empty string is NOT null: "0:" != "n"
+    val keys = Packing.harmonicPack(d, "id", "n", 200, Seq("c1", "c2"))
+      .select("id", "pack_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) == "n-1:a-2-0" && keys(2L) == "1:a-n-2-0")
+    assert(keys(3L) == "0:-1:a-2-0")
+    assert(keys.values.toSeq.distinct.length == 3)
+  }
+
   test("oversized docs are isolated one-per-pack and flagged; n=0 dropped") {
     val rows = packAll.collect()
     val over = rows.filter(_.getAs[Boolean]("is_overflow"))
