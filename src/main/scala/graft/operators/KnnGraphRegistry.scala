@@ -98,6 +98,14 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
   }
   private def tombVids(spark: SparkSession): DataFrame =
     tombs.df(spark).select("vid").distinct()
+  /** EMPTY-TOMBSTONE FAST PATH (VERDICT r12 #3): emptiness from the
+    * active tombstone generation's committed-data-file count — a
+    * driver FS listing, zero jobs, and exact (rows exist only in data
+    * files; the clearing rebuild writes an empty generation = zero
+    * files). Lock-free probes bind the set like any other read — a
+    * racing delete() is visible from the next probe on. */
+  private def tombsEmpty(spark: SparkSession): Boolean =
+    tombs.dataFileCount(spark) == 0
 
   private def fs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(path)
@@ -221,8 +229,12 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
         entries, m.seed),
       qm, k, beam, hops,
       // tombstoned vids stay traversable (routing waypoints until
-      // maintain GCs them) but are excluded from the served ranking
-      excludeFinal = Some(tombVids(spark).select(col("vid").as("node"))))
+      // maintain GCs them) but are excluded from the served ranking;
+      // the exclusion join (and its scan jobs) is skipped entirely
+      // while the set is empty (tombsEmpty — steady-state serving)
+      excludeFinal =
+        if (tombsEmpty(spark)) None
+        else Some(tombVids(spark).select(col("vid").as("node"))))
   }
 
   /** Attach `batch` vids not already stored (idempotent by vid

@@ -107,6 +107,19 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
     "doc_id BIGINT", Seq("doc_id"), nBuckets)
   private def tombIds(spark: SparkSession): DataFrame =
     tombs.df(spark).select("doc_id").distinct()
+  /** EMPTY-TOMBSTONE FAST PATH (VERDICT r12 #3): the tombstone set is
+    * almost always empty in steady state, yet every probe was paying
+    * scheduler-priced jobs to scan-and-anti-join it. Emptiness is
+    * decided by the committed-data-file count of the active tombstone
+    * generation — a driver-side FS listing, zero Spark jobs — which is
+    * exact: rows exist only in data files (delete() appends only when
+    * it tombstones something; maintain()'s clearing rebuild writes an
+    * empty generation = zero files). Probes are lock-free, so a
+    * racing delete() can land just after the listing — the same
+    * bind-once semantics as every other lock-free read (the probe
+    * serves the set it bound; the next probe sees the tombstone). */
+  private def tombsEmpty(spark: SparkSession): Boolean =
+    tombs.dataFileCount(spark) == 0
   private def emptyIds(spark: SparkSession) = {
     import spark.implicits._
     Seq.empty[Long].toDF("doc_id")
@@ -270,9 +283,13 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
     val (tName, _) = tokens.ensureBound(spark)
     val qp = LateInteraction.pooled(qv, "query_id", "qc", "qs")
     // tombstoned docs drop from the stage-1 scan BEFORE ranking: a
-    // deleted doc neither serves nor burns one of the C pool slots
-    val alive = spark.table(pName)
-      .join(broadcast(tombIds(spark)), Seq("doc_id"), "left_anti")
+    // deleted doc neither serves nor burns one of the C pool slots;
+    // the anti-join (and its scan jobs) is skipped entirely while the
+    // set is empty (tombsEmpty — the steady-state serving path)
+    val alive =
+      if (tombsEmpty(spark)) spark.table(pName)
+      else spark.table(pName)
+        .join(broadcast(tombIds(spark)), Seq("doc_id"), "left_anti")
     val cand = LateInteraction.pooledTopCOf(qp, alive, c)
       .select("query_id", "doc_id").localCheckpoint(true)
     // the pin: one bounded collect routes the stage-2 scan

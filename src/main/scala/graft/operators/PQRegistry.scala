@@ -83,6 +83,14 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     "vid BIGINT", Seq("vid"), nBuckets)
   private def tombVids(spark: SparkSession): DataFrame =
     tombs.df(spark).select("vid").distinct()
+  /** EMPTY-TOMBSTONE FAST PATH (VERDICT r12 #3): emptiness from the
+    * active tombstone generation's committed-data-file count — a
+    * driver FS listing, zero jobs, and exact (rows exist only in data
+    * files; the clearing rebuild writes an empty generation = zero
+    * files). Lock-free probes bind the set like any other read — a
+    * racing delete() is visible from the next probe on. */
+  private def tombsEmpty(spark: SparkSession): Boolean =
+    tombs.dataFileCount(spark) == 0
   private def emptyVids(spark: SparkSession) = {
     import spark.implicits._
     Seq.empty[Long].toDF("vid")
@@ -393,9 +401,13 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
       java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
     val cells = routedRows.map(_.getAs[Long]("cell")).distinct
     // tombstoned vids drop BEFORE scoring: they neither rank nor burn
-    // an ADC pool slot (the delete contract)
-    val codes = bound.filter(col("cell").isin(cells: _*))
-      .join(broadcast(tombVids(spark)), Seq("vid"), "left_anti")
+    // an ADC pool slot (the delete contract); the anti-join (and its
+    // scan jobs) is skipped entirely while the set is empty
+    // (tombsEmpty — the steady-state serving path)
+    val routedCodes = bound.filter(col("cell").isin(cells: _*))
+    val codes =
+      if (tombsEmpty(spark)) routedCodes
+      else routedCodes.join(broadcast(tombVids(spark)), Seq("vid"), "left_anti")
     val cb = readCodebooks(spark, meta)
     if (!meta.residual)
       ProductQuantizer.ivfPqTopKFromRouted(qcells, queries, codes, cb,
