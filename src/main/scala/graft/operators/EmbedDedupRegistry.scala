@@ -132,21 +132,13 @@ class EmbedDedupRegistry(path: String, epsPermille: Int) {
   private def readRetired(fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
     readMetaLines(fs).map(_.drop(2).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
-  /** Atomic sidecar replace: write a tmp file, rename OVERWRITE onto
-    * the live name — readers see the old pointer or the new one,
-    * never a partial write. */
+  /** Atomic sidecar replace (the RegistryIO.SwapStore seam): readers
+    * see the old pointer or the new one, never a partial write. */
   private def writeMeta(spark: SparkSession, fp: String, dataDir: String,
                         retired: Seq[String] = Seq.empty): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
     val mp = new org.apache.hadoop.fs.Path(metaPath)
-    val fs = mp.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(
-      metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val os = fs.create(tmp, false)
-    try os.write((Seq(fp, dataDir) ++ retired).mkString("\n").getBytes("UTF-8"))
-    finally os.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
-    fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RegistryIO.atomicWriteLines(fs, metaPath, Seq(fp, dataDir) ++ retired)
   }
 
   /** The active data directory (sidecar pointer, default `path`). */

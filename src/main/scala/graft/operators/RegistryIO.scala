@@ -167,9 +167,8 @@ object RegistryIO {
     // lose loudly instead of letting both proceed.
     def tryAcquire(): Boolean =
       try {
-        val os = fs.create(lock, false) // the CAS
-        try os.write(token.getBytes("UTF-8")) finally os.close()
-        readLines(fs, lockPath).exists(_.mkString("\n") == token)
+        swapStore.putIfAbsent(fs, lockPath, token) && // the CAS
+          readLines(fs, lockPath).exists(_.mkString("\n") == token)
       } catch { case _: java.io.IOException => false }
     // Stale-holder escape hatch: a crashed rewrite's lock outlives its
     // process; past staleMs it is debris, not a writer. Claiming the
@@ -223,6 +222,69 @@ object RegistryIO {
       } catch { case _: java.io.IOException => () }
     }
   }
+
+  /** CONDITIONAL-PUT SEAM (VERDICT r12 #7 — the r12 README deployment
+    * notes, landed as code): every lifecycle root's crash safety rests
+    * on exactly TWO filesystem primitives, so they live behind one
+    * trait. A deployment on an object store without atomic rename /
+    * create-exclusive (raw S3) implements this ONCE with the store's
+    * conditional put (`If-None-Match: *` for putIfAbsent; a
+    * read-modify-put-if-match loop or a pointer object for swap) and
+    * every registry — GenIndex generation sidecars, the three serving
+    * registries' meta files, the `_cbfp`/`_lin` generation stamps,
+    * the maintenance lock — inherits the change. The default is the
+    * HDFS/POSIX implementation this repo has always used; behavior on
+    * those filesystems is unchanged. */
+  trait SwapStore {
+    /** Atomically publish `lines` at `path`, replacing any previous
+      * version — concurrent readers see the old or the new content,
+      * never a partial or blank file. */
+    def swap(fs: org.apache.hadoop.fs.FileSystem, path: String,
+             lines: Seq[String]): Unit
+    /** Create `path` exclusively holding `content`; false when the
+      * path already exists (or the store cannot decide — callers
+      * treat false as "lost the race"). */
+    def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                    content: String): Boolean
+  }
+
+  /** The HDFS/POSIX default: swap = write-tmp + FileContext rename
+    * with OVERWRITE (atomic on HDFS and POSIX; the tmp name is
+    * `.`-/`_`-suffixed-unique so in-flight files stay invisible to
+    * every data listing), putIfAbsent = create-exclusive (an atomic
+    * namenode op on HDFS; RawLocalFileSystem's check-then-create is
+    * weaker, which is why the lock additionally verifies ownership by
+    * token read-back). */
+  object HdfsRenameSwapStore extends SwapStore {
+    def swap(fs: org.apache.hadoop.fs.FileSystem, path: String,
+             lines: Seq[String]): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path + ".tmp-" + java.util.UUID.randomUUID().toString)
+      val os = fs.create(tmp, false)
+      try os.write(lines.mkString("\n").getBytes("UTF-8")) finally os.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, fs.getConf)
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(path),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                    content: String): Boolean =
+      try {
+        val os = fs.create(new org.apache.hadoop.fs.Path(path), false)
+        try os.write(content.getBytes("UTF-8")) finally os.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
+  /** The active implementation — a deployment seam, not a runtime
+    * toggle: set once at process start before any registry call. */
+  @volatile var swapStore: SwapStore = HdfsRenameSwapStore
+
+  /** Atomically publish a small line-file (generation sidecars, meta
+    * files, stamps) through the active SwapStore. */
+  def atomicWriteLines(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                       lines: Seq[String]): Unit =
+    swapStore.swap(fs, path, lines)
 
   /** Overwrite a small line-file (lifecycle manifests). Creates the
     * parent directory when absent — writing a manifest into a

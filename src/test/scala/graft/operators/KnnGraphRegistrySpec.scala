@@ -128,6 +128,32 @@ class KnnGraphRegistrySpec extends SparkSpec {
       s"the rank-1 attach edge must survive maintain: $probe")
   }
 
+  test("cross-store lineage: a probe that binds edge and vector " +
+    "generations from different builds aborts loudly; refit restores") {
+    val (reg, _) = seeded()
+    val qs = corpus(0 until 3)
+    assert(probeRows(reg, qs).nonEmpty)
+    // force the mixed-generation pair (the PQRegistrySpec torn-refit
+    // convention): restamp ONE store's active generation as if a
+    // different build produced it — what a probe would see if a refit
+    // completed between its two sidecar binds
+    val fs = new org.apache.hadoop.fs.Path(reg.vecs.activeLocation(spark))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RegistryIO.writeLines(fs,
+      reg.vecs.activeLocation(spark) + "/_lin", Seq("deadbeef"))
+    val err = intercept[IllegalArgumentException] { probeRows(reg, qs) }
+    assert(err.getMessage.contains("lineage"), err.getMessage)
+    // maintenance verbs refuse the torn pair too
+    intercept[IllegalArgumentException] {
+      reg.ingest(corpus(200 until 205), "vec_id", "embedding")
+    }
+    intercept[IllegalArgumentException] { reg.stitch(spark) }
+    intercept[IllegalArgumentException] { reg.maintain(spark, 0) }
+    // the documented recovery — refit restamps both stores
+    reg.refit(spark, corpus(0 until nOld), "vec_id", "embedding")
+    assert(probeRows(reg, qs).nonEmpty)
+  }
+
   test("geometry is pinned: a second fit fails loudly; refit rebuilds " +
     "and the probe equals a fresh in-memory stack over the new corpus") {
     val (reg, _) = seeded()

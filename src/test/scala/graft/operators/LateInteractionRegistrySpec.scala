@@ -192,6 +192,34 @@ class LateInteractionRegistrySpec extends SparkSpec {
       "a re-ingested doc must serve again at its old rank")
   }
 
+  test("cross-store lineage: a probe that binds pooled and token " +
+    "generations from different builds aborts loudly; refit restores") {
+    val reg = seeded()
+    val q = qv(corpus)
+    assert(rowsOf(reg.probe(spark, q, 3, 4)).nonEmpty)
+    // force the mixed-generation pair (the PQRegistrySpec torn-refit
+    // convention): restamp ONE store's active generation as if a
+    // different build produced it — exactly what a probe would see if
+    // a refit completed between its two sidecar binds
+    val fs = new org.apache.hadoop.fs.Path(reg.pooled.activeLocation(spark))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RegistryIO.writeLines(fs,
+      reg.pooled.activeLocation(spark) + "/_lin", Seq("deadbeef"))
+    val err = intercept[IllegalArgumentException] {
+      reg.probe(spark, q, 3, 4)
+    }
+    assert(err.getMessage.contains("lineage"), err.getMessage)
+    // maintenance verbs refuse to operate on (or append onto) the
+    // torn pair too
+    intercept[IllegalArgumentException] {
+      reg.ingest(mkDocs(Seq(Row(50L, "alpha fresh"))), "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] { reg.maintain(spark, 0) }
+    // the documented recovery — refit restamps both stores
+    reg.refit(spark, corpus, "doc_id", "text")
+    assert(rowsOf(reg.probe(spark, q, 3, 4)).nonEmpty)
+  }
+
   test("the token budget is pinned: a second fit fails loudly; refit " +
     "rebuilds and serves the new corpus") {
     val reg = seeded()
