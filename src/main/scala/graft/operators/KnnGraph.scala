@@ -337,6 +337,127 @@ object KnnGraph {
         col("dist"))
   }
 
+  /** The PERSISTED-registry beam search — beamSearchCore's algebra
+    * bit for bit, with the BOUNDED search state held on the driver
+    * (VERDICT r12 #1/#2: the hop loop scheduled checkpoint + AQE
+    * stage jobs per hop, ~60 scheduler-priced jobs per probe — the
+    * production serving-latency floor even though every scan was
+    * already pruned). The state was never distributed to begin with:
+    * the frontier is |Q| x beam rows and the per-hop candidate set
+    * |Q| x beam x K, both bounded by contract, and the old core
+    * ALREADY collected the frontier's node ids every hop to isin-prune
+    * the bucketed scans (the q216 routing-pin discipline). This core
+    * collects the rows instead of just the ids, so a hop costs exactly
+    * TWO jobs — the pruned edge fetch and the pruned vector fetch for
+    * ids not yet seen — and the merge/rank runs as exact Long
+    * arithmetic on the driver (identical to LongDotProduct and the
+    * (dist asc, node asc) row_number ranking; the oracle SQL replays
+    * both unchanged, and the q225/q228 parity rows pin the equality).
+    * The corpus-sized stores are touched ONLY by the two pruned scans;
+    * at any corpus size the driver holds O(|Q| x beam x K) longs.
+    *
+    * `edgesFor(ids)` returns the DISTINCT (node, nbr) edge rows with
+    * node in ids; `vecsFor(ids)` the (node, ne, nn2) vector rows.
+    * Candidates whose vector row is missing (EDGES-FIRST crash
+    * orphans) drop exactly like the old core's inner scoring join.
+    * `excludeFinal` nodes are dropped from the served ranking only —
+    * the tombstone contract. */
+  private[operators] def beamSearchPinned(
+      edgesFor: Array[Long] => DataFrame,
+      vecsFor: Array[Long] => DataFrame,
+      entry: DataFrame, qm: DataFrame,
+      k: Int, beam: Int, hops: Int,
+      excludeFinal: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 0,
+      "beamSearch: need 1 <= k <= beam, hops >= 0")
+    val spark = qm.sparkSession
+    // the bounded collects: query vectors once, entry ids once
+    val queries = qm.select("query_id", "qe", "qn2").collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2))
+    }
+    val entryIds = entry.select("node").collect().map(_.getLong(0))
+    // vectors fetched so far — each hop fetches only ids not yet seen
+    val vecCache =
+      scala.collection.mutable.HashMap.empty[Long, (Array[Long], Long)]
+    def fetchVecs(ids: Iterable[Long]): Unit = {
+      val missing = ids.toArray.distinct.filterNot(vecCache.contains)
+      if (missing.nonEmpty)
+        vecsFor(missing).select("node", "ne", "nn2").collect().foreach { r =>
+          vecCache.update(r.getLong(0),
+            (r.getSeq[Long](1).toArray, r.getLong(2)))
+        }
+    }
+    // exact-integer squared L2 — LongDotProduct's arithmetic verbatim
+    def dist(qe: Array[Long], qn2: Long, node: Long): Long = {
+      val (ne, nn2) = vecCache(node)
+      var acc = 0L
+      var i = 0
+      while (i < qe.length) { acc += qe(i) * ne(i); i += 1 }
+      qn2 - 2L * acc + nn2
+    }
+    // topB: the row_number((dist asc, node asc)) <= beam ranking
+    def topB(cands: Iterable[(Long, Long)]): Array[(Long, Long)] =
+      cands.toArray.sortBy { case (node, d) => (d, node) }.take(beam)
+
+    fetchVecs(entryIds)
+    // frontier(q) = the beam, sorted by (dist, node) — (node, dist)
+    var frontier: Map[Long, Array[(Long, Long)]] = queries.map {
+      case (qid, qe, qn2) =>
+        qid -> topB(entryIds.toSeq
+          .filter(vecCache.contains) // entry ids come from the store
+          .map(n => n -> dist(qe, qn2, n)))
+    }.toMap
+    for (_ <- 1 to hops) {
+      val fids = frontier.valuesIterator.flatMap(_.map(_._1))
+        .toArray.distinct
+      if (fids.nonEmpty) {
+        // job 1: the pruned edge fetch for the whole frontier
+        val adj = edgesFor(fids).select("node", "nbr").collect()
+          .groupBy(_.getLong(0))
+          .map { case (n, rows) => n -> rows.map(_.getLong(1)).distinct }
+        // job 2: the pruned vector fetch for ids not yet seen
+        fetchVecs(frontier.valuesIterator.flatMap(_.iterator).flatMap(p =>
+          adj.getOrElse(p._1, Array.empty[Long])).toSeq)
+        frontier = queries.map { case (qid, qe, qn2) =>
+          val cur = frontier(qid)
+          // candidates: DISTINCT neighbors of the beam; orphans (no
+          // vector row) drop like the old core's inner scoring join;
+          // a candidate already in the beam re-scores to the
+          // identical (node, dist) row and the map-merge collapses it
+          val merged = scala.collection.mutable.HashMap.empty[Long, Long]
+          cur.foreach { case (n, d) => merged.update(n, d) }
+          cur.iterator.flatMap(p => adj.getOrElse(p._1, Array.empty[Long]))
+            .filter(n => !merged.contains(n) && vecCache.contains(n))
+            .toArray.distinct
+            .foreach(n => merged.update(n, dist(qe, qn2, n)))
+          qid -> topB(merged)
+        }.toMap
+      }
+    }
+    val excluded: Set[Long] = excludeFinal
+      .map(_.select("node").collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+    val rows: Seq[org.apache.spark.sql.Row] = queries.toSeq.flatMap {
+      case (qid, _, _) =>
+        frontier(qid) // already (dist, node)-sorted
+          .filter { case (n, _) => !excluded(n) && n != qid }
+          .take(k).zipWithIndex
+          .map { case ((n, d), i) =>
+            org.apache.spark.sql.Row(qid, i + 1, n, d) }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Mutual-KNN edges of a directed graph in nnDescent's output
     * shape: (id_a, id_b) with id_a < id_b kept iff BOTH directions
     * are in the graph at rank <= maxRank — the classic sparsifier

@@ -2056,9 +2056,12 @@ object TrainingData extends QueryGroup {
       val (pre, post) = graphReg2Stores(s, dir)
       val e = Tables.embeddings(s, dir)
       val qs = e.filter(col("vec_id") < AnnQueries)
+      // ONE exact-truth computation shared by all three arms (VERDICT
+      // r12 #2): without the eager pin, each arm's semi-join re-ran
+      // the full brute scan — three corpus passes for one truth table
       val exact = graft.operators.ProductQuantizer.bruteL2TopK(
         qs, e, "vec_id", "embedding", k = NndServeK)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id").localCheckpoint(true)
       def hitsOf(path: String, nm: String): DataFrame =
         new graft.operators.KnnGraphRegistry(path)
           .probe(s, qs, "vec_id", "embedding", k = NndServeK,
