@@ -90,6 +90,7 @@ object PlanAudit {
     "q241_lireg_probe" -> "q231's stage-1 shape served from the PERSISTED pooled store: 8 pooled query vectors broadcast over the stored pooled table; stage-2 MaxSim is keyed equi joins over the isin-pruned token fetch",
     "q242_lireg_ingest_probe" -> "q241's persisted two-stage shape over the incrementally-built (fit + ingest) stores — same bounded pooled-query broadcast",
     "q244_lireg_ivf_stage1" -> "cell assignment: 12 broadcast pooled centroids against the stored pooled table (q45/q215 shape); query routing: 8 pooled queries x 12 centroids, both bounded; the routed stage-1 join broadcasts the |Q| x nprobe pairs and stage 2 is keyed equi joins; recall arm = q230's bounded query-token broadcast",
+    "q245_lireg_routed_stage1" -> "query routing: 8 pooled queries x 8 FITTED centroids (both bounded, q244 shape); the routed stage-1 reads only the routed cells' partitions and broadcasts the |Q| x nprobe pairs + pooled query table; stage 2 is keyed equi joins over the isin-pruned token fetch; comparison arms = the exact MaxSim truth (q230's bounded query-token broadcast) + the unrouted two-stage (q231's pooled broadcast)",
     "q240_prf_drift" -> "both exact MaxSim arms (plain + expanded, q230 shape) + the pooled feedback selection broadcast; drift joins are keyed equi"
   )
 

@@ -36,6 +36,46 @@ object Retrieval extends QueryGroup {
   // grows: the pruning factor improves with scale.
   private val PoolC = 100
 
+  // ---- q245 clustered-corpus fixture (VERDICT r12 #1): the md5-
+  // random corpus carries NO cluster structure, so every routed
+  // stage-1 there trades recall for scan fraction by construction
+  // (q244's honest 2.4/5). This fixture PLANTS structure the way a
+  // topical corpus has it: doc d belongs to cluster d % NClu; its
+  // first CluAnchors tokens are the cluster's shared TOPIC TERMS
+  // ("c<cluster>a<j>" — every cluster member carries them, the way
+  // real topical documents share high-frequency terminology), the
+  // rest are drawn from the cluster's private vocabulary
+  // ("c<cluster>w<word>", word = md5 window % CluVocab). Anchors
+  // give each cluster's pooled vectors a common direction (the
+  // router's signal); the vocabulary draws individuate docs (so the
+  // MaxSim ranking inside a cluster is non-degenerate). Cluster
+  // count is 8, not more: the pooled space is Dim=6-dimensional, and
+  // parameters were chosen by MEASURED purity/recall sweeps at
+  // sf0.01 AND sf0.1 (12+ cells in 6 dims fit at <= 0.65 purity and
+  // routed recall lost to unrouted — structure must be separable,
+  // not just present). Deterministic in both engines (one md5 window
+  // per (doc, position)).
+  private val NClu = 8      // planted clusters (and router cells)
+  private val CluAnchors = 3 // shared topic terms per cluster
+  private val CluVocab = 24 // words per cluster vocabulary
+  private val CluT = 12     // token positions per doc
+  private val CluQCap = 8   // query token budget (anchors + 5 words)
+  private val NProbe = 2    // routed cells per query (scan ~ NProbe/NClu)
+  private val LloydIter = 5 // router fit rounds (the KmFitIter value)
+
+  private def clusteredDocs(s: SparkSession, dir: String): DataFrame = {
+    val cl = pmod(col("doc_id"), lit(NClu.toLong)).cast("string")
+    val toks = (0 until CluT).map { j =>
+      if (j < CluAnchors) concat(lit("c"), cl, lit("a"), lit(j.toString))
+      else concat(lit("c"), cl, lit("w"),
+        pmod(graft.functions.Text.md5Long(
+          concat_ws(":", lit("cw"), col("doc_id").cast("string"),
+            lit(j.toString)), 6), lit(CluVocab.toLong)).cast("string"))
+    }
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("text", concat_ws(" ", toks: _*))
+  }
+
   private def corpusVecs(s: SparkSession, dir: String): DataFrame =
     li.withVec(
       li.docTokens(Tables.documents(s, dir), "doc_id", "text", DocCap),
@@ -83,6 +123,40 @@ object Retrieval extends QueryGroup {
       reg.ingest(d.filter(pmod(col("doc_id"), lit(25)) === 7),
         "doc_id", "text")
       s"$root/reg"
+    })
+
+  /** q245's store: a LateInteractionRegistry fitted on the CLUSTERED
+    * corpus, plus the ROUTER fitted on its persisted pooled table —
+    * the README composition claim made real: pooledRows IS the
+    * single-vector shape the IVF stack indexes, so the router fit is
+    * ProductQuantizer's exact-integer Lloyd at m=1 (12 centroids over
+    * the 6-dim BIGINT pooled sums, id-low seeded, oracle-replayable)
+    * and the pooled rows are CELL-KEYED AT REST (partitioned parquet
+    * — the PQRegistry cellKeyedCodes discipline: the assignment join
+    * is paid once at indexing time, so a routed probe's stage-1 scan
+    * is partition-pruned to nprobe/NClu of the store). Untimed
+    * per-JVM setup (the liRegStore convention); the timed entry is
+    * the routed serving chain. */
+  private val liRegCluCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def liRegCluStore(s: SparkSession, dir: String): String =
+    liRegCluCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lireg_clu").toString
+      val reg = new graft.operators.LateInteractionRegistry(s"$root/reg")
+      reg.fit(s, clusteredDocs(s, dir), "doc_id", "text", DocCap)
+      val dp = reg.pooledRows(s)
+      val micro = dp.select(col("doc_id").as("vid"),
+        array((0 until li.Dim).map(j => col(s"ds$j")): _*).as("e"))
+      val cb = graft.operators.ProductQuantizer.pqFitE(micro, "vid", "e",
+        m = 1, ksub = NClu, maxIter = LloydIter, dim = li.Dim)
+      cb.coalesce(1).write.parquet(s"$root/router")
+      val cells = graft.operators.ProductQuantizer.pqEncodeE(micro, cb,
+          "vid", "e", m = 1, dim = li.Dim)
+        .select(col("vid").as("doc_id"), col("code").as("cell"))
+      dp.join(cells, "doc_id")
+        .write.partitionBy("cell").parquet(s"$root/pooled_cells")
+      root
     })
 
   private def prunedTop5(s: SparkSession, dir: String): DataFrame = {
@@ -402,6 +476,92 @@ object Retrieval extends QueryGroup {
           coalesce(col("n_cand"), lit(0L)).as("n_cand"))
     }),
 
+    // ROUTED STAGE 1 THROUGH A REAL FITTED ROUTER ON A CLUSTERED
+    // CORPUS (VERDICT r12 #1 — q244's routing algebra reused against
+    // FITTED centroids on data where routing has structure to learn):
+    // the router is an exact-integer Lloyd (m=1, 12 cells, id-low
+    // seeds, 5 rounds — every value BIGINT, the pqFit rules verbatim)
+    // fitted on the registry's PERSISTED pooled table; the pooled
+    // rows are cell-keyed at rest, so the timed stage 1 reads ONLY
+    // the nprobe=3 routed cells' partitions (partition pruning — at
+    // 100 TB this is the difference between scanning the store and
+    // scanning nprobe/NClu of it). Stage 2 exact-MaxSims the
+    // surviving pool via the registry's bucketed token store.
+    // Reported per query, all measured: hits@5 of the ROUTED chain
+    // vs exact MaxSim truth, hits@5 of the UNROUTED two-stage (the
+    // bar routing must meet), and n_scan — the stage-1 rows the
+    // routed chain actually scored (the scan-fraction numerator;
+    // corpus size is the denominator).
+    "q245_lireg_routed_stage1" -> ((s, dir) => {
+      val root = liRegCluStore(s, dir)
+      val reg = new graft.operators.LateInteractionRegistry(s"$root/reg")
+      val cdocs = clusteredDocs(s, dir)
+      val qv = li.withVec(
+        li.docTokens(cdocs.filter(col("doc_id") < NQ), "doc_id", "text",
+            CluQCap)
+          .withColumnRenamed("doc_id", "query_id")
+          .withColumnRenamed("t", "qt"), "qt", "qc")
+      val qp = li.pooled(qv, "query_id", "qc", "qs")
+      val cb = s.read.parquet(s"$root/router") // NClu rows, broadcast
+      val qe = array((0 until li.Dim).map(j => col(s"qs$j")): _*)
+      // routing by INTEGER-DOT argmax (q244's rule, reused against
+      // fitted centroids — for a short query against summed-token
+      // centroids the dot is the robust signal; measured better than
+      // the L2 term at both SFs), ties to lower cid
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rdot").desc, col("cid").asc)
+      val routedPlan = qp.withColumn("qe", qe)
+        .crossJoin(broadcast(cb))
+        .withColumn("rdot",
+          graft.operators.ProductQuantizer.dotL(col("qe"), col("cq")))
+        .withColumn("r", row_number().over(wR)).filter(col("r") <= NProbe)
+        .select(col("query_id"), col("cid").as("cell"))
+      val routedRows = routedPlan.collect() // one job; the q216 pin
+      val routed = s.createDataFrame(
+        java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
+      val cellIds = routedRows.map(_.getAs[Long]("cell")).distinct
+      // stage 1: ONLY the routed cells' partitions are read
+      val dpR = s.read.parquet(s"$root/pooled_cells")
+        .filter(col("cell").isin(cellIds: _*))
+        .join(broadcast(routed), Seq("cell"))
+        .filter(col("doc_id") =!= col("query_id"))
+      val pdot = (0 until li.Dim).map(j => col(s"qs$j") * col(s"ds$j"))
+        .reduce(_ + _)
+      val scored = dpR.join(broadcast(qp), Seq("query_id"))
+        .select(col("query_id"), col("doc_id"), pdot.as("score"))
+        .localCheckpoint(true)
+      val nScan = scored.groupBy("query_id")
+        .agg(count(lit(1)).as("n_scan"))
+      val pool = li.topK(scored, PoolC).select("query_id", "doc_id")
+      // the pin routes the stage-2 bucketed token scan
+      val ids = pool.select("doc_id").distinct().collect().map(_.getLong(0))
+      val dvCand = reg.tokenRows(s).filter(col("doc_id").isin(ids: _*))
+      val sys5 = li.topK(li.prunedMaxSimScores(qv, dvCand, pool), K)
+        .select("query_id", "doc_id")
+      // the two comparison arms over the same clustered corpus:
+      // exact MaxSim truth, and the unrouted two-stage (the recall
+      // bar a routed stage 1 must meet — VERDICT's Done criterion)
+      val dv = li.withVec(li.docTokens(cdocs, "doc_id", "text", DocCap),
+        "t", "dc")
+      val truth = li.topK(li.maxSimScores(qv, dv), K)
+        .select("query_id", "doc_id").localCheckpoint(true)
+      val unrouted = li.topK(li.prunedMaxSimScores(qv, dv,
+          li.pooledTopC(qv, dv, PoolC).select("query_id", "doc_id")), K)
+        .select("query_id", "doc_id")
+      val hitR = sys5.join(truth, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit5_routed"))
+      val hitU = unrouted.join(truth, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit5_unrouted"))
+      qv.select("query_id").distinct()
+        .join(hitR, Seq("query_id"), "left")
+        .join(hitU, Seq("query_id"), "left")
+        .join(nScan, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit5_routed"), lit(0L)).as("n_hit5_routed"),
+          coalesce(col("n_hit5_unrouted"), lit(0L)).as("n_hit5_unrouted"),
+          coalesce(col("n_scan"), lit(0L)).as("n_scan"))
+    }),
+
     "q240_prf_drift" -> ((s, dir) => {
       val (eqv, fb) = prfExpand(s, dir)
       val plain = bruteTop5(s, dir).select("query_id", "doc_id")
@@ -432,17 +592,78 @@ object Retrieval extends QueryGroup {
   private def dDot: String =
     (0 until li.Dim).map(j => s"q.qc$j * d.dc$j").mkString(" + ")
 
-  /** Shared token-vector CTEs: dv (corpus) and qv (queries). */
-  private val vecCtes =
+  /** Shared token-vector CTEs: dv (corpus) and qv (queries), over any
+    * (doc_id, text) relation — `documents` for the standing entries,
+    * `cdocs` for the q245 clustered fixture. */
+  private def vecCtesFor(src: String, qcap: Int = QCap): String =
     s"""tok AS (SELECT doc_id, regexp_extract_all(text, '([a-z0-9]+)', 1) AS toks
-           FROM documents),
+           FROM $src),
        dt AS (SELECT doc_id, unnest(list_distinct(toks[1:$DocCap])) AS t FROM tok),
        dh AS (SELECT doc_id, t, md5('mv:' || t) AS h FROM dt),
        dv AS (SELECT doc_id, t, ${dComps("dc")} FROM dh),
-       qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:$QCap])) AS t
+       qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:$qcap])) AS t
            FROM tok WHERE doc_id < $NQ),
        qh AS (SELECT query_id, t, md5('mv:' || t) AS h FROM qt),
        qv AS (SELECT query_id, t, ${dComps("qc")} FROM qh)"""
+  private val vecCtes = vecCtesFor("documents")
+
+  /** The q245 clustered corpus (see clusteredDocs): CluAnchors shared
+    * topic terms then cluster-vocabulary draws, one md5 window per
+    * (doc, position). */
+  private val cdocsCtes =
+    s"""ctok AS (SELECT doc_id, j,
+           CASE WHEN j < $CluAnchors
+             THEN 'c' || (doc_id % $NClu)::VARCHAR || 'a' || j::VARCHAR
+             ELSE 'c' || (doc_id % $NClu)::VARCHAR || 'w' ||
+               ((('0x' || substr(md5('cw:' || doc_id::VARCHAR || ':' ||
+                 j::VARCHAR), 1, 6))::BIGINT) % $CluVocab)::VARCHAR
+           END AS tk
+         FROM documents
+         CROSS JOIN (SELECT unnest(generate_series(0, ${CluT - 1})) AS j)),
+       cdocs AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS text
+         FROM ctok GROUP BY doc_id)"""
+
+  /** Exact-integer dot of two Dim-element BIGINT lists (list_sum
+    * promotes to HUGEINT — cast back). */
+  private def dot6(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, ${li.Dim}), " +
+      s"i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** The q245 router replay: pqFitE's exact-integer Lloyd at m=1 over
+    * the pooled vectors (`dp` must be in scope) — id-low seeds,
+    * LloydIter unrolled rounds (assignment by (distTerm ASC, cid
+    * ASC); the |sq|^2 drop is rank-invariant per vector), half-away
+    * integer means, empty cells carried — then the final corpus
+    * assignment `casg`. Ends without a trailing comma. */
+  private val routerCtes = {
+    def round(i: Int): String =
+      s"""cca$i AS (SELECT cid, sq FROM (
+           SELECT c.cid, p.sq, row_number() OVER (PARTITION BY p.vid
+             ORDER BY (${dot6("c.cq", "c.cq")} - 2 * ${dot6("p.sq", "c.cq")})
+               ASC, c.cid ASC) AS rn
+           FROM cs p CROSS JOIN cc${i - 1} c) WHERE rn = 1),
+         ccm$i AS (SELECT cid, dim_no,
+             CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                  ELSE -((2 * -s + n) // (2 * n)) END AS cm
+           FROM (SELECT cid, dim_no, sum(vv)::BIGINT AS s, count(*) AS n
+                 FROM (SELECT cid,
+                         unnest(generate_series(0, ${li.Dim - 1})) AS dim_no,
+                         unnest(sq) AS vv FROM cca$i)
+                 GROUP BY cid, dim_no)),
+         cc$i AS MATERIALIZED (SELECT p.cid, coalesce(nc.cqn, p.cq) AS cq
+           FROM cc${i - 1} p LEFT JOIN (
+             SELECT cid, list(cm ORDER BY dim_no) AS cqn
+             FROM ccm$i GROUP BY cid) nc USING (cid))"""
+    s"""cs AS (SELECT doc_id AS vid, list_value(${(0 until li.Dim)
+           .map(j => s"ds$j").mkString(", ")}) AS sq FROM dp),
+       cc0 AS (SELECT vid AS cid, sq AS cq FROM cs WHERE vid < $NClu),
+       ${(1 to LloydIter).map(round).mkString(",\n")},
+       casg AS (SELECT vid AS doc_id, cid AS cell FROM (
+           SELECT p.vid, c.cid, row_number() OVER (PARTITION BY p.vid
+             ORDER BY (${dot6("c.cq", "c.cq")} - 2 * ${dot6("p.sq", "c.cq")})
+               ASC, c.cid ASC) AS rn
+           FROM cs p CROSS JOIN cc$LloydIter c) WHERE rn = 1)"""
+  }
 
   /** Brute MaxSim (query, doc, score) CTE chain ending in `sc`. */
   private val bruteCtes =
@@ -736,6 +957,66 @@ object Retrieval extends QueryGroup {
          FROM qq LEFT JOIN nh ON nh.query_id = qq.query_id
          LEFT JOIN ncnd ON ncnd.query_id = qq.query_id"""
     },
+
+    // clustered corpus -> token vectors -> pooled table -> m=1 Lloyd
+    // router -> nprobe routing -> routed stage 1 -> exact rerank,
+    // judged against the exact MaxSim truth AND the unrouted
+    // two-stage over the same corpus — all BIGINT arithmetic
+    "q245_lireg_routed_stage1" ->
+      s"""WITH $cdocsCtes, ${vecCtesFor("cdocs", CluQCap)}, $bruteCtes,
+         $prunedCtes,
+         $routerCtes,
+         qsv AS (SELECT query_id, list_value(${(0 until li.Dim)
+           .map(j => s"qs$j").mkString(", ")}) AS qe FROM qp),
+         qroute AS (SELECT query_id, cid AS cell FROM (
+             SELECT q.query_id, c.cid, row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ${dot6("q.qe", "c.cq")} DESC, c.cid ASC) AS rn
+             FROM qsv q CROSS JOIN cc$LloydIter c) WHERE rn <= $NProbe),
+         rsc AS (SELECT r.query_id, a.doc_id,
+             ${dot6("q.qe", "s.sq")} AS pscore
+           FROM qroute r JOIN casg a ON a.cell = r.cell
+           JOIN cs s ON s.vid = a.doc_id
+           JOIN qsv q ON q.query_id = r.query_id
+           WHERE a.doc_id <> r.query_id),
+         nsc AS (SELECT query_id, count(*)::BIGINT AS n_scan FROM rsc
+           GROUP BY 1),
+         rpool AS (SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY pscore DESC, doc_id ASC)
+               AS prank FROM rsc) WHERE prank <= $PoolC),
+         rmx AS (SELECT p.query_id, p.doc_id, q.t,
+             max($dDot)::BIGINT AS best
+           FROM rpool p JOIN dv d ON d.doc_id = p.doc_id
+           JOIN qv q ON q.query_id = p.query_id GROUP BY 1, 2, 3),
+         rs2 AS (SELECT query_id, doc_id, sum(best)::BIGINT AS score
+           FROM rmx GROUP BY 1, 2),
+         r5 AS (SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+               AS rank FROM rs2) WHERE rank <= $K),
+         er AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM sc),
+         e5 AS (SELECT query_id, doc_id FROM er WHERE rank <= $K),
+         ur AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM psc),
+         u5 AS (SELECT query_id, doc_id FROM ur WHERE rank <= $K),
+         nhr AS (SELECT r5.query_id, count(*)::BIGINT AS n_hit5_routed
+           FROM r5 JOIN e5 ON e5.query_id = r5.query_id
+             AND e5.doc_id = r5.doc_id GROUP BY 1),
+         nhu AS (SELECT u5.query_id, count(*)::BIGINT AS n_hit5_unrouted
+           FROM u5 JOIN e5 ON e5.query_id = u5.query_id
+             AND e5.doc_id = u5.doc_id GROUP BY 1),
+         qq AS (SELECT DISTINCT query_id FROM qv)
+         SELECT qq.query_id,
+           coalesce(nhr.n_hit5_routed, 0)::BIGINT AS n_hit5_routed,
+           coalesce(nhu.n_hit5_unrouted, 0)::BIGINT AS n_hit5_unrouted,
+           coalesce(nsc.n_scan, 0)::BIGINT AS n_scan
+         FROM qq LEFT JOIN nhr ON nhr.query_id = qq.query_id
+         LEFT JOIN nhu ON nhu.query_id = qq.query_id
+         LEFT JOIN nsc ON nsc.query_id = qq.query_id""",
 
     "q240_prf_drift" ->
       s"""WITH $vecCtes, $bruteCtes, $prunedCtes, $prfCtes,
