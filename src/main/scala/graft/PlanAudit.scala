@@ -79,6 +79,7 @@ object PlanAudit {
     "q227_knn_graph_convergence" -> "per-round summary assembly: 1-row aggregate crossed with a 1-row broadcast improved-count (bounded by construction, q181 shape); the graph rounds themselves are checkpointed equi-joins",
     "q229_graphreg_ingest_recall" -> "the q225/q226 seeding cross (8 queries x 4 broadcast entry nodes) + the exact integer-L2 baseline (8-query broadcast, q36/q214 shape); the persisted probe's hops are isin-pruned bucketed scans",
     "q243_graphreg_stitch_recall" -> "THREE persisted probes (before/stitch/refit), each with the q225 seeding cross (8 queries x 4 broadcast entry nodes) + the exact integer-L2 baseline (8-query broadcast, q36/q214 shape); every hop is an isin-pruned bucketed scan",
+    "q246_graphclu_stitch_recall" -> "q243's three-arm shape over the clustered fixture: three persisted probes (8 queries x 16 broadcast entry nodes — CluServeEntries coverage for the cluster-disconnected graph) + the exact integer-L2 baseline (8-query broadcast, q36/q214 shape); every hop is an isin-pruned bucketed scan",
     "q230_maxsim_topk" -> "exact late-interaction baseline: bounded query-token set (8 queries x <=6 tokens) broadcast over the corpus token scan (q36 shape generalized to multi-vector)",
     "q231_maxsim_pruned" -> "stage-1 pooled pass: 8 pooled query vectors broadcast over the pooled-doc table (q36 shape); stage-2 MaxSim is doc_id/query_id-keyed equi joins over the bounded candidate set",
     "q232_maxsim_recall" -> "recall eval needs the exact MaxSim baseline (q230's bounded query-token broadcast) plus q231's pooled stage-1 broadcast; stage-2 arms are keyed equi joins",

