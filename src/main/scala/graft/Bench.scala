@@ -77,36 +77,39 @@ object Bench {
       val w = new java.io.PrintWriter("target/bench-full.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
-    // The FINAL line is the machine contract. The harness that reads it
-    // keeps only the last ~2000 chars of output (an sbt [success]
-    // trailer eats ~80 more), so this line must stay well under ~1900:
-    // keys are shortened to the qNN prefix and values to 2 decimals
-    // (~12 chars/query); if the catalog grows past that, degrade the
-    // per-query precision to 1 decimal rather than overflow the window
-    // (full precision is always on the first line + target/bench-full
-    // .json).
-    // minShow omits sub-threshold queries from the short map when the
-    // catalog outgrows even 1-decimal keys — failures (-1) always
-    // stay visible, and the omission is announced in-line so a reader
-    // can't mistake the shorter map for a shrunken catalog. Full
-    // precision for every query is always on the first line and in
-    // target/bench-full.json.
-    def shortLine(decimals: Int, minShow: Double): String = {
-      val f = s"%.${decimals}f"
-      val kept = best.toSeq.sortBy(_._1)
-        .filter { case (_, v) => v < 0 || v >= minShow }
-      val qs = kept
-        .map { case (k, v) =>
-          "\"" + k.takeWhile(_ != '_') + "\":" + f.formatLocal(java.util.Locale.ROOT, v) }
-        .mkString("{", ",", "}")
-      val omitted =
-        if (kept.size == best.size) ""
-        else s""","queries_omitted_below_sec":$minShow,"queries_omitted":${best.size - kept.size}"""
-      "{" + header(qs) + omitted + "}"
+    // The FINAL line is the machine contract. The harness that reads
+    // it keeps only the last ~2000 chars of output (an sbt [success]
+    // trailer eats ~80 more), so this line must fit ~1800 chars BY
+    // CONSTRUCTION — the r12 artifact shipped unparseable because the
+    // old fixed-threshold tiers all overflowed and the fallback
+    // printed the oversized last tier anyway, truncating the captured
+    // JSON mid-object. Now the SLOWEST queries (the informative ones)
+    // are added greedily until the budget is spent; failures (-1)
+    // are always included first, and the omission is announced
+    // in-line so a reader can't mistake the shorter map for a
+    // shrunken catalog. Full precision for every query is always on
+    // the first line and in target/bench-full.json.
+    val budget = 1800
+    val ordered = best.toSeq.sortBy { case (_, v) =>
+      (if (v < 0) Double.NegativeInfinity else -v, 0) // failures first
     }
-    val tiers = Seq(shortLine(2, 0), shortLine(1, 0),
-      shortLine(1, 0.05), shortLine(1, 0.25))
-    println(tiers.find(_.length <= 1850).getOrElse(tiers.last))
+    def entryStr(k: String, v: Double): String =
+      "\"" + k.takeWhile(_ != '_') + "\":" +
+        "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    // fixed-size parts: header with an empty map + the omission note
+    // at its widest
+    val fixedLen = ("{" + header("{}") +
+      s""","queries_omitted":${best.size}""" + "}").length
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixedLen
+    ordered.foreach { case (k, v) =>
+      val e = entryStr(k, v)
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val omitted =
+      if (kept.size == best.size) ""
+      else s""","queries_omitted":${best.size - kept.size}"""
+    println("{" + header(kept.mkString("{", ",", "}")) + omitted + "}")
     spark.stop()
   }
 }

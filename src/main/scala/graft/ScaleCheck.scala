@@ -641,6 +641,123 @@ object ScaleCheck {
         })
     }
 
+    // ROUTED lireg stage-1 vs the full pooled scan (round 13, the
+    // q245 claim at scale): both rows serve the SAME persisted
+    // clustered store (fit + fitted m=1 Lloyd router + cell-keyed
+    // pooled table, all untimed build — Retrieval.liRegCluStore).
+    // The routed chain's stage 1 reads only the nprobe/NClu routed
+    // cells' partitions (partition pruning), the unrouted chain's
+    // stage 1 scans every pooled row; stage 2 is candidate-bounded
+    // in both. Expected: both grow with N (stage 1 is linear), the
+    // routed row at ~nprobe/NClu the slope — the scan-fraction win
+    // the 100 TB deployment buys from the fitted router.
+    if (wantRow("lireg routed stage-1 (clustered store)")) {
+      fmtRow("lireg ROUTED stage-1 probe (fixed 8 queries, clustered store)",
+        "lireg_routed",
+        mults.map { m =>
+          try {
+            val root = queries.Retrieval.liRegCluStore(spark, dirs(m))
+            val qv = queries.Retrieval.cluQueryVecs(spark, dirs(m))
+              .localCheckpoint(true)
+            Some(time2(
+              queries.Retrieval.routedServe(spark, root, qv)._1.count()))
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[scalecheck] lireg-routed x$m: ${e.getMessage}")
+              None
+          }
+        })
+      fmtRow("lireg UNROUTED two-stage probe (same clustered store)",
+        "lireg_unrouted",
+        mults.map { m =>
+          try {
+            val root = queries.Retrieval.liRegCluStore(spark, dirs(m))
+            val qv = queries.Retrieval.cluQueryVecs(spark, dirs(m))
+              .localCheckpoint(true)
+            val reg = new operators.LateInteractionRegistry(s"$root/reg")
+            Some(time2(reg.probe(spark, qv, k = 5, c = 100).count()))
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[scalecheck] lireg-unrouted x$m: ${e.getMessage}")
+              None
+          }
+        })
+    }
+
+    // ... and STAGE 1 ISOLATED (the scan itself, the term the router
+    // actually shrinks — end-to-end both chains carry the identical
+    // constant stage-2, which dilutes the ratio at small stores):
+    // routed = route (bounded collect) + partition-pruned scan of the
+    // routed cells + score; unrouted = the full pooled-table scan +
+    // score through the same top-C machinery.
+    if (wantRow("lireg stage-1 only (clustered store)")) {
+      val liOp = operators.LateInteraction
+      fmtRow("lireg stage-1 only ROUTED (clustered store)",
+        "lireg_s1_routed",
+        mults.map { m =>
+          try {
+            val root = queries.Retrieval.liRegCluStore(spark, dirs(m))
+            val qv = queries.Retrieval.cluQueryVecs(spark, dirs(m))
+              .localCheckpoint(true)
+            val qp = liOp.pooled(qv, "query_id", "qc", "qs")
+              .localCheckpoint(true)
+            Some(time2 {
+              val cb = spark.read.parquet(s"$root/router")
+              val qe = array((0 until liOp.Dim).map(j => col(s"qs$j")): _*)
+              val wR = org.apache.spark.sql.expressions.Window
+                .partitionBy("query_id")
+                .orderBy(col("rdot").desc, col("cid").asc)
+              val routedPlan = qp.withColumn("qe", qe)
+                .crossJoin(broadcast(cb))
+                .withColumn("rdot",
+                  operators.ProductQuantizer.dotL(col("qe"), col("cq")))
+                .withColumn("r", row_number().over(wR))
+                .filter(col("r") <= 2)
+                .select(col("query_id"), col("cid").as("cell"))
+              val routedRows = routedPlan.collect()
+              val routed = spark.createDataFrame(
+                java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
+              val cellIds = routedRows.map(_.getAs[Long]("cell")).distinct
+              val pdot = (0 until liOp.Dim)
+                .map(j => col(s"qs$j") * col(s"ds$j")).reduce(_ + _)
+              spark.read.parquet(s"$root/pooled_cells")
+                .filter(col("cell").isin(cellIds: _*))
+                .join(broadcast(routed), Seq("cell"))
+                .filter(col("doc_id") =!= col("query_id"))
+                .join(broadcast(qp), Seq("query_id"))
+                .select(col("query_id"), col("doc_id"), pdot.as("score"))
+                .count(): Unit
+            })
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[scalecheck] lireg-s1-routed x$m: ${e.getMessage}")
+              None
+          }
+        })
+      fmtRow("lireg stage-1 only UNROUTED full pooled scan (same store)",
+        "lireg_s1_unrouted",
+        mults.map { m =>
+          try {
+            val root = queries.Retrieval.liRegCluStore(spark, dirs(m))
+            val qv = queries.Retrieval.cluQueryVecs(spark, dirs(m))
+              .localCheckpoint(true)
+            val qp = liOp.pooled(qv, "query_id", "qc", "qs")
+              .localCheckpoint(true)
+            val reg = new operators.LateInteractionRegistry(s"$root/reg")
+            Some(time2(
+              liOp.pooledTopCOf(qp, reg.pooledRows(spark), 100).count()))
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[scalecheck] lireg-s1-unrouted x$m: ${e.getMessage}")
+              None
+          }
+        })
+    }
+
     // incremental CC: fold a FIXED 300-edge batch into the standing
     // labeling — the contracted fixpoint is bounded by the batch, so
     // history size enters only through the rep-lookup/remap

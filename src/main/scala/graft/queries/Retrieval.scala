@@ -139,7 +139,7 @@ object Retrieval extends QueryGroup {
     * the routed serving chain. */
   private val liRegCluCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def liRegCluStore(s: SparkSession, dir: String): String =
+  private[graft] def liRegCluStore(s: SparkSession, dir: String): String =
     liRegCluCache.computeIfAbsent(dir, _ => {
       val root = java.nio.file.Files
         .createTempDirectory("graft_lireg_clu").toString
@@ -158,6 +158,60 @@ object Retrieval extends QueryGroup {
         .write.partitionBy("cell").parquet(s"$root/pooled_cells")
       root
     })
+
+  /** The 8 clustered-corpus query token-vector rows (q245's query
+    * side; shared with ScaleCheck's routed-stage-1 scale row). */
+  private[graft] def cluQueryVecs(s: SparkSession, dir: String): DataFrame =
+    li.withVec(
+      li.docTokens(clusteredDocs(s, dir).filter(col("doc_id") < NQ),
+          "doc_id", "text", CluQCap)
+        .withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("t", "qt"), "qt", "qc")
+
+  /** The ROUTED serving chain from a built clustered store (q245's
+    * timed path; shared with ScaleCheck): route the pooled queries to
+    * NProbe fitted cells by integer-dot argmax (q244's rule against
+    * fitted centroids — for a short query against summed-token
+    * centroids the dot is the robust signal; measured better than
+    * the L2 term at both SFs), stage-1 scan ONLY those cells'
+    * partitions of the cell-keyed pooled table (partition pruning),
+    * stage-2 exact-MaxSim the surviving pool through the registry's
+    * bucketed token store. Returns (top-K frame, the stage-1 scored
+    * frame — q245's n_scan numerator). */
+  private[graft] def routedServe(s: SparkSession, root: String,
+                                 qv: DataFrame): (DataFrame, DataFrame) = {
+    val reg = new graft.operators.LateInteractionRegistry(s"$root/reg")
+    val qp = li.pooled(qv, "query_id", "qc", "qs")
+    val cb = s.read.parquet(s"$root/router") // NClu rows, broadcast
+    val qe = array((0 until li.Dim).map(j => col(s"qs$j")): _*)
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rdot").desc, col("cid").asc)
+    val routedPlan = qp.withColumn("qe", qe)
+      .crossJoin(broadcast(cb))
+      .withColumn("rdot",
+        graft.operators.ProductQuantizer.dotL(col("qe"), col("cq")))
+      .withColumn("r", row_number().over(wR)).filter(col("r") <= NProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val routedRows = routedPlan.collect() // one job; the q216 pin
+    val routed = s.createDataFrame(
+      java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
+    val cellIds = routedRows.map(_.getAs[Long]("cell")).distinct
+    // stage 1: ONLY the routed cells' partitions are read
+    val dpR = s.read.parquet(s"$root/pooled_cells")
+      .filter(col("cell").isin(cellIds: _*))
+      .join(broadcast(routed), Seq("cell"))
+      .filter(col("doc_id") =!= col("query_id"))
+    val pdot = (0 until li.Dim).map(j => col(s"qs$j") * col(s"ds$j"))
+      .reduce(_ + _)
+    val scored = dpR.join(broadcast(qp), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), pdot.as("score"))
+      .localCheckpoint(true)
+    val pool = li.topK(scored, PoolC).select("query_id", "doc_id")
+    // the pin routes the stage-2 bucketed token scan
+    val ids = pool.select("doc_id").distinct().collect().map(_.getLong(0))
+    val dvCand = reg.tokenRows(s).filter(col("doc_id").isin(ids: _*))
+    (li.topK(li.prunedMaxSimScores(qv, dvCand, pool), K), scored)
+  }
 
   private def prunedTop5(s: SparkSession, dir: String): DataFrame = {
     val qv = queryVecs(s, dir)
@@ -494,50 +548,12 @@ object Retrieval extends QueryGroup {
     // corpus size is the denominator).
     "q245_lireg_routed_stage1" -> ((s, dir) => {
       val root = liRegCluStore(s, dir)
-      val reg = new graft.operators.LateInteractionRegistry(s"$root/reg")
       val cdocs = clusteredDocs(s, dir)
-      val qv = li.withVec(
-        li.docTokens(cdocs.filter(col("doc_id") < NQ), "doc_id", "text",
-            CluQCap)
-          .withColumnRenamed("doc_id", "query_id")
-          .withColumnRenamed("t", "qt"), "qt", "qc")
-      val qp = li.pooled(qv, "query_id", "qc", "qs")
-      val cb = s.read.parquet(s"$root/router") // NClu rows, broadcast
-      val qe = array((0 until li.Dim).map(j => col(s"qs$j")): _*)
-      // routing by INTEGER-DOT argmax (q244's rule, reused against
-      // fitted centroids — for a short query against summed-token
-      // centroids the dot is the robust signal; measured better than
-      // the L2 term at both SFs), ties to lower cid
-      val wR = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("rdot").desc, col("cid").asc)
-      val routedPlan = qp.withColumn("qe", qe)
-        .crossJoin(broadcast(cb))
-        .withColumn("rdot",
-          graft.operators.ProductQuantizer.dotL(col("qe"), col("cq")))
-        .withColumn("r", row_number().over(wR)).filter(col("r") <= NProbe)
-        .select(col("query_id"), col("cid").as("cell"))
-      val routedRows = routedPlan.collect() // one job; the q216 pin
-      val routed = s.createDataFrame(
-        java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
-      val cellIds = routedRows.map(_.getAs[Long]("cell")).distinct
-      // stage 1: ONLY the routed cells' partitions are read
-      val dpR = s.read.parquet(s"$root/pooled_cells")
-        .filter(col("cell").isin(cellIds: _*))
-        .join(broadcast(routed), Seq("cell"))
-        .filter(col("doc_id") =!= col("query_id"))
-      val pdot = (0 until li.Dim).map(j => col(s"qs$j") * col(s"ds$j"))
-        .reduce(_ + _)
-      val scored = dpR.join(broadcast(qp), Seq("query_id"))
-        .select(col("query_id"), col("doc_id"), pdot.as("score"))
-        .localCheckpoint(true)
+      val qv = cluQueryVecs(s, dir)
+      val (sys5Full, scored) = routedServe(s, root, qv)
       val nScan = scored.groupBy("query_id")
         .agg(count(lit(1)).as("n_scan"))
-      val pool = li.topK(scored, PoolC).select("query_id", "doc_id")
-      // the pin routes the stage-2 bucketed token scan
-      val ids = pool.select("doc_id").distinct().collect().map(_.getLong(0))
-      val dvCand = reg.tokenRows(s).filter(col("doc_id").isin(ids: _*))
-      val sys5 = li.topK(li.prunedMaxSimScores(qv, dvCand, pool), K)
-        .select("query_id", "doc_id")
+      val sys5 = sys5Full.select("query_id", "doc_id")
       // the two comparison arms over the same clustered corpus:
       // exact MaxSim truth, and the unrouted two-stage (the recall
       // bar a routed stage 1 must meet — VERDICT's Done criterion)
