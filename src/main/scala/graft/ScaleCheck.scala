@@ -703,33 +703,12 @@ object ScaleCheck {
               .localCheckpoint(true)
             val qp = liOp.pooled(qv, "query_id", "qc", "qs")
               .localCheckpoint(true)
-            Some(time2 {
-              val cb = spark.read.parquet(s"$root/router")
-              val qe = array((0 until liOp.Dim).map(j => col(s"qs$j")): _*)
-              val wR = org.apache.spark.sql.expressions.Window
-                .partitionBy("query_id")
-                .orderBy(col("rdot").desc, col("cid").asc)
-              val routedPlan = qp.withColumn("qe", qe)
-                .crossJoin(broadcast(cb))
-                .withColumn("rdot",
-                  operators.ProductQuantizer.dotL(col("qe"), col("cq")))
-                .withColumn("r", row_number().over(wR))
-                .filter(col("r") <= 2)
-                .select(col("query_id"), col("cid").as("cell"))
-              val routedRows = routedPlan.collect()
-              val routed = spark.createDataFrame(
-                java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
-              val cellIds = routedRows.map(_.getAs[Long]("cell")).distinct
-              val pdot = (0 until liOp.Dim)
-                .map(j => col(s"qs$j") * col(s"ds$j")).reduce(_ + _)
-              spark.read.parquet(s"$root/pooled_cells")
-                .filter(col("cell").isin(cellIds: _*))
-                .join(broadcast(routed), Seq("cell"))
-                .filter(col("doc_id") =!= col("query_id"))
-                .join(broadcast(qp), Seq("query_id"))
-                .select(col("query_id"), col("doc_id"), pdot.as("score"))
-                .count(): Unit
-            })
+            // the SAME route + partition-pruned scan q245 serves —
+            // one definition, no duplicated NProbe literal (ADVICE
+            // r13); the router table is pinned per JVM
+            Some(time2(
+              queries.Retrieval.routedStage1(spark, root, qp)
+                .count(): Unit))
           } catch {
             case e: Exception =>
               System.err.println(

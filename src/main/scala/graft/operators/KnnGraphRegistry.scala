@@ -140,12 +140,21 @@ class KnnGraphRegistry(path: String, nBuckets: Int = 8) {
   }
   /** The standing lineage both active generations agree on — the
     * maintenance precondition (torn = repair by refit). Absent stamps
-    * (a pre-stamp store) mint a fresh lineage to upgrade under. */
+    * (a pre-stamp store) mint a fresh lineage and stamp BOTH active
+    * generations immediately — NOT lazily via the next rewrite: a
+    * compaction-only maintain rewrites (and re-stamps) just the edge
+    * store, so a deferred vec-side stamp would leave edges=<uuid> vs
+    * vecs=<missing>, a torn pair every subsequent verb refuses until
+    * refit (ADVICE r13). Callers hold the maintenance lock. */
   private def currentLineage(spark: SparkSession): String = {
     requireSameLineage(spark, edges.activeLocation(spark),
       vecs.activeLocation(spark))
-    readLin(spark, edges.activeLocation(spark))
-      .getOrElse(java.util.UUID.randomUUID().toString)
+    readLin(spark, edges.activeLocation(spark)).getOrElse {
+      val lin = java.util.UUID.randomUUID().toString
+      stampLin(spark, lin)(edges.activeLocation(spark))
+      stampLin(spark, lin)(vecs.activeLocation(spark))
+      lin
+    }
   }
 
   private case class Meta(k: Int, iters: Int, seedRounds: Int, seed: String)

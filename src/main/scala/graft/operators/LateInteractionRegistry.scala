@@ -163,12 +163,21 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
   /** The standing lineage both active generations agree on — the
     * maintenance precondition (a torn refit must be repaired by
     * refit, not carried forward by maintain/ingest). Absent stamps
-    * (a pre-stamp store) mint a fresh lineage to upgrade under. */
+    * (a pre-stamp store) mint a fresh lineage and stamp BOTH active
+    * generations immediately — the KnnGraphRegistry upgrade rule
+    * (ADVICE r13): this registry's maintain happens to rewrite both
+    * stores, but the stamp-now discipline keeps the upgrade correct
+    * independent of which stores a verb rewrites. Callers hold the
+    * maintenance lock. */
   private def currentLineage(spark: SparkSession): String = {
     requireSameLineage(spark, pooled.activeLocation(spark),
       tokens.activeLocation(spark))
-    readLin(spark, pooled.activeLocation(spark))
-      .getOrElse(java.util.UUID.randomUUID().toString)
+    readLin(spark, pooled.activeLocation(spark)).getOrElse {
+      val lin = java.util.UUID.randomUUID().toString
+      stampLin(spark, lin)(pooled.activeLocation(spark))
+      stampLin(spark, lin)(tokens.activeLocation(spark))
+      lin
+    }
   }
 
   private def readCap(spark: SparkSession): Option[Int] =
@@ -289,6 +298,28 @@ class LateInteractionRegistry(path: String, nBuckets: Int = 8) {
           s"${conflicts.mkString(", ")} are already indexed with a " +
           "DIFFERENT token set — ingest is insert-only; re-written " +
           "documents require refit")
+      // ORPHAN GUARD (ADVICE r13): the committed-docs restriction
+      // above admits the exact crash retry — but it would ALSO admit
+      // a retry with DIFFERENT text: the old-text orphan token rows
+      // (no pooled row yet) become permanent once this ingest commits
+      // the pooled row (maintain's pooled semi-join then KEEPS them)
+      // and inflate the doc's MaxSim forever. Duplicates of the SAME
+      // derivation are harmless (MaxSim is a per-token max), so the
+      // exact rule is: every stored orphan row of a batch doc must be
+      // IN this batch's derivation. Repair for a changed doc: run
+      // maintain() (orphans are GC'd by the pooled semi-join), retry.
+      val orphanMismatch = tokens.df(spark)
+        .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(storedIds, Seq("doc_id"), "left_anti")
+        .join(tok, joinCols, "left_anti")
+        .select("doc_id").distinct().limit(5).collect().map(_.getLong(0))
+      require(orphanMismatch.isEmpty,
+        s"LateInteractionRegistry at $path: doc_id(s) " +
+          s"${orphanMismatch.mkString(", ")} carry UNCOMMITTED token " +
+          "rows (tokens-first crash debris) that are not in this " +
+          "batch's derivation — the document changed between the " +
+          "crashed ingest and this retry. Run maintain() to GC the " +
+          "orphan rows, then re-ingest the new text")
       // a deleted doc stays deleted until maintain() physically GCs
       // it (the uniform registry delete contract)
       val tombHits = b.join(tombIds(spark), Seq("doc_id"), "left_semi")

@@ -60,7 +60,10 @@ object Retrieval extends QueryGroup {
   private val CluVocab = 24 // words per cluster vocabulary
   private val CluT = 12     // token positions per doc
   private val CluQCap = 8   // query token budget (anchors + 5 words)
-  private val NProbe = 2    // routed cells per query (scan ~ NProbe/NClu)
+  /** Routed cells per query (scan ~ NProbe/NClu). Exposed so
+    * ScaleCheck's stage-1 rows reference THIS value instead of
+    * duplicating the literal (ADVICE r13). */
+  private[graft] val NProbe = 2
   private val LloydIter = 5 // router fit rounds (the KmFitIter value)
 
   private def clusteredDocs(s: SparkSession, dir: String): DataFrame = {
@@ -91,6 +94,20 @@ object Retrieval extends QueryGroup {
 
   private def bruteTop5(s: SparkSession, dir: String): DataFrame =
     li.topK(li.maxSimScores(queryVecs(s, dir), corpusVecs(s, dir)), K)
+
+  // ---- derivation-hygiene helpers (VERDICT r13 #1/#3): entries that
+  // consume the SAME token-vector tables through several arms derive
+  // them ONCE, localCheckpoint-pin the result at entry top, and feed
+  // every arm from the pin — the q243 shared-truth discipline. The
+  // timed entry still pays its derivation exactly once; what goes
+  // away is the N-1 REPEATED derivations Spark's lazy evaluation
+  // re-ran per action while DuckDB shared one CTE. ----
+  private def bruteTop5Of(qv: DataFrame, dv: DataFrame): DataFrame =
+    li.topK(li.maxSimScores(qv, dv), K)
+  private def prunedTop5Of(qv: DataFrame, dv: DataFrame): DataFrame = {
+    val cand = li.pooledTopC(qv, dv, PoolC).select("query_id", "doc_id")
+    li.topK(li.prunedMaxSimScores(qv, dv, cand), K)
+  }
 
   /** q241/q242's persisted LateInteractionRegistry stores, built once
     * per JVM per sf dir (the q208Stores/q228 "seeding untimed"
@@ -129,14 +146,17 @@ object Retrieval extends QueryGroup {
     * corpus, plus the ROUTER fitted on its persisted pooled table —
     * the README composition claim made real: pooledRows IS the
     * single-vector shape the IVF stack indexes, so the router fit is
-    * ProductQuantizer's exact-integer Lloyd at m=1 (12 centroids over
-    * the 6-dim BIGINT pooled sums, id-low seeded, oracle-replayable)
-    * and the pooled rows are CELL-KEYED AT REST (partitioned parquet
-    * — the PQRegistry cellKeyedCodes discipline: the assignment join
-    * is paid once at indexing time, so a routed probe's stage-1 scan
-    * is partition-pruned to nprobe/NClu of the store). Untimed
-    * per-JVM setup (the liRegStore convention); the timed entry is
-    * the routed serving chain. */
+    * ProductQuantizer's exact-integer Lloyd at m=1 (NClu = 8 fitted
+    * centroids over the 6-dim BIGINT pooled sums, id-low seeded,
+    * oracle-replayable) and BOTH serving tables are CELL-KEYED AT
+    * REST (partitioned parquet — the PQRegistry cellKeyedCodes
+    * discipline: the assignment join is paid once at indexing time):
+    * the pooled rows, so a routed probe's stage-1 scan is
+    * partition-pruned to NProbe/NClu of the store, and — round 14
+    * (VERDICT r13 #3) — the TOKEN rows, so stage 2's candidate fetch
+    * prunes by the same routed cells before the candidate-id isin.
+    * Untimed per-JVM setup (the liRegStore convention); the timed
+    * entry is the routed serving chain. */
   private val liRegCluCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def liRegCluStore(s: SparkSession, dir: String): String =
@@ -156,8 +176,25 @@ object Retrieval extends QueryGroup {
         .select(col("vid").as("doc_id"), col("code").as("cell"))
       dp.join(cells, "doc_id")
         .write.partitionBy("cell").parquet(s"$root/pooled_cells")
+      reg.tokenRows(s).join(cells, "doc_id")
+        .write.partitionBy("cell").parquet(s"$root/token_cells")
       root
     })
+
+  /** The fitted router (NClu rows), collected ONCE per JVM per store:
+    * a serving probe re-reading an NClu-row parquet on every call is
+    * pure scheduler floor (VERDICT r13 #3) — the rows are pinned and
+    * each call rebuilds the local frame jobless. */
+  private val routerCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row],
+             org.apache.spark.sql.types.StructType)]()
+  private def routerTable(s: SparkSession, root: String): DataFrame = {
+    val (rows, schema) = routerCache.computeIfAbsent(root, _ => {
+      val df = s.read.parquet(s"$root/router")
+      (df.collect(), df.schema)
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   /** The 8 clustered-corpus query token-vector rows (q245's query
     * side; shared with ScaleCheck's routed-stage-1 scale row). */
@@ -168,21 +205,17 @@ object Retrieval extends QueryGroup {
         .withColumnRenamed("doc_id", "query_id")
         .withColumnRenamed("t", "qt"), "qt", "qc")
 
-  /** The ROUTED serving chain from a built clustered store (q245's
-    * timed path; shared with ScaleCheck): route the pooled queries to
-    * NProbe fitted cells by integer-dot argmax (q244's rule against
-    * fitted centroids — for a short query against summed-token
-    * centroids the dot is the robust signal; measured better than
-    * the L2 term at both SFs), stage-1 scan ONLY those cells'
-    * partitions of the cell-keyed pooled table (partition pruning),
-    * stage-2 exact-MaxSim the surviving pool through the registry's
-    * bucketed token store. Returns (top-K frame, the stage-1 scored
-    * frame — q245's n_scan numerator). */
-  private[graft] def routedServe(s: SparkSession, root: String,
-                                 qv: DataFrame): (DataFrame, DataFrame) = {
-    val reg = new graft.operators.LateInteractionRegistry(s"$root/reg")
-    val qp = li.pooled(qv, "query_id", "qc", "qs")
-    val cb = s.read.parquet(s"$root/router") // NClu rows, broadcast
+  /** Route the pooled queries to their NProbe fitted cells by
+    * integer-dot argmax (q244's rule against fitted centroids — for
+    * a short query against summed-token centroids the dot is the
+    * robust signal; measured better than the L2 term at both SFs).
+    * Bounded collect (|Q| x NProbe rows — the q216 pin); returns the
+    * local routed (query_id, cell) frame plus the distinct routed
+    * cell ids. ONE definition of the routing window, shared by
+    * routedServe and ScaleCheck's stage-1 rows (ADVICE r13). */
+  private[graft] def routeQueries(s: SparkSession, root: String,
+      qp: DataFrame): (DataFrame, Array[Long]) = {
+    val cb = routerTable(s, root) // NClu rows, pinned per JVM
     val qe = array((0 until li.Dim).map(j => col(s"qs$j")): _*)
     val wR = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("rdot").desc, col("cid").asc)
@@ -193,31 +226,66 @@ object Retrieval extends QueryGroup {
       .withColumn("r", row_number().over(wR)).filter(col("r") <= NProbe)
       .select(col("query_id"), col("cid").as("cell"))
     val routedRows = routedPlan.collect() // one job; the q216 pin
-    val routed = s.createDataFrame(
-      java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
-    val cellIds = routedRows.map(_.getAs[Long]("cell")).distinct
-    // stage 1: ONLY the routed cells' partitions are read
-    val dpR = s.read.parquet(s"$root/pooled_cells")
+    (s.createDataFrame(
+       java.util.Arrays.asList(routedRows: _*), routedPlan.schema),
+     routedRows.map(_.getAs[Long]("cell")).distinct)
+  }
+
+  /** The routed STAGE-1 scan: ONLY the routed cells' partitions of
+    * the cell-keyed pooled table are read (partition pruning), each
+    * query scoring its own routed rows. Shared by routedServe and
+    * ScaleCheck's stage-1-isolated row — the scan ScaleCheck times is
+    * the scan q245 serves (ADVICE r13: no duplicated literals). */
+  private[graft] def routedStage1(s: SparkSession, root: String,
+                                  qp: DataFrame): DataFrame = {
+    val (routed, cellIds) = routeQueries(s, root, qp)
+    routedStage1Scan(s, root, qp, routed, cellIds)
+  }
+  private def routedStage1Scan(s: SparkSession, root: String, qp: DataFrame,
+      routed: DataFrame, cellIds: Array[Long]): DataFrame = {
+    val pdot = (0 until li.Dim).map(j => col(s"qs$j") * col(s"ds$j"))
+      .reduce(_ + _)
+    s.read.parquet(s"$root/pooled_cells")
       .filter(col("cell").isin(cellIds: _*))
       .join(broadcast(routed), Seq("cell"))
       .filter(col("doc_id") =!= col("query_id"))
-    val pdot = (0 until li.Dim).map(j => col(s"qs$j") * col(s"ds$j"))
-      .reduce(_ + _)
-    val scored = dpR.join(broadcast(qp), Seq("query_id"))
+      .join(broadcast(qp), Seq("query_id"))
       .select(col("query_id"), col("doc_id"), pdot.as("score"))
+  }
+
+  /** The ROUTED serving chain from a built clustered store (q245's
+    * timed path; shared with ScaleCheck): routeQueries, the
+    * partition-pruned routedStage1 scan, then stage-2 exact MaxSim —
+    * whose candidate token fetch prunes by the SAME routed cells'
+    * partitions of the cell-keyed token store (every candidate lies
+    * in a routed cell by construction) before the collected
+    * candidate-id isin, so at 100 TB stage 2 reads NProbe/NClu of
+    * the token store the way stage 1 reads NProbe/NClu of the pooled
+    * store (VERDICT r13 #3). Returns (top-K frame, the stage-1
+    * scored frame — q245's n_scan numerator). */
+  private[graft] def routedServe(s: SparkSession, root: String,
+                                 qv: DataFrame): (DataFrame, DataFrame) = {
+    val qp = li.pooled(qv, "query_id", "qc", "qs")
+    val (routed, cellIds) = routeQueries(s, root, qp)
+    val scored = routedStage1Scan(s, root, qp, routed, cellIds)
       .localCheckpoint(true)
     val pool = li.topK(scored, PoolC).select("query_id", "doc_id")
-    // the pin routes the stage-2 bucketed token scan
+    // the pin routes the stage-2 cell-pruned token scan
     val ids = pool.select("doc_id").distinct().collect().map(_.getLong(0))
-    val dvCand = reg.tokenRows(s).filter(col("doc_id").isin(ids: _*))
+    val dvCand = s.read.parquet(s"$root/token_cells")
+      .filter(col("cell").isin(cellIds: _*))
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id") +: col("t") +:
+        (0 until li.Dim).map(j => col(s"dc$j")): _*)
     (li.topK(li.prunedMaxSimScores(qv, dvCand, pool), K), scored)
   }
 
   private def prunedTop5(s: SparkSession, dir: String): DataFrame = {
+    // the corpus table feeds both stages (pooling scan + rerank join)
+    // — one pinned derivation, not two
     val qv = queryVecs(s, dir)
-    val dv = corpusVecs(s, dir)
-    val cand = li.pooledTopC(qv, dv, PoolC).select("query_id", "doc_id")
-    li.topK(li.prunedMaxSimScores(qv, dv, cand), K)
+    val dv = corpusVecs(s, dir).localCheckpoint(true)
+    prunedTop5Of(qv, dv)
   }
 
   /** en-only corpus token vectors — the filtered-search constraint
@@ -236,9 +304,8 @@ object Retrieval extends QueryGroup {
     * filtered-ANN deployment shape). */
   private def preFilteredTop5(s: SparkSession, dir: String): DataFrame = {
     val qv = queryVecs(s, dir)
-    val dvEn = corpusVecsEn(s, dir)
-    val cand = li.pooledTopC(qv, dvEn, PoolC).select("query_id", "doc_id")
-    li.topK(li.prunedMaxSimScores(qv, dvEn, cand), K)
+    val dvEn = corpusVecsEn(s, dir).localCheckpoint(true)
+    prunedTop5Of(qv, dvEn)
   }
 
   /** Pseudo-relevance-feedback expansion (Rocchio/RM3 lineage, made
@@ -246,9 +313,7 @@ object Retrieval extends QueryGroup {
     * asc) of its pooled top-3 docs that are NOT already query tokens
     * join the query's token set; MaxSim reruns with the expanded
     * set. Returns (query vectors expanded, feedback-token table). */
-  private def prfExpand(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val qv = queryVecs(s, dir)
-    val dv = corpusVecs(s, dir)
+  private def prfExpand(qv: DataFrame, dv: DataFrame): (DataFrame, DataFrame) = {
     val dfq = dv.groupBy("t").agg(countDistinct("doc_id").as("df"))
     val top3 = li.pooledTopC(qv, dv, 3).select("query_id", "doc_id")
     val fbCand = top3.join(dv.select("doc_id", "t"), "doc_id")
@@ -268,11 +333,8 @@ object Retrieval extends QueryGroup {
     * en afterwards — what a constraint bolted onto an existing index
     * does; loses whatever the global pool crowded out (measured in
     * q238). */
-  private def postFilteredTop5(s: SparkSession, dir: String): DataFrame = {
-    val qv = queryVecs(s, dir)
-    val dv = corpusVecs(s, dir)
-    val enDocs = Tables.documents(s, dir).filter(col("lang") === "en")
-      .select("doc_id")
+  private def postFilteredTop5(qv: DataFrame, dv: DataFrame,
+                               enDocs: DataFrame): DataFrame = {
     val cand = li.pooledTopC(qv, dv, PoolC)
       .join(enDocs, Seq("doc_id"), "left_semi")
       .select("query_id", "doc_id")
@@ -302,10 +364,10 @@ object Retrieval extends QueryGroup {
     // would return), and how many the full two-stage recovers
     // (n_hit5 — the number that certifies PoolC).
     "q232_maxsim_recall" -> ((s, dir) => {
-      val qv = queryVecs(s, dir)
-      val dv = corpusVecs(s, dir)
+      val qv = queryVecs(s, dir).localCheckpoint(true)
+      val dv = corpusVecs(s, dir).localCheckpoint(true)
       val pool = li.pooledTopC(qv, dv, PoolC)
-      val exact = bruteTop5(s, dir).select("query_id", "doc_id")
+      val exact = bruteTop5Of(qv, dv).select("query_id", "doc_id")
       val pool5 = pool.filter(col("prank") <= K).select("query_id", "doc_id")
       val twoStage = li.topK(li.prunedMaxSimScores(qv, dv,
           pool.select("query_id", "doc_id")), K)
@@ -329,8 +391,10 @@ object Retrieval extends QueryGroup {
     // inverted projection the pruned path indexes; N is a 1-row
     // aggregate broadcast (q53 shape).
     "q233_maxsim_weighted" -> ((s, dir) => {
+      // dv feeds THREE arms (df table, corpus count, weighted scan) —
+      // one pinned derivation (VERDICT r13 #3)
       val qv = queryVecs(s, dir)
-      val dv = corpusVecs(s, dir)
+      val dv = corpusVecs(s, dir).localCheckpoint(true)
       val df_ = dv.groupBy("t").agg(countDistinct("doc_id").as("df"))
       val n = dv.agg(countDistinct("doc_id").as("n_docs"))
       val qw = qv.join(broadcast(df_), qv("qt") === df_("t"), "left")
@@ -351,11 +415,16 @@ object Retrieval extends QueryGroup {
     // IDCG comes from the truth table itself (ideal order = truth
     // order, rel desc by construction).
     "q236_retrieval_metrics" -> ((s, dir) => {
-      val truth = bruteTop5(s, dir)
+      // the truth arm and the system arm both consume qv/dv — ONE
+      // pinned derivation each instead of the two-per-arm rebuild
+      // that paired this entry at 2.5-3.4x (VERDICT r13 #3)
+      val qv = queryVecs(s, dir).localCheckpoint(true)
+      val dv = corpusVecs(s, dir).localCheckpoint(true)
+      val truth = bruteTop5Of(qv, dv)
         .select(col("query_id"), col("doc_id"),
           (lit(6) - col("rank")).cast("long").as("rel"),
           col("rank").cast("long").as("tr"))
-      val sys = prunedTop5(s, dir)
+      val sys = prunedTop5Of(qv, dv)
         .select(col("query_id"), col("doc_id"),
           col("rank").cast("long").as("sr"))
       val joined = sys.join(truth.select("query_id", "doc_id", "rel"),
@@ -388,13 +457,21 @@ object Retrieval extends QueryGroup {
     // n_post_cand (how much of the PoolC budget survives the post
     // filter — the wasted-pool number).
     "q238_filtered_recall" -> ((s, dir) => {
-      val qv = queryVecs(s, dir)
-      val truth = bruteTop5En(s, dir).select("query_id", "doc_id")
-      val pre = preFilteredTop5(s, dir).select("query_id", "doc_id")
-      val post = postFilteredTop5(s, dir).select("query_id", "doc_id")
+      // four arms over two corpus slices: qv/dv pinned once, the
+      // en-only slice derived FROM the pin (a per-doc restriction
+      // commutes with tokenization — the oracle's fdv semi-join
+      // verbatim) and pinned once for its three consumers
+      val qv = queryVecs(s, dir).localCheckpoint(true)
+      val dv = corpusVecs(s, dir).localCheckpoint(true)
       val enDocs = Tables.documents(s, dir).filter(col("lang") === "en")
         .select("doc_id")
-      val postCand = li.pooledTopC(qv, corpusVecs(s, dir), PoolC)
+      val dvEn = dv.join(enDocs, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val truth = bruteTop5Of(qv, dvEn).select("query_id", "doc_id")
+      val pre = prunedTop5Of(qv, dvEn).select("query_id", "doc_id")
+      val post = postFilteredTop5(qv, dv, enDocs)
+        .select("query_id", "doc_id")
+      val postCand = li.pooledTopC(qv, dv, PoolC)
         .join(enDocs, Seq("doc_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_post_cand"))
       val preHit = pre.join(truth, Seq("query_id", "doc_id"), "left_semi")
@@ -418,8 +495,10 @@ object Retrieval extends QueryGroup {
     // set — the classic recall lever when queries are short. The df
     // table is the same inverted projection q233 weights with.
     "q239_prf_maxsim" -> ((s, dir) => {
-      val (eqv, _) = prfExpand(s, dir)
-      li.topK(li.maxSimScores(eqv, corpusVecs(s, dir)), K)
+      val qv = queryVecs(s, dir).localCheckpoint(true)
+      val dv = corpusVecs(s, dir).localCheckpoint(true)
+      val (eqv, _) = prfExpand(qv, dv)
+      li.topK(li.maxSimScores(eqv, dv), K)
     }),
 
     // ... and its MEASURED effect: expansion has no ground truth, so
@@ -533,23 +612,30 @@ object Retrieval extends QueryGroup {
     // ROUTED STAGE 1 THROUGH A REAL FITTED ROUTER ON A CLUSTERED
     // CORPUS (VERDICT r12 #1 — q244's routing algebra reused against
     // FITTED centroids on data where routing has structure to learn):
-    // the router is an exact-integer Lloyd (m=1, 12 cells, id-low
-    // seeds, 5 rounds — every value BIGINT, the pqFit rules verbatim)
-    // fitted on the registry's PERSISTED pooled table; the pooled
-    // rows are cell-keyed at rest, so the timed stage 1 reads ONLY
-    // the nprobe=3 routed cells' partitions (partition pruning — at
-    // 100 TB this is the difference between scanning the store and
-    // scanning nprobe/NClu of it). Stage 2 exact-MaxSims the
-    // surviving pool via the registry's bucketed token store.
-    // Reported per query, all measured: hits@5 of the ROUTED chain
-    // vs exact MaxSim truth, hits@5 of the UNROUTED two-stage (the
-    // bar routing must meet), and n_scan — the stage-1 rows the
-    // routed chain actually scored (the scan-fraction numerator;
-    // corpus size is the denominator).
+    // the router is an exact-integer Lloyd (m=1, NClu=8 cells,
+    // id-low seeds, LloydIter=5 rounds — every value BIGINT, the
+    // pqFit rules verbatim) fitted on the registry's PERSISTED
+    // pooled table; pooled AND token rows are cell-keyed at rest, so
+    // the timed stage 1 reads ONLY the NProbe=2 routed cells'
+    // partitions (partition pruning — at 100 TB this is the
+    // difference between scanning the store and scanning
+    // NProbe/NClu of it) and stage 2's exact-MaxSim token fetch
+    // prunes the same way. Reported per query, all measured: hits@5
+    // of the ROUTED chain vs exact MaxSim truth, hits@5 of the
+    // UNROUTED two-stage (the bar routing must meet), and n_scan —
+    // the stage-1 rows the routed chain actually scored (the
+    // scan-fraction numerator; corpus size is the denominator).
     "q245_lireg_routed_stage1" -> ((s, dir) => {
       val root = liRegCluStore(s, dir)
       val cdocs = clusteredDocs(s, dir)
-      val qv = cluQueryVecs(s, dir)
+      // ONE pinned query table and ONE pinned clustered-corpus token
+      // table feed all three arms (VERDICT r13 #1: the truth and
+      // unrouted arms each re-derived dv and the routed arm its own
+      // query chain — three corpus derivations where DuckDB shares
+      // one dv CTE; the q243 shared-truth localCheckpoint discipline)
+      val qv = cluQueryVecs(s, dir).localCheckpoint(true)
+      val dv = li.withVec(li.docTokens(cdocs, "doc_id", "text", DocCap),
+        "t", "dc").localCheckpoint(true)
       val (sys5Full, scored) = routedServe(s, root, qv)
       val nScan = scored.groupBy("query_id")
         .agg(count(lit(1)).as("n_scan"))
@@ -557,12 +643,9 @@ object Retrieval extends QueryGroup {
       // the two comparison arms over the same clustered corpus:
       // exact MaxSim truth, and the unrouted two-stage (the recall
       // bar a routed stage 1 must meet — VERDICT's Done criterion)
-      val dv = li.withVec(li.docTokens(cdocs, "doc_id", "text", DocCap),
-        "t", "dc")
-      val truth = li.topK(li.maxSimScores(qv, dv), K)
+      val truth = bruteTop5Of(qv, dv)
         .select("query_id", "doc_id").localCheckpoint(true)
-      val unrouted = li.topK(li.prunedMaxSimScores(qv, dv,
-          li.pooledTopC(qv, dv, PoolC).select("query_id", "doc_id")), K)
+      val unrouted = prunedTop5Of(qv, dv)
         .select("query_id", "doc_id")
       val hitR = sys5.join(truth, Seq("query_id", "doc_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit5_routed"))
@@ -579,14 +662,18 @@ object Retrieval extends QueryGroup {
     }),
 
     "q240_prf_drift" -> ((s, dir) => {
-      val (eqv, fb) = prfExpand(s, dir)
-      val plain = bruteTop5(s, dir).select("query_id", "doc_id")
-      val expanded = li.topK(li.maxSimScores(eqv, corpusVecs(s, dir)), K)
+      // plain truth, PRF expansion and the expanded rescan all share
+      // qv/dv — pinned once (VERDICT r13 #3 hygiene)
+      val qv = queryVecs(s, dir).localCheckpoint(true)
+      val dv = corpusVecs(s, dir).localCheckpoint(true)
+      val (eqv, fb) = prfExpand(qv, dv)
+      val plain = bruteTop5Of(qv, dv).select("query_id", "doc_id")
+      val expanded = li.topK(li.maxSimScores(eqv, dv), K)
         .select("query_id", "doc_id")
       val nFb = fb.groupBy("query_id").agg(count(lit(1)).as("n_fb"))
       val overlap = expanded.join(plain, Seq("query_id", "doc_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_overlap5"))
-      queryVecs(s, dir).select("query_id").distinct()
+      qv.select("query_id").distinct()
         .join(nFb, Seq("query_id"), "left")
         .join(overlap, Seq("query_id"), "left")
         .select(col("query_id"),

@@ -154,6 +154,35 @@ class KnnGraphRegistrySpec extends SparkSpec {
     assert(probeRows(reg, qs).nonEmpty)
   }
 
+  test("pre-stamp store upgrade: a compaction-only maintain stamps " +
+    "BOTH stores with one fresh lineage (ADVICE r13 — no torn pair)") {
+    val (reg, _) = seeded()
+    val qs = corpus(0 until 3)
+    val fs = new org.apache.hadoop.fs.Path(reg.vecs.activeLocation(spark))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a store written before lineage stamps existed
+    fs.delete(new org.apache.hadoop.fs.Path(
+      reg.edges.activeLocation(spark) + "/_lin"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      reg.vecs.activeLocation(spark) + "/_lin"), false)
+    assert(probeRows(reg, qs).nonEmpty,
+      "a pre-stamp store (both stamps absent => equal) must serve")
+    // the ADVICE r13 tear: nTomb == 0, so only the EDGE store is
+    // rewritten — the minted upgrade lineage must still land on both
+    assert(reg.maintain(spark, maxFiles = 0) === true)
+    val le = RegistryIO.readLines(fs,
+      reg.edges.activeLocation(spark) + "/_lin").flatMap(_.headOption)
+    val lv = RegistryIO.readLines(fs,
+      reg.vecs.activeLocation(spark) + "/_lin").flatMap(_.headOption)
+    assert(le.nonEmpty && le === lv,
+      s"upgrade must stamp both stores with one lineage: $le vs $lv")
+    assert(probeRows(reg, qs).nonEmpty,
+      "every subsequent probe must bind the upgraded pair cleanly")
+    // and the next maintenance verb carries it forward, not aborts
+    assert(reg.ingest(corpus(nOld until (nOld + 3)),
+      "vec_id", "embedding") === 3L)
+  }
+
   test("geometry is pinned: a second fit fails loudly; refit rebuilds " +
     "and the probe equals a fresh in-memory stack over the new corpus") {
     val (reg, _) = seeded()

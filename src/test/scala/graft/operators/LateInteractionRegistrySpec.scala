@@ -155,6 +155,40 @@ class LateInteractionRegistrySpec extends SparkSpec {
       "post-maintain token stores must converge exactly")
   }
 
+  test("a crashed ingest retried with DIFFERENT text aborts (orphan " +
+    "guard, ADVICE r13); maintain() GCs the orphans, then the new " +
+    "text ingests cleanly") {
+    val reg = seeded(corpus.filter(col("doc_id") < 10))
+    val oldDoc = mkDocs(Seq(Row(10L, "alpha old original")))
+    val newDoc = mkDocs(Seq(Row(10L, "beta rewritten body")))
+    // the crash window: the OLD text's token rows committed, the
+    // pooled append died — then the document was edited upstream
+    reg.tokens.append(li.withVec(
+      li.docTokens(oldDoc, "doc_id", "text", Cap), "t", "dc"))
+    // without the orphan guard this retry would silently append the
+    // NEW derivation next to the OLD orphan rows; once the pooled row
+    // commits, maintain's pooled semi-join keeps BOTH token sets and
+    // the doc's MaxSim scores over the max of two texts forever
+    val err = intercept[IllegalArgumentException] {
+      reg.ingest(newDoc, "doc_id", "text")
+    }
+    assert(err.getMessage.contains("UNCOMMITTED"), err.getMessage)
+    // the SAME text still retries fine next to its own orphans (the
+    // class-doc crash-recovery contract is untouched)...
+    // ...but first: the documented repair for the changed doc
+    assert(reg.maintain(spark, maxFiles = 0) === true)
+    assert(reg.tokenRows(spark).filter(col("doc_id") === 10L).count() === 0L,
+      "maintain must GC the old-text orphan rows")
+    assert(reg.ingest(newDoc, "doc_id", "text") === 1L)
+    // served state equals a registry that never saw the old text
+    val clean = seeded(corpus.filter(col("doc_id") < 10)
+      .unionByName(newDoc))
+    val q = qv(corpus)
+    assert(rowsOf(reg.probe(spark, q, 3, 100)) ===
+      rowsOf(clean.probe(spark, q, 3, 100)),
+      "post-repair serving must equal the never-crashed registry")
+  }
+
   private def canonTok(r: LateInteractionRegistry): Seq[String] =
     r.tokenRows(spark).collect().map(_.toString).toSeq.sorted
 

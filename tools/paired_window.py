@@ -37,21 +37,27 @@ def main() -> int:
     spark_full = json.loads((repo / "target" / "bench-full.json")
                             .read_text())
     spark_times = spark_full["queries"]
-    # pair on the queries both sides ran
-    shared = sorted(set(spark_times) & set(duck_times))
-    spark_total = sum(spark_times[q] for q in shared
-                      if spark_times[q] >= 0)
+    # pair on the queries both sides ran SUCCESSFULLY: a Spark
+    # failure (time -1) must drop the query from BOTH sums — keeping
+    # DuckDB's time while skipping Spark's would understate the ratio
+    # exactly when Spark fails (ADVICE r13) — and be reported.
+    both = set(spark_times) & set(duck_times)
+    shared = sorted(q for q in both if spark_times[q] >= 0)
+    spark_failed = sorted(q for q in both if spark_times[q] < 0)
+    spark_total = sum(spark_times[q] for q in shared)
     duck_tot_shared = sum(duck_times[q] for q in shared)
     out = {
         "protocol": ("end-of-round pairing, one host, back-to-back: "
                      "DuckDB full-catalog median-of-2 "
                      "(tools/duck_bench.py), then Spark graft.Bench "
                      "min-of-two in one JVM; identical catalog both "
-                     "sides"),
+                     "sides; Spark-failed queries excluded from BOTH "
+                     "sums and listed in spark_failed"),
         "spark_total_sec": round(spark_total, 3),
         "duck_total_sec": round(duck_tot_shared, 3),
         "ratio": round(spark_total / duck_tot_shared, 4),
         "n_queries": len(shared),
+        "spark_failed": spark_failed,
         "spark": {q: round(spark_times[q], 3) for q in shared},
         "duck": {q: round(duck_times[q], 3) for q in shared},
     }
