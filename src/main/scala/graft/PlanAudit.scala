@@ -69,6 +69,7 @@ object PlanAudit {
     "q206_hier_ivf_recall" -> "recall eval: exact top-5 baseline (8-query broadcast, q36/q143 shape) + the fitted fine/coarse centroid broadcasts (q200 shape); both IVF probes are cell-keyed equi joins",
     "q208_registry_refit_recall" -> "recall eval: exact top-5 baseline over the survivors (8-query broadcast, q36 shape) + 12/24 broadcast centroids for cell routing (q45 shape); every signature probe is a cell-keyed equi join; in-registry dedup is q183's cell-blocked shape",
     "q214_pq_recall" -> "recall eval: exact integer-L2 top-5 baseline (8-query broadcast, q36 shape); the PQ arm itself is all (blk)/(blk, code) equi joins against broadcast codebooks/query tables",
+    "q247_pq_clustered_recall" -> "q214's shape over the clustered fixture: exact integer-L2 top-5 baseline (8-query broadcast) + the PQ chain's (blk)/(blk, code) equi joins against broadcast codebooks/query tables",
     "q215_ivfpq_ann" -> "12 broadcast centroids for corpus assignment + query routing (q45 shape); the ADC scan itself is a (cell, blk, code) equi join against a broadcast |Q| x nprobe x m x ksub query table",
     "q217_pqreg_refit_recall" -> "recall eval across the PQRegistry refit: exact integer-L2 top-5 baseline (8-query broadcast, q36/q214 shape); both persisted ADC arms are (cell, blk, code) equi joins against broadcast query tables over the isin-pruned codes scans",
     "q218_ivfadc_ann" -> "12 broadcast centroids for corpus assignment + query routing (q45/q215 shape); residuals and the ADC scan are (cell)/(cell, blk, code) equi joins against broadcast centroid/query tables",

@@ -223,6 +223,11 @@ object ScaleCheck {
     // the n*m code rows against a broadcast query table) — the row
     // verifies no hidden super-linear stage snuck in.
     row("q213_pq_ann")(q("q213_pq_ann"))
+    // ... and the clustered-fixture recall re-row (round 14): the
+    // same chain over cembSql-shaped embeddings derived per copy —
+    // still corpus-linear; the row certifies the q247 measurement
+    // itself scales, not just the isotropic chain
+    row("q247_pq_clustered_recall")(q("q247_pq_clustered_recall"))
     // the RESIDUAL stack end-to-end (round 10): adds the assignment
     // and residual joins to q213's chain — still corpus-linear by
     // construction (residuals are one broadcast-centroid join pass;

