@@ -74,10 +74,6 @@ object LateInteraction {
         array_distinct(slice(Text.tokens(col(textCol)), 1, cap)).as("ts"))
       .select(col(idCol), explode(col("ts")).as("t"))
 
-  /** Integer dot of the two component families. */
-  private def dot(qp: String, dp: String): Column =
-    (0 until Dim).map(j => col(s"$qp$j") * col(s"$dp$j")).reduce(_ + _)
-
   /** Sum-pooled vector per id: component-wise sum of the id's token
     * vectors — the single-vector proxy the two-stage's first pass
     * scores. One shuffle on the id (partial-agg map-side); the
@@ -88,44 +84,89 @@ object LateInteraction {
     v.groupBy(idCol).agg(sums.head, sums.tail: _*)
   }
 
-  /** Exact MaxSim scores for every (query, doc) pair: qv broadcast
-    * (bounded by contract: |Q| x query-token cap rows) against the
-    * corpus token table, self-pairs excluded. Two-level aggregation:
-    * max dot per (query, doc, query-token), then sum over query
-    * tokens — both partial-agg friendly. */
+  /** Bounded pivot width for the fused MaxSim kernel below: every
+    * caller's per-query DISTINCT token count is <= 8 by construction
+    * (QCap = 6, CluQCap = 8, PRF expansion = QCap + 2). The pivot
+    * REFUSES (raise_error) rather than truncates if a query ever
+    * exceeds it, so the bound is load-bearing, not assumed. */
+  private val PivotW = 8
+
+  /** One bounded-width row per query: the query's token vectors
+    * (and optional extra per-token columns, e.g. the q233 weight)
+    * collected into a deterministically ordered array (sorted by the
+    * distinct token string — first struct field). |Q| rows total;
+    * this is the broadcast side of every MaxSim kernel. */
+  private def pivotQueries(qv: DataFrame, extra: Seq[String]): DataFrame = {
+    val fields = (Seq("qt") ++ extra ++ (0 until Dim).map(j => s"qc$j")).map(col)
+    qv.groupBy("query_id")
+      .agg(array_sort(collect_list(struct(fields: _*))).as("qarr"))
+      .select(col("query_id"),
+        when(size(col("qarr")) <= PivotW, col("qarr"))
+          .otherwise(raise_error(concat(
+            lit(s"maxSim pivot width $PivotW exceeded for query_id="),
+            col("query_id").cast("string")))).as("qarr"))
+  }
+
+  /** Per-pivot-slot dot products of one corpus token row against all
+    * of a query's token vectors: slot i beyond the query's token
+    * count is NULL (try_element_at) and drops out of max/coalesce.
+    * When weighted, the slot's positive weight multiplies the dot —
+    * exact because w >= 1 by contract, so max(w*dp) = w*max(dp). */
+  private def pivotDots(weighted: Boolean): Seq[Column] =
+    (0 until PivotW).map { i =>
+      val e = try_element_at(col("qarr"), lit(i + 1))
+      val d = (0 until Dim).map(j =>
+        e.getField(s"qc$j") * col(s"dc$j")).reduce(_ + _)
+      (if (weighted) e.getField("w") * d else d).as(s"dp$i")
+    }
+
+  /** ONE hash aggregate per (query, doc): component-wise max over
+    * the pivot slots, then the score is the sum of the non-NULL slot
+    * maxes — algebraically identical to the max-per-(query,doc,qt)
+    * then sum-over-qt two-aggregate chain (integer max/sum commute
+    * and slot order is fixed per query), but the pair stream it
+    * aggregates is |corpus tokens| x |Q| rows instead of
+    * |corpus tokens| x |query tokens| (the r14 kernel fusion: ~6x
+    * fewer rows, long group keys instead of a string token key, and
+    * one agg pass instead of two). */
+  private def pivotAgg(rows: DataFrame): DataFrame = {
+    val maxes = (0 until PivotW).map(i => max(col(s"dp$i")).as(s"m$i"))
+    rows.groupBy("query_id", "doc_id").agg(maxes.head, maxes.tail: _*)
+      .select(col("query_id"), col("doc_id"),
+        (0 until PivotW).map(i => coalesce(col(s"m$i"), lit(0L)))
+          .reduce(_ + _).as("score"))
+  }
+
+  /** Exact MaxSim scores for every (query, doc) pair: the pivoted
+    * query table (|Q| rows) broadcast against the corpus token
+    * table, self-pairs excluded. Fused single-aggregate kernel — see
+    * pivotAgg; scores are BIGINT-identical to the two-level
+    * max-then-sum definition in the class doc.
+    *
+    * dv must arrive SPREAD (hash-partitioned by doc_id, or a
+    * naturally multi-split scan): the kernel no longer repartitions
+    * (r14) — the Retrieval derivations spread the DOCS scan before
+    * tokenization instead, so the md5/tokenize work parallelizes AND
+    * hash(doc_id) propagates through the narrow derivation and the
+    * broadcast join, keeping the (query, doc) aggregate
+    * exchange-free; a repartition here would shuffle the 10x-larger
+    * derived token table a second time. */
   def maxSimScores(qv: DataFrame, dv: DataFrame): DataFrame =
-    spreadByDoc(dv)
-      .join(broadcast(qv), col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"), col("qt"),
-        dot("qc", "dc").as("dp"))
-      .groupBy("query_id", "doc_id", "qt").agg(max("dp").as("best"))
-      .groupBy("query_id", "doc_id").agg(sum("best").as("score"))
+    pivotAgg(dv
+      .join(broadcast(pivotQueries(qv, Nil)),
+        col("doc_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("doc_id")) ++ pivotDots(false): _*))
 
-  /** Spread the corpus token table across the cluster on doc_id.
-    * At toy SF the documents table is ONE parquet split, which would
-    * serialize the whole |corpus tokens| x |query tokens| scoring
-    * pipeline onto a single task (measured: 9.3 s -> 1.3 s at sf0.1);
-    * at real SF the scan arrives pre-split and this is a cheap
-    * narrow-row shuffle. Not gratuitous: hash(doc_id) propagates
-    * through the broadcast join and satisfies BOTH downstream
-    * aggregation keys ((query, doc, qt) and (query, doc)), so the
-    * exchange it inserts is the ONLY one in the scoring chain —
-    * both aggs run shuffle-free on top of it. */
-  private def spreadByDoc(dv: DataFrame): DataFrame =
-    dv.repartition(col("doc_id"))
-
-  /** Weighted MaxSim: qv must carry an integer weight column `w` per
-    * query token; score = sum over qt of w(qt) * max dot. Same plan
-    * shape as maxSimScores (w rides the first group key — constant
-    * within it by construction). */
+  /** Weighted MaxSim: qw must carry an integer weight column `w` >= 1
+    * per query token (q233's w = N - df + 1 >= 1); score = sum over
+    * qt of w(qt) * max dot. Same fused kernel as maxSimScores with
+    * the weight multiplied into each slot's dot before the max —
+    * exact for positive weights. */
   def weightedMaxSimScores(qw: DataFrame, dv: DataFrame): DataFrame =
-    spreadByDoc(dv)
-      .join(broadcast(qw), col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"), col("qt"), col("w"),
-        dot("qc", "dc").as("dp"))
-      .groupBy("query_id", "doc_id", "qt", "w").agg(max("dp").as("best"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("w") * col("best")).as("score"))
+    pivotAgg(dv
+      .join(broadcast(pivotQueries(qw, Seq("w"))),
+        col("doc_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("doc_id")) ++ pivotDots(true): _*))
 
   /** Shard count for the partial pre-rank below: bounds the final
     * per-query window's input at Shards x k rows per query. */
@@ -190,14 +231,12 @@ object LateInteraction {
   }
 
   /** Exact MaxSim restricted to candidate pairs: candidates equi-join
-    * the corpus token table on doc_id, then each query's token set
-    * re-scores only those docs — the PLAID two-stage shape. */
+    * the corpus token table on doc_id, then each query's pivoted
+    * token row re-scores only those docs — the PLAID two-stage
+    * shape, on the same fused single-aggregate kernel. */
   def prunedMaxSimScores(qv: DataFrame, dv: DataFrame,
                          cand: DataFrame): DataFrame =
-    cand.join(dv, "doc_id")
-      .join(broadcast(qv), "query_id")
-      .select(col("query_id"), col("doc_id"), col("qt"),
-        dot("qc", "dc").as("dp"))
-      .groupBy("query_id", "doc_id", "qt").agg(max("dp").as("best"))
-      .groupBy("query_id", "doc_id").agg(sum("best").as("score"))
+    pivotAgg(cand.join(dv, "doc_id")
+      .join(broadcast(pivotQueries(qv, Nil)), "query_id")
+      .select(Seq(col("query_id"), col("doc_id")) ++ pivotDots(false): _*))
 }

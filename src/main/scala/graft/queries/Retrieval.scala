@@ -79,9 +79,33 @@ object Retrieval extends QueryGroup {
       .withColumn("text", concat_ws(" ", toks: _*))
   }
 
+  /** Corpus token vectors, derived from a doc scan SPREAD by doc_id
+    * BEFORE tokenization (r14): at toy SF the documents table is one
+    * parquet split, so tokenize + md5 + vec used to run on a single
+    * task ahead of the kernel's own repartition (measured 0.57 s
+    * serial at sf0.1). Spreading the 10x-narrower DOCS rows first
+    * parallelizes the derivation, and hash(doc_id) propagates through
+    * the narrow explode/project chain into every downstream doc-keyed
+    * aggregate (MaxSim kernel, pooling), which then run
+    * exchange-free — the kernel's old token-table repartition is
+    * gone. The partition COUNT is pinned to the session's shuffle
+    * parallelism: an unpinned repartition(col) lets AQE coalesce the
+    * small doc-text shuffle (~30 MB at sf0.1) to one or two
+    * partitions by BYTE size — and the bytes here wildly understate
+    * the downstream work (every doc row fans out into token x |Q| x
+    * Dim scoring), so coalescing serializes the whole scoring stage
+    * (measured: 2.86 s vs 1.1 s at sf0.1). Scale-adaptive: the pin
+    * follows spark.sql.shuffle.partitions (AQE-owned on a cluster),
+    * not a constant. */
+  private def spreadDocs(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
+
   private def corpusVecs(s: SparkSession, dir: String): DataFrame =
     li.withVec(
-      li.docTokens(Tables.documents(s, dir), "doc_id", "text", DocCap),
+      li.docTokens(spreadDocs(Tables.documents(s, dir)),
+        "doc_id", "text", DocCap),
       "t", "dc")
 
   private def queryVecs(s: SparkSession, dir: String): DataFrame =
@@ -293,7 +317,8 @@ object Retrieval extends QueryGroup {
     * partition pruning on the lang column, free). */
   private def corpusVecsEn(s: SparkSession, dir: String): DataFrame =
     li.withVec(
-      li.docTokens(Tables.documents(s, dir).filter(col("lang") === "en"),
+      li.docTokens(
+        spreadDocs(Tables.documents(s, dir).filter(col("lang") === "en")),
         "doc_id", "text", DocCap), "t", "dc")
 
   /** Exact filtered truth: brute MaxSim over the en-only corpus. */
@@ -634,7 +659,8 @@ object Retrieval extends QueryGroup {
       // query chain — three corpus derivations where DuckDB shares
       // one dv CTE; the q243 shared-truth localCheckpoint discipline)
       val qv = cluQueryVecs(s, dir).localCheckpoint(true)
-      val dv = li.withVec(li.docTokens(cdocs, "doc_id", "text", DocCap),
+      val dv = li.withVec(li.docTokens(spreadDocs(cdocs),
+          "doc_id", "text", DocCap),
         "t", "dc").localCheckpoint(true)
       val (sys5Full, scored) = routedServe(s, root, qv)
       val nScan = scored.groupBy("query_id")
