@@ -168,36 +168,20 @@ object LateInteraction {
         col("doc_id") =!= col("query_id"))
       .select(Seq(col("query_id"), col("doc_id")) ++ pivotDots(true): _*))
 
-  /** Shard count for the partial pre-rank below: bounds the final
-    * per-query window's input at Shards x k rows per query. */
-  private val RankShards = 64
-
-  /** Partial per-(query, shard) top-k BEFORE a per-query window —
-    * the TakeOrderedAndProject discipline applied to a keyed window:
-    * a window partitioned only by query_id funnels ALL N scored rows
-    * per query into |Q| single-task sorts at real SF (|Q| = 8 here),
-    * a bottleneck the per-plan SinglePartition audit cannot see.
-    * Sharding on hash(doc_id) first reduces each query's rows to
-    * <= RankShards x k in parallel; exact, because every global
-    * top-k row is a fortiori in its shard's top-k under the same
-    * (score desc, doc_id asc) order. */
-  private def shardPruneTopK(scored: DataFrame, k: Int): DataFrame = {
-    val pre = Window
-      .partitionBy(col("query_id"), pmod(hash(col("doc_id")), lit(RankShards)))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("srn", row_number().over(pre))
-      .filter(col("srn") <= k)
-      .drop("srn")
-  }
-
   /** Top-k prefix of a (query_id, doc_id, score) frame; ties broken
-    * by doc_id ascending (the pqTop5 determinism rule). Pre-reduced
-    * per shard (shardPruneTopK) so the per-query sort sees a bounded
-    * relation at any corpus size. */
+    * by doc_id ascending (the pqTop5 determinism rule). ONE window
+    * partitioned by query_id (r14): the row_number-filter pair
+    * compiles to a Partial WindowGroupLimit that keeps <= k rows per
+    * query per upstream partition BEFORE the exchange (Spark 3.5+
+    * rank-limit pushdown, visible as WindowGroupLimit Partial/Final
+    * in the plan), so the per-query sort sees <= k x upstream
+    * partitions rows at any corpus size — exactly the bound the old
+    * explicit hash(doc_id)-shard pre-window bought, minus that
+    * window's extra sort + exchange per call. */
   def topK(scores: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    shardPruneTopK(scores, k).withColumn("rank", row_number().over(w))
+    scores.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
@@ -220,11 +204,10 @@ object LateInteraction {
     val pdot = (0 until Dim).map(j => col(s"qs$j") * col(s"ds$j")).reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("pscore").desc, col("doc_id").asc)
-    val scored = dp.join(broadcast(qp), col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"), pdot.as("score"))
-    // shard-prune on the pooled score, then restore the prank naming
-    shardPruneTopK(scored, c)
-      .withColumnRenamed("score", "pscore")
+    // one per-query window: the row_number-filter pair compiles to a
+    // Partial WindowGroupLimit before the exchange (see topK)
+    dp.join(broadcast(qp), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), pdot.as("pscore"))
       .withColumn("prank", row_number().over(w))
       .filter(col("prank") <= c)
       .select("query_id", "doc_id", "prank")

@@ -615,9 +615,10 @@ object Retrieval extends QueryGroup {
         .select(col("query_id"), col("doc_id"),
           (0 until li.Dim).map(j => col(s"qs$j") * col(s"ds$j"))
             .reduce(_ + _).as("score"))
-      // topK reuses the shard-pruned two-level ranking, so the
-      // per-query pool selection never funnels the routed scan into
-      // |Q| single-task sorts
+      // topK's row_number-filter compiles to a Partial
+      // WindowGroupLimit (<= PoolC rows per query per partition kept
+      // BEFORE the exchange), so the per-query pool selection never
+      // funnels the routed scan into |Q| unbounded single-task sorts
       val pool = li.topK(scoredOwn, PoolC).select("query_id", "doc_id")
       val dv = corpusVecs(s, dir)
       val sys5 = li.topK(li.prunedMaxSimScores(qv, dv, pool), K)
