@@ -54,6 +54,25 @@ class LateInteractionSpec extends SparkSpec {
     assert(t == Map(0L -> 3L, 1L -> 2L, 2L -> 3L, 3L -> 1L)) // doc 2: gamma deduped
   }
 
+  test("maxSimScores REFUSES a query wider than the pivot bound " +
+    "instead of truncating (the r14 fused-kernel guard)") {
+    // 9 distinct query tokens > PivotW = 8: the guard must raise,
+    // never silently drop the 9th token's contribution
+    val wide = df("doc_id BIGINT, text STRING", Seq(
+      Row(0L, "a1 b2 c3 d4 e5 f6 g7 h8 i9"),
+      Row(1L, "a1 b2")))
+    val dv = li.withVec(li.docTokens(wide, "doc_id", "text", 24), "t", "dc")
+    val qv = li.withVec(
+      li.docTokens(wide.filter(col("doc_id") < 1), "doc_id", "text", 24)
+        .withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("t", "qt"), "qt", "qc")
+    val e = intercept[Exception] { li.maxSimScores(qv, dv).collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("pivot width")),
+      s"expected the pivot-width refusal, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("maxSimScores equals the hand-computed sum-of-max reference") {
     val dv = li.withVec(li.docTokens(docs, "doc_id", "text", 24), "t", "dc")
     val qv = li.withVec(
