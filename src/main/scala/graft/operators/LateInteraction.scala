@@ -97,14 +97,36 @@ object LateInteraction {
     * distinct token string — first struct field). |Q| rows total;
     * this is the broadcast side of every MaxSim kernel. */
   private def pivotQueries(qv: DataFrame, extra: Seq[String]): DataFrame = {
+    // weighted-kernel contract guard (ADVICE r14): the slot fusion is
+    // exact only for w >= 1 (max(w*dp) = w*max(dp) needs positive w) —
+    // refuse a non-positive weight loudly instead of silently
+    // mis-scoring. Runs on the <= 48 query-token rows: free.
+    val q0 =
+      if (extra.contains("w"))
+        qv.withColumn("w",
+          when(col("w") >= 1, col("w")).otherwise(raise_error(concat(
+            lit("maxSim weighted kernel requires w >= 1, got w="),
+            col("w").cast("string"), lit(" for query_id="),
+            col("query_id").cast("string")))))
+      else qv
     val fields = (Seq("qt") ++ extra ++ (0 until Dim).map(j => s"qc$j")).map(col)
-    qv.groupBy("query_id")
+    q0.groupBy("query_id")
       .agg(array_sort(collect_list(struct(fields: _*))).as("qarr"))
       .select(col("query_id"),
-        when(size(col("qarr")) <= PivotW, col("qarr"))
-          .otherwise(raise_error(concat(
+        when(size(col("qarr")) > PivotW, raise_error(concat(
             lit(s"maxSim pivot width $PivotW exceeded for query_id="),
-            col("query_id").cast("string")))).as("qarr"))
+            col("query_id").cast("string"))))
+          // distinct-(query_id, qt) contract guard (ADVICE r14): a
+          // duplicate token row would be double-counted by the fused
+          // kernel where the old groupBy-qt kernel deduped it, and a
+          // duplicate that keeps the array within PivotW slots passed
+          // the width check silently. |Q| rows: free.
+          .when(size(col("qarr")) =!=
+              size(array_distinct(col("qarr").getField("qt"))),
+            raise_error(concat(
+              lit("maxSim pivot: duplicate (query_id, qt) rows for query_id="),
+              col("query_id").cast("string"))))
+          .otherwise(col("qarr")).as("qarr"))
   }
 
   /** Per-pivot-slot dot products of one corpus token row against all

@@ -552,10 +552,24 @@ object Similarity {
     * shrinks the safe cluster bound 10x below where the guard fires.
     * Rescale such corpora before fitting. */
   def kmeansIteration(corpus: DataFrame, seeds: DataFrame,
-                      idCol: String, vecCol: String): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+                      idCol: String, vecCol: String): DataFrame =
+    kmeansIterationPrepped(
+      prepLloydCorpus(corpus, idCol, vecCol), seeds, idCol, vecCol)
+
+  /** The corpus side of a Lloyd round — spread by vector id and
+    * pre-normed. Factored out so the fit LOOP can derive it once and
+    * pin it across rounds (each round re-deriving it was a full
+    * re-scan + re-shuffle of the corpus per round — guide §2.4/§5). */
+  private def prepLloydCorpus(corpus: DataFrame, idCol: String,
+                              vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .transform(Spread.byKey("vec_id"))
       .withColumn("cn", norm2(col("cv")))
+
+  /** One Lloyd round over an already-prepped (vec_id, cv, cn)
+    * corpus — kmeansIteration minus the corpus prep. */
+  private def kmeansIterationPrepped(c: DataFrame, seeds: DataFrame,
+                                     idCol: String, vecCol: String): DataFrame = {
     val s = seeds.select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
       .withColumn("sn", norm2(col("sv")))
     exactCentroidMean(lloydArgmax(c.join(broadcast(s), lit(true))))
@@ -663,10 +677,19 @@ object Similarity {
     var cents: Seq[(Long, Seq[Float])] = seeds
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    // pin the prepped corpus ONCE for the whole loop (lazy local
+    // checkpoint — materialized by round 1's job, reused by rounds
+    // 2..n): without it every round's collect re-ran the corpus scan,
+    // projection and spread exchange from scratch (guide §2.4 "remove
+    // shuffles outright", §5 reuse). maxIter == 1 runs one round and
+    // would pay the pin for nothing — skip it there.
+    val prepped =
+      if (maxIter > 1) prepLloydCorpus(corpus, idCol, vecCol).localCheckpoint(false)
+      else prepLloydCorpus(corpus, idCol, vecCol)
     var round = 0
     var converged = false
     while (round < maxIter && !converged) {
-      val stats = kmeansIteration(corpus, toDf(cents), idCol, vecCol)
+      val stats = kmeansIterationPrepped(prepped, toDf(cents), idCol, vecCol)
         .select(col("cluster_id").cast("long"), col("dim_no"), col("centroid"))
         .collect()
       val computed = stats.groupBy(_.getLong(0)).map { case (cid, rows) =>
@@ -844,9 +867,15 @@ object Similarity {
     * assignment), which is what makes the blocked fit both cheap and
     * oracle-expressible as an equi-join CTE. */
   private def kmeansIterationBlocked(assigned: DataFrame,
-                                     seeds: DataFrame): DataFrame = {
-    val c = assigned.select(col("vec_id"), col("cv"), col("blk"))
-      .withColumn("cn", norm2(col("cv")))
+                                     seeds: DataFrame): DataFrame =
+    kmeansIterationBlockedPrepped(
+      assigned.select(col("vec_id"), col("cv"), col("blk"))
+        .withColumn("cn", norm2(col("cv"))), seeds)
+
+  /** One blocked Lloyd round over an already-prepped (vec_id, cv,
+    * blk, cn) corpus — the fit loop pins that prep once per fit. */
+  private def kmeansIterationBlockedPrepped(c: DataFrame,
+                                            seeds: DataFrame): DataFrame = {
     val s = seeds.select(col("seed_id"), col("sv"), col("blk"))
       .withColumn("sn", norm2(col("sv")))
     exactCentroidMean(lloydArgmax(c.join(broadcast(s), Seq("blk"))))
@@ -873,10 +902,16 @@ object Similarity {
         col("sv").cast("array<float>"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
       .toSeq.sortBy(_._1)
+    // same loop-wide corpus pin as kmeansFitWithRounds (the flat fit):
+    // prep once, lazily checkpoint, every round reuses the blocks
+    val prepBase = assigned.select(col("vec_id"), col("cv"), col("blk"))
+      .withColumn("cn", norm2(col("cv")))
+    val prepped =
+      if (maxIter > 1) prepBase.localCheckpoint(false) else prepBase
     var round = 0
     var converged = false
     while (round < maxIter && !converged) {
-      val stats = kmeansIterationBlocked(assigned, toDf(cents))
+      val stats = kmeansIterationBlockedPrepped(prepped, toDf(cents))
         .select(col("cluster_id").cast("long"), col("dim_no"), col("centroid"))
         .collect()
       val computed = stats.groupBy(_.getLong(0)).map { case (cid, rows) =>

@@ -133,6 +133,16 @@ object Retrieval extends QueryGroup {
     li.topK(li.prunedMaxSimScores(qv, dv, cand), K)
   }
 
+  /** The entry-top qv/dv pins, OVERLAPPED: the two eager
+    * localCheckpoints are independent derivation chains (query tokens
+    * vs corpus tokens), so submitting them from two threads (guide
+    * §2.6) prices the entry at ~max of the two derivations instead of
+    * their sum. Results unchanged — same pins, same tables. */
+  private def pinnedQvDv(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.operators.Overlap.par2(
+      queryVecs(s, dir).localCheckpoint(true),
+      corpusVecs(s, dir).localCheckpoint(true))
+
   /** q241/q242's persisted LateInteractionRegistry stores, built once
     * per JVM per sf dir (the q208Stores/q228 "seeding untimed"
     * convention): (a) full-corpus fit — steady-state serving; (b) fit
@@ -389,8 +399,7 @@ object Retrieval extends QueryGroup {
     // would return), and how many the full two-stage recovers
     // (n_hit5 — the number that certifies PoolC).
     "q232_maxsim_recall" -> ((s, dir) => {
-      val qv = queryVecs(s, dir).localCheckpoint(true)
-      val dv = corpusVecs(s, dir).localCheckpoint(true)
+      val (qv, dv) = pinnedQvDv(s, dir)
       val pool = li.pooledTopC(qv, dv, PoolC)
       val exact = bruteTop5Of(qv, dv).select("query_id", "doc_id")
       val pool5 = pool.filter(col("prank") <= K).select("query_id", "doc_id")
@@ -443,8 +452,7 @@ object Retrieval extends QueryGroup {
       // the truth arm and the system arm both consume qv/dv — ONE
       // pinned derivation each instead of the two-per-arm rebuild
       // that paired this entry at 2.5-3.4x (VERDICT r13 #3)
-      val qv = queryVecs(s, dir).localCheckpoint(true)
-      val dv = corpusVecs(s, dir).localCheckpoint(true)
+      val (qv, dv) = pinnedQvDv(s, dir)
       val truth = bruteTop5Of(qv, dv)
         .select(col("query_id"), col("doc_id"),
           (lit(6) - col("rank")).cast("long").as("rel"),
@@ -486,8 +494,7 @@ object Retrieval extends QueryGroup {
       // en-only slice derived FROM the pin (a per-doc restriction
       // commutes with tokenization — the oracle's fdv semi-join
       // verbatim) and pinned once for its three consumers
-      val qv = queryVecs(s, dir).localCheckpoint(true)
-      val dv = corpusVecs(s, dir).localCheckpoint(true)
+      val (qv, dv) = pinnedQvDv(s, dir)
       val enDocs = Tables.documents(s, dir).filter(col("lang") === "en")
         .select("doc_id")
       val dvEn = dv.join(enDocs, Seq("doc_id"), "left_semi")
@@ -520,8 +527,7 @@ object Retrieval extends QueryGroup {
     // set — the classic recall lever when queries are short. The df
     // table is the same inverted projection q233 weights with.
     "q239_prf_maxsim" -> ((s, dir) => {
-      val qv = queryVecs(s, dir).localCheckpoint(true)
-      val dv = corpusVecs(s, dir).localCheckpoint(true)
+      val (qv, dv) = pinnedQvDv(s, dir)
       val (eqv, _) = prfExpand(qv, dv)
       li.topK(li.maxSimScores(eqv, dv), K)
     }),
@@ -659,19 +665,26 @@ object Retrieval extends QueryGroup {
       // unrouted arms each re-derived dv and the routed arm its own
       // query chain — three corpus derivations where DuckDB shares
       // one dv CTE; the q243 shared-truth localCheckpoint discipline)
-      val qv = cluQueryVecs(s, dir).localCheckpoint(true)
-      val dv = li.withVec(li.docTokens(spreadDocs(cdocs),
-          "doc_id", "text", DocCap),
-        "t", "dc").localCheckpoint(true)
-      val (sys5Full, scored) = routedServe(s, root, qv)
-      val nScan = scored.groupBy("query_id")
-        .agg(count(lit(1)).as("n_scan"))
-      val sys5 = sys5Full.select("query_id", "doc_id")
+      // ... and the independent eager chains overlapped (guide §2.6):
+      // the two pins first (query vs corpus derivation), then the
+      // routed serve (driver-pinned routing reads) alongside the
+      // exact-truth pin — each pair shares no state
+      val (qv, dv) = graft.operators.Overlap.par2(
+        cluQueryVecs(s, dir).localCheckpoint(true),
+        li.withVec(li.docTokens(spreadDocs(cdocs),
+            "doc_id", "text", DocCap),
+          "t", "dc").localCheckpoint(true))
       // the two comparison arms over the same clustered corpus:
       // exact MaxSim truth, and the unrouted two-stage (the recall
       // bar a routed stage 1 must meet — VERDICT's Done criterion)
-      val truth = bruteTop5Of(qv, dv)
-        .select("query_id", "doc_id").localCheckpoint(true)
+      val (rs, truth) = graft.operators.Overlap.par2(
+        routedServe(s, root, qv),
+        bruteTop5Of(qv, dv)
+          .select("query_id", "doc_id").localCheckpoint(true))
+      val (sys5Full, scored) = rs
+      val nScan = scored.groupBy("query_id")
+        .agg(count(lit(1)).as("n_scan"))
+      val sys5 = sys5Full.select("query_id", "doc_id")
       val unrouted = prunedTop5Of(qv, dv)
         .select("query_id", "doc_id")
       val hitR = sys5.join(truth, Seq("query_id", "doc_id"), "left_semi")
@@ -691,8 +704,7 @@ object Retrieval extends QueryGroup {
     "q240_prf_drift" -> ((s, dir) => {
       // plain truth, PRF expansion and the expanded rescan all share
       // qv/dv — pinned once (VERDICT r13 #3 hygiene)
-      val qv = queryVecs(s, dir).localCheckpoint(true)
-      val dv = corpusVecs(s, dir).localCheckpoint(true)
+      val (qv, dv) = pinnedQvDv(s, dir)
       val (eqv, fb) = prfExpand(qv, dv)
       val plain = bruteTop5Of(qv, dv).select("query_id", "doc_id")
       val expanded = li.topK(li.maxSimScores(eqv, dv), K)

@@ -1532,13 +1532,20 @@ object TrainingData extends QueryGroup {
       // the EXPLICIT flat arm: semDedupAuto now routes to the
       // hierarchical path above HierRoutingCells (VERDICT r6 #1), so
       // the flat-vs-hier comparison pins its flat side explicitly
-      val flat = Similarity.semDedupFlatAuto(emb, "vec_id", "embedding",
-          eps = SemDedupEps, maxIter = KmFitIter, targetCell = SemCellTarget)
-        .select(col("id"), col("kept").as("kept_flat"))
-      val hier = Similarity.hierarchicalSemDedupAuto(emb, "vec_id",
-          "embedding", eps = SemDedupEps, maxIter = KmFitIter,
-          targetCell = SemCellTarget)
-        .select(col("id"), col("kept").as("kept_hier"))
+      // the two arms are fully independent until the decision join,
+      // and each arm's CONSTRUCTION runs an eager KmFitIter-round
+      // Lloyd driver loop — overlapping the constructions backfills
+      // the idle capacity of each loop's small sequential jobs
+      // (guide §2.6); results unchanged, both fits deterministic
+      val (flat, hier) = graft.operators.Overlap.par2(
+        Similarity.semDedupFlatAuto(emb, "vec_id", "embedding",
+            eps = SemDedupEps, maxIter = KmFitIter,
+            targetCell = SemCellTarget)
+          .select(col("id"), col("kept").as("kept_flat")),
+        Similarity.hierarchicalSemDedupAuto(emb, "vec_id",
+            "embedding", eps = SemDedupEps, maxIter = KmFitIter,
+            targetCell = SemCellTarget)
+          .select(col("id"), col("kept").as("kept_hier")))
       flat.join(hier, Seq("id"))
         .agg(count(lit(1)).as("n_vectors"),
           sum(when(col("kept_flat") === col("kept_hier"), 1L).otherwise(0L))
@@ -1559,10 +1566,13 @@ object TrainingData extends QueryGroup {
     "q204_hier_fit_quality" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val k = Similarity.derivedCells(emb.count(), SemCellTarget)
-      val flatCents = Similarity.kmeansFit(emb,
-        emb.filter(col("vec_id") < k), "vec_id", "embedding", KmFitIter)
-      val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
-        emb, "vec_id", "embedding", k, KmFitIter)
+      // two independent eager fit loops — overlap them (guide §2.6)
+      val (flatCents, cf) = graft.operators.Overlap.par2(
+        Similarity.kmeansFit(emb,
+          emb.filter(col("vec_id") < k), "vec_id", "embedding", KmFitIter),
+        Similarity.hierarchicalQuantizerFit(
+          emb, "vec_id", "embedding", k, KmFitIter))
+      val (coarse, fine) = cf
       def quality(asg: org.apache.spark.sql.DataFrame, method: String) =
         asg.filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
           .select(floor(col("cs").cast("double") * lit(1e6) + lit(0.5))
@@ -1603,12 +1613,15 @@ object TrainingData extends QueryGroup {
     // exact Gonzalez contract.
     "q207_oversampled_seeding" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val idLow = Similarity.kmeansFit(emb,
-        emb.filter(col("vec_id") < 12), "vec_id", "embedding", KmFitIter)
-      val os = Similarity.kmeansFit(emb,
-        Similarity.oversampledSeeds(emb, "vec_id", "embedding",
-          k = 12, ell = 12, rounds = 3),
-        "vec_id", "embedding", KmFitIter)
+      // the idlow fit and the seed-then-fit chain share nothing —
+      // overlap the two eager driver loops (guide §2.6)
+      val (idLow, os) = graft.operators.Overlap.par2(
+        Similarity.kmeansFit(emb,
+          emb.filter(col("vec_id") < 12), "vec_id", "embedding", KmFitIter),
+        Similarity.kmeansFit(emb,
+          Similarity.oversampledSeeds(emb, "vec_id", "embedding",
+            k = 12, ell = 12, rounds = 3),
+          "vec_id", "embedding", KmFitIter))
       def quality(cents: org.apache.spark.sql.DataFrame, method: String) =
         Similarity.assignCellsScored(emb, cents, "vec_id", "embedding")
           .filter(col("cs").isNotNull && !isnan(col("cs").cast("double")))
@@ -1781,14 +1794,17 @@ object TrainingData extends QueryGroup {
     "q206_hier_ivf_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val k = Similarity.derivedCells(e.count(), SemCellTarget)
-      val (coarse, fine) = Similarity.hierarchicalQuantizerFit(
-        e, "vec_id", "embedding", k, KmFitIter)
+      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
+      // the two-level fit (eager Lloyd loops) and the exact-truth pin
+      // share nothing — overlap them (guide §2.6)
+      val (cf, exact) = graft.operators.Overlap.par2(
+        Similarity.hierarchicalQuantizerFit(
+          e, "vec_id", "embedding", k, KmFitIter),
+        Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id").localCheckpoint(true))
+      val (coarse, fine) = cf
       val fineFlat = fine.select(col("cid").as("vec_id"),
         col("cv").as("embedding"))
-      val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
-      val exact = Dedup.DefaultMaterialize(
-        Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", k = 5)
-          .select("query_id", "neighbor_id"))
       def hits(asg: org.apache.spark.sql.DataFrame, name: String) =
         exact.join(
             Similarity.ivfTopKFromAssignment(qs, asg, fineFlat,
@@ -1881,10 +1897,15 @@ object TrainingData extends QueryGroup {
     "q214_pq_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
-      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
-        qs, e, "vec_id", "embedding", k = 5)
-        .select("query_id", "neighbor_id")
-      val pool = pqTopPool(s, dir) // ADC top-PqPool, one ranking pass
+      // the exact-truth pin and the PQ fit+rank chain are independent
+      // eager computations — overlap them (guide §2.6); the pool pin
+      // (|Q| x PqPool rows) also stops its two consumers (hit5 and
+      // inPool) re-running the encode+ADC subtree
+      val (exact, pool) = graft.operators.Overlap.par2(
+        graft.operators.ProductQuantizer.bruteL2TopK(
+            qs, e, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id").localCheckpoint(true),
+        pqTopPool(s, dir).localCheckpoint(true))
       val hit5 = pool.filter(col("rank") <= 5)
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit5"))
@@ -2022,10 +2043,13 @@ object TrainingData extends QueryGroup {
     "q219_ivfadc_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
-      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
-        qs, e, "vec_id", "embedding", k = 5)
-        .select("query_id", "neighbor_id")
-      val pool = ivfadcPool(s, dir)
+      // the q214 shape: truth pin overlapped with the residual
+      // fit+rank chain (guide §2.6), pool pinned for its two consumers
+      val (exact, pool) = graft.operators.Overlap.par2(
+        graft.operators.ProductQuantizer.bruteL2TopK(
+            qs, e, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id").localCheckpoint(true),
+        ivfadcPool(s, dir).localCheckpoint(true))
       val hit5 = pool.filter(col("rank") <= 5)
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit5"))
@@ -2058,13 +2082,17 @@ object TrainingData extends QueryGroup {
       // queries, exact truth) — one pinned derivation (r13 hygiene)
       val e = clusteredEmb(s, dir).localCheckpoint(true)
       val qs = e.filter(col("vec_id") >= 12 && col("vec_id") < 20)
-      val exact = pq.bruteL2TopK(qs, e, "vec_id", "embedding", k = 5)
-        .select("query_id", "neighbor_id")
-      val cb = pq.pqFit(e, "vec_id", "embedding",
-        m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
-      val enc = pq.pqEncode(e, cb, "vec_id", "embedding", PqM, Dim)
-      val pool = pq.pqTopK(qs, enc, cb, "vec_id", "embedding",
-        k = PqPool, m = PqM, dim = Dim)
+      // q214 shape: truth pin overlapped with fit+encode+rank (guide
+      // §2.6), pool pinned for its two consumers
+      val (exact, pool) = graft.operators.Overlap.par2(
+        pq.bruteL2TopK(qs, e, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id").localCheckpoint(true), {
+          val cb = pq.pqFit(e, "vec_id", "embedding",
+            m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
+          val enc = pq.pqEncode(e, cb, "vec_id", "embedding", PqM, Dim)
+          pq.pqTopK(qs, enc, cb, "vec_id", "embedding",
+            k = PqPool, m = PqM, dim = Dim).localCheckpoint(true)
+        })
       val hit5 = pool.filter(col("rank") <= 5)
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit5"))
@@ -2252,21 +2280,30 @@ object TrainingData extends QueryGroup {
       val qs = e.filter(col("vec_id") < AnnQueries)
       // ONE exact-truth computation shared by all three arms (VERDICT
       // r12 #2): without the eager pin, each arm's semi-join re-ran
-      // the full brute scan — three corpus passes for one truth table
-      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
-        qs, e, "vec_id", "embedding", k = NndServeK)
-        .select("query_id", "neighbor_id").localCheckpoint(true)
-      def hitsOf(path: String, nm: String): DataFrame =
+      // the full brute scan — three corpus passes for one truth table.
+      // The truth pin and the three persisted beam probes are four
+      // INDEPENDENT eager computations (each probe is a driver hop
+      // loop of small sequential jobs returning a driver-local
+      // |Q| x K frame) — overlap them so the entry costs ~max of the
+      // four chains instead of their sum (guide §2.6)
+      def probeOf(path: String): DataFrame =
         new graft.operators.KnnGraphRegistry(path)
           .probe(s, qs, "vec_id", "embedding", k = NndServeK,
             beam = NndBeam, hops = NndHops, entries = NndEntries)
           .select("query_id", "neighbor_id")
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      val (exact, srBefore, srStitch, srRefit) =
+        graft.operators.Overlap.par4(
+          graft.operators.ProductQuantizer.bruteL2TopK(
+              qs, e, "vec_id", "embedding", k = NndServeK)
+            .select("query_id", "neighbor_id").localCheckpoint(true),
+          probeOf(pre), probeOf(post), probeOf(graphRegStore(s, dir)))
+      def hitsOf(sr: DataFrame, nm: String): DataFrame =
+        sr.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as(nm))
       qs.select(col("vec_id").as("query_id"))
-        .join(hitsOf(pre, "n_hit_before"), Seq("query_id"), "left")
-        .join(hitsOf(post, "n_hit_stitch"), Seq("query_id"), "left")
-        .join(hitsOf(graphRegStore(s, dir), "n_hit_refit"),
+        .join(hitsOf(srBefore, "n_hit_before"), Seq("query_id"), "left")
+        .join(hitsOf(srStitch, "n_hit_stitch"), Seq("query_id"), "left")
+        .join(hitsOf(srRefit, "n_hit_refit"),
           Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hit_before"), lit(0L)).as("n_hit_before"),
@@ -2297,20 +2334,26 @@ object TrainingData extends QueryGroup {
       val e = clusteredEmb(s, dir)
       val qs = e.filter(pmod(col("vec_id"), lit(NndIngestMod)) ===
         NndIngestRes && col("vec_id") < NndIngestMod * 8)
-      val exact = graft.operators.ProductQuantizer.bruteL2TopK(
-        qs, e, "vec_id", "embedding", k = NndServeK)
-        .select("query_id", "neighbor_id").localCheckpoint(true)
-      def hitsOf(path: String, nm: String): DataFrame =
+      // same four-way overlap as q243: the truth pin and the three
+      // persisted probes are independent eager chains (guide §2.6)
+      def probeOf(path: String): DataFrame =
         new graft.operators.KnnGraphRegistry(path)
           .probe(s, qs, "vec_id", "embedding", k = NndServeK,
             beam = NndBeam, hops = NndHops, entries = CluServeEntries)
           .select("query_id", "neighbor_id")
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      val (exact, srBefore, srStitch, srRefit) =
+        graft.operators.Overlap.par4(
+          graft.operators.ProductQuantizer.bruteL2TopK(
+              qs, e, "vec_id", "embedding", k = NndServeK)
+            .select("query_id", "neighbor_id").localCheckpoint(true),
+          probeOf(pre), probeOf(post), probeOf(full))
+      def hitsOf(sr: DataFrame, nm: String): DataFrame =
+        sr.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as(nm))
       qs.select(col("vec_id").as("query_id"))
-        .join(hitsOf(pre, "n_hit_before"), Seq("query_id"), "left")
-        .join(hitsOf(post, "n_hit_stitch"), Seq("query_id"), "left")
-        .join(hitsOf(full, "n_hit_refit"), Seq("query_id"), "left")
+        .join(hitsOf(srBefore, "n_hit_before"), Seq("query_id"), "left")
+        .join(hitsOf(srStitch, "n_hit_stitch"), Seq("query_id"), "left")
+        .join(hitsOf(srRefit, "n_hit_refit"), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hit_before"), lit(0L)).as("n_hit_before"),
           coalesce(col("n_hit_stitch"), lit(0L)).as("n_hit_stitch"),
