@@ -73,6 +73,41 @@ class LateInteractionSpec extends SparkSpec {
       s"expected the pivot-width refusal, got: ${chain(e).mkString(" | ")}")
   }
 
+  test("weightedMaxSimScores REFUSES w < 1 (the slot fusion is exact " +
+    "only for positive weights — ADVICE r14 guard)") {
+    val dv = li.withVec(li.docTokens(docs, "doc_id", "text", 24), "t", "dc")
+    val qw = li.withVec(
+      li.docTokens(docs.filter(col("doc_id") < 1), "doc_id", "text", 24)
+        .withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("t", "qt"), "qt", "qc")
+      .withColumn("w", lit(0L))
+    val e = intercept[Exception] {
+      li.weightedMaxSimScores(qw, dv).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("w >= 1")),
+      s"expected the w >= 1 refusal, got: ${chain(e).mkString(" | ")}")
+  }
+
+  test("maxSimScores REFUSES duplicate (query_id, qt) token rows " +
+    "within the pivot bound (ADVICE r14 guard: the fused kernel " +
+    "would double-count where the old groupBy-qt kernel deduped)") {
+    val dv = li.withVec(li.docTokens(docs, "doc_id", "text", 24), "t", "dc")
+    val q0 = li.withVec(
+      li.docTokens(docs.filter(col("doc_id") < 1), "doc_id", "text", 24)
+        .withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("t", "qt"), "qt", "qc")
+    // 3 distinct tokens duplicated once = 6 slots: passes the width
+    // check (6 <= 8), so only the distinctness guard can catch it
+    val qv = q0.unionByName(q0)
+    val e = intercept[Exception] { li.maxSimScores(qv, dv).collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("duplicate (query_id, qt)")),
+      s"expected the duplicate-qt refusal, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("maxSimScores equals the hand-computed sum-of-max reference") {
     val dv = li.withVec(li.docTokens(docs, "doc_id", "text", 24), "t", "dc")
     val qv = li.withVec(
