@@ -106,7 +106,8 @@ object LateInteraction {
         qv.withColumn("w",
           when(col("w") >= 1, col("w")).otherwise(raise_error(concat(
             lit("maxSim weighted kernel requires w >= 1, got w="),
-            col("w").cast("string"), lit(" for query_id="),
+            coalesce(col("w").cast("string"), lit("NULL")),
+            lit(" for query_id="),
             col("query_id").cast("string")))))
       else qv
     val fields = (Seq("qt") ++ extra ++ (0 until Dim).map(j => s"qc$j")).map(col)

@@ -866,14 +866,10 @@ object Similarity {
     * migrate across blocks (the hierarchy is fixed by the coarse
     * assignment), which is what makes the blocked fit both cheap and
     * oracle-expressible as an equi-join CTE. */
-  private def kmeansIterationBlocked(assigned: DataFrame,
-                                     seeds: DataFrame): DataFrame =
-    kmeansIterationBlockedPrepped(
-      assigned.select(col("vec_id"), col("cv"), col("blk"))
-        .withColumn("cn", norm2(col("cv"))), seeds)
-
   /** One blocked Lloyd round over an already-prepped (vec_id, cv,
-    * blk, cn) corpus — the fit loop pins that prep once per fit. */
+    * blk, cn) corpus — the fit loop pins that prep once per fit
+    * (the unprepped per-round wrapper was deleted with the pin: one
+    * prep implementation, in the loop). */
   private def kmeansIterationBlockedPrepped(c: DataFrame,
                                             seeds: DataFrame): DataFrame = {
     val s = seeds.select(col("seed_id"), col("sv"), col("blk"))

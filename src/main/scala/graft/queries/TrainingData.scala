@@ -352,7 +352,7 @@ object TrainingData extends QueryGroup {
   /** One BLOCKED Lloyd round (q200/q201): identical arithmetic to
     * lloydRound, but the score join is an equi-join on `blk` (each
     * vector competes only among its coarse block's fine centroids) —
-    * mirroring Similarity.kmeansIterationBlocked. Reads `asgc`
+    * mirroring Similarity.kmeansIterationBlockedPrepped. Reads `asgc`
     * (vec_id, v, n2, blk) and fcent${"$"}{i-1}; emits fcent$$i. */
   private def blockedLloydRound(i: Int): String =
     s"""fsck$i AS (SELECT a.vec_id, a.v, c.cid,
@@ -967,12 +967,20 @@ object TrainingData extends QueryGroup {
     s.read.parquet(p)
   }
 
+  /** The flat PQ fit — ONE definition consumed by both the timed
+    * build paths (q213/q215, fit inside the entry) and the shared
+    * cache (pqCbFlat), so the cached codebook can never drift from
+    * the pipeline the timed builds run. */
+  private def pqFitFlat(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProductQuantizer.pqFit(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
+
   private def pqTopPool(s: SparkSession, dir: String,
                         cb0: Option[DataFrame] = None): DataFrame = {
     val pq = graft.operators.ProductQuantizer
     val e = Tables.embeddings(s, dir)
-    val cb = cb0.getOrElse(pq.pqFit(e, "vec_id", "embedding",
-      m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim))
+    val cb = cb0.getOrElse(pqFitFlat(s, dir))
     val enc = pq.pqEncode(e, cb, "vec_id", "embedding", PqM, Dim)
     pq.pqTopK(e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
       enc, cb, "vec_id", "embedding", k = PqPool, m = PqM, dim = Dim)
@@ -980,11 +988,7 @@ object TrainingData extends QueryGroup {
 
   /** q214's shared flat codebook (see pqCbShared). */
   private def pqCbFlat(s: SparkSession, dir: String): DataFrame =
-    pqCbShared(s, s"flat:$dir", {
-      val pq = graft.operators.ProductQuantizer
-      pq.pqFit(Tables.embeddings(s, dir), "vec_id", "embedding",
-        m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
-    })
+    pqCbShared(s, s"flat:$dir", pqFitFlat(s, dir))
 
   private def pqTop5(s: SparkSession, dir: String): DataFrame =
     pqTopPool(s, dir).filter(col("rank") <= 5)
@@ -994,17 +998,33 @@ object TrainingData extends QueryGroup {
     * by q218 (rank <= 5 prefix) and the q219 recall measurement (one
     * ranking rule, two consumers — the pqTopPool convention). q218
     * times the fit; q219 passes the shared codebook (pqCbShared). */
-  private def ivfadcPool(s: SparkSession, dir: String,
-                         cb0: Option[DataFrame] = None): DataFrame = {
+  /** The residual chain's inputs (cents, asg, resid) — ONE
+    * derivation consumed by ivfadcPool (fit + encode) AND the shared
+    * residual-codebook cache, so the cached fit's inputs cannot
+    * drift from the encode's. */
+  private def ivfadcParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val pq = graft.operators.ProductQuantizer
     val e = Tables.embeddings(s, dir)
     val cents = e.filter(col("vec_id") < 12)
     val asg = Similarity.assignCells(e, cents, "vec_id", "embedding",
         spread = false)
       .select(col("id").as("vid"), col("cell"))
-    val resid = pq.cellResiduals(e, cents, asg, "vec_id", "embedding")
-    val cb = cb0.getOrElse(pq.pqFitE(resid, "vid", "r",
-      m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim))
+    (cents, asg, pq.cellResiduals(e, cents, asg, "vec_id", "embedding"))
+  }
+
+  /** The residual PQ fit — ONE definition for the timed build (q218)
+    * and the shared cache (pqCbResid), the pqFitFlat discipline. */
+  private def pqFitResid(resid: DataFrame): DataFrame =
+    graft.operators.ProductQuantizer.pqFitE(resid, "vid", "r",
+      m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
+
+  private def ivfadcPool(s: SparkSession, dir: String,
+                         cb0: Option[DataFrame] = None): DataFrame = {
+    val pq = graft.operators.ProductQuantizer
+    val e = Tables.embeddings(s, dir)
+    val (cents, asg, resid) = ivfadcParts(s, dir)
+    val cb = cb0.getOrElse(pqFitResid(resid))
     val enc = pq.pqEncodeE(resid, cb, "vid", "r", PqM, Dim)
     pq.ivfadcTopK(e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
       pq.cellKeyedCodes(enc, asg), cb, cents, "vec_id", "embedding",
@@ -1013,16 +1033,7 @@ object TrainingData extends QueryGroup {
 
   /** q219's shared residual codebook (see pqCbShared). */
   private def pqCbResid(s: SparkSession, dir: String): DataFrame =
-    pqCbShared(s, s"resid:$dir", {
-      val pq = graft.operators.ProductQuantizer
-      val e = Tables.embeddings(s, dir)
-      val cents = e.filter(col("vec_id") < 12)
-      val asg = Similarity.assignCells(e, cents, "vec_id", "embedding",
-          spread = false)
-        .select(col("id").as("vid"), col("cell"))
-      pq.pqFitE(pq.cellResiduals(e, cents, asg, "vec_id", "embedding"),
-        "vid", "r", m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
-    })
+    pqCbShared(s, s"resid:$dir", pqFitResid(ivfadcParts(s, dir)._3))
 
   /** Exact-integer dot of two micro-unit subvector refs (BIGINT,
     * Dim/PqM elements) — the PQ oracle's arithmetic primitive
@@ -1979,8 +1990,7 @@ object TrainingData extends QueryGroup {
       val asg = Similarity.assignCells(e, cents, "vec_id", "embedding",
           spread = false)
         .select(col("id").as("vid"), col("cell"))
-      val cb = pq.pqFit(e, "vec_id", "embedding",
-        m = PqM, ksub = PqK, maxIter = KmFitIter, dim = Dim)
+      val cb = pqFitFlat(s, dir) // the one flat-fit definition, timed here
       val enc = pq.pqEncode(e, cb, "vec_id", "embedding", PqM, Dim)
       pq.ivfPqTopK(e.filter(col("vec_id") >= 12 && col("vec_id") < 20),
         enc, asg, cb, cents, "vec_id", "embedding",
